@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided testdata tables (TESTDATA.md /
+  * FIXTURES.md §3). One parquet file per table under `\$dir/`.
+  *
+  * All engine queries read through here so the scan options (and any
+  * future source abstraction — bucketed layout, partitioned warehouse)
+  * have a single seam.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long and truncate to micros —
+      // exactly what DuckDB's micro-precision TIMESTAMP does, so the
+      // oracle sees identical values.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      else raw
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** SURVEY.md §2.3 — joins. The reference has none (single-table
+  * warehouse, scripts/postgres_db_scripts.sql:1-8); these declare and
+  * verify the engine capability on the testdata star schema.
+  *
+  * Scale strategy per join:
+  *  - q_join_inner:  dim join — explicit `broadcast(customer)` so the
+  *    big side never shuffles (BroadcastHashJoin).
+  *  - q_join_large:  fact⋈fact on the natural key — shuffled hash /
+  *    sort-merge, both sides partitioned by the join key; AQE can
+  *    re-plan skew at runtime.
+  *  - q_join_semi / q_join_anti: existence checks without payload
+  *    duplication (left_semi/left_anti — no row multiplication, the
+  *    probe side streams).
+  *  - q_join_multi: star join — all dims broadcast, single pass over
+  *    the fact table, one shuffle for the final group-by.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))),
+
+    "q_join_large" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q_join_semi" -> ((s, dir) => {
+      val bigOrders = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      Tables(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val bigOrders = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      Tables(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_without_big_order"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // TPC-H Q5-shaped star join: revenue by nation for one region.
+    "q_join_multi" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = broadcast(Tables(s, dir, "customer"))
+      val n = broadcast(Tables(s, dir, "nation"))
+      val r = broadcast(Tables(s, dir, "region").filter(col("r_name") === "EUROPE"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_large" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_without_big_order FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_multi" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

@@ -1,0 +1,236 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** SURVEY.md §2.1–§2.5 relational inventory: scans, projections,
+  * filters, limits/offsets/batching, and the five dashboard-card
+  * aggregations (A1–A5) re-expressed over the driver testdata.
+  *
+  * Reference behaviors covered (citations into /root/reference/):
+  *  - A1 count card       → q_count_total   (README.md:84-96)
+  *  - A2 max-date card    → q_max_date
+  *  - A3 2000-row table   → q_overview_limit
+  *  - A4 sum-per-county donut + top-9+Other → q_sum_by_county, q_topk_other
+  *  - A5 sum-per-state sorted bar           → q_sum_by_state
+  *  - P1 projection/rename (dags/ETL.py:96-102)   → q_project_rename
+  *  - P5 strict-`>` range predicate (dags/ETL.py:68-74) → q_filter_range
+  *  - S9 result cap (dags/ETL.py:75)        → q_limit
+  *  - S2 offset-resume (ingest_csv_to_elastic.py:85-87) → q_offset
+  *  - S3 fixed-size batch numbering (ingest_csv_to_elastic.py:83-97) → q_batch_number
+  *
+  * Scale notes: every aggregation here is a partial+final hash
+  * aggregate (map-side combine, one shuffle on the group keys);
+  * top-k is TakeOrderedAndProject (no global sort); filters and
+  * projections push into the parquet scan via Catalyst.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1: total record count — single-row agg, no shuffle of data rows.
+    "q_count_total" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // A2: latest/earliest record.
+    "q_max_date" -> ((s, dir) =>
+      Tables(s, dir, "orders").agg(
+        max(col("o_orderdate")).as("max_date"),
+        min(col("o_orderdate")).as("min_date"))),
+
+    // A3: capped overview table (deterministic orderBy added; Spark
+    // plans TakeOrderedAndProject — no full sort at scale).
+    "q_overview_limit" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey")).limit(2000)),
+
+    // A4 donut: sum per group (county ≈ c_mktsegment on testdata).
+    "q_sum_by_county" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))),
+
+    // A4 top-9 + "Other" bucket. Keep decimal until the final select so
+    // the Other-bucket re-aggregation stays order-independent.
+    "q_topk_other" -> ((s, dir) => {
+      val agg = Tables(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(sum(dec(col("p_retailprice"))).as("total_d"))
+      val ranked = agg.withColumn("rn",
+        row_number().over(Window.orderBy(col("total_d").desc, col("p_brand"))))
+      val top = ranked.filter(col("rn") <= 9)
+        .select(col("p_brand").as("brand"), col("total_d"))
+      val other = ranked.filter(col("rn") > 9)
+        .agg(sum(col("total_d")).as("total_d"))
+        .select(lit("Other").as("brand"), col("total_d"))
+      top.unionByName(other)
+        .select(col("brand"), col("total_d").cast("double").as("total"))
+        .orderBy(col("total").desc, col("brand"))
+    }),
+
+    // A5 sorted bar: sum per state ≈ per order priority.
+    "q_sum_by_state" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(moneySum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n"))
+        .orderBy(col("total_price"), col("o_orderpriority"))),
+
+    // TPC-H Q1-shaped pricing summary — the flagship aggregate.
+    "q_agg_pricing" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(discounted(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_count_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"))),
+
+    // Sketch-based distinct — tolerance-checked, no SQL oracle (the
+    // driver records a rows-only check; exactness asserted in tests).
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
+
+    "q_rollup" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "q_cube" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // P1: projection + rename, pruned into the scan.
+    "q_project_rename" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_orderdate").as("order_ts"),
+          col("o_totalprice").as("amount"), col("o_orderpriority").as("priority"))
+        .orderBy(col("id")).limit(1000)),
+
+    // P5: strict-`>` watermark-style range predicate, pushed to parquet.
+    "q_filter_range" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1997-03-31").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // S9: result cap.
+    "q_limit" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)),
+
+    // S2: offset-resume parity (skip first N in a deterministic order).
+    "q_offset" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).offset(100).limit(50)),
+
+    // S3: fixed-size batch numbering (BATCH_SIZE=100 in the reference).
+    "q_batch_number" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+        .withColumn("batch", floor((col("rn") - 1) / lit(100)))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key"))
+        .orderBy(col("batch")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_count_total" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_max_date" ->
+      "SELECT max(o_orderdate) AS max_date, min(o_orderdate) AS min_date FROM orders",
+    "q_overview_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
+    "q_sum_by_county" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_other" ->
+      """WITH agg AS (
+        |  SELECT p_brand, sum(CAST(p_retailprice AS DECIMAL(18,2))) AS total_d
+        |  FROM part GROUP BY p_brand),
+        |ranked AS (
+        |  SELECT p_brand, total_d,
+        |    row_number() OVER (ORDER BY total_d DESC, p_brand) AS rn FROM agg)
+        |SELECT brand, CAST(total_d AS DOUBLE) AS total FROM (
+        |  SELECT p_brand AS brand, total_d FROM ranked WHERE rn <= 9
+        |  UNION ALL
+        |  SELECT 'Other' AS brand, sum(total_d) AS total_d FROM ranked WHERE rn > 9)
+        |ORDER BY total DESC, brand""".stripMargin,
+    "q_sum_by_state" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY total_price, o_orderpriority""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_project_rename" ->
+      """SELECT o_orderkey AS id, o_orderdate AS order_ts, o_totalprice AS amount,
+        |  o_orderpriority AS priority
+        |FROM orders ORDER BY id LIMIT 1000""".stripMargin,
+    "q_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1997-03-31 00:00:00'
+        |  AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q_batch_number" ->
+      """WITH numbered AS (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS batch, count(*) AS n,
+        |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM numbered GROUP BY 1 ORDER BY batch""".stripMargin
+  )
+}

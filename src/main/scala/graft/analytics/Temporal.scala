@@ -1,0 +1,102 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** SURVEY.md §2.8 — incremental / streaming semantics, expressed in
+  * batch form so the DuckDB oracle can verify them. The genuinely
+  * streaming execution (readStream + watermark + AvailableNow) lives in
+  * [[graft.streaming.Streams]] and is asserted equal to these batch
+  * plans in ScalaTest.
+  *
+  * Reference touchpoints: strict-`>` date watermark (dags/ETL.py:68-74),
+  * hourly incremental batches (dags/ETL.py:40), checkpoint cursor
+  * (dags/ETL.py:47-62).
+  *
+  * Scale notes: the watermark predicate lands in `PushedFilters` of the
+  * parquet scan (partition pruning when the warehouse is written
+  * partitioned-by-date); all window aggregations below are single-
+  * shuffle hash aggregates on (window, key).
+  */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // High-watermark incremental extract: strictly-greater-than cursor.
+    "q_incremental" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))),
+
+    // Tumbling 1-hour windows (batch form of q_stream_tumbling).
+    "q_stream_tumbling" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Sliding 1-hour windows every 15 minutes.
+    "q_stream_sliding" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "q_stream_session" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .select(col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"), col("user_id"),
+          col("n"), col("total_value"))
+        .orderBy(col("user_id"), col("sess_start")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // Each event belongs to the 4 sliding windows whose start is
+    // floor15(ts) - k*15min, k=0..3 — same set Spark's `window()` emits.
+    "q_stream_sliding" ->
+      """SELECT win_start, event_type, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - (k * INTERVAL '15 minutes') AS win_start, event_type
+        |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    // Gaps-and-islands reconstruction of Spark's session_window: a new
+    // session starts when the gap since the previous event is >= 30min;
+    // session end = last event + gap.
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |grouped AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT min(ts) AS sess_start, max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM grouped GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin
+  )
+}

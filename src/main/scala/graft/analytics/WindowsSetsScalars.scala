@@ -1,0 +1,216 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** SURVEY.md §2.5 window functions, §2.6 set operations, §2.7 scalar
+  * functions. Reference touchpoints: the 2000-row card cap and sorted
+  * bar (§2.4), `strip`/`title`/`int()` row cleaning (dags/ETL.py:96-105),
+  * JSON round-tripping of whole records (ingest_csv_to_elastic.py:106-108).
+  *
+  * Determinism: every window orderBy carries a unique tiebreak column
+  * so row_number/lag are reproducible; running sums aggregate DECIMAL
+  * (order-independent) and only cast to double at the end.
+  */
+object WindowsSetsScalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Top-3 orders per customer ("worst day per county" shape).
+    "q_window_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byPriceTies = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(byPrice))
+        .withColumn("rnk", rank().over(byPriceTies))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Running total per customer over time.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // lag/lead: delta vs previous order of the same customer.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("prev_price"), col("next_key"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // Global top-k: planned as TakeOrderedAndProject (per-partition
+    // heap + driver merge — no global sort, scale-safe).
+    "q_topk" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    // §2.6 set ops (batch-append semantics of S7/S10 are unions).
+    "q_union" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), lit("hi").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 5000)
+        .select(col("o_orderkey"), lit("lo").as("bucket"))
+      hi.unionByName(lo).orderBy(col("o_orderkey"), col("bucket"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val custs = Tables(s, dir, "customer").select(col("c_custkey").as("key"))
+      val active = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("key"))
+      custs.except(active).orderBy(col("key"))
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val rich = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("key"))
+      val active = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select(col("o_custkey").as("key"))
+      rich.intersect(active).orderBy(col("key"))
+    }),
+
+    // §2.7 scalar strings (P2 clean: trim/case/length; initcap parity
+    // with Python str.title() is pinned in ScalaTest — DuckDB has no
+    // initcap, so the oracle sticks to portable functions).
+    "q_clean_strings" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          trim(lower(col("c_name"))).as("name_lc"),
+          upper(col("c_mktsegment")).as("seg_uc"),
+          length(col("c_name")).as("name_len"))
+        .orderBy(col("c_custkey"))),
+
+    "q_scalar_strings" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"))
+        .filter(col("p_name").like("%a%"))
+        .orderBy(col("p_partkey"))),
+
+    "q_scalar_dates" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(lit("2001-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_end"))
+        .orderBy(col("o_orderkey")).limit(1000)),
+
+    // §2.7 JSON: extract typed value from the events.props JSON blob,
+    // aggregate per event type (exact int sums — no fp ambiguity).
+    "q_scalar_json" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // P3 triad: missing key → default 0; unparseable → row dropped
+    // (Spark cast yields null under non-ANSI; oracle uses TRY_CAST).
+    "q_cast_default" -> ((s, dir) => {
+      val raw = get_json_object(col("props"), "$.k")
+      Tables(s, dir, "events")
+        .select(col("event_id"), coalesce(raw, lit("0")).as("raw"))
+        .withColumn("k", col("raw").cast("int"))
+        .filter(col("k").isNotNull)
+        .select(col("event_id"), col("k"))
+        .orderBy(col("event_id")).limit(2000)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        |FROM orders QUALIFY rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_union" ->
+      """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 450000
+        |UNION ALL
+        |SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 5000
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 100000
+        |ORDER BY key""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+        |ORDER BY key""".stripMargin,
+    "q_clean_strings" ->
+      """SELECT c_custkey, trim(lower(c_name)) AS name_lc,
+        |  upper(c_mktsegment) AS seg_uc, CAST(length(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scalar_strings" ->
+      """SELECT p_partkey, substr(p_name, 1, 8) AS name_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "q_scalar_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS INT) AS days_to_end
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "q_scalar_json" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cast_default" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id,
+        |    TRY_CAST(coalesce(json_extract_string(props, '$.k'), '0') AS INT) AS k
+        |  FROM events)
+        |WHERE k IS NOT NULL ORDER BY event_id LIMIT 2000""".stripMargin
+  )
+}
