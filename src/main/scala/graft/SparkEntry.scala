@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Joins, Relational, Temporal, WindowsSetsScalars}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
   * the per-module scaladoc for reference citations. Every implemented
@@ -18,7 +19,11 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Joins.queries, Joins.oracles),
       (WindowsSetsScalars.queries, WindowsSetsScalars.oracles),
-      (Temporal.queries, Temporal.oracles))
+      (Temporal.queries, Temporal.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

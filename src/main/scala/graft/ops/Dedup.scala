@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFns._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard — each both a
+  * `queries` entry AND a full DuckDB oracle (the sketch hash families
+  * are md5-derived so both engines compute identical signatures).
+  *
+  * Scale design (the 100 TB story):
+  *  - exact:   one shuffle keyed on the text hash; at scale group on
+  *    xxhash64(text) first so the exchange carries 8-byte keys, then
+  *    resolve rare collisions within groups.
+  *  - minhash: per-doc signatures via a single groupBy with K min()
+  *    aggregates (map-side combine, no K-way row explosion), then the
+  *    LSH band self-join touches only colliding buckets — never the
+  *    O(n²) pair space.
+  *  - simhash: 4 × 15-bit band keys; by pigeonhole every pair within
+  *    hamming ≤ 3 shares a band, so the banded join is EXACT for the
+  *    ≤3 predicate while joining on small integer keys.
+  *  - jaccard: exact similarity join via the inverted shingle index —
+  *    100% recall for any threshold (a qualifying pair shares ≥ 1
+  *    shingle); pair generation is Σ df² over shingles, which the
+  *    band/prefix filters above bound when df distributions are heavy.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ verbatim copies (ids shifted) — gives the exact-dedup
+    * operator honest duplicates to drop. Near-dup ops run on the raw
+    * table, which already contains real near-duplicate pairs.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + lit(100000L)).as("doc_id"), col("text")))
+  }
+
+  private val sqlDupCorpus =
+    """dup_corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)""".stripMargin
+
+  val K = 32      // minhash signature length
+  val Bands = 8   // LSH bands (rows per band = K / Bands = 4)
+
+  private def docShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: keep the smallest doc_id per identical text.
+    "q_dedup_exact" -> ((s, dir) =>
+      dupCorpus(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))),
+
+    // MinHash + LSH near-dup candidates with estimated similarity.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val hm = docShingles(Tables(s, dir, "documents"))
+        .select(col("doc_id"), (h60(col("s")) % P).as("hm"))
+      val mhAggs = (0 until K).map(i =>
+        min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
+      val mh = hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val bandStructs = (0 until Bands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until K / Bands).map(r => col(s"mh_${b * (K / Bands) + r}")): _*).as("sig")))
+      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
+        .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
+          Seq("band", "sig"))
+        .where(col("doc1") < col("doc2"))
+        .select("doc1", "doc2").distinct()
+      val vec = mh.select(col("doc_id"),
+        array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
+      cand
+        .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
+        .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          (aggregate(zip_with(col("v1"), col("v2"),
+              (a, b) => when(a === b, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x) / lit(K.toDouble)).as("est_sim"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // SimHash: 60-bit signature, banded self-join, hamming ≤ 3.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val tc = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", h60(col("t")))
+      val contribs = (0 until 60).map(j =>
+        sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"c_$j"))
+      val sums = tc.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+      val sim = sums.select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"c_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("key")))
+      val bt = sim.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      bt.select(col("band"), col("key"), col("doc_id").as("doc1"), col("simhash").as("sh1"))
+        .join(bt.select(col("band"), col("key"), col("doc_id").as("doc2"), col("simhash").as("sh2")),
+          Seq("band", "key"))
+        .where(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"),
+          expr("CAST(bit_count(sh1 ^ sh2) AS INT)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // Exact n-gram Jaccard similarity join via inverted shingle index.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val sh = docShingles(Tables(s, dir, "documents"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("s"), col("doc_id").as("doc1"))
+        .join(sh.select(col("s"), col("doc_id").as("doc2")), Seq("s"))
+        .where(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
+        .where(col("jaccard") >= 0.6)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy(col("doc1"), col("doc2"))
+    })
+  )
+
+  // ---- oracles (generated so the 32/60-column signature SQL cannot
+  //      drift from the Scala constants) ----
+
+  private def minhashOracle: String = {
+    val mhCols = (0 until K).map(i =>
+      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
+    val bands = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', " +
+        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
+        ") AS sig FROM mh").mkString("\nUNION ALL\n")
+    val est = (0 until K).map(i =>
+      s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${sqlShingleCtes("documents")},
+       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)
+       |SELECT doc1, doc2, ($est) / 32.0 AS est_sim
+       |FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val sums = (0 until 60).map(j =>
+      s"sum(cnt * (2*((h >> $j) & 1) - 1)) AS c_$j").mkString(",\n  ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN c_$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+       |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |hh AS (SELECT doc_id, cnt, ${sqlH60("t")} AS h FROM tc),
+       |cs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       |sh AS (SELECT doc_id, ($bits) AS simhash FROM cs)
+       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH $sqlDupCorpus
+         |SELECT min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM dup_corpus GROUP BY text ORDER BY keeper""".stripMargin,
+    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_simhash" -> simhashOracle,
+    "q_ngram_jaccard" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc1, doc2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
+         |FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6
+         |ORDER BY doc1, doc2""".stripMargin
+  )
+}

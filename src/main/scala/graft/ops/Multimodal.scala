@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** A media payload: opaque binary column + typed metadata. At 100 TB
+  * the binary column rides in parquet alongside its metadata so
+  * predicate/metadata queries never touch the bytes (column pruning),
+  * and decode work partitions by row groups.
+  */
+case class MediaRecord(doc_id: Long, bytes: Array[Byte], mime: String)
+
+/** Features produced by the (stubbed) decode stage. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, header: Int,
+    checksum: Long, width: Int, height: Int)
+
+/** Multimodal-column operators: opaque binary payloads with typed
+  * metadata, a batched decode/feature-extract stage, and the
+  * documents⋈embeddings "text + vector" join.
+  *
+  * The decode step is a STUB (no image/audio codecs in this
+  * container): [[Multimodal.decodeStub]] fabricates deterministic
+  * dimensions from the bytes. Everything around it — the binary
+  * schema, the typed Dataset encoders, the mapPartitions batching
+  * shape (fixed-size batches, as a vectorized decoder would demand),
+  * partition behavior — is real and exercised by MultimodalSpec.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  val BatchSize = 64
+
+  /** Documents as binary media payloads (text bytes stand in for
+    * image/audio blobs; schema and plumbing are payload-agnostic).
+    */
+  def asMedia(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
+        lit("application/octet-stream").as("mime"))
+
+  /** STUB decode: a real implementation would hand each fixed-size
+    * batch of byte arrays to a native codec. Deterministic fake so the
+    * pipeline is testable end-to-end.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    val n = bytes.length
+    (n % 640 + 16, n % 480 + 16)
+  }
+
+  /** Batched per-partition feature extraction over the binary column —
+    * the Scala/Tungsten analog of a pandas_udf/mapInPandas stage:
+    * fixed-size batches inside each partition, no shuffle, output is a
+    * typed Dataset.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(m.bytes)
+          val (w, h) = decodeStub(m.bytes)
+          MediaFeatures(m.doc_id, m.bytes.length,
+            if (m.bytes.nonEmpty) m.bytes(0) & 0xff else -1,
+            crc.getValue, w, h)
+        }
+      }
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Text ⋈ embedding vector by id: the canonical multimodal row.
+    "q_multimodal_join" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .join(Tables(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("e0"))
+        .orderBy(col("doc_id"))),
+
+    // Byte-level metadata of the binary payload column.
+    "q_multimodal_bytes" -> ((s, dir) =>
+      asMedia(s, dir)
+        .select(col("doc_id"), length(col("bytes")).as("n_bytes"))
+        .orderBy(col("doc_id"))),
+
+    // Full binary → batched-decode → features pipeline (stub decode;
+    // no SQL oracle — rows-only check + MultimodalSpec assertions).
+    "q_multimodal_features" -> ((s, dir) =>
+      extractFeatures(asMedia(s, dir)).toDF().orderBy(col("doc_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label,
+        |  CAST(len(embedding) AS INT) AS dim, embedding[1] AS e0
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_bytes" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

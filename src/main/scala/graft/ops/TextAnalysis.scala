@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFns._
+
+/** Text-analysis operators over the documents table: token frequency,
+  * n-gram-heuristic language ID, quality scoring, token counting, and
+  * document fingerprinting. All are single-pass, codegen-friendly
+  * column expressions (no UDFs) — at 100 TB each is a map-only stage
+  * except the global token frequency, which is one partial+final agg.
+  *
+  * Determinism/oracle notes: every score is built from integer regexp
+  * counts combined with identically-ordered double arithmetic, so
+  * Spark and DuckDB produce bit-identical values. The language-ID CASE
+  * chain is mirrored verbatim in the oracle. (On this synthetic corpus
+  * the `lang` column is random label noise over English-ish text — the
+  * heuristic's `pred_lang` is graded for determinism, not accuracy.)
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EnPat = "\\b(the|and|of|to|a)\\b"
+  private val DePat = "\\b(der|die|das|und|ist|nicht)\\b"
+  private val FrPat = "\\b(le|les|et|est|une|que)\\b"
+  private val EsPat = "\\b(el|los|y|es|una|como)\\b"
+  private val ZhPat = "[一-鿿]"
+  private val PunctPat = "[.,;:!?]"
+  private val DigitPat = "[0-9]"
+
+  private def nMatches(c: Column, pat: String): Column =
+    size(regexp_extract_all(c, lit(pat), lit(0)))
+
+  val queries: Map[String, Q] = Map(
+    // Global token frequency, top 20.
+    "q_text_tokens" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)),
+
+    // Stopword-profile language ID + CJK detection.
+    "q_lang_id" -> ((s, dir) => {
+      val lt = lower(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          nMatches(lt, EnPat).as("n_en"), nMatches(lt, DePat).as("n_de"),
+          nMatches(lt, FrPat).as("n_fr"), nMatches(lt, EsPat).as("n_es"),
+          nMatches(col("text"), ZhPat).as("n_zh"))
+        .withColumn("pred_lang",
+          when(col("n_zh") > 0, "zh")
+            .when(col("n_de") > col("n_en") && col("n_de") >= col("n_fr") &&
+              col("n_de") >= col("n_es"), "de")
+            .when(col("n_fr") > col("n_en") && col("n_fr") >= col("n_es"), "fr")
+            .when(col("n_es") > col("n_en"), "es")
+            .otherwise("en"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Length / punctuation / stopword / digit quality heuristics.
+    "q_quality_score" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(toks).as("n_tok"),
+          length(array_join(toks, "")).as("n_tok_chars"),
+          nMatches(lower(col("text")), EnPat).as("n_stop"),
+          nMatches(col("text"), PunctPat).as("n_punct"),
+          nMatches(col("text"), DigitPat).as("n_digit"),
+          length(col("text")).as("len"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok_chars").cast("double") / greatest(col("n_tok"), lit(1)))
+            .as("avg_tok_len"),
+          (col("n_stop").cast("double") / greatest(col("n_tok"), lit(1)))
+            .as("stop_ratio"),
+          (col("n_punct").cast("double") / greatest(col("len"), lit(1)))
+            .as("punct_ratio"),
+          (col("n_digit").cast("double") / greatest(col("len"), lit(1)))
+            .as("digit_ratio"))
+        .withColumn("score",
+          lit(0.4) * least(col("n_tok") / lit(50.0), lit(1.0)) +
+            lit(0.3) * col("stop_ratio") +
+            lit(0.2) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.1) * (lit(1.0) - col("digit_ratio")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Whitespace + BPE-ish regex + chars/4 token-count estimators.
+    "q_token_count" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+          ceil(length(col("text")) / lit(4.0)).cast("int").as("est_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Content hash + sorted-token fingerprint + min rolling shingle
+    // hash (winnowing-style representative).
+    "q_fingerprint" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("text")).as("content_md5"),
+          md5(array_join(array_sort(array_distinct(toks)), " ")).as("token_fp"),
+          array_min(transform(array_distinct(shingles(toks, 3)), x => h60(x)))
+            .as("min_shingle_h"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT token, count(*) AS cnt
+         |FROM (SELECT unnest(${sqlTokens("text")}) AS token FROM documents)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_en,
+         |  CAST(len(regexp_extract_all(lower(text), '$DePat')) AS INT) AS n_de,
+         |  CAST(len(regexp_extract_all(lower(text), '$FrPat')) AS INT) AS n_fr,
+         |  CAST(len(regexp_extract_all(lower(text), '$EsPat')) AS INT) AS n_es,
+         |  CAST(len(regexp_extract_all(text, '$ZhPat')) AS INT) AS n_zh,
+         |  CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
+         |    WHEN len(regexp_extract_all(lower(text), '$DePat')) > len(regexp_extract_all(lower(text), '$EnPat'))
+         |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$FrPat'))
+         |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'de'
+         |    WHEN len(regexp_extract_all(lower(text), '$FrPat')) > len(regexp_extract_all(lower(text), '$EnPat'))
+         |     AND len(regexp_extract_all(lower(text), '$FrPat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'fr'
+         |    WHEN len(regexp_extract_all(lower(text), '$EsPat')) > len(regexp_extract_all(lower(text), '$EnPat')) THEN 'es'
+         |    ELSE 'en' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(length(array_to_string(${sqlTokens("text")}, '')) AS INT) AS n_tok_chars,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '$PunctPat')) AS INT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$DigitPat')) AS INT) AS n_digit,
+         |  CAST(length(text) AS INT) AS len
+         |FROM documents)
+         |SELECT doc_id, n_tok,
+         |  CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) AS avg_tok_len,
+         |  CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) AS stop_ratio,
+         |  CAST(n_punct AS DOUBLE) / greatest(len, 1) AS punct_ratio,
+         |  CAST(n_digit AS DOUBLE) / greatest(len, 1) AS digit_ratio,
+         |  0.4 * least(n_tok / 50.0, 1.0) +
+         |    0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) +
+         |    0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(len, 1)) +
+         |    0.1 * (1.0 - CAST(n_digit AS DOUBLE) / greatest(len, 1)) AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS INT) AS est_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |mn AS (SELECT doc_id, min(${sqlH60("s")}) AS min_shingle_h FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, md5(d.text) AS content_md5,
+         |  md5(array_to_string(list_sort(list_distinct(${sqlTokens("d.text")})), ' ')) AS token_fp,
+         |  mn.min_shingle_h
+         |FROM documents d LEFT JOIN mn ON d.doc_id = mn.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+  )
+}
