@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{Joins, Relational, Temporal, WindowsSetsScalars}
+import graft.analytics.{CustomAgg, Joins, Relational, Temporal, WindowsSetsScalars}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
@@ -20,6 +20,7 @@ object SparkEntry {
       (Joins.queries, Joins.oracles),
       (WindowsSetsScalars.queries, WindowsSetsScalars.oracles),
       (Temporal.queries, Temporal.oracles),
+      (CustomAgg.queries, CustomAgg.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),

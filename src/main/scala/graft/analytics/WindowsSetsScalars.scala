@@ -127,7 +127,7 @@ object WindowsSetsScalars {
     "q_scalar_json" -> ((s, dir) =>
       Tables(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
@@ -139,7 +139,7 @@ object WindowsSetsScalars {
       val raw = get_json_object(col("props"), "$.k")
       Tables(s, dir, "events")
         .select(col("event_id"), coalesce(raw, lit("0")).as("raw"))
-        .withColumn("k", col("raw").cast("int"))
+        .withColumn("k", expr("try_cast(raw AS INT)"))
         .filter(col("k").isNotNull)
         .select(col("event_id"), col("k"))
         .orderBy(col("event_id")).limit(2000)

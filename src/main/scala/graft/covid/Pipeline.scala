@@ -1,0 +1,129 @@
+package graft.covid
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The whole reference pipeline, Spark-first.
+  *
+  * Reference shape (SURVEY.md §3): CSV → Elasticsearch staging
+  * (batched HTTP, offset checkpoint) → hourly Airflow ETL → per-row
+  * INSERT into Postgres. Here each stage is a DataFrame expression and
+  * the only process boundaries left are shuffle exchanges (this is a
+  * map-only pipeline — there are none).
+  *
+  * Scale notes:
+  *  - ingest never materializes the file (the reference holds the
+  *    whole CSV in RAM, ingest_csv_to_elastic.py:78-81); Spark streams
+  *    partitions of the file in parallel.
+  *  - the warehouse is parquet partitioned by date: the dashboard's
+  *    date filters prune partitions, replacing the reference's b-tree
+  *    indexes (scripts/postgres_db_scripts.sql:17-19).
+  *  - incremental extract pushes `date > watermark` into the scan.
+  *  - the reference's rate limits (100 rows/s ingest, 1000 rows/hour
+  *    ETL) are protection artifacts, not semantics — dropped; the
+  *    per-run row cap survives as an optional `limit`.
+  */
+object CovidPipeline {
+
+  /** S1/S5–S7: CSV → parquet staging (full refresh: overwrite ≡ the
+    * reference's delete-by-query + re-ingest, ingest_csv_to_elastic.py:58-70).
+    */
+  def ingest(spark: SparkSession, csvPath: String, stagingDir: String): Long = {
+    val raw = spark.read
+      .option("header", "true")
+      .schema(CovidSchema.csvSchema)
+      .csv(csvPath)
+    raw.write.mode(SaveMode.Overwrite).parquet(stagingDir)
+    spark.read.parquet(stagingDir).count()
+  }
+
+  /** One incremental ETL run (the hourly DAG body, dags/ETL.py:37-154):
+    * watermark → strict-`>` range extract (+ optional row cap) →
+    * transform → append to warehouse → persist max-date watermark.
+    * Returns rows appended (0 ⇒ caught up).
+    */
+  def etlOnce(spark: SparkSession, stagingDir: String, warehouseDir: String,
+      stateDir: String, limit: Option[Int] = Some(1000)): Long = {
+    val wm = new Watermark(spark, stateDir)
+    val cursor = wm.load().getOrElse("1970-01-01") // default, dags/ETL.py:71
+    val next = spark.read.parquet(stagingDir)
+      .filter(col("REPORT_DATE") > lit(cursor))
+    // Row cap widened to WHOLE dates: a date is either fully in this
+    // batch or not at all. A plain orderBy(date).limit(n) can cut
+    // mid-date; the strict-`>` cursor then skips that date's remaining
+    // rows forever — the reference has exactly this loss (row-capped
+    // unsorted batch + batch[-1] cursor, dags/ETL.py:75,141-143). Found
+    // by the golden e2e test; closing the date "partition" fixes it
+    // while keeping batches ≈ limit (overshoot ≤ one date's rows).
+    val extracted = limit match {
+      case Some(n) =>
+        val head = next.orderBy(col("REPORT_DATE")).limit(n)
+        val maxD = head.agg(max(col("REPORT_DATE"))).head()
+        if (maxD.isNullAt(0)) next.limit(0)
+        else next.filter(col("REPORT_DATE") <= lit(maxD.getString(0)))
+      case None => next
+    }
+    val batch = Transform(extracted).cache()
+    try {
+      val n = batch.count()
+      if (n > 0) {
+        batch.write.mode(SaveMode.Append).partitionBy("date").parquet(warehouseDir)
+        val maxDate = batch.agg(max(col("date"))).head().getDate(0)
+        wm.save(maxDate.toString) // data first, then cursor (at-least-once)
+      }
+      n
+    } finally batch.unpersist()
+  }
+
+  /** Drain the staging area: run incremental batches until caught up. */
+  def runToCompletion(spark: SparkSession, stagingDir: String,
+      warehouseDir: String, stateDir: String,
+      limit: Option[Int] = Some(1000), maxRuns: Int = 10000): Long = {
+    var total = 0L
+    var runs = 0
+    var n = -1L
+    while (n != 0 && runs < maxRuns) {
+      n = etlOnce(spark, stagingDir, warehouseDir, stateDir, limit)
+      total += n
+      runs += 1
+    }
+    total
+  }
+
+  /** The streaming form: same transform over a file-source stream,
+    * exactly-once via checkpointLocation, Trigger.AvailableNow ≡ the
+    * reference's catch-up-then-stop hourly schedule.
+    */
+  def streamingEtl(spark: SparkSession, stagingDir: String,
+      warehouseDir: String, checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(CovidSchema.csvSchema)
+      .parquet(stagingDir)
+    Transform(stream).writeStream
+      .format("parquet")
+      .option("path", warehouseDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The five Metabase dashboard cards (SURVEY.md §2.4 A1–A5) over the
+    * warehouse.
+    */
+  def dashboard(spark: SparkSession, warehouseDir: String): Map[String, DataFrame] = {
+    val t = spark.read.parquet(warehouseDir)
+    Map(
+      "total_records" -> t.agg(count(lit(1)).as("cnt")),
+      "latest_record" -> t.agg(max(col("date")).as("max_date")),
+      "overview" -> t.select("date", "state", "county", "new_cases", "new_deaths")
+        .orderBy(col("date"), col("state"), col("county")).limit(2000),
+      "cases_per_county" -> t.groupBy(col("county"))
+        .agg(sum(col("new_cases")).as("total_cases"))
+        .orderBy(col("total_cases").desc, col("county")),
+      "deaths_per_state" -> t.groupBy(col("state"))
+        .agg(sum(col("new_deaths")).as("total_deaths"))
+        .orderBy(col("total_deaths"), col("state")))
+  }
+}

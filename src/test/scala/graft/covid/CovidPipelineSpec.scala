@@ -1,0 +1,136 @@
+package graft.covid
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Golden e2e over a deterministic synthetic fixture (FIXTURES.md §2):
+  * CSV → staging → incremental warehouse → dashboard, plus
+  * resume-equivalence, strict-`>` late-data loss, and batch≡streaming.
+  */
+class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val header = CovidSchema.csvSchema.fieldNames.mkString(",")
+
+  /** 4 states × 3 counties × 15 dates = 180 clean rows, plus edge rows:
+    * whitespace/case cleaning, missing counts (→0), malformed counts
+    * (→dropped), malformed date (→dropped), duplicate row.
+    */
+  private def fixtureCsv: String = {
+    val states = Seq("arkansas", " TEXAS ", "new york", "o'hio")
+    val counties = Seq("bradley", " o'brien ", "MADISON")
+    val dates = (1 to 15).map(d => f"2022-01-$d%02d")
+    val clean = for {
+      (st, si) <- states.zipWithIndex
+      (co, ci) <- counties.zipWithIndex
+      (dt, di) <- dates.zipWithIndex
+    } yield s"$dt,$st,$co,${si + ci + di},${(si + di) % 3}"
+    val edge = Seq(
+      "2022-01-16,arkansas,bradley,,2",        // missing cases -> 0
+      "2022-01-16,arkansas,bradley,abc,2",     // malformed -> dropped
+      "bogus-date,arkansas,bradley,1,1",       // bad date -> dropped
+      "2022-01-16,arkansas,bradley,9,9",
+      "2022-01-16,arkansas,bradley,9,9")       // duplicate survives (append semantics)
+    val pad = ",x" * CovidSchema.passthroughColumns.size
+    (header +: (clean ++ edge).map(_ + pad)).mkString("\n")
+  }
+
+  private val expectedRows = 180 + 3 // clean + (missing-count row, dup pair)
+
+  private def tmp(): Path = Files.createTempDirectory("covid")
+
+  test("golden e2e: ingest -> incremental etl -> dashboard") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    val staging = s"$dir/staging"
+    val wh = s"$dir/warehouse"
+    val ingested = CovidPipeline.ingest(spark, csv.toString, staging)
+    assert(ingested == 185) // all rows land in staging untouched
+
+    val total = CovidPipeline.runToCompletion(spark, staging, wh, s"$dir/state",
+      limit = Some(50))
+    assert(total == expectedRows)
+
+    val cards = CovidPipeline.dashboard(spark, wh)
+    assert(cards("total_records").head().getLong(0) == expectedRows)
+    assert(cards("latest_record").head().getDate(0).toString == "2022-01-16")
+    assert(cards("deaths_per_state").count() == 4)
+    assert(cards("cases_per_county").count() == 3)
+    val states = cards("deaths_per_state").collect().map(_.getString(0)).toSet
+    assert(states == Set("Arkansas", "Texas", "New York", "O'hio"))
+
+    // watermark persisted the max processed date
+    assert(new Watermark(spark, s"$dir/state").load().contains("2022-01-16"))
+
+    // caught up: further runs are no-ops
+    assert(CovidPipeline.etlOnce(spark, staging, wh, s"$dir/state") == 0)
+  }
+
+  test("resume equivalence: interrupt + resume == single uncapped run") {
+    val dirA = tmp(); val dirB = tmp()
+    val csv = dirA.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    CovidPipeline.ingest(spark, csv.toString, s"$dirA/staging")
+    CovidPipeline.ingest(spark, csv.toString, s"$dirB/staging")
+
+    // A: two small runs (a "crash" between them), then drain.
+    CovidPipeline.etlOnce(spark, s"$dirA/staging", s"$dirA/wh", s"$dirA/st", Some(30))
+    CovidPipeline.etlOnce(spark, s"$dirA/staging", s"$dirA/wh", s"$dirA/st", Some(30))
+    CovidPipeline.runToCompletion(spark, s"$dirA/staging", s"$dirA/wh", s"$dirA/st", Some(30))
+    // B: one uncapped run.
+    CovidPipeline.runToCompletion(spark, s"$dirB/staging", s"$dirB/wh", s"$dirB/st", None)
+
+    val a = spark.read.parquet(s"$dirA/wh")
+      .groupBy("state").agg(sum("new_cases").as("c"), count(lit(1)).as("n"))
+      .orderBy("state").collect().toSeq
+    val b = spark.read.parquet(s"$dirB/wh")
+      .groupBy("state").agg(sum("new_cases").as("c"), count(lit(1)).as("n"))
+      .orderBy("state").collect().toSeq
+    assert(a == b)
+  }
+
+  test("strict-> watermark drops late data (reference parity, SURVEY §2.8)") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    val staging = s"$dir/staging"
+    CovidPipeline.ingest(spark, csv.toString, staging)
+    CovidPipeline.runToCompletion(spark, staging, s"$dir/wh", s"$dir/st", None)
+
+    // a late row with an already-watermarked date arrives in staging
+    import spark.implicits._
+    Seq(("2022-01-10", "late", "late", "100", "100"))
+      .toDF("REPORT_DATE", "PROVINCE_STATE_NAME", "COUNTY_NAME",
+        "PEOPLE_POSITIVE_NEW_CASES_COUNT", "PEOPLE_DEATH_NEW_COUNT")
+      .select(CovidSchema.csvSchema.fieldNames.map(n =>
+        if (Seq("REPORT_DATE", "PROVINCE_STATE_NAME", "COUNTY_NAME",
+          "PEOPLE_POSITIVE_NEW_CASES_COUNT", "PEOPLE_DEATH_NEW_COUNT").contains(n)) col(n)
+        else lit("x").as(n)): _*)
+      .write.mode("append").parquet(staging)
+
+    assert(CovidPipeline.etlOnce(spark, staging, s"$dir/wh", s"$dir/st") == 0)
+  }
+
+  test("streaming etl produces the same warehouse as batch") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    val staging = s"$dir/staging"
+    CovidPipeline.ingest(spark, csv.toString, staging)
+
+    CovidPipeline.runToCompletion(spark, staging, s"$dir/whBatch", s"$dir/st", Some(50))
+    val q = CovidPipeline.streamingEtl(spark, staging, s"$dir/whStream", s"$dir/ckpt")
+    q.awaitTermination()
+
+    val batch = spark.read.parquet(s"$dir/whBatch")
+      .select("date", "state", "county", "new_cases", "new_deaths")
+      .orderBy("date", "state", "county", "new_cases", "new_deaths").collect().toSeq
+    val stream = spark.read.parquet(s"$dir/whStream")
+      .select("date", "state", "county", "new_cases", "new_deaths")
+      .orderBy("date", "state", "county", "new_cases", "new_deaths").collect().toSeq
+    assert(batch.size == expectedRows)
+    assert(batch == stream)
+  }
+}

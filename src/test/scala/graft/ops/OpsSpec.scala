@@ -1,0 +1,97 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Behavior checks for the extension ops on crafted corpora (the
+  * oracle gate covers driver testdata; these pin semantics on inputs
+  * we control).
+  */
+class OpsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Write a crafted documents table and return its dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the rain falls on the quiet town and the river runs south"
+
+  test("minhash/jaccard/simhash find identical and near-identical pairs") {
+    val dir = docsDir(Seq(
+      0L -> base,
+      1L -> base,                                    // exact dup
+      2L -> (base + " tonight"),                     // near dup
+      3L -> "completely unrelated text about spark engines and columnar execution at scale with vectorized readers"))
+
+    val mh = Dedup.queries("q_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(mh.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 1.0))
+    assert(mh.forall(p => p._2 != 3 && p._1 != 3)) // unrelated doc never a candidate
+
+    val jac = Dedup.queries("q_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(jac.contains((0L, 1L, 1.0)))
+    assert(jac.exists(p => p._1 == 0 && p._2 == 2 && p._3 > 0.8 && p._3 < 1.0))
+
+    val sh = Dedup.queries("q_dedup_simhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(sh.contains((0L, 1L, 0))) // identical text -> identical signature
+  }
+
+  test("exact dedup keeps min doc_id per text") {
+    val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
+    val rows = Dedup.queries("q_dedup_exact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // dupCorpus doubles every doc (ids +100000), so each text has 2 copies
+    assert(rows == Seq((0L, 2L), (1L, 2L)))
+  }
+
+  test("IVF ANN: full coverage and sane neighbor quality vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val ann = Similarity.queries("q_sim_ann")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ann.size == n) // every vector got a neighbor
+
+    // brute-force true NN cosine per vector
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val a = emb.select(col("vec_id").as("i"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("j"), col("v").as("vb"))
+    val best = a.join(b, col("i") =!= col("j"))
+      .select(col("i"), (dot(col("va"), col("vb")) /
+        (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))).as("cos"))
+      .groupBy("i").agg(max("cos").as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val ratio = ann.map { case (id, (_, c)) => c / best(id) }.sum / ann.size
+    assert(ratio > 0.5, s"avg(found/true) cosine ratio too low: $ratio")
+  }
+
+  test("multimodal feature extraction: batched stub decode is faithful") {
+    import spark.implicits._
+    val media = Seq((1L, "hello world"), (2L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
+        lit("application/octet-stream").as("mime"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val crc = new java.util.zip.CRC32()
+    crc.update("hello world".getBytes("UTF-8"))
+    assert(feats(1L).n_bytes == 11)
+    assert(feats(1L).header == 'h'.toInt)
+    assert(feats(1L).checksum == crc.getValue)
+    assert(feats(2L).n_bytes == 0 && feats(2L).header == -1)
+  }
+}

@@ -1,0 +1,28 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.analytics.Temporal
+
+/** Streaming ≡ batch equivalence on the driver testdata. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling windows == batch q_stream_tumbling") {
+    val stream = Streams.tumblingToTable(spark, dir, "stream_tumbling")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = Temporal.queries("q_stream_tumbling")(spark, dir)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("mapGroupsWithState per-user totals == batch groupBy") {
+    val stream = Streams.userTotalsToTable(spark, dir, "stream_users")
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stream == batch)
+  }
+}
