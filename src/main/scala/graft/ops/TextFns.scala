@@ -34,9 +34,12 @@ object TextFns {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Deterministic 60-bit hash; DuckDB mirror is [[sqlH60]]. */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Deterministic 60-bit hash — the native [[graft.functions.H60]]
+    * expression (registered by [[graft.Tables]]); DuckDB mirror is
+    * [[sqlH60]], and the composed Spark form
+    * `conv(substring(md5(c),1,15),16,10)` is bit-identical.
+    */
+  def h60(c: Column): Column = call_function("h60", c)
 
   // ---- DuckDB oracle fragments ----
 
