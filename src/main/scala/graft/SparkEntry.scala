@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{CustomAgg, Joins, Relational, Temporal, WindowsSetsScalars}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
   * the per-module scaladoc for reference citations. Every implemented
@@ -22,6 +22,7 @@ object SparkEntry {
       (Temporal.queries, Temporal.oracles),
       (CustomAgg.queries, CustomAgg.oracles),
       (Dedup.queries, Dedup.oracles),
+      (Skew.queries, Skew.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Multimodal.queries, Multimodal.oracles))

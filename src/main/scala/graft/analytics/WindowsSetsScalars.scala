@@ -133,6 +133,21 @@ object WindowsSetsScalars {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // S7 JSON-staging parity: serialize whole records to JSON and
+    // re-parse them (the reference ships every row through NDJSON,
+    // ingest_csv_to_elastic.py:104-113). The oracle compares the
+    // ROUND-TRIPPED values against the raw table, so any lossiness in
+    // to_json/from_json would hash-mismatch.
+    "q_json_roundtrip" -> ((s, dir) => {
+      val src = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val schema = src.schema
+      src.select(to_json(struct(col("*"))).as("js"))
+        .select(from_json(col("js"), schema).as("rec"))
+        .select(col("rec.event_id"), col("rec.event_type"), col("rec.value"))
+        .orderBy(col("event_id")).limit(2000)
+    }),
+
     // P3 triad: missing key → default 0; unparseable → row dropped
     // (Spark cast yields null under non-ANSI; oracle uses TRY_CAST).
     "q_cast_default" -> ((s, dir) => {
@@ -206,6 +221,9 @@ object WindowsSetsScalars {
         |        TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
     "q_cast_default" ->
       """SELECT event_id, k FROM (
         |  SELECT event_id,
