@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CustomAgg, Joins, Relational, Temporal, WindowsSetsScalars}
+import graft.analytics.{CustomAgg, Extras, Joins, Relational, Temporal, WindowsSetsScalars}
 import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
@@ -21,6 +21,7 @@ object SparkEntry {
       (WindowsSetsScalars.queries, WindowsSetsScalars.oracles),
       (Temporal.queries, Temporal.oracles),
       (CustomAgg.queries, CustomAgg.oracles),
+      (Extras.queries, Extras.oracles),
       (Dedup.queries, Dedup.oracles),
       (Skew.queries, Skew.oracles),
       (Similarity.queries, Similarity.oracles),

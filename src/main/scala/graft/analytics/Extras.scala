@@ -1,0 +1,149 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Coverage extensions beyond the reference surface: pivot, grouping
+  * sets, (correlated) subqueries — exercising Catalyst decorrelation —
+  * deterministic array aggregation, range-frame and distribution
+  * window functions, exact quantiles. All oracle-checked.
+  *
+  * Determinism notes: collect_list order is nondeterministic → always
+  * sort_array before emitting (string-joined, so the driver compare
+  * sees scalars); percent_rank/cume_dist are rank-ratio formulas —
+  * identical doubles in both engines; ntile gets a unique tiebreak in
+  * its window ordering; quantile interpolation is rounded to 4 digits
+  * (both engines interpolate linearly but in their own expression
+  * trees).
+  */
+object Extras {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_pivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))))
+        .select(col("l_returnflag"),
+          col("F").cast("double").as("qty_f"),
+          col("O").cast("double").as("qty_o"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Scalar subquery (decimal-exact mean so both engines agree).
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_v
+          |WHERE o_totalprice > (
+          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |  FROM orders_v) * 1.9
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated scalar subquery — Catalyst decorrelates to agg+join.
+    "q_correlated_subquery" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders_v o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
+    "q_array_agg" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("keys"))
+        .orderBy(col("o_custkey"))),
+
+    // RANGE frame: orders within $1000 below, same priority.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice")).rangeBetween(-1000L, 0L)
+      Tables(s, dir, "orders")
+        .withColumn("n_similar", count(lit(1)).over(w))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("n_similar"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+      val wTie = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(wTie).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_quantiles" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 4).as("p50"),
+          round(element_at(col("qs"), 2), 4).as("p90"),
+          round(element_at(col("qs"), 3), 4).as("p99"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders) * 1.9
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_array_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_similar
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
