@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{CustomAgg, Extras, Joins, Relational, Temporal, WindowsSetsScalars}
-import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.analytics.Typed
+import graft.ops.{Dedup, Multimodal, Prep, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
   * the per-module scaladoc for reference citations. Every implemented
@@ -24,6 +25,8 @@ object SparkEntry {
       (Extras.queries, Extras.oracles),
       (Dedup.queries, Dedup.oracles),
       (Skew.queries, Skew.oracles),
+      (Prep.queries, Prep.oracles),
+      (Typed.queries, Typed.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Multimodal.queries, Multimodal.oracles))

@@ -64,9 +64,16 @@ object CovidPipeline {
         else next.filter(col("REPORT_DATE") <= lit(maxD.getString(0)))
       case None => next
     }
-    val batch = Transform(extracted).cache()
+    // P4 observability: malformed-row drops are invisible in a
+    // declarative filter — observation metrics count them without a
+    // second scan (dags/ETL.py logs the same via print, :104-106).
+    val obs = org.apache.spark.sql.Observation()
+    val batch = Transform(extracted.observe(obs, count(lit(1)).as("extracted")))
+      .cache()
     try {
       val n = batch.count()
+      val extractedCnt = obs.get("extracted").asInstanceOf[Long]
+      writeMetrics(spark, stateDir, extractedCnt, n)
       if (n > 0) {
         batch.write.mode(SaveMode.Append).partitionBy("date").parquet(warehouseDir)
         val maxDate = batch.agg(max(col("date"))).head().getDate(0)
@@ -74,6 +81,28 @@ object CovidPipeline {
       }
       n
     } finally batch.unpersist()
+  }
+
+  /** Per-run pipeline metrics, appended as JSONL beside the watermark
+    * (overwrite would erase the interesting runs — a caught-up run's
+    * 0/0/0 is the last one to execute).
+    */
+  private def writeMetrics(spark: SparkSession, stateDir: String,
+      extracted: Long, loaded: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "metrics.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      }
+    val out = fs.create(p, true)
+    try out.write((prior +
+      s"""{"extracted": $extracted, "loaded": $loaded, "dropped": ${extracted - loaded}}\n""")
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Drain the staging area: run incremental batches until caught up. */

@@ -49,6 +49,29 @@ object Dedup {
     df.select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
 
+  /** Exact Jaccard ≥ threshold pairs via the inverted shingle index.
+    * The join/shuffle key is the 60-bit shingle hash, not the shingle
+    * string — 8-byte exchange keys instead of ~20-byte strings (the
+    * oracle hashes identically, so results match even under the
+    * negligible collision probability). 100% recall: a qualifying pair
+    * always shares ≥ 1 shingle.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingles(docs)
+      .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.select(col("h"), col("doc_id").as("doc1"))
+      .join(sh.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
+      .where(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "jaccard")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: keep the smallest doc_id per identical text.
     "q_dedup_exact" -> ((s, dir) =>
@@ -118,27 +141,9 @@ object Dedup {
     }),
 
     // Exact n-gram Jaccard similarity join via inverted shingle index.
-    // The join/shuffle key is the 60-bit shingle hash, not the shingle
-    // string — 8-byte exchange keys instead of ~20-byte strings (the
-    // oracle hashes identically, so results match even under the
-    // negligible collision probability).
-    "q_ngram_jaccard" -> ((s, dir) => {
-      val sh = docShingles(Tables(s, dir, "documents"))
-        .select(col("doc_id"), h60(col("s")).as("h")).distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("h"), col("doc_id").as("doc1"))
-        .join(sh.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
-        .where(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
-        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
-        .withColumn("jaccard",
-          col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
-        .where(col("jaccard") >= 0.6)
-        .select("doc1", "doc2", "jaccard")
-        .orderBy(col("doc1"), col("doc2"))
-    })
+    "q_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(Tables(s, dir, "documents"), 0.6)
+        .orderBy(col("doc1"), col("doc2")))
   )
 
   // ---- oracles (generated so the 32/60-column signature SQL cannot

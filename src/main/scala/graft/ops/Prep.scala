@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFns._
+import TextAnalysis._
+
+/** The capstone training-data prep pipeline, composed from the
+  * engine's own operators and oracle-checked end-to-end:
+  *
+  *   1. exact near-duplicate removal — drop the higher doc_id of every
+  *      n-gram-Jaccard ≥ 0.6 pair ([[Dedup.jaccardPairs]], inverted
+  *      shingle index: exact, 100% recall);
+  *   2. language filter — keep predicted-English docs (stopword
+  *      profile, same CASE chain as q_lang_id);
+  *   3. quality filter — score ≥ 0.5 and ≥ 10 tokens (same arithmetic
+  *      as q_quality_score, bit-identical in both engines).
+  *
+  * At 100 TB this is: one inverted-index self-join (bounded by Σ df²,
+  * with MinHash banding as the prefilter when shingle frequencies are
+  * heavy), then two map-only filter stages — the shape of a real
+  * corpus-prep job. The whole chain is deterministic, so the DuckDB
+  * oracle replays it exactly.
+  */
+object Prep {
+  type Q = (SparkSession, String) => DataFrame
+
+  val JaccardThreshold = 0.6
+  val MinScore = 0.5
+  val MinTokens = 10
+
+  val queries: Map[String, Q] = Map(
+    "q_prep_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val dupIds = Dedup.jaccardPairs(docs, JaccardThreshold)
+        .select(col("doc2").as("doc_id")).distinct()
+      val deduped = docs.join(dupIds, Seq("doc_id"), "left_anti")
+
+      val lt = lower(col("text"))
+      val toks = tokens(col("text"))
+      deduped
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tok"),
+          nMatches(lt, EnPat).as("n_stop"),
+          nMatches(col("text"), PunctPat).as("n_punct"),
+          nMatches(col("text"), DigitPat).as("n_digit"),
+          length(col("text")).as("len"),
+          when(nMatches(col("text"), ZhPat) > 0, "zh")
+            .when(nMatches(lt, DePat) > nMatches(lt, EnPat) &&
+              nMatches(lt, DePat) >= nMatches(lt, FrPat) &&
+              nMatches(lt, DePat) >= nMatches(lt, EsPat), "de")
+            .when(nMatches(lt, FrPat) > nMatches(lt, EnPat) &&
+              nMatches(lt, FrPat) >= nMatches(lt, EsPat), "fr")
+            .when(nMatches(lt, EsPat) > nMatches(lt, EnPat), "es")
+            .otherwise("en").as("pred_lang"))
+        .withColumn("score",
+          lit(0.4) * least(col("n_tok") / lit(50.0), lit(1.0)) +
+            lit(0.3) * (col("n_stop").cast("double") / greatest(col("n_tok"), lit(1))) +
+            lit(0.2) * (lit(1.0) - col("n_punct").cast("double") / greatest(col("len"), lit(1))) +
+            lit(0.1) * (lit(1.0) - col("n_digit").cast("double") / greatest(col("len"), lit(1))))
+        .where(col("pred_lang") === "en" &&
+          col("score") >= MinScore && col("n_tok") >= MinTokens)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def langCaseSql: String =
+    s"""CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
+       |    WHEN len(regexp_extract_all(lower(text), '$DePat')) > len(regexp_extract_all(lower(text), '$EnPat'))
+       |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$FrPat'))
+       |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'de'
+       |    WHEN len(regexp_extract_all(lower(text), '$FrPat')) > len(regexp_extract_all(lower(text), '$EnPat'))
+       |     AND len(regexp_extract_all(lower(text), '$FrPat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'fr'
+       |    WHEN len(regexp_extract_all(lower(text), '$EsPat')) > len(regexp_extract_all(lower(text), '$EnPat')) THEN 'es'
+       |    ELSE 'en' END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_prep_pipeline" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT doc2 AS doc_id
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $JaccardThreshold),
+         |keep AS (SELECT * FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         |m AS (SELECT doc_id, lang,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '$PunctPat')) AS INT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$DigitPat')) AS INT) AS n_digit,
+         |  CAST(length(text) AS INT) AS len,
+         |  $langCaseSql AS pred_lang
+         |FROM keep)
+         |SELECT doc_id, lang, n_tok,
+         |  0.4 * least(n_tok / 50.0, 1.0) +
+         |    0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) +
+         |    0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(len, 1)) +
+         |    0.1 * (1.0 - CAST(n_digit AS DOUBLE) / greatest(len, 1)) AS score
+         |FROM m
+         |WHERE pred_lang = 'en'
+         |  AND 0.4 * least(n_tok / 50.0, 1.0) +
+         |    0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) +
+         |    0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(len, 1)) +
+         |    0.1 * (1.0 - CAST(n_digit AS DOUBLE) / greatest(len, 1)) >= $MinScore
+         |  AND n_tok >= $MinTokens
+         |ORDER BY doc_id""".stripMargin
+  )
+}

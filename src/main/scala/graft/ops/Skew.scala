@@ -27,6 +27,26 @@ object Skew {
   val Salt = 16
 
   val queries: Map[String, Q] = Map(
+    // Salted JOIN for a skewed key distribution: the probe side gets a
+    // deterministic salt, the build side is replicated once per salt
+    // value, and the join key becomes (key, salt) — a hot key's rows
+    // now spread over `Salt` reducers. Cost: build side ×Salt (use
+    // only for the skewed key subset in production; AQE's runtime
+    // skew-join split is the zero-code alternative).
+    "q_skew_salted_join" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("salt_l", pmod(col("l_orderkey"), lit(Salt)))
+      val ords = Tables(s, dir, "orders")
+        .withColumn("salt_r", explode(array((0 until Salt).map(i => lit(i)): _*)))
+      li.join(ords,
+          col("l_orderkey") === col("o_orderkey") && col("salt_l") === col("salt_r"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_skew_salted_agg" -> ((s, dir) => {
       val partial = Tables(s, dir, "lineitem")
         .withColumn("salt", pmod(col("l_orderkey"), lit(Salt)))
@@ -42,6 +62,12 @@ object Skew {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_salted_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

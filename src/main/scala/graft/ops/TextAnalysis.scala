@@ -21,15 +21,15 @@ import TextFns._
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  private val EnPat = "\\b(the|and|of|to|a)\\b"
-  private val DePat = "\\b(der|die|das|und|ist|nicht)\\b"
-  private val FrPat = "\\b(le|les|et|est|une|que)\\b"
-  private val EsPat = "\\b(el|los|y|es|una|como)\\b"
-  private val ZhPat = "[一-鿿]"
-  private val PunctPat = "[.,;:!?]"
-  private val DigitPat = "[0-9]"
+  private[ops] val EnPat = "\\b(the|and|of|to|a)\\b"
+  private[ops] val DePat = "\\b(der|die|das|und|ist|nicht)\\b"
+  private[ops] val FrPat = "\\b(le|les|et|est|une|que)\\b"
+  private[ops] val EsPat = "\\b(el|los|y|es|una|como)\\b"
+  private[ops] val ZhPat = "[一-鿿]"
+  private[ops] val PunctPat = "[.,;:!?]"
+  private[ops] val DigitPat = "[0-9]"
 
-  private def nMatches(c: Column, pat: String): Column =
+  private[ops] def nMatches(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0)))
 
   val queries: Map[String, Q] = Map(

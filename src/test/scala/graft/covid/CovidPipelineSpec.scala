@@ -68,6 +68,19 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(CovidPipeline.etlOnce(spark, staging, wh, s"$dir/state") == 0)
   }
 
+  test("P4 observability: dropped-row metrics persisted beside the watermark") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    CovidPipeline.ingest(spark, csv.toString, s"$dir/staging")
+    CovidPipeline.etlOnce(spark, s"$dir/staging", s"$dir/wh", s"$dir/st", limit = None)
+    val metrics = Files.readString(java.nio.file.Paths.get(s"$dir/st/metrics.json"))
+    // 185 staged; malformed-count row + bogus-date row dropped
+    assert(metrics.contains("\"extracted\": 185"))
+    assert(metrics.contains("\"loaded\": 183"))
+    assert(metrics.contains("\"dropped\": 2"))
+  }
+
   test("resume equivalence: interrupt + resume == single uncapped run") {
     val dirA = tmp(); val dirB = tmp()
     val csv = dirA.resolve("covid.csv")
