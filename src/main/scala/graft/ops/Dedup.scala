@@ -72,7 +72,44 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** Min-label propagation connected components over an undirected
+    * pair list: every doc's label converges to the smallest doc_id
+    * reachable through near-dup edges. Driver-side loop, one join +
+    * aggregate per iteration, iteration count = graph diameter (near-
+    * dup clusters are shallow; for web-scale graphs switch to the
+    * large-star/small-star alternation, which bounds iterations by
+    * log n). Deterministic, so a recursive-CTE oracle replays it.
+    */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .cache()
+    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("label"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, col("b") === col("v"))
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, col("v") === col("a"), "left")
+        .select(col("v"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"))
+        .cache()
+      changed = updated.filter(col("newlabel") < col("label")).count()
+      labels = updated.select(col("v"), col("newlabel").as("label"))
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Near-dup clusters (not just pairs): connected components over
+    // the jaccard graph; keeper = smallest doc_id per component.
+    "q_dedup_components" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      connectedComponents(docs, jaccardPairs(docs, 0.6))
+        .withColumn("keeper", col("doc_id") === col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: keep the smallest doc_id per identical text.
     "q_dedup_exact" -> ((s, dir) =>
       dupCorpus(s, dir)
@@ -188,6 +225,24 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+         |SELECT v AS doc_id, min(u) AS component,
+         |  v = min(u) AS keeper
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies

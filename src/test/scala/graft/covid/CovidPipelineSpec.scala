@@ -81,6 +81,31 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(metrics.contains("\"dropped\": 2"))
   }
 
+  test("warehouse partition pruning: date filter prunes to one partition") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    CovidPipeline.ingest(spark, csv.toString, s"$dir/staging")
+    CovidPipeline.runToCompletion(spark, s"$dir/staging", s"$dir/wh", s"$dir/st", None)
+    val q = spark.read.parquet(s"$dir/wh")
+      .filter(col("date") === lit("2022-01-07").cast("date"))
+      .groupBy("state").agg(sum("new_cases"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: ["), scan)
+    assert(scan.contains("(date"), "date filter not in PartitionFilters:\n" + scan)
+    // 16 date partitions exist; the pruned scan must read exactly 1
+    val root = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val parts = root.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(parts.contains(1), s"expected 1 pruned partition, got $parts")
+  }
+
   test("resume equivalence: interrupt + resume == single uncapped run") {
     val dirA = tmp(); val dirB = tmp()
     val csv = dirA.resolve("covid.csv")
