@@ -7,6 +7,9 @@ import graft.util.Exact._
 
 case class UserTotal(user_id: Long, n: Long)
 
+case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
+    sess_end: java.sql.Timestamp, n: Long)
+
 /** SURVEY.md §2.8 — genuinely-streaming execution of the window
   * semantics that Temporal exposes in batch form (the two are asserted
   * equal in StreamingSpec). File-source streams drained synchronously
@@ -38,6 +41,56 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
     val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(table).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState — the
+    * hand-rolled form of `session_window`, demonstrating arbitrary
+    * keyed state (the reference's checkpoint-cursor logic generalized
+    * to per-key state machines). With AvailableNow the whole history
+    * arrives as one batch per key, so sessions are computed by a
+    * gap-scan over the sorted timestamps; in continuous operation the
+    * open session would live in `state` across triggers and emit on
+    * EventTimeTimeout. Asserted equal to the batch session_window
+    * query in StreamingSpec.
+    */
+  def sessionsToTable(spark: SparkSession, dir: String, table: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val perUser = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         _: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          // sort and diff in MICROS — getTime alone floors to millis
+          // and the batch session_window is microsecond-precise
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val ts = rows.map(_._2).toArray.sortBy(micros)
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var start = 0
+          for (i <- 1 to ts.length) {
+            val gapExceeded = i == ts.length ||
+              micros(ts(i)) - micros(ts(i - 1)) >= gapMicros
+            if (gapExceeded && i > start) {
+              val last = ts(i - 1)
+              val end = new java.sql.Timestamp(last.getTime + gapMinutes * 60000L)
+              end.setNanos(last.getNanos) // keep the µs fraction
+              sessions += SessionOut(user, ts(start), end, i - start)
+              start = i
+            }
+          }
+          sessions.iterator
+      }
+    val q = perUser.toDF().writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     q.processAllAvailable()
     q.stop()

@@ -17,6 +17,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("flatMapGroupsWithState sessionization == batch session_window") {
+    val stream = Streams.sessionsToTable(spark, dir, "stream_sessions")
+      .select("sess_start", "sess_end", "user_id", "n")
+      .orderBy("user_id", "sess_start").collect().toSeq
+    val batch = Temporal.queries("q_stream_session")(spark, dir)
+      .select("sess_start", "sess_end", "user_id", "n")
+      .collect().toSeq
+    assert(stream.size == batch.size)
+    assert(stream == batch)
+  }
+
   test("mapGroupsWithState per-user totals == batch groupBy") {
     val stream = Streams.userTotalsToTable(spark, dir, "stream_users")
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
