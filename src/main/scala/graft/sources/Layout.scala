@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Physical-layout operators — the file hygiene a 100 TB warehouse
+  * lives or dies by:
+  *
+  *  - [[compact]]: incremental appends (the covid pipeline writes one
+  *    file per batch per partition) accumulate small files until
+  *    listing and task-scheduling dominate query time; compaction
+  *    rewrites a table at a target file count/size.
+  *  - [[writeSorted]]: range-partition + sort within partitions on a
+  *    filter column so parquet row-group min/max statistics become
+  *    selective — the poor man's clustered index (the engine's answer
+  *    to the reference's b-tree indexes beyond date partition pruning).
+  *
+  * Both are rewrite jobs: at scale run them per-partition (compact
+  * only partitions whose file count exceeds threshold), never
+  * table-wide in one go.
+  */
+object Layout {
+
+  /** Rewrite a parquet directory to `targetFiles` files (per run —
+    * pair with `maxRecordsPerFile` for a size-based cap instead).
+    * Rewrites through a temp dir: the table stays readable until the
+    * swap, and a crash leaves the original intact.
+    */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Unit = {
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_old")
+    fs.rename(p, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(bak, true)
+  }
+
+  /** Write sorted-by-range on `sortCol`: ranges across files, sorted
+    * inside each file → every file covers a narrow min/max band and
+    * point/range filters skip whole files and row groups.
+    */
+  def writeSorted(df: DataFrame, dir: String, sortCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Number of data files currently backing a parquet directory. */
+  def fileCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+}

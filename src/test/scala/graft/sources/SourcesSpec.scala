@@ -33,6 +33,36 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(n == 6000)
   }
 
+  test("compaction rewrites many small files to few, preserving data") {
+    val out = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val orders = graft.Tables(spark, dir, "orders")
+    orders.repartition(37).write.parquet(out) // fragmented table
+    assert(Layout.fileCount(spark, out) == 37)
+    // decimal sum: a double sum is accumulation-order-dependent and
+    // the whole point of compaction is changing the partition layout
+    def checksum() = spark.read.parquet(out)
+      .agg(graft.util.Exact.moneySum(col("o_totalprice"))).head().getDouble(0)
+    val before = checksum()
+    Layout.compact(spark, out, 2)
+    assert(Layout.fileCount(spark, out) == 2)
+    val after = checksum()
+    assert(spark.read.parquet(out).count() == 1500)
+    assert(before == after)
+  }
+
+  test("sorted write clusters key ranges into single files") {
+    val out = java.nio.file.Files.createTempDirectory("sorted").toString + "/t"
+    Layout.writeSorted(graft.Tables(spark, dir, "orders"), out, "o_orderkey", 10)
+    // all rows of a narrow key range land in ONE file's band — the
+    // clustering that makes parquet min/max stats selective (row-group
+    // skipping happens inside the reader; this asserts the layout that
+    // enables it)
+    val q = spark.read.parquet(out).filter(col("o_orderkey").between(100, 110))
+    assert(q.count() == 11)
+    val picked = q.select(input_file_name()).distinct().count()
+    assert(picked == 1, s"range rows spread over $picked files, want 1")
+  }
+
   test("bucketed co-located join plans without an exchange") {
     Bucketing.writeBucketed(
       graft.Tables(spark, dir, "orders"), "orders_b", "o_orderkey")
