@@ -16,6 +16,20 @@ object CustomAgg {
   private val welford = udaf(WelfordVar)
 
   val queries: Map[String, Q] = Map(
+    // TypedImperativeAggregate surface: bottom-k-by-hash deterministic
+    // per-group sampling (functions/BottomKIds) — one pass, O(k) state,
+    // merge-order independent; the oracle computes the same sample as
+    // a window rank over the shared md5 hash.
+    "q_sample_bottomk" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("docs_v")
+      s.sql(
+        """SELECT lang, pos, doc_id FROM (
+          |  SELECT lang, posexplode(sample) AS (pos, doc_id) FROM (
+          |    SELECT lang, bottom_k_ids(h60(text), doc_id, 5) AS sample
+          |    FROM docs_v GROUP BY lang))
+          |ORDER BY lang, pos""".stripMargin)
+    }),
+
     "q_agg_custom" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -27,6 +41,13 @@ object CustomAgg {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sample_bottomk" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hh FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)
+        |SELECT lang, CAST(rn - 1 AS INT) AS pos, doc_id FROM r
+        |WHERE rn <= 5 ORDER BY lang, pos""".stripMargin,
     "q_agg_custom" ->
       """SELECT l_returnflag, round(avg(l_quantity), 4) AS mean_qty,
         |  round(var_samp(l_quantity), 4) AS var_qty

@@ -54,5 +54,9 @@ object Registry {
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "h60", exprs => H60(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bottom_k_ids",
+      exprs => BottomKIds(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "scala_udf")
   }
 }
