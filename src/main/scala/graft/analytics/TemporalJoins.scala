@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark has no native node for, composed from
+  * built-ins with exact semantics (preference (a) of the custom-op
+  * ladder — no planner hook needed):
+  *
+  *  - q_asof_join: for each event, the latest order of that customer
+  *    at-or-before the event time. Join + per-event top-1; Catalyst
+  *    prunes and pushes both sides. At 100 TB the same semantics run
+  *    as a sort-merge scan: co-partition both sides by key, sort by
+  *    time, and a single merge pass per partition (mapPartitions) —
+  *    the composed form here stays correct but multiplies matches
+  *    before ranking, so prefer the merge form when per-key match
+  *    lists are long.
+  *  - q_range_join: all event pairs within a 60 s band. The naive form
+  *    is an O(n²) theta join; bucketing each side by minute and
+  *    replicating ONE side into its adjacent buckets turns it into an
+  *    equi-join on the bucket key (every qualifying pair shares
+  *    exactly one (bL, exploded-bR) combination — no dedup needed),
+  *    with the exact predicate re-checked after. Work is
+  *    Σ per-bucket products — linear for time-spread data.
+  */
+object TemporalJoins {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val ords = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      ev.join(ords,
+          col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+          "left")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_date"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), expr("unix_micros(ts)").as("us"))
+      val bucket = expr("unix_micros(ts) div 60000000")
+      val left = ev.withColumn("b", bucket)
+        .select(col("b"), col("event_id").as("id1"), col("us").as("us1"))
+      val right = ev.withColumn("b0", bucket)
+        .select(explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"),
+          col("event_id").as("id2"), col("us").as("us2"))
+      left.join(right, Seq("b"))
+        .where(col("id1") < col("id2") &&
+          abs(col("us2") - col("us1")) <= 60000000L)
+        .select(col("id1"), col("id2"),
+          ((col("us2") - col("us1")) / lit(1000000.0)).as("diff_s"))
+        .orderBy(col("id1"), col("id2"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+        |  o_orderdate AS asof_date
+        |FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id AS id1, b.event_id AS id2,
+        |  (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS diff_s
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+        |ORDER BY id1, id2""".stripMargin
+  )
+}
