@@ -32,6 +32,14 @@ object CovidPipeline {
   def ingest(spark: SparkSession, csvPath: String, stagingDir: String): Long = {
     val raw = spark.read
       .option("header", "true")
+      // CSV-edge semantics note: the parser yields null for BOTH
+      // empty fields and missing trailing fields (zero-length values
+      // are null regardless of the nullValue option), so at this edge
+      // the transform's missing→0 default also absorbs the
+      // reference's int("")-raises drop (dags/ETL.py:100-105). The
+      // distinction is honored wherever "" is representable
+      // (parquet/JSON staging, DataFrame inputs) — pinned in
+      // TransformSpec; documented divergence at the CSV edge only.
       .schema(CovidSchema.csvSchema)
       .csv(csvPath)
     raw.write.mode(SaveMode.Overwrite).parquet(stagingDir)
@@ -47,7 +55,12 @@ object CovidPipeline {
       stateDir: String, limit: Option[Int] = Some(1000)): Long = {
     val wm = new Watermark(spark, stateDir)
     val cursor = wm.load().getOrElse("1970-01-01") // default, dags/ETL.py:71
+    // Compare the TRIMMED date against the cursor: the cursor is saved
+    // from the parsed (trimmed) date, so an untrimmed comparison would
+    // re-extract whitespace-padded rows forever ('2022-01-20 ' >
+    // '2022-01-20') or never extract them (' 2022-01-20' < '1970-...').
     val next = spark.read.parquet(stagingDir)
+      .withColumn("REPORT_DATE", trim(col("REPORT_DATE")))
       .filter(col("REPORT_DATE") > lit(cursor))
     // Row cap widened to WHOLE dates: a date is either fully in this
     // batch or not at all. A plain orderBy(date).limit(n) can cut

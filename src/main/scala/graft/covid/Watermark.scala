@@ -49,7 +49,10 @@ class Watermark(spark: SparkSession, dir: String, key: String = "last_processed_
     val out = fs.create(tmp, true)
     try out.write(s"""{"$key": "$value"}""".getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(file)) fs.delete(file, false)
-    fs.rename(tmp, file)
+    // Overwriting rename via FileContext — atomic replace on HDFS and
+    // local FS. (delete-then-rename had a crash window that lost the
+    // cursor entirely and re-extracted ALL history on the next run.)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(file.toUri, hadoopConf)
+    fc.rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

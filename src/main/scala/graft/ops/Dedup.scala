@@ -86,17 +86,22 @@ object Dedup {
       .cache()
     var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("label"))
     var changed = 1L
+    var prevCached: DataFrame = null
     while (changed > 0) {
       val neighborMin = edges.join(labels, col("b") === col("v"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
       val updated = labels.join(neighborMin, col("v") === col("a"), "left")
         .select(col("v"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"))
-        .cache()
+        .cache() // also truncates the effective lineage per iteration
       changed = updated.filter(col("newlabel") < col("label")).count()
+      if (prevCached != null) prevCached.unpersist() // drop the superseded round
+      prevCached = updated
       labels = updated.select(col("v"), col("newlabel").as("label"))
     }
     edges.unpersist()
+    // the final round's cache backs the returned plan and is released
+    // with the session (one bounded residual, not one per iteration)
     labels.select(col("v").as("doc_id"), col("label").as("component"))
   }
 

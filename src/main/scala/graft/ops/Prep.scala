@@ -46,35 +46,17 @@ object Prep {
           nMatches(col("text"), PunctPat).as("n_punct"),
           nMatches(col("text"), DigitPat).as("n_digit"),
           length(col("text")).as("len"),
-          when(nMatches(col("text"), ZhPat) > 0, "zh")
-            .when(nMatches(lt, DePat) > nMatches(lt, EnPat) &&
-              nMatches(lt, DePat) >= nMatches(lt, FrPat) &&
-              nMatches(lt, DePat) >= nMatches(lt, EsPat), "de")
-            .when(nMatches(lt, FrPat) > nMatches(lt, EnPat) &&
-              nMatches(lt, FrPat) >= nMatches(lt, EsPat), "fr")
-            .when(nMatches(lt, EsPat) > nMatches(lt, EnPat), "es")
-            .otherwise("en").as("pred_lang"))
-        .withColumn("score",
-          lit(0.4) * least(col("n_tok") / lit(50.0), lit(1.0)) +
-            lit(0.3) * (col("n_stop").cast("double") / greatest(col("n_tok"), lit(1))) +
-            lit(0.2) * (lit(1.0) - col("n_punct").cast("double") / greatest(col("len"), lit(1))) +
-            lit(0.1) * (lit(1.0) - col("n_digit").cast("double") / greatest(col("len"), lit(1))))
+          predLangFromCounts(nMatches(lt, EnPat), nMatches(lt, DePat),
+            nMatches(lt, FrPat), nMatches(lt, EsPat),
+            nMatches(col("text"), ZhPat)).as("pred_lang"))
+        .withColumn("score", qualityScore(col("n_tok"), col("n_stop"),
+          col("n_punct"), col("n_digit"), col("len")))
         .where(col("pred_lang") === "en" &&
           col("score") >= MinScore && col("n_tok") >= MinTokens)
         .select(col("doc_id"), col("lang"), col("n_tok"), col("score"))
         .orderBy(col("doc_id"))
     })
   )
-
-  private def langCaseSql: String =
-    s"""CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
-       |    WHEN len(regexp_extract_all(lower(text), '$DePat')) > len(regexp_extract_all(lower(text), '$EnPat'))
-       |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$FrPat'))
-       |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'de'
-       |    WHEN len(regexp_extract_all(lower(text), '$FrPat')) > len(regexp_extract_all(lower(text), '$EnPat'))
-       |     AND len(regexp_extract_all(lower(text), '$FrPat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'fr'
-       |    WHEN len(regexp_extract_all(lower(text), '$EsPat')) > len(regexp_extract_all(lower(text), '$EnPat')) THEN 'es'
-       |    ELSE 'en' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_prep_pipeline" ->
@@ -94,19 +76,13 @@ object Prep {
          |  CAST(len(regexp_extract_all(text, '$PunctPat')) AS INT) AS n_punct,
          |  CAST(len(regexp_extract_all(text, '$DigitPat')) AS INT) AS n_digit,
          |  CAST(length(text) AS INT) AS len,
-         |  $langCaseSql AS pred_lang
+         |  $sqlLangCase AS pred_lang
          |FROM keep)
          |SELECT doc_id, lang, n_tok,
-         |  0.4 * least(n_tok / 50.0, 1.0) +
-         |    0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) +
-         |    0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(len, 1)) +
-         |    0.1 * (1.0 - CAST(n_digit AS DOUBLE) / greatest(len, 1)) AS score
+         |  ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score
          |FROM m
          |WHERE pred_lang = 'en'
-         |  AND 0.4 * least(n_tok / 50.0, 1.0) +
-         |    0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) +
-         |    0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(len, 1)) +
-         |    0.1 * (1.0 - CAST(n_digit AS DOUBLE) / greatest(len, 1)) >= $MinScore
+         |  AND ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} >= $MinScore
          |  AND n_tok >= $MinTokens
          |ORDER BY doc_id""".stripMargin
   )

@@ -64,8 +64,12 @@ object Similarity {
     // shuffle keyed on anchor_id for the rerank.
     "q_sim_ann" -> ((s, dir) => {
       CosineSim.register(s)
-      val emb = embeddings(s, dir).cache()
-      val nAnchors = math.max(4, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val emb = embeddings(s, dir)
+      // anchor count from a direct parquet count (metadata-cheap) —
+      // caching emb for this would pin it in executor storage for the
+      // whole session (Verify/Bench run ~70 queries in one session)
+      val nAnchors = math.max(4,
+        math.ceil(math.sqrt(Tables(s, dir, "embeddings").count().toDouble)).toInt)
       val anchors = broadcast(emb.where(col("vec_id") < nAnchors)
         .select(col("vec_id").as("anchor_id"), col("v").as("av")))
       val assign = emb.crossJoin(anchors)

@@ -32,6 +32,46 @@ object TextAnalysis {
   private[ops] def nMatches(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0)))
 
+  /** Canonical language-ID decision chain over the five match counts —
+    * shared by q_lang_id and q_prep_pipeline so the two can never
+    * drift (the oracle mirror is [[sqlLangCase]]).
+    */
+  private[ops] def predLangFromCounts(en: Column, de: Column, fr: Column,
+      es: Column, zh: Column): Column =
+    when(zh > 0, "zh")
+      .when(de > en && de >= fr && de >= es, "de")
+      .when(fr > en && fr >= es, "fr")
+      .when(es > en, "es")
+      .otherwise("en")
+
+  /** Canonical quality score from raw counts (oracle mirror:
+    * [[sqlScore]]). Identical operation order in every use site keeps
+    * the doubles bit-exact across engines.
+    */
+  private[ops] def qualityScore(nTok: Column, nStop: Column, nPunct: Column,
+      nDigit: Column, len: Column): Column =
+    lit(0.4) * least(nTok / lit(50.0), lit(1.0)) +
+      lit(0.3) * (nStop.cast("double") / greatest(nTok, lit(1))) +
+      lit(0.2) * (lit(1.0) - nPunct.cast("double") / greatest(len, lit(1))) +
+      lit(0.1) * (lit(1.0) - nDigit.cast("double") / greatest(len, lit(1)))
+
+  private[ops] val sqlLangCase: String =
+    s"""CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
+       |    WHEN len(regexp_extract_all(lower(text), '$DePat')) > len(regexp_extract_all(lower(text), '$EnPat'))
+       |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$FrPat'))
+       |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'de'
+       |    WHEN len(regexp_extract_all(lower(text), '$FrPat')) > len(regexp_extract_all(lower(text), '$EnPat'))
+       |     AND len(regexp_extract_all(lower(text), '$FrPat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'fr'
+       |    WHEN len(regexp_extract_all(lower(text), '$EsPat')) > len(regexp_extract_all(lower(text), '$EnPat')) THEN 'es'
+       |    ELSE 'en' END""".stripMargin
+
+  private[ops] def sqlScore(nTok: String, nStop: String, nPunct: String,
+      nDigit: String, len: String): String =
+    s"""0.4 * least($nTok / 50.0, 1.0) +
+       |    0.3 * (CAST($nStop AS DOUBLE) / greatest($nTok, 1)) +
+       |    0.2 * (1.0 - CAST($nPunct AS DOUBLE) / greatest($len, 1)) +
+       |    0.1 * (1.0 - CAST($nDigit AS DOUBLE) / greatest($len, 1))""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Global token frequency, top 20.
     "q_text_tokens" -> ((s, dir) =>
@@ -48,13 +88,8 @@ object TextAnalysis {
           nMatches(lt, EnPat).as("n_en"), nMatches(lt, DePat).as("n_de"),
           nMatches(lt, FrPat).as("n_fr"), nMatches(lt, EsPat).as("n_es"),
           nMatches(col("text"), ZhPat).as("n_zh"))
-        .withColumn("pred_lang",
-          when(col("n_zh") > 0, "zh")
-            .when(col("n_de") > col("n_en") && col("n_de") >= col("n_fr") &&
-              col("n_de") >= col("n_es"), "de")
-            .when(col("n_fr") > col("n_en") && col("n_fr") >= col("n_es"), "fr")
-            .when(col("n_es") > col("n_en"), "es")
-            .otherwise("en"))
+        .withColumn("pred_lang", predLangFromCounts(col("n_en"), col("n_de"),
+          col("n_fr"), col("n_es"), col("n_zh")))
         .orderBy(col("doc_id"))
     }),
 
@@ -62,7 +97,7 @@ object TextAnalysis {
     "q_quality_score" -> ((s, dir) => {
       val toks = tokens(col("text"))
       Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"),
           size(toks).as("n_tok"),
           length(array_join(toks, "")).as("n_tok_chars"),
           nMatches(lower(col("text")), EnPat).as("n_stop"),
@@ -77,12 +112,9 @@ object TextAnalysis {
           (col("n_punct").cast("double") / greatest(col("len"), lit(1)))
             .as("punct_ratio"),
           (col("n_digit").cast("double") / greatest(col("len"), lit(1)))
-            .as("digit_ratio"))
-        .withColumn("score",
-          lit(0.4) * least(col("n_tok") / lit(50.0), lit(1.0)) +
-            lit(0.3) * col("stop_ratio") +
-            lit(0.2) * (lit(1.0) - col("punct_ratio")) +
-            lit(0.1) * (lit(1.0) - col("digit_ratio")))
+            .as("digit_ratio"),
+          qualityScore(col("n_tok"), col("n_stop"), col("n_punct"),
+            col("n_digit"), col("len")).as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -130,14 +162,7 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(lower(text), '$FrPat')) AS INT) AS n_fr,
          |  CAST(len(regexp_extract_all(lower(text), '$EsPat')) AS INT) AS n_es,
          |  CAST(len(regexp_extract_all(text, '$ZhPat')) AS INT) AS n_zh,
-         |  CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
-         |    WHEN len(regexp_extract_all(lower(text), '$DePat')) > len(regexp_extract_all(lower(text), '$EnPat'))
-         |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$FrPat'))
-         |     AND len(regexp_extract_all(lower(text), '$DePat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'de'
-         |    WHEN len(regexp_extract_all(lower(text), '$FrPat')) > len(regexp_extract_all(lower(text), '$EnPat'))
-         |     AND len(regexp_extract_all(lower(text), '$FrPat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'fr'
-         |    WHEN len(regexp_extract_all(lower(text), '$EsPat')) > len(regexp_extract_all(lower(text), '$EnPat')) THEN 'es'
-         |    ELSE 'en' END AS pred_lang
+         |  $sqlLangCase AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       s"""WITH m AS (SELECT doc_id,
@@ -153,10 +178,7 @@ object TextAnalysis {
          |  CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) AS stop_ratio,
          |  CAST(n_punct AS DOUBLE) / greatest(len, 1) AS punct_ratio,
          |  CAST(n_digit AS DOUBLE) / greatest(len, 1) AS digit_ratio,
-         |  0.4 * least(n_tok / 50.0, 1.0) +
-         |    0.3 * (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1)) +
-         |    0.2 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(len, 1)) +
-         |    0.1 * (1.0 - CAST(n_digit AS DOUBLE) / greatest(len, 1)) AS score
+         |  ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score
          |FROM m ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -33,9 +33,16 @@ object Layout {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "_old")
-    fs.rename(p, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (fs.exists(bak)) fs.delete(bak, true) // stale backup from a crashed run
+    require(fs.rename(p, bak), s"compact: rename $p -> $bak failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(bak, p) // restore the original before surfacing
+      throw new java.io.IOException(s"compact: swap-in of $tmp failed; original restored")
+    }
     fs.delete(bak, true)
+    // NOTE: a hard crash between the two renames leaves `dir` absent
+    // with the data intact at `<dir>_old` — directory renames can't
+    // overwrite atomically, so run compaction in maintenance windows.
   }
 
   /** Write sorted-by-range on `sortCol`: ranges across files, sorted

@@ -25,9 +25,13 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-source basePath must be a directory; glob-filter the table
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // same LongType guard as Tables.apply — if the table ever carries
+    // real micros timestamps the conversion must not run
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
   }
 
   /** Streaming tumbling 1-hour aggregation with a 1-hour watermark,

@@ -27,7 +27,7 @@ object CovidDemo {
         "2022-04-27,arkansas,bradley,17,1" + pad,
         "2022-04-27, TEXAS ,o'brien,3,0" + pad,
         "2022-04-28,arkansas,bradley,21,2" + pad,
-        "2022-04-28,texas,o'brien,,1" + pad,      // missing count -> 0
+        "2022-04-28,texas,o'brien",               // missing trailing fields -> 0
         "2022-04-29,new york,kings,oops,9" + pad, // malformed -> dropped
         "2022-04-29,new york,kings,44,3" + pad)
       val p = dir.resolve("covid.csv")

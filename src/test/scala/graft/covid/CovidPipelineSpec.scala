@@ -26,17 +26,18 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
       (co, ci) <- counties.zipWithIndex
       (dt, di) <- dates.zipWithIndex
     } yield s"$dt,$st,$co,${si + ci + di},${(si + di) % 3}"
-    val edge = Seq(
-      "2022-01-16,arkansas,bradley,,2",        // missing cases -> 0
-      "2022-01-16,arkansas,bradley,abc,2",     // malformed -> dropped
-      "bogus-date,arkansas,bradley,1,1",       // bad date -> dropped
-      "2022-01-16,arkansas,bradley,9,9",
-      "2022-01-16,arkansas,bradley,9,9")       // duplicate survives (append semantics)
     val pad = ",x" * CovidSchema.passthroughColumns.size
-    (header +: (clean ++ edge).map(_ + pad)).mkString("\n")
+    val edge = Seq(
+      "2022-01-16,arkansas,bradley,,2" + pad,    // empty count: null at the CSV edge -> 0
+      "2022-01-16,arkansas,bradley,abc,2" + pad, // malformed -> dropped
+      "bogus-date,arkansas,bradley,1,1" + pad,   // bad date -> dropped
+      "2022-01-16,arkansas,bradley",             // missing trailing fields -> counts 0
+      "2022-01-16,arkansas,bradley,9,9" + pad,
+      "2022-01-16,arkansas,bradley,9,9" + pad)   // duplicate survives (append semantics)
+    (header +: (clean.map(_ + pad) ++ edge)).mkString("\n")
   }
 
-  private val expectedRows = 180 + 3 // clean + (missing-count row, dup pair)
+  private val expectedRows = 180 + 4 // clean + (empty-count, missing-fields, dup pair)
 
   private def tmp(): Path = Files.createTempDirectory("covid")
 
@@ -47,7 +48,7 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
     val staging = s"$dir/staging"
     val wh = s"$dir/warehouse"
     val ingested = CovidPipeline.ingest(spark, csv.toString, staging)
-    assert(ingested == 185) // all rows land in staging untouched
+    assert(ingested == 186) // all rows land in staging untouched
 
     val total = CovidPipeline.runToCompletion(spark, staging, wh, s"$dir/state",
       limit = Some(50))
@@ -75,9 +76,9 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
     CovidPipeline.ingest(spark, csv.toString, s"$dir/staging")
     CovidPipeline.etlOnce(spark, s"$dir/staging", s"$dir/wh", s"$dir/st", limit = None)
     val metrics = Files.readString(java.nio.file.Paths.get(s"$dir/st/metrics.json"))
-    // 185 staged; malformed-count row + bogus-date row dropped
-    assert(metrics.contains("\"extracted\": 185"))
-    assert(metrics.contains("\"loaded\": 183"))
+    // 186 staged; malformed count + bogus date dropped
+    assert(metrics.contains("\"extracted\": 186"))
+    assert(metrics.contains("\"loaded\": 184"))
     assert(metrics.contains("\"dropped\": 2"))
   }
 
@@ -149,6 +150,32 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
       .write.mode("append").parquet(staging)
 
     assert(CovidPipeline.etlOnce(spark, staging, s"$dir/wh", s"$dir/st") == 0)
+  }
+
+  test("whitespace-padded staging dates neither loop nor get skipped") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    val staging = s"$dir/staging"
+    CovidPipeline.ingest(spark, csv.toString, staging)
+    CovidPipeline.runToCompletion(spark, staging, s"$dir/wh", s"$dir/st", None)
+
+    // padded dates arrive in staging (parquet path — the CSV reader
+    // trims, but JSON/parquet staging or other writers may not)
+    import spark.implicits._
+    Seq(("2022-01-18 ", "pad", "pad", "1", "1"), (" 2022-01-19", "pad", "pad", "2", "2"))
+      .toDF("REPORT_DATE", "PROVINCE_STATE_NAME", "COUNTY_NAME",
+        "PEOPLE_POSITIVE_NEW_CASES_COUNT", "PEOPLE_DEATH_NEW_COUNT")
+      .select(CovidSchema.csvSchema.fieldNames.map(n =>
+        if (Seq("REPORT_DATE", "PROVINCE_STATE_NAME", "COUNTY_NAME",
+          "PEOPLE_POSITIVE_NEW_CASES_COUNT", "PEOPLE_DEATH_NEW_COUNT").contains(n)) col(n)
+        else lit("x").as(n)): _*)
+      .write.mode("append").parquet(staging)
+
+    // both rows extracted exactly once (an untrimmed comparison would
+    // re-extract '2022-01-18 ' forever and never see ' 2022-01-19')
+    assert(CovidPipeline.etlOnce(spark, staging, s"$dir/wh", s"$dir/st", None) == 2)
+    assert(CovidPipeline.etlOnce(spark, staging, s"$dir/wh", s"$dir/st", None) == 0)
   }
 
   test("streaming etl produces the same warehouse as batch") {

@@ -41,7 +41,7 @@ def main():
     n_pass = n_fail = n_exact_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
