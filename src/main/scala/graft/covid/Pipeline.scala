@@ -46,20 +46,43 @@ object CovidPipeline {
     spark.read.parquet(stagingDir).count()
   }
 
+  /** S7 physical parity: stage as newline-delimited JSON documents —
+    * the reference's ES bulk NDJSON (ingest_csv_to_elastic.py:104-113).
+    * Unlike the CSV edge, JSON staging REPRESENTS empty strings, so the
+    * full int-coercion triad (missing→0, ""→drop) survives physically
+    * end-to-end. Pass stagingFormat="json" to etlOnce to consume it.
+    */
+  def ingestJson(spark: SparkSession, csvPath: String, stagingDir: String): Long = {
+    val raw = spark.read
+      .option("header", "true")
+      .schema(CovidSchema.csvSchema)
+      .csv(csvPath)
+    raw.write.mode(SaveMode.Overwrite).json(stagingDir)
+    spark.read.schema(CovidSchema.csvSchema).json(stagingDir).count()
+  }
+
+  private def readStaging(spark: SparkSession, stagingDir: String,
+      format: String) = format match {
+    case "parquet" => spark.read.parquet(stagingDir)
+    case "json" => spark.read.schema(CovidSchema.csvSchema).json(stagingDir)
+    case other => throw new IllegalArgumentException(s"staging format: $other")
+  }
+
   /** One incremental ETL run (the hourly DAG body, dags/ETL.py:37-154):
     * watermark → strict-`>` range extract (+ optional row cap) →
     * transform → append to warehouse → persist max-date watermark.
     * Returns rows appended (0 ⇒ caught up).
     */
   def etlOnce(spark: SparkSession, stagingDir: String, warehouseDir: String,
-      stateDir: String, limit: Option[Int] = Some(1000)): Long = {
+      stateDir: String, limit: Option[Int] = Some(1000),
+      stagingFormat: String = "parquet"): Long = {
     val wm = new Watermark(spark, stateDir)
     val cursor = wm.load().getOrElse("1970-01-01") // default, dags/ETL.py:71
     // Compare the TRIMMED date against the cursor: the cursor is saved
     // from the parsed (trimmed) date, so an untrimmed comparison would
     // re-extract whitespace-padded rows forever ('2022-01-20 ' >
     // '2022-01-20') or never extract them (' 2022-01-20' < '1970-...').
-    val next = spark.read.parquet(stagingDir)
+    val next = readStaging(spark, stagingDir, stagingFormat)
       .withColumn("REPORT_DATE", trim(col("REPORT_DATE")))
       .filter(col("REPORT_DATE") > lit(cursor))
     // Row cap widened to WHOLE dates: a date is either fully in this
@@ -121,12 +144,13 @@ object CovidPipeline {
   /** Drain the staging area: run incremental batches until caught up. */
   def runToCompletion(spark: SparkSession, stagingDir: String,
       warehouseDir: String, stateDir: String,
-      limit: Option[Int] = Some(1000), maxRuns: Int = 10000): Long = {
+      limit: Option[Int] = Some(1000), maxRuns: Int = 10000,
+      stagingFormat: String = "parquet"): Long = {
     var total = 0L
     var runs = 0
     var n = -1L
     while (n != 0 && runs < maxRuns) {
-      n = etlOnce(spark, stagingDir, warehouseDir, stateDir, limit)
+      n = etlOnce(spark, stagingDir, warehouseDir, stateDir, limit, stagingFormat)
       total += n
       runs += 1
     }

@@ -152,6 +152,39 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(CovidPipeline.etlOnce(spark, staging, s"$dir/wh", s"$dir/st") == 0)
   }
 
+  test("json (NDJSON) staging pipeline produces the same warehouse as parquet staging") {
+    val dir = tmp()
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    CovidPipeline.ingest(spark, csv.toString, s"$dir/stagingP")
+    CovidPipeline.ingestJson(spark, csv.toString, s"$dir/stagingJ")
+    CovidPipeline.runToCompletion(spark, s"$dir/stagingP", s"$dir/whP", s"$dir/stP", Some(50))
+    CovidPipeline.runToCompletion(spark, s"$dir/stagingJ", s"$dir/whJ", s"$dir/stJ", Some(50),
+      stagingFormat = "json")
+    def snap(wh: String) = spark.read.parquet(wh)
+      .select("date", "state", "county", "new_cases", "new_deaths")
+      .orderBy("date", "state", "county", "new_cases", "new_deaths").collect().toSeq
+    assert(snap(s"$dir/whP") == snap(s"$dir/whJ"))
+  }
+
+  test("ES-like JSON docs keep the full triad: '' drops, missing key -> 0") {
+    val dir = tmp()
+    import spark.implicits._
+    // staged documents as the reference's ES index holds them — raw
+    // JSON objects of string fields (ingest_csv_to_elastic.py:104-108)
+    val docs = Seq(
+      """{"REPORT_DATE":"2022-02-01","PROVINCE_STATE_NAME":"texas","COUNTY_NAME":"kent","PEOPLE_POSITIVE_NEW_CASES_COUNT":"5","PEOPLE_DEATH_NEW_COUNT":"1"}""",
+      """{"REPORT_DATE":"2022-02-01","PROVINCE_STATE_NAME":"texas","COUNTY_NAME":"kent","PEOPLE_POSITIVE_NEW_CASES_COUNT":"","PEOPLE_DEATH_NEW_COUNT":"1"}""",
+      """{"REPORT_DATE":"2022-02-01","PROVINCE_STATE_NAME":"texas","COUNTY_NAME":"kent","PEOPLE_DEATH_NEW_COUNT":"2"}""")
+    docs.toDF("value").coalesce(1).write.text(s"$dir/staging")
+    val n = CovidPipeline.runToCompletion(spark, s"$dir/staging", s"$dir/wh",
+      s"$dir/st", None, stagingFormat = "json")
+    assert(n == 2) // "" row dropped (int('') raises in the reference)
+    val cases = spark.read.parquet(s"$dir/wh").orderBy("new_cases")
+      .collect().map(_.getAs[Int]("new_cases")).toSeq
+    assert(cases == Seq(0, 5)) // missing key defaulted, numeric parsed
+  }
+
   test("whitespace-padded staging dates neither loop nor get skipped") {
     val dir = tmp()
     val csv = dir.resolve("covid.csv")
