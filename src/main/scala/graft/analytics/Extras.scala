@@ -92,6 +92,26 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Map type surface: JSON → map<string,int> → exploded key/value rows.
+    "q_map_explode" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+            .as(Seq("key", "value")))
+        .orderBy(col("event_id"), col("key")).limit(2000)),
+
+    // Higher-order array functions over the embedding vectors.
+    "q_array_lambda" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(filter(v, x => x > 0)).as("n_pos"),
+          round(sqrt(aggregate(zip_with(v, v, (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_quantiles" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -139,6 +159,16 @@ object Extras {
         |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume,
         |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_map_explode" ->
+      """SELECT event_id, k AS key,
+        |  TRY_CAST(json_extract_string(props, '$.' || k) AS INT) AS value
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+        |ORDER BY event_id, key LIMIT 2000""".stripMargin,
+    "q_array_lambda" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
