@@ -57,8 +57,11 @@ object Dedup {
     * always shares ≥ 1 shingle.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // (doc_id, hash) pairs feed three consumers (sizes + both sides of
+    // the inverted join); cached so the explode+md5+distinct pipeline
+    // runs once — 16 bytes/shingle, bounded.
     val sh = docShingles(docs)
-      .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+      .select(col("doc_id"), h60(col("s")).as("h")).distinct().cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     sh.select(col("h"), col("doc_id").as("doc1"))
       .join(sh.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
@@ -129,19 +132,26 @@ object Dedup {
         .select(col("doc_id"), (h60(col("s")) % P).as("hm"))
       val mhAggs = (0 until K).map(i =>
         min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
-      val mh = hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      // One pass builds the signature table; cache it — it is consumed
+      // three times (band generation + both sides of the estimate
+      // join) and would otherwise recompute the whole shingle+hash
+      // pipeline each time (measured 3× the query cost). K longs per
+      // doc ⇒ tiny (~0.3 KB/doc).
+      val vec = hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
+        .cache()
       val bandStructs = (0 until Bands).map(b =>
         struct(lit(b).as("band"),
-          concat_ws(",", (0 until K / Bands).map(r => col(s"mh_${b * (K / Bands) + r}")): _*).as("sig")))
-      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+          concat_ws(",", (0 until K / Bands).map(r =>
+            element_at(col("v"), b * (K / Bands) + r + 1)): _*).as("sig")))
+      val bands = vec.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
         .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
           Seq("band", "sig"))
         .where(col("doc1") < col("doc2"))
         .select("doc1", "doc2").distinct()
-      val vec = mh.select(col("doc_id"),
-        array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
       cand
         .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
         .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
