@@ -92,6 +92,61 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Ordered string aggregation (listagg / string_agg).
+    "q_string_agg" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n_regionkey,
+          |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+          |FROM nation_v GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // Generated date dimension joined against facts (calendar gaps kept).
+    "q_date_series" -> ((s, dir) => {
+      val days = s.range(1).select(explode(sequence(
+        lit("1995-03-01").cast("date"), lit("1995-03-14").cast("date"),
+        expr("interval 1 day"))).as("day"))
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      days.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"))
+    }),
+
+    // Conditional aggregates: count_if / bool_and / bool_or / sum(CASE).
+    "q_conditional_agg" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("count_if(o_totalprice > 300000)").as("n_big"),
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_totalprice > 490000)").as("any_huge"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Null semantics: nullif / coalesce / IS DISTINCT FROM.
+    "q_null_semantics" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT"))
+            .as("seg_defaulted"),
+          expr("c_mktsegment IS DISTINCT FROM 'BUILDING'").as("not_building"))
+        .orderBy(col("c_custkey")).limit(1000)),
+
+    // first/last values over an explicit full-partition frame.
+    "q_window_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Map type surface: JSON → map<string,int> → exploded key/value rows.
     "q_map_explode" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -159,6 +214,39 @@ object Extras {
         |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume,
         |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_date_series" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',
+        |    DATE '1995-03-14', INTERVAL 1 DAY)) AS DATE) AS day),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT days.day, coalesce(daily.n, 0) AS n_orders
+        |FROM days LEFT JOIN daily ON days.day = daily.day
+        |ORDER BY days.day""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count_if(o_totalprice > 300000) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 490000) AS any_huge,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_null_semantics" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_defaulted,
+        |  c_mktsegment IS DISTINCT FROM 'BUILDING' AS not_building
+        |FROM customer ORDER BY c_custkey LIMIT 1000""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_map_explode" ->
       """SELECT event_id, k AS key,
         |  TRY_CAST(json_extract_string(props, '$.' || k) AS INT) AS value
