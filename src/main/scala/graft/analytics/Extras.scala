@@ -92,6 +92,14 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Histogram: fixed-width value buckets (floor-div keeps the
+    // bucketing identical across engines).
+    "q_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(floor(col("o_totalprice") / lit(50000.0)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
     // Ordered string aggregation (listagg / string_agg).
     "q_string_agg" -> ((s, dir) => {
       Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
@@ -214,6 +222,9 @@ object Extras {
         |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume,
         |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

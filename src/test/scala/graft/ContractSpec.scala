@@ -23,6 +23,15 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every registered query plans and returns a non-empty schema (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir) // builders that iterate also execute here
+      assert(df.columns.nonEmpty, s"$name has no output columns")
+      assert(df.queryExecution.optimizedPlan != null, s"$name failed to plan")
+    }
+  }
+
   test("oracle SQL strings are DuckDB-side only (no spark-isms)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.toLowerCase.contains("parquet."), s"$k embeds a path")
