@@ -92,6 +92,20 @@ object Extras {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Unpivot/melt: wide → long (Dataset.unpivot; oracle expresses the
+    // same reshaping as a UNION ALL, the portable form).
+    "q_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          col("value"))
+        .limit(3000)),
+
     // Histogram: fixed-width value buckets (floor-div keeps the
     // bucketing identical across engines).
     "q_histogram" -> ((s, dir) =>
@@ -222,6 +236,14 @@ object Extras {
         |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume,
         |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure, value LIMIT 3000""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,

@@ -61,6 +61,31 @@ object Joins {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Outer joins: unmatched rows survive with nulls.
+    "q_join_left" -> ((s, dir) => {
+      val bigOrders = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      Tables(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"),
+          moneySum(col("o_totalprice")).as("big_total"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_full" -> ((s, dir) => {
+      val hi = Tables(s, dir, "orders").filter(col("o_totalprice") > 480000)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("hi_key"))
+      val lo = Tables(s, dir, "orders").filter(col("o_totalprice") < 2000)
+        .select(col("o_custkey").as("k2"), col("o_orderkey").as("lo_key"))
+      hi.join(lo, col("k") === col("k2"), "full")
+        .select(coalesce(col("k"), col("k2")).as("custkey"),
+          col("hi_key"), col("lo_key"))
+        .orderBy(col("custkey").asc_nulls_first,
+          col("hi_key").asc_nulls_first, col("lo_key").asc_nulls_first)
+    }),
+
     // TPC-H Q5-shaped star join: revenue by nation for one region.
     "q_join_multi" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -103,6 +128,22 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 450000) o ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(k, k2) AS custkey, hi_key, lo_key FROM
+        |  (SELECT o_custkey AS k, o_orderkey AS hi_key FROM orders
+        |   WHERE o_totalprice > 480000) hi
+        |FULL OUTER JOIN
+        |  (SELECT o_custkey AS k2, o_orderkey AS lo_key FROM orders
+        |   WHERE o_totalprice < 2000) lo ON k = k2
+        |ORDER BY custkey ASC NULLS FIRST, hi_key ASC NULLS FIRST,
+        |  lo_key ASC NULLS FIRST""".stripMargin,
     "q_join_multi" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
