@@ -30,6 +30,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
+      } finally {
+        // Queries may cache internal frames (minhash signatures, CC
+        // labels, ...). Dropping them between queries keeps each
+        // measurement independent and stops 80 queries' worth of
+        // leftover blocks from GC-thrashing the tail of the run
+        // (r01's 100 s minhash reproduces at ~11 s in a clean session).
+        spark.catalog.clearCache()
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -37,12 +44,25 @@ object Bench {
     // JVM / codegen / parquet-footer warm-up (not reported).
     materialize("q_count_total")
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { n =>
+      val t = materialize(n)
+      System.err.println(f"[bench] $n%-24s $t%9.3f s")
+      n -> t
+    }
+    // Driver contract: ONE JSON line, and it must survive a bounded
+    // tail-capture of stdout (r01 lost the line to truncation). Keep it
+    // short: 3-decimal seconds, and print it as the very last line.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }

@@ -29,4 +29,17 @@ object Tables {
       else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Spread a narrow scan across the cluster before an explode-style
+    * fan-out. A small parquet file (one row group) scans as a single
+    * partition, which would serialize everything downstream of it; a
+    * 100 TB input already has thousands of splits, in which case this
+    * is a no-op — the condition, not the repartition, is the contract.
+    * The shuffle moves only the pre-explode rows (docs, not shingles),
+    * which is the cheap side of the amplification.
+    */
+  def fanout(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

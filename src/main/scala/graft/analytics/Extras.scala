@@ -261,7 +261,7 @@ object Extras {
         |ORDER BY days.day""".stripMargin,
     "q_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  count_if(o_totalprice > 300000) AS n_big,
+        |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
         |  bool_and(o_totalprice > 1000) AS all_over_1k,
         |  bool_or(o_totalprice > 490000) AS any_huge,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f

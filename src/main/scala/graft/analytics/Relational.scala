@@ -56,20 +56,21 @@ object Relational {
         .agg(moneySum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))),
 
-    // A4 top-9 + "Other" bucket. Keep decimal until the final select so
-    // the Other-bucket re-aggregation stays order-independent.
+    // A4 top-9 + "Other" bucket, single pass: aggregate per brand, rank
+    // (global window over ≤ brand-cardinality ~25 pre-aggregated rows —
+    // bounded, so the single-partition window is fine), relabel ranks
+    // > 9 to 'Other', and re-aggregate. One scan, no branch that
+    // recomputes the brand aggregate. Decimal until the final cast so
+    // the Other re-aggregation stays order-independent.
     "q_topk_other" -> ((s, dir) => {
       val agg = Tables(s, dir, "part")
         .groupBy(col("p_brand"))
         .agg(sum(dec(col("p_retailprice"))).as("total_d"))
-      val ranked = agg.withColumn("rn",
-        row_number().over(Window.orderBy(col("total_d").desc, col("p_brand"))))
-      val top = ranked.filter(col("rn") <= 9)
-        .select(col("p_brand").as("brand"), col("total_d"))
-      val other = ranked.filter(col("rn") > 9)
-        .agg(sum(col("total_d")).as("total_d"))
-        .select(lit("Other").as("brand"), col("total_d"))
-      top.unionByName(other)
+      agg.withColumn("rn",
+          row_number().over(Window.orderBy(col("total_d").desc, col("p_brand"))))
+        .select(when(col("rn") <= 9, col("p_brand")).otherwise(lit("Other"))
+          .as("brand"), col("total_d"))
+        .groupBy(col("brand")).agg(sum(col("total_d")).as("total_d"))
         .select(col("brand"), col("total_d").cast("double").as("total"))
         .orderBy(col("total").desc, col("brand"))
     }),
@@ -149,14 +150,31 @@ object Relational {
         .orderBy(col("o_orderkey")).offset(100).limit(50)),
 
     // S3: fixed-size batch numbering (BATCH_SIZE=100 in the reference).
-    "q_batch_number" -> ((s, dir) =>
-      Tables(s, dir, "orders")
-        .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+    // Global row numbers WITHOUT a single-partition window: range-
+    // partition on the key, rank within each partition in parallel,
+    // then add per-partition offsets (a prefix sum over #partitions
+    // rows — bounded by the partition count, never by the data). Same
+    // result as row_number() over a global ORDER BY at any scale.
+    "q_batch_number" -> ((s, dir) => {
+      val n = s.sparkContext.defaultParallelism
+      val keyed = Tables(s, dir, "orders").select(col("o_orderkey"))
+        .repartitionByRange(n, col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      val local = keyed.withColumn("local_rn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("o_orderkey"))))
+      val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      local.join(broadcast(offsets), Seq("pid"))
+        .withColumn("rn", col("local_rn") + col("off"))
         .withColumn("batch", floor((col("rn") - 1) / lit(100)))
         .groupBy(col("batch"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"),
           max(col("o_orderkey")).as("last_key"))
-        .orderBy(col("batch")))
+        .orderBy(col("batch"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -46,7 +46,8 @@ object Dedup {
   val Bands = 8   // LSH bands (rows per band = K / Bands = 4)
 
   private def docShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
+    Tables.fanout(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
 
   /** Exact Jaccard ≥ threshold pairs via the inverted shingle index.
@@ -164,7 +165,8 @@ object Dedup {
 
     // SimHash: 60-bit signature, banded self-join, hamming ≤ 3.
     "q_dedup_simhash" -> ((s, dir) => {
-      val tc = Tables(s, dir, "documents")
+      val tc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
         .withColumn("h", h60(col("t")))

@@ -73,9 +73,10 @@ object TextAnalysis {
        |    0.1 * (1.0 - CAST($nDigit AS DOUBLE) / greatest($len, 1))""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    // Global token frequency, top 20.
+    // Global token frequency, top 20. (fanout: the regex/explode work
+    // dwarfs the pre-explode shuffle of the raw text — see Tables.fanout.)
     "q_text_tokens" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.fanout(Tables(s, dir, "documents").select(col("text")))
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)),
@@ -83,7 +84,8 @@ object TextAnalysis {
     // Stopword-profile language ID + CJK detection.
     "q_lang_id" -> ((s, dir) => {
       val lt = lower(col("text"))
-      Tables(s, dir, "documents")
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
         .select(col("doc_id"), col("lang"),
           nMatches(lt, EnPat).as("n_en"), nMatches(lt, DePat).as("n_de"),
           nMatches(lt, FrPat).as("n_fr"), nMatches(lt, EsPat).as("n_es"),
@@ -96,7 +98,8 @@ object TextAnalysis {
     // Length / punctuation / stopword / digit quality heuristics.
     "q_quality_score" -> ((s, dir) => {
       val toks = tokens(col("text"))
-      Tables(s, dir, "documents")
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           size(toks).as("n_tok"),
           length(array_join(toks, "")).as("n_tok_chars"),
@@ -120,7 +123,8 @@ object TextAnalysis {
 
     // Whitespace + BPE-ish regex + chars/4 token-count estimators.
     "q_token_count" -> ((s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           size(tokens(col("text"))).as("ws_tokens"),
           size(regexp_extract_all(lower(col("text")),
@@ -136,7 +140,8 @@ object TextAnalysis {
     // sf0.1 vs ~1s for this shape.
     "q_fingerprint" -> ((s, dir) => {
       val toks = tokens(col("text"))
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.fanout(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       val mn = docs
         .select(col("doc_id"),
           explode(array_distinct(shingles(toks, 3))).as("s"))

@@ -59,6 +59,18 @@ def main():
             print(f"FAIL {name}: cols oracle={ocols} spark={scols}")
             n_fail += 1
             continue
+        # Driver-gate parity: the driver hashes typed values, so an
+        # oracle HUGEINT (pandas float64/object) vs Spark BIGINT
+        # (int64) mismatches even when Python `==` says the values are
+        # equal (r01's q_conditional_agg). Integer WIDTH differs freely
+        # (driver passed int32-vs-BIGINT in r01), so compare dtype
+        # KINDS (int/float/bool/object/datetime), not exact dtypes.
+        dtbad = [(c, str(odf[c].dtype), str(sdf[c].dtype))
+                 for c in ocols if odf[c].dtype.kind != sdf[c].dtype.kind]
+        if dtbad:
+            print(f"FAIL {name}: dtype drift (oracle vs spark): {dtbad}")
+            n_fail += 1
+            continue
         orows = [tuple(norm(v) for v in r)
                  for r in odf[ocols].itertuples(index=False)]
         srows = [tuple(norm(v) for v in r)
