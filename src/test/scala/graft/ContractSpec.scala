@@ -32,6 +32,35 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("plan lint: no cartesian product, no unbounded global window") {
+    val dir = "/root/testdata/sf0.001"
+    // Global (partition-less) windows funnel all rows through one task.
+    // Allowed only where the input is provably bounded and documented
+    // at the use site: q_topk_other ranks ≤ brand-cardinality (~25)
+    // pre-aggregated rows; q_batch_number prefix-sums one row per
+    // shuffle partition (≤ defaultParallelism).
+    val boundedGlobalWindow = Set("q_topk_other", "q_batch_number")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // concrete plan tree (AQE wraps stages and hides children from collect)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val cartesian = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        assert(cartesian.isEmpty,
+          s"$name plans a non-broadcast cartesian product")
+        val globalWindows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(boundedGlobalWindow(name) || globalWindows.isEmpty,
+          s"$name plans a global single-partition window")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("oracle SQL strings are DuckDB-side only (no spark-isms)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.toLowerCase.contains("parquet."), s"$k embeds a path")

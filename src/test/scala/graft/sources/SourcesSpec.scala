@@ -82,4 +82,37 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       assert(joined.count() == 6000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("S10: batched JDBC append sink round-trips (embedded Derby)") {
+    // The reference's ETL appends each batch to Postgres over JDBC
+    // (dags/ETL.py:131-140); the engine analog is df.write.jdbc in
+    // append mode. Exercised against the Derby driver that ships with
+    // Spark; skipped (not silently passed) when no driver is present.
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    assume(
+      try { Class.forName(driver); true } catch { case _: Throwable => false },
+      "no embedded JDBC driver on the classpath")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    // deterministic subset (a LIMIT would be scan-order-dependent)
+    val src = graft.Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 800)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val nSrc = src.count()
+    val sumSrc = src.agg(graft.util.Exact.moneySum(col("o_totalprice")))
+      .head().getDouble(0)
+    src.write.mode("append")
+      .option("createTableColumnTypes", "o_orderpriority VARCHAR(20)")
+      .jdbc(url, "ORDERS_SINK", props)
+    src.write.mode("append").jdbc(url, "ORDERS_SINK", props) // batch 2
+    val back = spark.read.jdbc(url, "ORDERS_SINK", props)
+    assert(back.count() == 2 * nSrc)
+    // every key appended exactly twice — append, not overwrite
+    assert(back.groupBy("o_orderkey").count()
+      .filter(col("count") =!= 2).count() == 0)
+    val sumBack = back.agg(graft.util.Exact.moneySum(col("o_totalprice")))
+      .head().getDouble(0)
+    assert(sumBack == 2 * sumSrc)
+  }
 }
