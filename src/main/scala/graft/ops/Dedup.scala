@@ -91,14 +91,60 @@ object Dedup {
     * cache truncating the lineage. Deterministic (min reachable id is
     * algorithm-independent), so a recursive-CTE oracle replays it.
     */
-  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Size threshold under which the component computation collapses to
+    * driver-side union-find. The pair list is the OUTPUT of the
+    * similarity join — orders of magnitude smaller than the corpus —
+    * so even a 100 TB corpus with a selective threshold often lands
+    * under this; when it doesn't, the distributed propagation loop
+    * takes over. Hybrid small-graph/large-graph dispatch is the shape
+    * GraphFrames uses for the same reason: an iterative Spark job has
+    * a per-round scheduling floor that dwarfs sub-second local work.
+    */
+  val LocalCcMaxPairs = 4000000L
+
+  def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(docs, pairs, LocalCcMaxPairs)
+
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+      localMaxPairs: Long): DataFrame = {
     // Materialize the pair list ONCE before fanning out: it feeds both
     // union directions and every propagation round, and without the
     // eager count the two union branches race-compute the whole
     // similarity-join chain concurrently on a cold cache (measured 3×
     // the query cost). The pair list is the small product of the
     // similarity join — caching it is bounded at any corpus size.
-    val p = pairs.cache(); p.count()
+    val p = pairs.cache()
+    val nPairs = p.count()
+    if (nPairs <= localMaxPairs) {
+      // Driver-side union-find (union-by-min + path compression): the
+      // root of every set is the smallest member, which is exactly the
+      // min-label-propagation fixpoint, so both paths agree with the
+      // recursive-CTE oracle. One broadcast join labels the corpus.
+      val es = p.select(col("doc1"), col("doc2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct.map(v => (v, find(v)))
+      val session = docs.sparkSession
+      import session.implicits._
+      val lab = broadcast(labels.toDF("doc_id", "cc_label"))
+      return docs.select(col("doc_id"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cc_label"), col("doc_id")).as("component"))
+    }
     val edges = p.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionByName(p.select(col("doc2").as("a"), col("doc1").as("b")))
       .cache()

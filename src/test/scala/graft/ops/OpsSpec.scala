@@ -47,6 +47,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.contains((0L, 1L, 0))) // identical text -> identical signature
   }
 
+  test("connected components: local union-find and distributed loop agree") {
+    import spark.implicits._
+    // chain 1-2-3-4 (transitive merge), pair 10-11, isolates 20, 21
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc1", "doc2").withColumn("jaccard", lit(1.0))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+    for (threshold <- Seq(Dedup.LocalCcMaxPairs, 0L)) { // local, distributed
+      val got = Dedup.connectedComponents(docs, pairs, threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"threshold=$threshold")
+    }
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
     val rows = Dedup.queries("q_dedup_exact")(spark, dir)
