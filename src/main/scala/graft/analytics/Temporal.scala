@@ -49,6 +49,16 @@ object Temporal {
         .select(col("window.start").as("win_start"), col("event_type"), col("n"))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // Streaming exact dedup — unlike the other q_stream_* entries
+    // (batch forms of streaming semantics), this one EXECUTES on the
+    // streaming engine: readStream → state-backed dropDuplicates →
+    // memory sink, drained synchronously. Keys only (the first-seen
+    // row is arrival-order-dependent; the key set is deterministic).
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.Streams.dedupToTable(s, dir, "stream_dedup_sink")
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -80,6 +90,9 @@ object Temporal {
         |           - (k * INTERVAL '15 minutes') AS win_start, event_type
         |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
         |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type FROM events
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     // Gaps-and-islands reconstruction of Spark's session_window: a new
     // session starts when the gap since the previous event is >= 30min;
     // session end = last event + gap.

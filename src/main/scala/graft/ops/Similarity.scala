@@ -46,7 +46,36 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Near-dup cosine threshold for q_dedup_embedding: the synthetic
+    * vectors are near-orthogonal (max pairwise cos ≈ 0.5-0.6), so a
+    * "duplicate" threshold of 0.95 would be vacuously empty; 0.40
+    * yields a real pair set at every SF while exercising the exact
+    * same plan a 0.95-threshold production run would.
+    */
+  val DupThreshold = 0.40
+
   val queries: Map[String, Q] = Map(
+    // Embedding-cosine near-duplicate pairs — the dedup-family member
+    // that keys on semantic (vector) identity rather than text. This
+    // is the EXACT variant: one side broadcast, a single fused-loop
+    // cosine per pair, filter on the unrounded value (both engines
+    // compute bit-identical doubles). At 10⁹ rows the same predicate
+    // runs as a re-check over q_sim_ann's IVF candidate buckets
+    // instead of the full pair space; the exact form is also what the
+    // oracle can replay, so it carries the correctness contract.
+    "q_dedup_embedding" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      emb.select(col("vec_id").as("doc1"), col("v").as("v1"))
+        .crossJoin(broadcast(
+          emb.select(col("vec_id").as("doc2"), col("v").as("v2"))))
+        .where(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), cosine("v1", "v2").as("c"))
+        .where(col("c") >= DupThreshold)
+        .select(col("doc1"), col("doc2"), round(col("c"), 6).as("cos_sim"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // Brute-force cosine top-10 neighbors of vec_id = 0.
     "q_sim_search" -> ((s, dir) => {
       CosineSim.register(s)
@@ -124,7 +153,19 @@ object Similarity {
     })
   )
 
+  private def sqlCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
+       |  (sqrt(list_sum(list_transform(range($Dim), i -> $a[i+1] * $a[i+1]))) *
+       |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+         |  ${sqlCos("a.v", "b.v")} AS c
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT doc1, doc2, round(c, 6) AS cos_sim FROM c
+         |WHERE c >= $DupThreshold ORDER BY doc1, doc2""".stripMargin,
     "q_sim_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)

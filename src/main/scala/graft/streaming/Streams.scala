@@ -101,6 +101,26 @@ object Streams {
     spark.table(table)
   }
 
+  /** Streaming exact deduplication: first-seen row per
+    * (user_id, event_type), state-backed `dropDuplicates` — the
+    * streaming member of the dedup family. Exact-forever semantics
+    * keep one state row per distinct key (bounded by key cardinality,
+    * not stream length); when the key space itself is unbounded,
+    * production swaps in `dropDuplicatesWithinWatermark`, trading a
+    * dedup horizon (the watermark delay) for hard-bounded state.
+    * Which row is first-seen depends on arrival order, so only the
+    * KEY SET is deterministic — q_stream_dedup projects keys only.
+    */
+  def dedupToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val q = eventsStream(spark, dir)
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(table)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * totals (the KeyValueGroupedDataset stateful surface).
     */
