@@ -59,6 +59,14 @@ object Temporal {
         .select(col("user_id"), col("event_type"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Stream-stream interval join — EXECUTES on the streaming engine
+    // (two watermarked streams, state-bounded inner join; see
+    // Streams.intervalJoinToTable). Inner-join pair sets are
+    // arrival-order-independent, so the full result is oracle-exact.
+    "q_stream_join" -> ((s, dir) =>
+      graft.streaming.Streams.intervalJoinToTable(s, dir, "stream_join_sink")
+        .orderBy(col("view_id"), col("buy_id"))),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -93,6 +101,13 @@ object Temporal {
     "q_stream_dedup" ->
       """SELECT user_id, event_type FROM events
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT a.event_id AS view_id, b.event_id AS buy_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, buy_id""".stripMargin,
     // Gaps-and-islands reconstruction of Spark's session_window: a new
     // session starts when the gap since the previous event is >= 30min;
     // session end = last event + gap.

@@ -121,6 +121,36 @@ object Streams {
     spark.table(table)
   }
 
+  /** Watermarked stream-stream interval join: views matched to the
+    * purchases that follow within one hour for the same user. Both
+    * sides carry a 1-hour watermark and the join condition bounds
+    * `b_ts` to `[v_ts, v_ts + 1h]`, so each side's state store holds
+    * at most two hours of events — the state-cleanup contract that
+    * makes the join runnable forever. Inner-join output is the full
+    * matching pair set regardless of arrival interleaving, so the
+    * result is deterministic and oracle-checkable (unlike the
+    * first-seen row of [[dedupToTable]]).
+    */
+  def intervalJoinToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val views = eventsStream(spark, dir)
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val buys = eventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = views.join(buys,
+      expr("user_id = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"))
+    val q = joined.select(col("view_id"), col("buy_id"))
+      .writeStream.outputMode("append").format("memory").queryName(table)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * totals (the KeyValueGroupedDataset stateful surface).
     */
