@@ -58,5 +58,9 @@ object Registry {
       "bottom_k_ids",
       exprs => BottomKIds(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "top_k_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
+      "scala_udf")
   }
 }

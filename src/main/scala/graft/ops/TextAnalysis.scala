@@ -132,6 +132,31 @@ object TextAnalysis {
           ceil(length(col("text")) / lit(4.0)).cast("int").as("est_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Best-k documents per group — the corpus-curation primitive
+    // ("keep the 3 highest-quality docs per language") computed by the
+    // bounded-heap top_k_by_score aggregate (functions/TopKByScore):
+    // one pass, O(k) state per group, map-side partial aggregation.
+    // The window idiom the oracle replays (row_number over score desc)
+    // sorts every row of every group; the aggregate shuffles only the
+    // O(groups × k) partial heaps — the difference between a corpus
+    // sort and a map-only scan at 100 TB.
+    "q_topk_per_group" -> ((s, dir) => {
+      val lt = lower(col("text"))
+      val toks = tokens(col("text"))
+      val scored = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          qualityScore(size(toks), nMatches(lt, EnPat),
+            nMatches(col("text"), PunctPat), nMatches(col("text"), DigitPat),
+            length(col("text"))).as("score"))
+      scored.groupBy(col("lang"))
+        .agg(expr("top_k_by_score(score, doc_id, 3)").as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rn"),
+          col("t.doc_id").as("doc_id"), col("t.score").as("score"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // Content hash + sorted-token fingerprint + min rolling shingle
     // hash (winnowing-style representative). The min-hash runs as
     // explode → codegen'd md5 → groupBy min (an 8-byte-per-row
@@ -191,6 +216,22 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
          |  CAST(ceil(length(text) / 4.0) AS INT) AS est_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_topk_per_group" ->
+      s"""WITH m AS (SELECT doc_id, lang,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '$PunctPat')) AS INT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$DigitPat')) AS INT) AS n_digit,
+         |  CAST(length(text) AS INT) AS len
+         |FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score
+         |FROM m),
+         |r AS (SELECT lang, doc_id, score,
+         |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+         |FROM s)
+         |SELECT lang, CAST(rn AS INT) AS rn, doc_id, score
+         |FROM r WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
     "q_fingerprint" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |mn AS (SELECT doc_id, min(${sqlH60("s")}) AS min_shingle_h FROM sh GROUP BY doc_id)
