@@ -76,18 +76,20 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
-  /** Min-label propagation connected components over an undirected
-    * pair list: every doc's label converges to the smallest doc_id
-    * reachable through near-dup edges. Two structural choices carry
-    * the 100 TB story:
-    *  - iterate ONLY over vertices that have edges — the near-dup
+  /** Connected components over an undirected pair list: every doc's
+    * label converges to the smallest doc_id reachable through near-dup
+    * edges. Two structural choices carry the 100 TB story:
+    *  - compute ONLY over vertices that have edges — the near-dup
     *    graph is orders of magnitude smaller than the corpus, and
     *    isolated docs (the overwhelming majority) join back in one
     *    final left join as their own singleton component;
-    *  - each round takes the min over neighbor labels AND the current
-    *    label's own label (pointer jumping), so convergence is
-    *    O(log diameter) rounds rather than O(diameter).
-    * Driver-side loop with one join + aggregate per round, per-round
+    *  - the distributed path is alternating large-star/small-star
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond"): each round rewrites the edge set toward min-rooted
+    *    stars and converges in O(log n) rounds independent of graph
+    *    diameter — a chain-of-captions graph that takes 10⁵ rounds of
+    *    naive label propagation finishes in ~17.
+    * Driver-side loop with two shuffles per star round, per-round
     * cache truncating the lineage. Deterministic (min reachable id is
     * algorithm-independent), so a recursive-CTE oracle replays it.
     */
@@ -145,36 +147,88 @@ object Dedup {
         .select(col("doc_id"),
           coalesce(col("cc_label"), col("doc_id")).as("component"))
     }
-    val edges = p.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionByName(p.select(col("doc2").as("a"), col("doc1").as("b")))
-      .cache()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-    var changed = 1L
-    var prevCached: DataFrame = null
-    while (changed > 0) {
-      val neighborMin = edges.join(labels, col("b") === col("v"))
-        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      val updated = labels
-        .join(neighborMin, col("v") === col("a"), "left")
-        .select(col("v"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("newlabel"))
-        .cache() // also truncates the effective lineage per iteration
-      changed = updated.filter(col("newlabel") < col("label")).count()
-      if (prevCached != null) prevCached.unpersist() // drop the superseded round
-      prevCached = updated
-      labels = updated.select(col("v"), col("newlabel").as("label"))
-    }
-    edges.unpersist(); p.unpersist()
+    val labels = starComponents(p.select(col("doc1").as("u"), col("doc2").as("v")))
+    p.unpersist()
     // Singleton components (docs with no near-dup edge) never enter
     // the loop; fold them back with one map-side-friendly left join.
     // The final round's cache backs the returned plan and is released
     // with the session (one bounded residual, not one per iteration).
     docs.select(col("doc_id"))
-      .join(labels.select(col("v").as("doc_id"), col("label")),
-        Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("component"))
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to
+    * the minimum of its closed neighborhood. Keeps connectivity,
+    * strictly shrinks large-id hubs toward minima.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("nmin"))
+      .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    sym.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: direct edges high→low, then every node connects its
+    * smaller neighbors (and itself) to their collective minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dirE = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val withM = dirE.join(dirE.groupBy("u").agg(min(col("v")).as("m")), Seq("u"))
+    withM.select(col("v").as("u"), col("m").as("v"))
+      .unionByName(withM.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Alternating large-star/small-star to a fixpoint: the edge set
+    * converges to stars rooted at each component's minimum id in
+    * O(log n) rounds (vs O(diameter) for label propagation — the
+    * difference between 17 rounds and 10⁵ on a chain of 10⁵ docs).
+    * Convergence is detected by an order-independent edge-set
+    * signature (count + bit_xor of the pair hash): one 2-value
+    * aggregate per round instead of a set-difference join. Returns
+    * (doc_id, label) for every vertex that appears in an edge.
+    */
+  def starComponents(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not cache) each round: both star stages
+    // reference their input several times, so the LOGICAL plan grows
+    // ~16× per round and re-optimizing it turns exponential by round
+    // 3 — caching prevents recomputation but never shrinks the plan.
+    // Checkpointing restarts the plan from the materialized partitions
+    // (on a multi-node cluster prefer reliable `checkpoint()` — a lost
+    // executor can't replay truncated lineage). Superseded checkpoints
+    // are released by the ContextCleaner once unreferenced.
+    var e = pairs.where(col("u") =!= col("v")).distinct().localCheckpoint()
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star rounds exceeded 2·log2(maxLong) — non-convergence bug")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"starComponents round=$rounds edges=${nextSig._1} sig=${nextSig._2}")
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+    }
+    // Fixpoint edges form min-rooted stars: u → root, plus the roots
+    // labeling themselves.
+    e.select(col("u").as("doc_id"), col("v").as("label"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("label")))
+      .distinct()
   }
 
   val queries: Map[String, Q] = Map(

@@ -62,6 +62,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("large-star/small-star matches union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // reference: sequential union-find with min roots
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map(v => v -> find(v)).toMap
+      val got = Dedup.starComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
     val rows = Dedup.queries("q_dedup_exact")(spark, dir)
