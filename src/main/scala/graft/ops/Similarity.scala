@@ -76,6 +76,23 @@ object Similarity {
         .orderBy(col("doc1"), col("doc2"))
     }),
 
+    // Per-language embedding centroids — the quantizer-training
+    // primitive (IVF anchors are exactly these, over clusters instead
+    // of labels). posexplode → groupBy(lang, pos) → avg runs as one
+    // partial+final agg over (group × dim) cells: no array-typed
+    // shuffle buffers, no collect of group members. avg(double) is
+    // merge-order dependent, so outputs round to 6 (drift ~1e-16 on
+    // ~200-member groups; both engines agree far inside the rounding).
+    "q_embedding_centroid" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+      emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(col("lang"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("lang"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .orderBy(col("lang"), col("pos"))
+    }),
+
     // Brute-force cosine top-10 neighbors of vec_id = 0.
     "q_sim_search" -> ((s, dir) => {
       CosineSim.register(s)
@@ -159,6 +176,13 @@ object Similarity {
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_embedding_centroid" ->
+      s"""SELECT d.lang, CAST(i.i AS INT) AS pos,
+         |  round(avg(CAST(e.embedding[i.i + 1] AS DOUBLE)), 6) AS c
+         |FROM embeddings e
+         |JOIN documents d ON e.vec_id = d.doc_id
+         |CROSS JOIN (SELECT unnest(range($Dim)) AS i) i
+         |GROUP BY d.lang, i.i ORDER BY lang, pos""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2,

@@ -132,6 +132,41 @@ object TextAnalysis {
           ceil(length(col("text")) / lit(4.0)).cast("int").as("est_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic stratified sampling — rebalance a corpus by
+    // downsampling the dominant class (keep 10% of 'en', 50% of the
+    // rest). The keep decision hashes the CONTENT (h60 % 100 <
+    // rate), not rand()/sample(): reproducible under any partition
+    // layout, repartition, or rerun — the property a 100 TB pipeline
+    // needs so a re-execution of one failed shard samples identically.
+    // Map-only: no shuffle at all.
+    "q_stratified_sample" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .where(pmod(h60(col("text")), lit(100L)) <
+          when(col("lang") === "en", 10L).otherwise(50L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // GPT-style sequence packing: concatenate each language's docs in
+    // doc_id order and chunk the token stream at a 1024-token budget;
+    // a doc's chunk is the one containing its start offset. Window
+    // cumsum per lang — per-group sort, never global; at corpus scale
+    // partition by (lang, hash-shard) so each window stays one task
+    // wide and chunk ids get a shard prefix.
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("lang"), col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+          // floor, not cast-truncate: Spark's double->int cast truncates
+          // but DuckDB's rounds; explicit floor is identical on both.
+          floor((col("cum") - col("n_tok")) / lit(1024L)).cast("int").as("chunk"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Best-k documents per group — the corpus-curation primitive
     // ("keep the 3 highest-quality docs per language") computed by the
     // bounded-heap top_k_by_score aggregate (functions/TopKByScore):
@@ -181,6 +216,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlH60("text")} % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents)
+         |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
+         |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
+         |FROM t ORDER BY lang, doc_id""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT token, count(*) AS cnt
          |FROM (SELECT unnest(${sqlTokens("text")}) AS token FROM documents)
