@@ -319,7 +319,44 @@ object Dedup {
     // Exact n-gram Jaccard similarity join via inverted shingle index.
     "q_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
-        .orderBy(col("doc1"), col("doc2")))
+        .orderBy(col("doc1"), col("doc2"))),
+
+    // Benchmark-contamination scan: which training docs share 3-gram
+    // shingles with a held-out eval set (doc_id % 50 = 0 stands in for
+    // the benchmark corpus). The eval side is tiny relative to the
+    // corpus — broadcast it, so the corpus-side shingle stream never
+    // shuffles for the join; the only exchange is the final per-doc
+    // count-distinct. Join key is the 60-bit shingle hash (8 bytes).
+    "q_contamination" -> ((s, dir) => {
+      val sh = docShingles(Tables(s, dir, "documents"))
+        .select(col("doc_id"), h60(col("s")).as("h"))
+      val ev = sh.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("h"))
+      sh.where(col("doc_id") % 50 =!= 0)
+        .join(broadcast(ev), Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental (cross-snapshot) exact dedup: a new crawl batch
+    // lands against an existing corpus and only unseen content
+    // survives. Anti-join on the content hash, never the text — the
+    // 16-byte key is what ships through the exchange, and at 100 TB
+    // the corpus side is a bucketed md5 index so the anti-join is
+    // co-located with zero corpus shuffle per batch.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.where(col("doc_id") % 4 =!= 0)
+        .select(md5(col("text")).as("content_md5"))
+      val batch = d.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          md5(col("text")).as("content_md5"))
+      batch.join(corpus, Seq("content_md5"), "left_anti")
+        .select(col("doc_id"), col("content_md5"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ---- oracles (generated so the 32/60-column signature SQL cannot
@@ -386,6 +423,23 @@ object Dedup {
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies
          |FROM dup_corpus GROUP BY text ORDER BY keeper""".stripMargin,
+    "q_contamination" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |ev AS (SELECT doc_id AS eval_id, h FROM shh WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, h FROM shh WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared,
+         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM tr JOIN ev USING (h)
+         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH corpus AS (SELECT md5(text) AS content_md5 FROM documents
+         |  WHERE doc_id % 4 <> 0),
+         |batch AS (SELECT doc_id + 100000 AS doc_id, md5(text) AS content_md5
+         |  FROM documents WHERE doc_id % 2 = 0)
+         |SELECT doc_id, content_md5 FROM batch
+         |WHERE content_md5 NOT IN (SELECT content_md5 FROM corpus)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->

@@ -93,6 +93,33 @@ object Similarity {
         .orderBy(col("lang"), col("pos"))
     }),
 
+    // One Lloyd iteration of k-means over the embeddings — the
+    // quantizer-training step that IVF anchors come from (seeds = the
+    // K lowest vec_ids, deterministic). Assignment is a broadcast of
+    // the K centroids + one fused-codegen cosine per (vector,
+    // centroid), argmax via a min_by on a (−cos, cid) struct: a plain
+    // partial+final aggregate, NOT a row_number window — no n·K-row
+    // sort, and map-side combine keeps the exchange at one row per
+    // vector. Centroid recompute is the posexplode/groupBy(cid,pos)
+    // cell aggregation (see q_embedding_centroid). avg is rounded to 6
+    // (merge-order drift ~1e-16); cos itself is bit-exact.
+    "q_kmeans_step" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      val KSeeds = 8
+      val cents = broadcast(emb.where(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val best = emb.crossJoin(cents)
+        .select(col("vec_id"), col("v"), col("cid"), cosine("v", "cv").as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+      best.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n_members"))
+        .orderBy(col("cid"), col("pos"))
+    }),
+
     // Brute-force cosine top-10 neighbors of vec_id = 0.
     "q_sim_search" -> ((s, dir) => {
       CosineSim.register(s)
@@ -176,6 +203,18 @@ object Similarity {
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.v, c.cid, ${sqlCos("e.v", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc),
+         |b AS (SELECT cid, v FROM a WHERE rn = 1)
+         |SELECT cid, CAST(i.i AS INT) AS pos, round(avg(v[i.i + 1]), 6) AS c,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM b CROSS JOIN (SELECT unnest(range($Dim)) AS i) i
+         |GROUP BY cid, i.i ORDER BY cid, pos""".stripMargin,
     "q_embedding_centroid" ->
       s"""SELECT d.lang, CAST(i.i AS INT) AS pos,
          |  round(avg(CAST(e.embedding[i.i + 1] AS DOUBLE)), 6) AS c

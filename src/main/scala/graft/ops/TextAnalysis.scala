@@ -167,6 +167,23 @@ object TextAnalysis {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Within-doc repetition ratio (Gopher-style quality rule): the
+    // fraction of 3-gram shingles that are repeats of an earlier
+    // shingle in the same doc. Pure map-only array arithmetic per row
+    // — no shuffle, no explode; boilerplate-heavy pages score high and
+    // get filtered before any expensive dedup pass touches them.
+    "q_repetition" -> ((s, dir) => {
+      val sh = shingles(tokens(col("text")), 3)
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(sh).as("n_sh"),
+          size(array_distinct(sh)).as("n_uniq"))
+        .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+          ((col("n_sh") - col("n_uniq")).cast("double") /
+            greatest(col("n_sh"), lit(1))).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Best-k documents per group — the corpus-curation primitive
     // ("keep the 3 highest-quality docs per language") computed by the
     // bounded-heap top_k_by_score aggregate (functions/TopKByScore):
@@ -226,6 +243,14 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |s AS (SELECT doc_id, list_transform(range(greatest(len(a) - 2, 0)),
+         |    i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]) AS sh FROM tk)
+         |SELECT doc_id, CAST(len(sh) AS INT) AS n_sh,
+         |  CAST(len(list_distinct(sh)) AS INT) AS n_uniq,
+         |  CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / greatest(len(sh), 1) AS rep_ratio
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       s"""SELECT token, count(*) AS cnt
          |FROM (SELECT unnest(${sqlTokens("text")}) AS token FROM documents)
