@@ -120,6 +120,27 @@ object Similarity {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // Int8 scalar quantization of the embedding corpus: per-dimension
+    // global min/max (one tiny partial+final agg over (dim) cells —
+    // Dim rows out), broadcast back, map-only quantize. This is the
+    // storage-shrink step before ANN indexing: 4 bytes/dim → 1. The
+    // cell explode is computed twice (stats + quantize) — both are
+    // map-only over the scan, cheaper at any scale than pinning an
+    // n×Dim cell cache. round() half-up equals DuckDB's half-away on
+    // the non-negative scaled values, so q is exact on both engines.
+    "q_quantize_embedding" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val stats = cells.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      cells.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") > col("mn"),
+            round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
+            .otherwise(lit(0.0)).cast("int").as("q"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Brute-force cosine top-10 neighbors of vec_id = 0.
     "q_sim_search" -> ((s, dir) => {
       CosineSim.register(s)
@@ -203,6 +224,15 @@ object Similarity {
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_quantize_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range($Dim)) AS i) i),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM cells GROUP BY pos)
+         |SELECT vec_id, cells.pos,
+         |  CAST(CASE WHEN mx > mn THEN round((x - mn) / (mx - mn) * 127.0, 0)
+         |       ELSE 0.0 END AS INT) AS q
+         |FROM cells JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
     "q_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

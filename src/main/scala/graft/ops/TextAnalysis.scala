@@ -167,6 +167,79 @@ object TextAnalysis {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Top-3 TF-IDF terms per document. Two aggregations (term
+    // frequency per doc, document frequency per term) + one join on
+    // the term, ranked by a per-doc window (each partition is one
+    // doc's ~100 terms — bounded, never a corpus sort). N comes from a
+    // parquet metadata count. ln() is libm-dependent in the last ulp,
+    // so scores round to 6 before ranking and the tie-break is the
+    // term itself — deterministic on both engines.
+    "q_tfidf" -> ((s, dir) => {
+      val n = Tables(s, dir, "documents").count()
+      val tok = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("t"))
+      tf.join(df, Seq("t"))
+        .select(col("doc_id"), col("t"),
+          round(col("tf").cast("double") *
+            log(lit(n + 1.0) / (col("df") + lit(1))), 6).as("tfidf"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("t").as("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // Per-source vocabulary statistics: vocabulary size, hapax count
+    // (terms seen exactly once), total tokens. Two-level aggregation —
+    // (source, term) counts first, then per-source rollup — so the
+    // big exchange carries one row per distinct term, with map-side
+    // combine on both levels.
+    "q_vocab_stats" -> ((s, dir) => {
+      val tc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("source"), col("text")))
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("cnt"))
+      val stats = tc.groupBy("source").agg(
+        count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("cnt")).as("n_tokens"))
+      val nd = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      stats.join(nd, Seq("source"))
+        .select(col("source"), col("n_docs"), col("vocab"), col("hapax"),
+          col("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Gopher-style rule filter: per-doc booleans for token-count
+    // bounds, mean word length, symbol ratio, and stopword fraction,
+    // plus the conjunction. Map-only; the flags are what a curation
+    // pipeline writes alongside the corpus so downstream stages filter
+    // by predicate pushdown instead of recomputing text stats.
+    "q_gopher_quality" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val m = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(toks).as("n_tok"),
+          length(array_join(toks, "")).as("n_tok_chars"),
+          nMatches(lower(col("text")), EnPat).as("n_stop"),
+          nMatches(lower(col("text")), "[^a-z0-9\\s]").as("n_sym"))
+      val awl = col("n_tok_chars").cast("double") / greatest(col("n_tok"), lit(1))
+      val symR = col("n_sym").cast("double") / greatest(col("n_tok"), lit(1))
+      val stopR = col("n_stop").cast("double") / greatest(col("n_tok"), lit(1))
+      m.select(col("doc_id"), col("n_tok"),
+          (col("n_tok") >= 25 && col("n_tok") <= 75).as("ok_len"),
+          (awl >= 3.0 && awl <= 10.0).as("ok_wordlen"),
+          (symR < 0.1).as("ok_sym"),
+          (stopR >= 0.06).as("ok_stop"))
+        .withColumn("keep",
+          col("ok_len") && col("ok_wordlen") && col("ok_sym") && col("ok_stop"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Within-doc repetition ratio (Gopher-style quality rule): the
     // fraction of 3-gram shingles that are repeats of an earlier
     // shingle in the same doc. Pure map-only array arithmetic per row
@@ -243,6 +316,48 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, tf.t,
+         |  round(CAST(tf AS DOUBLE) * ln((n + 1.0) / (df + 1)), 6) AS tfidf
+         |  FROM tf JOIN df USING (t) CROSS JOIN n),
+         |r AS (SELECT doc_id, t, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn FROM sc)
+         |SELECT doc_id, CAST(rn AS INT) AS rn, t AS term, tfidf
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_vocab_stats" ->
+      s"""WITH tc AS (SELECT source, t, count(*) AS cnt
+         |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc GROUP BY source),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source)
+         |SELECT source, n_docs, vocab, hapax, n_tokens
+         |FROM st JOIN nd USING (source) ORDER BY source""".stripMargin,
+    "q_gopher_quality" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(length(array_to_string(${sqlTokens("text")}, '')) AS INT) AS n_tok_chars,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS INT) AS n_sym
+         |FROM documents)
+         |SELECT doc_id, n_tok,
+         |  n_tok >= 25 AND n_tok <= 75 AS ok_len,
+         |  CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) >= 3.0
+         |    AND CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) <= 10.0 AS ok_wordlen,
+         |  CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1 AS ok_sym,
+         |  CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06 AS ok_stop,
+         |  (n_tok >= 25 AND n_tok <= 75)
+         |    AND (CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) >= 3.0
+         |      AND CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) <= 10.0)
+         |    AND (CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1)
+         |    AND (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |s AS (SELECT doc_id, list_transform(range(greatest(len(a) - 2, 0)),
