@@ -321,6 +321,31 @@ object Dedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // Asymmetric containment (|A∩B| / |A|) over the same inverted
+    // shingle index as q_ngram_jaccard — the "doc A is quoted inside
+    // doc B" detector that symmetric Jaccard misses when sizes differ.
+    // Intersections are computed once per unordered pair and cached
+    // (the tiny similarity-join product), then emitted in both
+    // directions with the matching denominator.
+    "q_containment" -> ((s, dir) => {
+      val sh = docShingles(Tables(s, dir, "documents"))
+        .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("h"), col("doc_id").as("doc1"))
+        .join(sh.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
+        .where(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+        .cache()
+      inter.select(col("doc1").as("src"), col("doc2").as("dst"),
+          (col("i").cast("double") / col("sz1")).as("containment"))
+        .unionByName(inter.select(col("doc2").as("src"), col("doc1").as("dst"),
+          (col("i").cast("double") / col("sz2")).as("containment")))
+        .where(col("containment") >= 0.7)
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // Benchmark-contamination scan: which training docs share 3-gram
     // shingles with a held-out eval set (doc_id % 50 = 0 stands in for
     // the benchmark corpus). The eval side is tiny relative to the
@@ -423,6 +448,18 @@ object Dedup {
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies
          |FROM dup_corpus GROUP BY text ORDER BY keeper""".stripMargin,
+    "q_containment" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |j AS (SELECT doc1, doc2, i, x.sz AS sz1, y.sz AS sz2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id),
+         |b AS (SELECT doc1 AS src, doc2 AS dst, CAST(i AS DOUBLE) / sz1 AS containment FROM j
+         |  UNION ALL SELECT doc2, doc1, CAST(i AS DOUBLE) / sz2 FROM j)
+         |SELECT src, dst, containment FROM b
+         |WHERE containment >= 0.7 ORDER BY src, dst""".stripMargin,
     "q_contamination" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

@@ -167,6 +167,60 @@ object TextAnalysis {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // BM25 retrieval scoring for a fixed 3-term query (k1=1.2,
+    // b=0.75), top 20 docs. The per-term partial scores are summed as
+    // THREE conditional aggregates added in fixed term order — not
+    // sum() over an unordered term stream — so the double addition
+    // order is partition-independent and matches the oracle bit-wise
+    // (each conditional sum folds ≤1 value). avgdl is an exact
+    // integer-sum / count division, not avg(). ln() rounds to 6 before
+    // ranking (libm last-ulp); top-20 runs as TakeOrderedAndProject.
+    "q_bm25" -> ((s, dir) => {
+      val terms = Seq("spark", "table", "hash")
+      val docs = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("t"))
+        .where(col("t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), Seq("t")).crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+        .withColumn("sc",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val termSums = terms.map(t =>
+        coalesce(sum(when(col("t") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+      scored.groupBy(col("doc_id"))
+        .agg(termSums.head, termSums.tail: _*)
+        .select(col("doc_id"),
+          round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    }),
+
+    // Deterministic train/val/test split + per-(split, lang) counts:
+    // the bucket is a content hash mod 100 (80/10/10), so assignment
+    // is stable under reruns, repartitions, and corpus growth — and a
+    // doc's near-duplicates land with IT only if their text is
+    // identical, which is why splits hash content, not doc_id, after
+    // exact dedup. Map-only + one tiny aggregate.
+    "q_split_assign" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          when(pmod(h60(col("text")), lit(100L)) < 80, "train")
+            .when(pmod(h60(col("text")), lit(100L)) < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
+
     // Top-3 TF-IDF terms per document. Two aggregations (term
     // frequency per doc, document frequency per term) + one join on
     // the term, ranked by a per-doc window (each partition is one
@@ -316,6 +370,29 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_bm25" ->
+      s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM docs),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+         |  WHERE t IN ('spark', 'table', 'hash') GROUP BY 1, 2, 3),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |sc AS (SELECT doc_id, t,
+         |  ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+         |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))) AS sc
+         |  FROM tf JOIN df USING (t) CROSS JOIN stats)
+         |SELECT doc_id, round(
+         |  coalesce(sum(CASE WHEN t = 'spark' THEN sc END), 0.0) +
+         |  coalesce(sum(CASE WHEN t = 'table' THEN sc END), 0.0) +
+         |  coalesce(sum(CASE WHEN t = 'hash' THEN sc END), 0.0), 6) AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_split_assign" ->
+      s"""SELECT CASE WHEN h % 100 < 80 THEN 'train'
+         |  WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT lang, ${sqlH60("text")} AS h FROM documents)
+         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
          |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
