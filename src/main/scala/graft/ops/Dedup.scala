@@ -321,6 +321,53 @@ object Dedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // Levenshtein re-rank of near-dup candidates: edit distance is
+    // O(len²) per pair, so it NEVER runs on the corpus — only on the
+    // candidate pairs the cheap inverted-index join produced (the
+    // classic two-stage verify pattern: sketch recall, exact-verify
+    // precision). levenshtein() is a native codegen function in both
+    // engines, so the scores are exact integers on both sides.
+    "q_edit_distance" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      jaccardPairs(t, 0.5).select(col("doc1"), col("doc2"))
+        .join(t.select(col("doc_id").as("doc1"), col("text").as("t1")), Seq("doc1"))
+        .join(t.select(col("doc_id").as("doc2"), col("text").as("t2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"),
+          levenshtein(col("t1"), col("t2")).as("edit_dist"),
+          (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double") /
+            greatest(length(col("t1")), length(col("t2")))).as("edit_sim"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // One PageRank power iteration over the near-dup graph (uniform
+    // prior, damping 0.85). Per-node contribution sums go through
+    // DECIMAL(20,12) — integer arithmetic underneath, so the sum is
+    // associative and partition-order-independent (util.Exact
+    // discipline), then cast back to double. Dangling/isolated docs
+    // keep the teleport mass via the left join. At corpus scale this
+    // is the per-iteration shape: edges ⋈ ranks, one shuffle on dst.
+    "q_pagerank_step" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val pairs = jaccardPairs(docs, 0.6).select(col("doc1"), col("doc2"))
+      val edges = pairs.unionByName(
+        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+        .select(col("doc1").as("u"), col("doc2").as("v"))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val contrib = edges.join(deg, Seq("u"))
+        .select(col("v"),
+          (lit(0.85) * (lit(1.0 / n) / col("deg")))
+            .cast("decimal(20,12)").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("cs"))
+      docs.select(col("doc_id"))
+        .join(contrib.select(col("v").as("doc_id"), col("cs")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(0.15 / n).cast("decimal(20,12)") +
+            coalesce(col("cs"), lit(0).cast("decimal(20,12)")))
+            .cast("double").as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Asymmetric containment (|A∩B| / |A|) over the same inverted
     // shingle index as q_ngram_jaccard — the "doc A is quoted inside
     // doc B" detector that symmetric Jaccard misses when sizes differ.
@@ -448,6 +495,44 @@ object Dedup {
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies
          |FROM dup_corpus GROUP BY text ORDER BY keeper""".stripMargin,
+    "q_edit_distance" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.5)
+         |SELECT jp.doc1, jp.doc2,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+         |  1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+         |    greatest(length(a.text), length(b.text)) AS edit_sim
+         |FROM jp JOIN documents a ON jp.doc1 = a.doc_id
+         |  JOIN documents b ON jp.doc2 = b.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
+    "q_pagerank_step" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS u, doc2 AS v FROM jp
+         |  UNION ALL SELECT doc2, doc1 FROM jp),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |contrib AS (SELECT v,
+         |  sum(CAST(0.85 * ((1.0 / n) / deg) AS DECIMAL(20,12))) AS cs
+         |  FROM edges JOIN deg USING (u) CROSS JOIN nn GROUP BY v)
+         |SELECT d.doc_id,
+         |  CAST(CAST(0.15 / n AS DECIMAL(20,12)) +
+         |    coalesce(cs, CAST(0 AS DECIMAL(20,12))) AS DOUBLE) AS pr
+         |FROM documents d CROSS JOIN nn
+         |  LEFT JOIN contrib ON d.doc_id = contrib.v
+         |ORDER BY doc_id""".stripMargin,
     "q_containment" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

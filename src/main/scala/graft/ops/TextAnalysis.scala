@@ -167,6 +167,24 @@ object TextAnalysis {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Bigram language-model statistics: conditional probability
+    // p(w2|w1) = count(w1 w2) / count(w1 ·), top 20 bigrams. The
+    // count(w1) marginal is derived FROM the bigram counts (one
+    // groupBy w1 over the distinct-bigram table, not a second corpus
+    // pass), and p is a single exact integer division — hash-stable.
+    "q_ngram_lm" -> ((s, dir) => {
+      val big = Tables.fanout(Tables(s, dir, "documents").select(col("text")))
+        .select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"), col("cnt"))
+      val uni = big.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
+      big.join(uni, Seq("w1"))
+        .select(col("w1"), col("w2"), col("cnt"),
+          (col("cnt").cast("double") / col("cnt1")).as("p"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
+    }),
+
     // BM25 retrieval scoring for a fixed 3-term query (k1=1.2,
     // b=0.75), top 20 docs. The per-term partial scores are summed as
     // THREE conditional aggregates added in fixed term order — not
@@ -370,6 +388,18 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_ngram_lm" ->
+      s"""WITH tk AS (SELECT ${sqlTokens("text")} AS a FROM documents),
+         |bgs AS (SELECT unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS cnt FROM bgs GROUP BY bg),
+         |sp AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |  cnt FROM bc),
+         |un AS (SELECT w1, sum(cnt) AS cnt1 FROM sp GROUP BY w1)
+         |SELECT sp.w1, sp.w2, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cnt AS DOUBLE) / cnt1 AS p
+         |FROM sp JOIN un USING (w1)
+         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_bm25" ->
       s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
          |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM docs),
