@@ -67,6 +67,14 @@ object Temporal {
       graft.streaming.Streams.intervalJoinToTable(s, dir, "stream_join_sink")
         .orderBy(col("view_id"), col("buy_id"))),
 
+    // Streaming corpus quality gate — EXECUTES on the streaming
+    // engine: document stream → Gopher rule filter (the exact batch
+    // Column tree, shared via TextAnalysis.gopherFlags) → per-lang
+    // kept-counts in complete mode. Final counts are deterministic.
+    "q_stream_quality" -> ((s, dir) =>
+      graft.streaming.Streams.qualityCountsToTable(s, dir, "stream_quality_sink")
+        .orderBy(col("lang"))),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -101,6 +109,20 @@ object Temporal {
     "q_stream_dedup" ->
       """SELECT user_id, event_type FROM events
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_quality" ->
+      """WITH m AS (SELECT lang,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS INT) AS n_tok,
+        |  CAST(length(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''), '')) AS INT) AS n_tok_chars,
+        |  CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS INT) AS n_stop,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS INT) AS n_sym
+        |FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM m
+        |WHERE (n_tok >= 25 AND n_tok <= 75)
+        |  AND (CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) >= 3.0
+        |    AND CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) <= 10.0)
+        |  AND (CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1)
+        |  AND (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS buy_id
         |FROM events a JOIN events b

@@ -28,6 +28,7 @@ object TextAnalysis {
   private[ops] val ZhPat = "[一-鿿]"
   private[ops] val PunctPat = "[.,;:!?]"
   private[ops] val DigitPat = "[0-9]"
+  private[ops] val SymPat = "[^a-z0-9\\s]"
 
   private[ops] def nMatches(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0)))
@@ -54,6 +55,31 @@ object TextAnalysis {
       lit(0.3) * (nStop.cast("double") / greatest(nTok, lit(1))) +
       lit(0.2) * (lit(1.0) - nPunct.cast("double") / greatest(len, lit(1))) +
       lit(0.1) * (lit(1.0) - nDigit.cast("double") / greatest(len, lit(1)))
+
+  /** Adds the q_gopher_quality flag columns (n_tok, ok_len,
+    * ok_wordlen, ok_sym, ok_stop, keep) to any frame with a `text`
+    * column, preserving existing columns. Public so the STREAMING
+    * corpus gate ([[graft.streaming.Streams.qualityCountsToTable]])
+    * applies the byte-identical predicate — batch and stream cannot
+    * drift. Pure stateless column arithmetic, so it is legal on a
+    * streaming DataFrame.
+    */
+  def gopherFlags(df: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val awl = col("n_tok_chars").cast("double") / greatest(col("n_tok"), lit(1))
+    val symR = col("n_sym").cast("double") / greatest(col("n_tok"), lit(1))
+    val stopR = col("n_stop").cast("double") / greatest(col("n_tok"), lit(1))
+    df.withColumn("n_tok", size(toks))
+      .withColumn("n_tok_chars", length(array_join(toks, "")))
+      .withColumn("n_stop", nMatches(lower(col("text")), EnPat))
+      .withColumn("n_sym", nMatches(lower(col("text")), SymPat))
+      .withColumn("ok_len", col("n_tok") >= 25 && col("n_tok") <= 75)
+      .withColumn("ok_wordlen", awl >= 3.0 && awl <= 10.0)
+      .withColumn("ok_sym", symR < 0.1)
+      .withColumn("ok_stop", stopR >= 0.06)
+      .withColumn("keep",
+        col("ok_len") && col("ok_wordlen") && col("ok_sym") && col("ok_stop"))
+  }
 
   private[ops] val sqlLangCase: String =
     s"""CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
@@ -291,26 +317,12 @@ object TextAnalysis {
     // plus the conjunction. Map-only; the flags are what a curation
     // pipeline writes alongside the corpus so downstream stages filter
     // by predicate pushdown instead of recomputing text stats.
-    "q_gopher_quality" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val m = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"), size(toks).as("n_tok"),
-          length(array_join(toks, "")).as("n_tok_chars"),
-          nMatches(lower(col("text")), EnPat).as("n_stop"),
-          nMatches(lower(col("text")), "[^a-z0-9\\s]").as("n_sym"))
-      val awl = col("n_tok_chars").cast("double") / greatest(col("n_tok"), lit(1))
-      val symR = col("n_sym").cast("double") / greatest(col("n_tok"), lit(1))
-      val stopR = col("n_stop").cast("double") / greatest(col("n_tok"), lit(1))
-      m.select(col("doc_id"), col("n_tok"),
-          (col("n_tok") >= 25 && col("n_tok") <= 75).as("ok_len"),
-          (awl >= 3.0 && awl <= 10.0).as("ok_wordlen"),
-          (symR < 0.1).as("ok_sym"),
-          (stopR >= 0.06).as("ok_stop"))
-        .withColumn("keep",
-          col("ok_len") && col("ok_wordlen") && col("ok_sym") && col("ok_stop"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_gopher_quality" -> ((s, dir) =>
+      gopherFlags(Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("n_tok"), col("ok_len"), col("ok_wordlen"),
+          col("ok_sym"), col("ok_stop"), col("keep"))
+        .orderBy(col("doc_id"))),
 
     // Within-doc repetition ratio (Gopher-style quality rule): the
     // fraction of 3-gram shingles that are repeats of an earlier

@@ -34,6 +34,31 @@ object Streams {
     else raw
   }
 
+  private def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming corpus quality gate: the batch Gopher-rule predicate
+    * ([[graft.ops.TextAnalysis.gopherFlags]] — the same Column tree,
+    * so batch and stream cannot drift) applied to a document stream,
+    * with per-language kept-counts in complete mode. This is the
+    * "filter at ingest" deployment of the curation rules: documents
+    * are scored the moment they land, and only survivors reach the
+    * expensive dedup/embedding stages downstream.
+    */
+  def qualityCountsToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val agg = graft.ops.TextAnalysis.gopherFlags(docsStream(spark, dir))
+      .where(col("keep"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(table).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+
   /** Streaming tumbling 1-hour aggregation with a 1-hour watermark,
     * drained to a memory table.
     */
