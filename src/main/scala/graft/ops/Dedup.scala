@@ -349,10 +349,17 @@ object Dedup {
     "q_pagerank_step" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val n = docs.count()
-      val pairs = jaccardPairs(docs, 0.6).select(col("doc1"), col("doc2"))
-      val edges = pairs.unionByName(
-        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-        .select(col("doc1").as("u"), col("doc2").as("v"))
+      // Symmetrize by exploding each pair into both directions in ONE
+      // pass (a unionByName of two selects would evaluate the whole
+      // similarity-join chain twice), then cache the edge list — the
+      // tiny join product — because degree and contribution both
+      // consume it.
+      val edges = jaccardPairs(docs, 0.6)
+        .select(explode(array(
+          struct(col("doc1").as("u"), col("doc2").as("v")),
+          struct(col("doc2").as("u"), col("doc1").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .cache()
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       val contrib = edges.join(deg, Seq("u"))
         .select(col("v"),
@@ -375,8 +382,11 @@ object Dedup {
     // (the tiny similarity-join product), then emitted in both
     // directions with the matching denominator.
     "q_containment" -> ((s, dir) => {
+      // cached: feeds sizes + BOTH sides of the inverted join (same
+      // discipline as jaccardPairs — without it the explode+md5 chain
+      // runs three times)
       val sh = docShingles(Tables(s, dir, "documents"))
-        .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+        .select(col("doc_id"), h60(col("s")).as("h")).distinct().cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("h"), col("doc_id").as("doc1"))
         .join(sh.select(col("h"), col("doc_id").as("doc2")), Seq("h"))

@@ -118,6 +118,73 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ratio > 0.5, s"avg(found/true) cosine ratio too low: $ratio")
   }
 
+  test("k-means step: every seed self-assigns, member counts sum to corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val rows = Similarity.queries("q_kmeans_step")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // a centroid's own vector has cosine 1 with itself -> no empty clusters
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L until 8L))
+    // per dimension, cluster sizes partition the corpus
+    rows.groupBy(_._2).foreach { case (pos, rs) =>
+      assert(rs.map(_._3).sum == n, s"pos $pos sizes don't sum to $n")
+    }
+  }
+
+  test("split assignment partitions the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "documents").count()
+    val rows = TextAnalysis.queries("q_split_assign")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.map(_._2).sum == n)
+  }
+
+  test("containment dominates jaccard: every jaccard>=0.7 pair appears both ways") {
+    val dir = "/root/testdata/sf0.001"
+    val jac = Dedup.jaccardPairs(graft.Tables(spark, dir, "documents"), 0.7)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cont = Dedup.queries("q_containment")(spark, dir)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    jac.foreach { case (a, b) =>
+      assert(cont((a, b)) && cont((b, a)),
+        s"jaccard>=0.7 pair ($a,$b) missing from containment>=0.7 output")
+    }
+  }
+
+  test("pagerank step: isolated docs keep exactly the teleport mass") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+    val n = docs.count()
+    val linked = Dedup.jaccardPairs(docs, 0.6).select("doc1", "doc2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val pr = Dedup.queries("q_pagerank_step")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = java.math.BigDecimal.valueOf(0.15 / n)
+      .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    pr.foreach { case (id, p) =>
+      if (linked(id)) assert(p > base, s"linked doc $id at teleport floor")
+      else assert(p == base, s"isolated doc $id pr=$p != $base")
+    }
+  }
+
+  test("int8 quantization achieves its bounds per dimension") {
+    val dir = "/root/testdata/sf0.001"
+    val byPos = Similarity.queries("q_quantize_embedding")(spark, dir)
+      .groupBy("pos").agg(min("q").as("mn"), max("q").as("mx"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    byPos.foreach { case (mn, mx) =>
+      assert(mn == 0 && mx == 127, s"quantized range [$mn,$mx] != [0,127]")
+    }
+  }
+
+  test("bm25 scores are positive and ranked descending") {
+    val rows = TextAnalysis.queries("q_bm25")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getDouble(1))
+    assert(rows.nonEmpty && rows.forall(_ > 0))
+    assert(rows.sameElements(rows.sorted.reverse))
+  }
+
   test("multimodal feature extraction: batched stub decode is faithful") {
     import spark.implicits._
     val media = Seq((1L, "hello world"), (2L, ""))
