@@ -366,6 +366,59 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Winnowing fingerprints (Schleimer et al.): the minimum shingle
+    // hash of every 4-wide window over the POSITIONAL shingle stream,
+    // deduplicated — guarantees any match of ≥ w+2 tokens shares a
+    // fingerprint, unlike the single min-shingle in q_fingerprint.
+    // Shuffle carries (doc_id, pos, 8-byte hash); the window sort is
+    // per-doc (~100 rows), never global. Distinct minima ≈ n/w per
+    // doc, the index a plagiarism/overlap service stores.
+    "q_winnowing" -> ((s, dir) => {
+      val W = 4
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, W - 1)
+      val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sgl")))
+        .select(col("doc_id"), col("pos"), h60(col("sgl")).as("h"))
+        .withColumn("n", count(lit(1)).over(cnt))
+        .withColumn("fp", min(col("h")).over(w))
+        .where(col("pos") <= col("n") - W)   // full windows only
+        .select(col("doc_id"), col("fp")).distinct()
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
+    // Pointwise mutual information over token co-occurrence (within-
+    // doc), the classic collocation statistic. The quadratic pair
+    // space is bounded BEFORE the self-join by a deterministic
+    // vocabulary cap (top-40 tokens by document frequency, ties by
+    // token) — the df-prefilter that makes within-doc pairing
+    // tractable at any corpus size — and the vocab is broadcast so
+    // the only shuffle is the final pair count.
+    "q_pmi" -> ((s, dir) => {
+      val n = Tables(s, dir, "documents").count()
+      val dt = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      val vocab = dt.groupBy("t").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("t")).limit(40)
+      val dv = dt.join(broadcast(vocab), Seq("t"))
+      dv.select(col("doc_id"), col("t").as("t1"), col("df").as("df1"))
+        .join(dv.select(col("doc_id"), col("t").as("t2"), col("df").as("df2")),
+          Seq("doc_id"))
+        .where(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"), col("df1"), col("df2"))
+        .agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 10)
+        .select(col("t1"), col("t2"), col("c12"),
+          round(log((col("c12") * lit(n)).cast("double") /
+            (col("df1") * col("df2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(20)
+    }),
+
     // Content hash + sorted-token fingerprint + min rolling shingle
     // hash (winnowing-style representative). The min-hash runs as
     // explode → codegen'd md5 → groupBy min (an 8-byte-per-row
@@ -400,6 +453,33 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_winnowing" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |shp AS (SELECT doc_id, i - 1 AS pos,
+         |    ${sqlH60("a[i] || ' ' || a[i+1] || ' ' || a[i+2]")} AS h,
+         |    len(a) - 2 AS n
+         |  FROM tk, generate_series(1, 512) g(i) WHERE i <= len(a) - 2),
+         |f AS (SELECT doc_id, pos, n,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM shp)
+         |SELECT DISTINCT doc_id, fp FROM f WHERE pos <= n - 4
+         |ORDER BY doc_id, fp""".stripMargin,
+    "q_pmi" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, t FROM
+         |  (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents)),
+         |v AS (SELECT t, count(*) AS df FROM dt GROUP BY t
+         |  ORDER BY df DESC, t LIMIT 40),
+         |dv AS (SELECT dt.doc_id, dt.t, v.df FROM dt JOIN v USING (t)),
+         |p AS (SELECT a.t AS t1, b.t AS t2, a.df AS df1, b.df AS df2,
+         |    count(*) AS c12
+         |  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.t < b.t
+         |  GROUP BY 1, 2, 3, 4),
+         |nn AS (SELECT count(*) AS n FROM documents)
+         |SELECT t1, t2, CAST(c12 AS BIGINT) AS c12,
+         |  round(ln(CAST(c12 * n AS DOUBLE) / (df1 * df2)), 6) AS pmi
+         |FROM p CROSS JOIN nn WHERE c12 >= 10
+         |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
     "q_ngram_lm" ->
       s"""WITH tk AS (SELECT ${sqlTokens("text")} AS a FROM documents),
          |bgs AS (SELECT unnest(list_transform(range(greatest(len(a) - 1, 0)),
