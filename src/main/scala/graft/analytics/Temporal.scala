@@ -32,6 +32,23 @@ object Temporal {
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
         .orderBy(col("event_type"))),
 
+    // First event per user — written with the row_number window idiom
+    // users actually write, EXECUTED as a sort-free min_by hash
+    // aggregate by graft.plans.RewriteTop1PerGroup (asserted in
+    // RuleSpec: the optimized plan has no Window node). The window
+    // form would shuffle and sort every event of every user to keep
+    // one row each; the rewrite ships one partial row per user per
+    // mapper and sorts nothing.
+    "q_first_event" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
     // Tumbling 1-hour windows (batch form of q_stream_tumbling).
     "q_stream_tumbling" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -109,6 +126,11 @@ object Temporal {
     "q_stream_dedup" ->
       """SELECT user_id, event_type FROM events
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_first_event" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_quality" ->
       """WITH m AS (SELECT lang,
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS INT) AS n_tok,

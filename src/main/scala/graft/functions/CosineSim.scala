@@ -78,5 +78,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("h60"),
       new ExpressionInfo(classOf[H60].getName, "h60"),
       (exprs: Seq[Expression]) => H60(exprs.head)))
+    e.injectOptimizerRule(_ => graft.plans.RewriteTop1PerGroup)
   }
 }

@@ -62,5 +62,10 @@ object Registry {
       "top_k_by_score",
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "scala_udf")
+    // session-local optimizer rule (spark-submit users get it via
+    // GraftExtensions.injectOptimizerRule instead)
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(graft.plans.RewriteTop1PerGroup))
+      exp.extraOptimizations = exp.extraOptimizations :+ graft.plans.RewriteTop1PerGroup
   }
 }
