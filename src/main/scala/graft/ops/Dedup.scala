@@ -321,6 +321,29 @@ object Dedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // Boilerplate detection: documents sharing their first or last 5
+    // tokens (the header/footer signature of template pages). Runs on
+    // the dup corpus so exact copies demonstrably cluster. Map-only
+    // hash of two token slices per doc, one groupBy on the 8-byte
+    // hash — the cheap pre-pass that strips crawl chrome before
+    // shingle-level dedup ever runs.
+    "q_boilerplate" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      Tables.fanout(dupCorpus(s, dir))
+        .select(col("doc_id"), toks.as("a"))
+        .where(size(col("a")) >= 10)
+        .select(col("doc_id"), explode(array(
+          struct(lit("prefix").as("kind"),
+            h60(array_join(slice(col("a"), 1, 5), " ")).as("h")),
+          struct(lit("suffix").as("kind"),
+            h60(array_join(slice(col("a"), size(col("a")) - 4, lit(5)), " ")).as("h"))))
+          .as("k"))
+        .groupBy(col("k.kind").as("kind"), col("k.h").as("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .where(col("n_docs") >= 2)
+        .orderBy(col("kind"), col("h"))
+    }),
+
     // Levenshtein re-rank of near-dup candidates: edit distance is
     // O(len²) per pair, so it NEVER runs on the corpus — only on the
     // candidate pairs the cheap inverted-index join produced (the
@@ -505,6 +528,16 @@ object Dedup {
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies
          |FROM dup_corpus GROUP BY text ORDER BY keeper""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH $sqlDupCorpus,
+         |tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM dup_corpus),
+         |f AS (SELECT doc_id, a FROM tk WHERE len(a) >= 10),
+         |k AS (SELECT doc_id, 'prefix' AS kind,
+         |    ${sqlH60("array_to_string(list_slice(a, 1, 5), ' ')")} AS h FROM f
+         |  UNION ALL SELECT doc_id, 'suffix',
+         |    ${sqlH60("array_to_string(list_slice(a, len(a) - 4, len(a)), ' ')")} FROM f)
+         |SELECT kind, h, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc
+         |FROM k GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY kind, h""".stripMargin,
     "q_edit_distance" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

@@ -366,6 +366,28 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Per-doc token Shannon entropy — the "gibberish vs natural text"
+    // quality signal. H = -Σ p·ln p over the doc's term distribution.
+    // The per-doc sum runs in DECIMAL(28,20) (each double term cast
+    // once — deterministic — then summed in integer arithmetic), so
+    // the result is independent of aggregation order; the final
+    // round(6) absorbs last-ulp ln() differences between libms.
+    "q_entropy" -> ((s, dir) => {
+      val tc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      val nn = tc.groupBy("doc_id").agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_terms"))
+      val p = col("cnt").cast("double") / col("n")
+      tc.join(nn, Seq("doc_id"))
+        .select(col("doc_id"), col("n_terms"),
+          (p * log(p)).cast("decimal(28,20)").as("term"))
+        .groupBy(col("doc_id"), col("n_terms"))
+        .agg(round(negate(sum(col("term"))).cast("double"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (Schleimer et al.): the minimum shingle
     // hash of every 4-wide window over the POSITIONAL shingle stream,
     // deduplicated — guarantees any match of ≥ w+2 tokens shares a
@@ -453,6 +475,16 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+         |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |nn AS (SELECT doc_id, sum(cnt) AS n, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM tc GROUP BY doc_id)
+         |SELECT tc.doc_id, n_terms,
+         |  round(CAST(-sum(CAST((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)
+         |    AS DECIMAL(28,20))) AS DOUBLE), 6) AS entropy
+         |FROM tc JOIN nn ON tc.doc_id = nn.doc_id
+         |GROUP BY tc.doc_id, n_terms ORDER BY tc.doc_id""".stripMargin,
     "q_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |shp AS (SELECT doc_id, i - 1 AS pos,
