@@ -138,10 +138,15 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // S9: result cap.
+    // ordering covers the FULL projection: the synthetic lineitem does
+    // not enforce TPC-H's (orderkey, linenumber) primary key, so any
+    // narrower sort makes the limit boundary nondeterministic (bit us
+    // at sf0.1: ~10% of (ok, ln) pairs are duplicated).
     "q_limit" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)),
 
     // S2: offset-resume parity (skip first N in a deterministic order).
     "q_offset" -> ((s, dir) =>
@@ -239,7 +244,7 @@ object Relational {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
     "q_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
