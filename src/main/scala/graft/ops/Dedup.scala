@@ -321,6 +321,24 @@ object Dedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // Sketch-quality audit: MAE and worst-case error of the MinHash
+    // estimate against exact Jaccard, over the LSH candidate pairs.
+    // This is how a production pipeline validates its sketch
+    // parameters (K, bands) on a sample before trusting them at
+    // 100 TB — both sides are already-implemented operators, joined
+    // on the pair key. The mean goes through a decimal sum so it is
+    // aggregation-order independent.
+    "q_minhash_error" -> ((s, dir) => {
+      val est = queries("q_dedup_minhash")(s, dir)
+      val exact = jaccardPairs(Tables(s, dir, "documents"), 0.0)
+      est.join(exact, Seq("doc1", "doc2"))
+        .select(abs(col("est_sim") - col("jaccard")).as("err"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("err").cast("decimal(28,20)")).cast("double") /
+            count(lit(1)), 6).as("mae"),
+          round(max(col("err")), 6).as("max_err"))
+    }),
+
     // Boilerplate detection: documents sharing their first or last 5
     // tokens (the header/footer signature of template pages). Runs on
     // the dup corpus so exact copies demonstrably cluster. Map-only
@@ -505,7 +523,40 @@ object Dedup {
        |ORDER BY doc1, doc2""".stripMargin
   }
 
+  private def minhashErrorOracle: String = {
+    val mhCols = (0 until K).map(i =>
+      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
+    val bands = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', " +
+        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
+        ") AS sig FROM mh").mkString("\nUNION ALL\n")
+    val est = (0 until K).map(i =>
+      s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${sqlShingleCtes("documents")},
+       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
+       |es AS (SELECT doc1, doc2, ($est) / 32.0 AS est_sim
+       |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+       |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ex AS (SELECT doc1, doc2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
+       |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id),
+       |j AS (SELECT abs(est_sim - jaccard) AS err
+       |  FROM es JOIN ex USING (doc1, doc2))
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(sum(CAST(err AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6) AS mae,
+       |  round(max(err), 6) AS max_err
+       |FROM j""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_minhash_error" -> minhashErrorOracle,
     "q_dedup_components" ->
       s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

@@ -366,6 +366,21 @@ object TextAnalysis {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Text canonicalization: lowercase, strip non-alphanumerics,
+    // collapse whitespace, trim — then re-hash the canonical form.
+    // THE pre-pass of exact dedup (casing/punctuation variants of the
+    // same content collapse to one hash). Map-only; the canonical md5
+    // is the 16-byte key all downstream dedup joins on.
+    "q_normalize_text" -> ((s, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9\\s]", ""), "\\s+", " "))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          md5(col("norm_text")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-doc token Shannon entropy — the "gibberish vs natural text"
     // quality signal. H = -Σ p·ln p over the doc's term distribution.
     // The per-doc sum runs in DECIMAL(28,20) (each double term cast
@@ -475,6 +490,13 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "q_normalize_text" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         |    '\\s+', ' ', 'g')) AS norm_text,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         |    '\\s+', ' ', 'g'))) AS norm_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_entropy" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
          |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
