@@ -63,6 +63,32 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(picked == 1, s"range rows spread over $picked files, want 1")
   }
 
+  test("z-order write gives narrow per-file bands on BOTH dimensions") {
+    val orders = graft.Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    // per-file normalized band width of a column, averaged over files
+    def avgBand(out: String, c: String): Double = {
+      val dom = orders.agg(max(col(c)) - min(col(c))).head().getLong(0).toDouble
+      val bands = spark.read.parquet(out)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))) / dom).as("w"))
+        .collect().map(_.getDouble(1))
+      bands.sum / bands.length
+    }
+    val zOut = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    Layout.writeZOrdered(orders, zOut, "o_custkey", "o_orderkey", 16)
+    assert(spark.read.parquet(zOut).count() == orders.count())
+    // single-dim sort: first dim tight, second dim ~full range per file
+    val sOut = java.nio.file.Files.createTempDirectory("sorted1").toString + "/t"
+    Layout.writeSorted(orders, sOut, "o_custkey", 16)
+    val (z1, z2) = (avgBand(zOut, "o_custkey"), avgBand(zOut, "o_orderkey"))
+    val s2 = avgBand(sOut, "o_orderkey")
+    assert(z1 < 0.5 && z2 < 0.5,
+      s"z-order bands not narrow on both dims: ($z1, $z2)")
+    assert(z2 < s2 / 2,
+      s"z-order dim-2 band $z2 not better than single-sort's $s2")
+  }
+
   test("bucketed co-located join plans without an exchange") {
     Bucketing.writeBucketed(
       graft.Tables(spark, dir, "orders"), "orders_b", "o_orderkey")
