@@ -46,6 +46,25 @@ object TemporalJoins {
         .orderBy(col("event_id"))
     }),
 
+    // Same semantics as q_asof_join, executed by the NATIVE custom
+    // physical operator (plans/AsOfJoin: logical node + strategy +
+    // BroadcastAsOfJoinExec). O(log m) probe per event, no shuffle of
+    // the event side; AsOfPlanSpec asserts the plan shape.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val ords = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        // date <= timestamp comparisons coerce date → midnight; make
+        // the same cast explicit for the native operator's time key.
+        .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+      graft.plans.AsOfJoin.broadcastAsOf(ev, ords,
+          Seq("user_id"), Seq("o_custkey"), "ts", "o_ts", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderkey").as("asof_orderkey"), col("o_orderdate").as("asof_date"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), expr("unix_micros(ts)").as("us"))
@@ -66,6 +85,15 @@ object TemporalJoins {
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" ->
+      """SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+        |  o_orderdate AS asof_date
+        |FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_native" ->
       """SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
         |  o_orderdate AS asof_date
         |FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,

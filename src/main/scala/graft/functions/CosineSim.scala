@@ -79,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[H60].getName, "h60"),
       (exprs: Seq[Expression]) => H60(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.RewriteTop1PerGroup)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
