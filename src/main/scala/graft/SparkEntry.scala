@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{CustomAgg, Extras, Joins, Relational, Temporal, TemporalJoins, WindowsSetsScalars}
+import graft.analytics.{Behavioral, CustomAgg, Extras, Joins, Relational, Temporal, TemporalJoins, WindowsSetsScalars}
 import graft.analytics.Typed
 import graft.ops.{Dedup, Multimodal, Prep, Similarity, Skew, TextAnalysis}
 
@@ -22,6 +22,7 @@ object SparkEntry {
       (WindowsSetsScalars.queries, WindowsSetsScalars.oracles),
       (Temporal.queries, Temporal.oracles),
       (TemporalJoins.queries, TemporalJoins.oracles),
+      (Behavioral.queries, Behavioral.oracles),
       (CustomAgg.queries, CustomAgg.oracles),
       (Extras.queries, Extras.oracles),
       (Dedup.queries, Dedup.oracles),

@@ -1,0 +1,165 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+import graft.util.Exact
+
+/** Behavioral / warehouse-maintenance patterns over the `events` and
+  * `orders` tables (reference: the dashboard's per-entity activity
+  * cards, README.md:154-161, and the hourly upsert-style ETL of
+  * dags/ETL.py:37-154 — its Postgres load is effectively a keyed
+  * merge of new rows into existing state):
+  *
+  *  - q_sessionize: batch gaps-and-islands sessionization (30-min
+  *    inactivity gap), the stateless complement of the streaming
+  *    `session_window` (q_stream_session). One window pass partitioned
+  *    by user — shuffles once on user_id, never a global sort.
+  *  - q_funnel: strict-order view→click→purchase funnel. Three
+  *    per-user min-aggregates chained by key joins; each stage
+  *    re-shuffles on user_id so AQE can coalesce, and stage frames
+  *    shrink monotonically.
+  *  - q_retention: weekly cohort retention triangle. distinct
+  *    (user, week) pairs → per-user min week (cohort) → count per
+  *    (cohort, offset). All shuffles on user_id / (cohort, week_no).
+  *  - q_merge_upsert: CDC merge of an aggregated change batch into a
+  *    keyed snapshot (insert/update/keep actions) via one full-outer
+  *    join — the MERGE INTO shape without a transactional table
+  *    format. Decimal-exact balance arithmetic (graft.util.Exact).
+  *
+  * 100 TB story: every operator here shuffles only on its natural key
+  * (user_id / merge key) — hash-partition both sides, no broadcast
+  * needed since both sides are fact-sized; sessionization and
+  * retention are single-window/single-agg passes. The merge's
+  * full-outer join co-partitions snapshot and delta; with a bucketed
+  * snapshot (sources/Bucketing) the snapshot side never re-shuffles
+  * across incremental runs.
+  */
+object Behavioral {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GapUs = 1800L * 1000000L // 30 min session gap
+  private val WeekUs = 604800000000.0  // µs per week (exact in double)
+
+  val queries: Map[String, Q] = Map(
+    "q_sessionize" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("unix_micros(ts)").as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("nf",
+          when(col("prev").isNull || col("us") - col("prev") > GapUs, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("nf")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          ((max(col("us")) - min(col("us"))) / lit(1000000.0)).as("dur_s"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    "q_retention" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      uw.join(cohort, "user_id")
+        .withColumn("week_no",
+          ((expr("unix_micros(wk)") - expr("unix_micros(cohort)")) / lit(WeekUs))
+            .cast("int"))
+        .groupBy(col("cohort"), col("week_no"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("week_no"))
+    }),
+
+    "q_merge_upsert" -> ((s, dir) => {
+      // Snapshot deliberately misses every 7th key so the change batch
+      // produces genuine inserts alongside updates and keeps.
+      val snap = Tables(s, dir, "customer")
+        .where(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("key"), Exact.dec(col("c_acctbal")).as("bal"))
+      val changes = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("key"))
+        .agg(sum(Exact.dec(col("o_totalprice"))).as("delta"))
+      snap.join(changes, Seq("key"), "full_outer")
+        .select(col("key"),
+          when(col("delta").isNull, lit("keep"))
+            .when(col("bal").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          (coalesce(col("bal"), lit(0).cast(DecimalType(18, 2))) +
+            coalesce(col("delta"), lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("new_bal"))
+        .orderBy(col("key"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |      FROM f)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  (max(us) - min(us)) / 1000000.0 AS dur_s
+        |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |co AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT co.cohort,
+        |  CAST((epoch_us(uw.wk) - epoch_us(co.cohort)) / 604800000000 AS INT) AS week_no,
+        |  count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN co ON uw.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH snap AS (SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |              FROM customer WHERE c_custkey % 7 <> 0),
+        |ch AS (SELECT o_custkey AS key,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        |       FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1)
+        |SELECT COALESCE(snap.key, ch.key) AS key,
+        |  CASE WHEN ch.delta IS NULL THEN 'keep'
+        |       WHEN snap.bal IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  CAST(COALESCE(snap.bal, 0) + COALESCE(ch.delta, 0) AS DOUBLE) AS new_bal
+        |FROM snap FULL OUTER JOIN ch ON snap.key = ch.key
+        |ORDER BY key""".stripMargin
+  )
+}
