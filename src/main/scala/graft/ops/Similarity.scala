@@ -141,6 +141,38 @@ object Similarity {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // SemDeDup-shaped semantic dedup: assign every vector to a
+    // deterministic cluster (the q_kmeans_step quantizer assignment),
+    // then drop any vector that has a SAME-CLUSTER neighbor with
+    // cos >= threshold and a lower vec_id (lowest id survives each
+    // dup group). The pair space is bounded per cluster — the
+    // self-join shuffles on cid only, never the full corpus square.
+    // At 10⁹ rows K grows to √n (trained by q_kmeans_step) so the
+    // per-cluster candidate product stays ~n^1.5/K ≈ n, and the
+    // survivors feed the corpus-prep pipeline in place of raw docs.
+    "q_semdedup" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      val KSeeds = 8
+      val cents = broadcast(emb.where(col("vec_id") < KSeeds)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val assigned = emb.crossJoin(cents)
+        .select(col("vec_id"), col("v"), col("cid"), cosine("v", "cv").as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+      val dropped = assigned.select(col("cid"), col("vec_id"), col("v").as("v1"))
+        .join(assigned.select(col("cid"), col("vec_id").as("prior"), col("v").as("v2")),
+          Seq("cid"))
+        .where(col("prior") < col("vec_id") &&
+          cosine("v1", "v2") >= lit(DupThreshold))
+        .select(col("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("is_dropped").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Brute-force cosine top-10 neighbors of vec_id = 0.
     "q_sim_search" -> ((s, dir) => {
       CosineSim.register(s)
@@ -259,6 +291,20 @@ object Similarity {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT doc1, doc2, round(c, 6) AS cos_sim FROM c
          |WHERE c >= $DupThreshold ORDER BY doc1, doc2""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.v, c.cid, ${sqlCos("e.v", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc),
+         |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+         |d AS (SELECT DISTINCT l.vec_id FROM asg l JOIN asg r
+         |  ON l.cid = r.cid AND r.vec_id < l.vec_id
+         |  WHERE ${sqlCos("l.v", "r.v")} >= $DupThreshold)
+         |SELECT asg.vec_id, asg.cid, d.vec_id IS NULL AS kept
+         |FROM asg LEFT JOIN d ON asg.vec_id = d.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
     "q_sim_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)

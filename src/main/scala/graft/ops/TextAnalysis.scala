@@ -295,6 +295,28 @@ object TextAnalysis {
     // (source, term) counts first, then per-source rollup — so the
     // big exchange carries one row per distinct term, with map-side
     // combine on both levels.
+    // Corpus-mixing weights: per-source char share and the sampling
+    // weight that equalizes the char budget across sources
+    // (weight = total / (n_sources · source_chars); weight·chars is
+    // constant). The standard mixture-rebalancing step before
+    // training-data sampling. Two tiny aggregates — the per-source
+    // rollup is one partial+final pass over the scan, the total is a
+    // broadcast of |sources| rows. All-integer sums, so the double
+    // divisions are bit-identical in both engines.
+    "q_mix_weights" -> ((s, dir) => {
+      val per = Tables(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      val tot = per.agg(sum(col("chars")).as("total"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars"),
+          (col("chars").cast("double") / col("total").cast("double")).as("share"),
+          (col("total").cast("double") /
+            (col("n_sources").cast("double") * col("chars").cast("double")))
+            .as("weight"))
+        .orderBy(col("source"))
+    }),
+
     "q_vocab_stats" -> ((s, dir) => {
       val tc = Tables.fanout(Tables(s, dir, "documents")
           .select(col("source"), col("text")))
@@ -581,6 +603,16 @@ object TextAnalysis {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn FROM sc)
          |SELECT doc_id, CAST(rn AS INT) AS rn, t AS term, tfidf
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_mix_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total,
+        |  count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, chars,
+        |  CAST(chars AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(total AS DOUBLE) /
+        |    (CAST(n_sources AS DOUBLE) * CAST(chars AS DOUBLE)) AS weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tc AS (SELECT source, t, count(*) AS cnt
          |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents)

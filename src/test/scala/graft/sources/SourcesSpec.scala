@@ -109,6 +109,40 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    // The 100 TB layout story: a fact table partitioned by month joined
+    // to a filtered dim must only READ the qualifying partitions —
+    // Spark's DPP injects the dim's build-side keys as a runtime
+    // partition filter into the fact scan. Assert the plan carries the
+    // dynamicpruning expression so a layout regression can't silently
+    // turn this back into a full scan.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    graft.Tables(spark, dir, "orders")
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("om").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val m = fact.agg(max(col("om"))).head().getString(0) // a month that exists
+    import spark.implicits._
+    // the dim must be a real scan with a Filter node — an in-memory
+    // LocalRelation constant-folds the predicate away and the pruning
+    // rule no longer sees a selective build side
+    Seq((m, "target"), ("0000-00", "other")).toDF("om", "tag")
+      .write.mode("overwrite").parquet(s"$tmp-dim")
+    val dim = spark.read.parquet(s"$tmp-dim")
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      // tiny local test data defeats the stats-based benefit estimate;
+      // production-scale facts pass it naturally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val q = fact.join(dim.where(col("tag") === "target"), "om")
+        .select(col("o_orderkey"), col("om"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+      assert(q.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+  }
+
   test("S10: batched JDBC append sink round-trips (embedded Derby)") {
     // The reference's ETL appends each batch to Postgres over JDBC
     // (dags/ETL.py:131-140); the engine analog is df.write.jdbc in
