@@ -92,6 +92,12 @@ object Temporal {
       graft.streaming.Streams.qualityCountsToTable(s, dir, "stream_quality_sink")
         .orderBy(col("lang"))),
 
+    // EXECUTES on the streaming engine: stream-static enrichment join
+    // (event stream ⋈ broadcast customer dim) + per-segment totals.
+    "q_stream_enrich" -> ((s, dir) =>
+      graft.streaming.Streams.enrichToTable(s, dir, "stream_enrich_sink")
+        .orderBy(col("c_mktsegment"))),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -131,6 +137,11 @@ object Temporal {
         |  SELECT user_id, event_id, event_type, ts,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_stream_enrich" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q_stream_quality" ->
       """WITH m AS (SELECT lang,
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS INT) AS n_tok,

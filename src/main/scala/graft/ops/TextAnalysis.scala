@@ -295,6 +295,29 @@ object TextAnalysis {
     // (source, term) counts first, then per-source rollup — so the
     // big exchange carries one row per distinct term, with map-side
     // combine on both levels.
+    // Tokenizer-training prep: the first BPE merge iteration's
+    // statistics — corpus-wide counts of adjacent character pairs
+    // within tokens, top-20. explode(token)→explode(pair)→count is
+    // one partial+final aggregate over the pair stream (map-side
+    // combine collapses to |alphabet|² partials per task), and the
+    // top-20 runs as TakeOrderedAndProject — at 100 TB this is a scan
+    // plus one tiny shuffle, exactly how a BPE trainer's first pass
+    // shards. (Later merge iterations re-run the same shape over
+    // re-segmented tokens.)
+    "q_bpe_pairs" -> ((s, dir) => {
+      Tables.fanout(Tables(s, dir, "documents").select(col("text")))
+        .select(explode(tokens(col("text"))).as("t"))
+        .where(length(col("t")) >= 2)
+        // sequence(1, n) with n < 1 would generate a DESCENDING range —
+        // the where() above guarantees n >= 1
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     // Corpus-mixing weights: per-source char share and the sampling
     // weight that equalizes the char budget across sources
     // (weight = total / (n_sources · source_chars); weight·chars is
@@ -603,6 +626,13 @@ object TextAnalysis {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn FROM sc)
          |SELECT doc_id, CAST(rn AS INT) AS rn, t AS term, tfidf
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS t FROM documents),
+         |p AS (SELECT unnest(list_transform(range(length(t) - 1),
+         |    i -> substr(t, CAST(i + 1 AS INT), 2))) AS pair
+         |  FROM tk WHERE length(t) >= 2)
+         |SELECT pair, count(*) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source),

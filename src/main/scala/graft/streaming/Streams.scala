@@ -59,6 +59,30 @@ object Streams {
     spark.table(table)
   }
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * static customer dimension (broadcast — the dim is planned per
+    * micro-batch with the usual batch strategies, so a small dim
+    * broadcasts and a huge one sort-merges), then per-segment counts
+    * in complete mode. This is the canonical streaming enrichment
+    * deployment: facts land as a stream, reference data stays a
+    * table, and no state store is involved because the static side
+    * never changes mid-query. At 100 TB/day the same plan runs with
+    * the dim refreshed per batch via a Delta/parquet snapshot path.
+    */
+  def enrichToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventsStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey")) // stream-static inner
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(table).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+
   /** Streaming tumbling 1-hour aggregation with a 1-hour watermark,
     * drained to a memory table.
     */
