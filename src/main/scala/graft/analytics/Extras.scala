@@ -189,6 +189,24 @@ object Extras {
         .orderBy(col("vec_id"))
     }),
 
+    // Sketch-based quantiles (KLL-style percentile_approx) — the scale
+    // path where the exact percentile's per-group sort is too hot: the
+    // sketch merges associatively (map-side partial per partition, one
+    // tiny final merge), bounded memory at any row count. Approximate
+    // ⇒ no SQL oracle (rows-only); error vs the exact percentile is
+    // asserted in SketchSpec.
+    "q_approx_quantile" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "percentile_approx(l_quantity, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"))
+        .orderBy(col("l_returnflag"))),
+
     "q_quantiles" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

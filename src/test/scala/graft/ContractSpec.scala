@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.size >= 50)
     assert(SparkEntry.queries.keys.forall(_.startsWith("q_")))
     // every query is oracle-checked unless deliberately rows-only
-    val rowsOnly = Set("q_approx_distinct", "q_sim_ann", "q_multimodal_features")
+    val rowsOnly = Set("q_approx_distinct", "q_approx_quantile", "q_sim_ann",
+      "q_multimodal_features")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing an oracle: $missing")
   }
