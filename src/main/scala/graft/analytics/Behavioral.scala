@@ -92,6 +92,31 @@ object Behavioral {
         .orderBy(col("cohort"), col("week_no"))
     }),
 
+    // Per-type outlier counts via 3σ z-score. Exactness trick: the
+    // only order-dependent quantities (Σv, Σv²) are summed in DECIMAL
+    // (exact, order-free); mean/variance/the squared-deviation
+    // comparison are then derived in double with the SAME formula
+    // order in both engines, so even the threshold comparison is
+    // bit-identical. Two passes over events: one tiny stats aggregate
+    // (|event_type| rows, broadcast back), one map-side flag+count.
+    "q_anomaly" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(Exact.dec(col("value"))).as("svd"),
+          sum(Exact.dec(col("value")) * Exact.dec(col("value"))).as("sv2d"))
+        .select(col("event_type"), col("n"),
+          (col("svd").cast(DoubleType) / col("n")).as("mean"),
+          (col("sv2d").cast(DoubleType) / col("n")).as("m2"))
+        .withColumn("variance", col("m2") - col("mean") * col("mean"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"), round(first(col("mean")), 6).as("mean"),
+          sum(when((col("value") - col("mean")) * (col("value") - col("mean"))
+            > lit(9.0) * col("variance"), 1L).otherwise(0L)).as("n_out"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       // Snapshot deliberately misses every 7th key so the change batch
       // produces genuine inserts alongside updates and keeps.
@@ -148,6 +173,19 @@ object Behavioral {
         |  count(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN co ON uw.user_id = co.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_anomaly" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS sv2
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, n, sv / n AS mean,
+        |    sv2 / n - (sv / n) * (sv / n) AS variance FROM st)
+        |SELECT e.event_type, m.n AS n, round(m.mean, 6) AS mean,
+        |  CAST(sum(CASE WHEN (e.value - m.mean) * (e.value - m.mean)
+        |    > 9.0 * m.variance THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY e.event_type, m.n, m.mean ORDER BY e.event_type""".stripMargin,
     "q_merge_upsert" ->
       """WITH snap AS (SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |              FROM customer WHERE c_custkey % 7 <> 0),
