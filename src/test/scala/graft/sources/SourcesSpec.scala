@@ -143,6 +143,38 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
+  test("runtime bloom filter: selective dim filter prunes fact rows pre-shuffle") {
+    // The row-level sibling of DPP: for a shuffled join with a
+    // selective build side, Spark injects a bloom-filter semi-join
+    // onto the probe scan so non-joining rows die before the
+    // exchange. At 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the ~matching slice.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    graft.Tables(spark, dir, "orders").write.mode("overwrite").parquet(s"$tmp/fact")
+    graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").where(col("c_mktsegment") === "BUILDING")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan)
+      assert(q.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("S10: batched JDBC append sink round-trips (embedded Derby)") {
     // The reference's ETL appends each batch to Postgres over JDBC
     // (dags/ETL.py:131-140); the engine analog is df.write.jdbc in
