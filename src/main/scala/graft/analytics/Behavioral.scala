@@ -51,6 +51,10 @@ object Behavioral {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // STRICTLY > gap starts a new session — session_window's
+      // convention: an event at exactly prev+gap still merges (probed
+      // empirically; the window end extends per event). Boundary-exact
+      // equivalence is property-tested in BehavioralProperties.
       ev.withColumn("prev", lag(col("us"), 1).over(w))
         .withColumn("nf",
           when(col("prev").isNull || col("us") - col("prev") > GapUs, 1).otherwise(0))

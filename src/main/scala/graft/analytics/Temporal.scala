@@ -164,13 +164,15 @@ object Temporal {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, buy_id""".stripMargin,
     // Gaps-and-islands reconstruction of Spark's session_window: a new
-    // session starts when the gap since the previous event is >= 30min;
-    // session end = last event + gap.
+    // session starts when the gap since the previous event is STRICTLY
+    // > 30min (an event at exactly prev+gap still merges — probed
+    // empirically, property-tested in BehavioralProperties); session
+    // end = last event + gap.
     "q_stream_session" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        |              <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
         |  FROM events),
         |grouped AS (
         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
