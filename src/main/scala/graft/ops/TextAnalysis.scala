@@ -295,6 +295,35 @@ object TextAnalysis {
     // (source, term) counts first, then per-source rollup — so the
     // big exchange carries one row per distinct term, with map-side
     // combine on both levels.
+    // PII scrub pass — the redaction step a corpus runs before
+    // training: email-shaped and long-digit spans replaced by
+    // sentinels, with per-doc redaction counts and an md5 of the
+    // scrubbed text (the shared hash primitive) to key downstream
+    // exact dedup on the CLEANED content. Map-only — codegen regex
+    // over the scan, no shuffle until the final order. Patterns stay
+    // in the Java∩RE2 common subset (no lookaround) so Spark and
+    // DuckDB agree byte-for-byte. The synthetic corpus contains no
+    // PII, so each doc gets a deterministic email + account number
+    // appended in-query (same expression in the oracle) — every row
+    // exercises BOTH redactions and the hash proves removal.
+    "q_pii_scrub" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+      val digits = "[0-9]{6,}"
+      val withPii = concat(lower(col("text")),
+        lit(" contact doc"), col("doc_id").cast("string"),
+        lit("@example.com acct "),
+        (col("doc_id") * 1000003L + 100000L).cast("string"))
+      val scrubbed = regexp_replace(
+        regexp_replace(withPii, email, "<email>"), digits, "<num>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), withPii.as("t0"), scrubbed.as("t1"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(t0, '$email', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(t0, '$digits', 0)")).as("n_longnums"),
+          md5(col("t1")).as("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer-training prep: the first BPE merge iteration's
     // statistics — corpus-wide counts of adjacent character pairs
     // within tokens, top-20. explode(token)→explode(pair)→count is
@@ -626,6 +655,21 @@ object TextAnalysis {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn FROM sc)
          |SELECT doc_id, CAST(rn AS INT) AS rn, t AS term, tfidf
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH w AS (SELECT doc_id,
+        |  lower(text) || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com acct '
+        |    || CAST(doc_id * 1000003 + 100000 AS VARCHAR) AS t0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t0, '[0-9]{6,}')) AS INT)
+        |    AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(t0,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |    '[0-9]{6,}', '<num>', 'g')) AS scrub_hash
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS t FROM documents),
          |p AS (SELECT unnest(list_transform(range(length(t) - 1),
