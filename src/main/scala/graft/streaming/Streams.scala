@@ -21,6 +21,22 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
   */
 object Streams {
 
+  /** Stateful micro-batch drains pay a per-partition state-store cost
+    * every trigger (one store instance per shuffle partition), so a
+    * test-scale stream with 32 shuffle partitions spends more time
+    * opening/committing stores than processing rows. Right-size the
+    * state partitioning for the drain and restore the session setting
+    * after; production sizes this to stream volume (it is fixed at
+    * the FIRST start of a stateful query by the checkpoint anyway).
+    */
+  private val StatePartitions = 8
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -48,7 +64,7 @@ object Streams {
     * are scored the moment they land, and only survivors reach the
     * expensive dedup/embedding stages downstream.
     */
-  def qualityCountsToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def qualityCountsToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
     val agg = graft.ops.TextAnalysis.gopherFlags(docsStream(spark, dir))
       .where(col("keep"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
@@ -69,7 +85,7 @@ object Streams {
     * never changes mid-query. At 100 TB/day the same plan runs with
     * the dim refreshed per batch via a Delta/parquet snapshot path.
     */
-  def enrichToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def enrichToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
     val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment")))
     val agg = eventsStream(spark, dir)
@@ -86,7 +102,7 @@ object Streams {
   /** Streaming tumbling 1-hour aggregation with a 1-hour watermark,
     * drained to a memory table.
     */
-  def tumblingToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def tumblingToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -111,7 +127,7 @@ object Streams {
     * query in StreamingSpec.
     */
   def sessionsToTable(spark: SparkSession, dir: String, table: String,
-      gapMinutes: Int = 30): DataFrame = {
+      gapMinutes: Int = 30): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     val perUser = eventsStream(spark, dir)
@@ -131,8 +147,10 @@ object Streams {
           val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           var start = 0
           for (i <- 1 to ts.length) {
+            // STRICTLY > gap splits — session_window merges an event
+            // at exactly prev+gap (see BehavioralProperties)
             val gapExceeded = i == ts.length ||
-              micros(ts(i)) - micros(ts(i - 1)) >= gapMicros
+              micros(ts(i)) - micros(ts(i - 1)) > gapMicros
             if (gapExceeded && i > start) {
               val last = ts(i - 1)
               val end = new java.sql.Timestamp(last.getTime + gapMinutes * 60000L)
@@ -160,7 +178,7 @@ object Streams {
     * Which row is first-seen depends on arrival order, so only the
     * KEY SET is deterministic — q_stream_dedup projects keys only.
     */
-  def dedupToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def dedupToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
     val q = eventsStream(spark, dir)
       .dropDuplicates("user_id", "event_type")
       .writeStream.outputMode("append").format("memory").queryName(table)
@@ -180,7 +198,7 @@ object Streams {
     * result is deterministic and oracle-checkable (unlike the
     * first-seen row of [[dedupToTable]]).
     */
-  def intervalJoinToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def intervalJoinToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
     val views = eventsStream(spark, dir)
       .where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
@@ -203,7 +221,7 @@ object Streams {
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * totals (the KeyValueGroupedDataset stateful surface).
     */
-  def userTotalsToTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def userTotalsToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val perUser = eventsStream(spark, dir)
       .select(col("user_id").cast("long"))
