@@ -188,6 +188,27 @@ object Streams {
     spark.table(table)
   }
 
+  /** Horizon-bounded streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the production form of [[dedupToTable]] when the KEY SPACE is
+    * unbounded: state rows expire once the watermark passes their
+    * event time + delay, trading a dedup horizon for hard-bounded
+    * state. With a delay covering the whole testdata span it must
+    * equal exact dedup (asserted in StreamingSpec); in production the
+    * delay is the replay/late-arrival horizon (hours), so state holds
+    * only that window regardless of corpus size.
+    */
+  def dedupWithinWatermarkToTable(spark: SparkSession, dir: String,
+      table: String, delay: String): DataFrame = withStatePartitions(spark) {
+    val q = eventsStream(spark, dir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(table)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(table)
+  }
+
   /** Watermarked stream-stream interval join: views matched to the
     * purchases that follow within one hour for the same user. Both
     * sides carry a 1-hour watermark and the join condition bounds

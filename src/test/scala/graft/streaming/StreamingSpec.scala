@@ -28,6 +28,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("dropDuplicatesWithinWatermark == exact dedup when delay spans the data") {
+    // 40-day delay > the 30-day event span, so no state expires and
+    // the horizon-bounded dedup must return exactly the distinct keys
+    val stream = Streams.dedupWithinWatermarkToTable(
+        spark, dir, "stream_dedup_wm", "40 days")
+      .select("user_id", "event_type").orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = graft.Tables(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(stream == batch)
+  }
+
   test("mapGroupsWithState per-user totals == batch groupBy") {
     val stream = Streams.userTotalsToTable(spark, dir, "stream_users")
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
