@@ -21,10 +21,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName(appName)
-      // withExtensions applies even when a SparkContext already exists
-      // (the conf form is static and only honored at context creation)
+      // withExtensions applies even when a SparkContext already exists;
+      // do NOT also set the spark.sql.extensions conf here — on a fresh
+      // context that would apply GraftExtensions twice (rule/strategy
+      // consulted twice per query), and on an existing one it's ignored
       .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -43,28 +43,35 @@ object Behavioral {
   private val GapUs = 1800L * 1000000L // 30 min session gap
   private val WeekUs = 604800000000.0  // µs per week (exact in double)
 
+  /** Gaps-and-islands sessionizer — the production column tree, shared
+    * with BehavioralProperties so the boundary property guards exactly
+    * what q_sessionize ships. STRICTLY > gap starts a new session:
+    * session_window's convention — an event at exactly prev+gap still
+    * merges (probed empirically; the window end extends per event).
+    */
+  def sessionize(ev0: DataFrame, user: String, ts: String,
+      tiebreaks: Seq[Column], gapUs: Long): DataFrame = {
+    val ev = ev0.withColumn("us", expr(s"unix_micros($ts)"))
+    val ord = col(ts) +: tiebreaks
+    val w = Window.partitionBy(col(user)).orderBy(ord: _*)
+    val run = Window.partitionBy(col(user)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("nf",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("nf")).over(run))
+      .groupBy(col(user), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("start_ts"), max(col(ts)).as("end_ts"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000.0)).as("dur_s"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_sessionize" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"),
-          expr("unix_micros(ts)").as("us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // STRICTLY > gap starts a new session — session_window's
-      // convention: an event at exactly prev+gap still merges (probed
-      // empirically; the window end extends per event). Boundary-exact
-      // equivalence is property-tested in BehavioralProperties.
-      ev.withColumn("prev", lag(col("us"), 1).over(w))
-        .withColumn("nf",
-          when(col("prev").isNull || col("us") - col("prev") > GapUs, 1).otherwise(0))
-        .withColumn("sess_id", sum(col("nf")).over(run))
-        .groupBy(col("user_id"), col("sess_id"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
-          ((max(col("us")) - min(col("us"))) / lit(1000000.0)).as("dur_s"))
-        .orderBy(col("user_id"), col("sess_id"))
-    }),
+    "q_sessionize" -> ((s, dir) =>
+      sessionize(
+        Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", Seq(col("event_id")), GapUs)
+        .orderBy(col("user_id"), col("sess_id"))),
 
     "q_funnel" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")

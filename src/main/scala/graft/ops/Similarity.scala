@@ -156,11 +156,15 @@ object Similarity {
       val KSeeds = 8
       val cents = broadcast(emb.where(col("vec_id") < KSeeds)
         .select(col("vec_id").as("cid"), col("v").as("cv")))
+      // consumed 3× (both self-join sides + final output) — cache the
+      // post-aggregate assignment so the n·K cosine scan runs once
+      // (the proven shared-subplan rule, cf. pagerank/jaccard chains)
       val assigned = emb.crossJoin(cents)
         .select(col("vec_id"), col("v"), col("cid"), cosine("v", "cv").as("cos"))
         .groupBy(col("vec_id"))
         .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cid"),
           first(col("v")).as("v"))
+        .cache()
       val dropped = assigned.select(col("cid"), col("vec_id"), col("v").as("v1"))
         .join(assigned.select(col("cid"), col("vec_id").as("prior"), col("v").as("v2")),
           Seq("cid"))

@@ -189,10 +189,18 @@ object AsOfJoin {
     PlanBridge.registerStrategy(spark, AsOfJoinStrategy)
     val lp = PlanBridge.analyzed(left)
     val rp = PlanBridge.analyzed(right)
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    // resolve like the analyzer: honor spark.sql.caseSensitive and
+    // refuse ambiguous names instead of silently binding the first
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(p: LogicalPlan, n: String): Attribute = {
+      val hits = p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      require(hits.length <= 1,
+        s"column $n is ambiguous in [${p.output.map(_.name).mkString(", ")}]")
+      hits.headOption.getOrElse(throw new IllegalArgumentException(
+        s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    }
     val lt = attr(lp, leftTimeCol); val rt = attr(rp, rightTimeCol)
     require(lt.dataType == rt.dataType,
       s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")

@@ -70,8 +70,7 @@ object Streams {
       .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName(table).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -86,7 +85,7 @@ object Streams {
     * the dim refreshed per batch via a Delta/parquet snapshot path.
     */
   def enrichToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
-    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+    val dim = broadcast(graft.Tables(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
     val agg = eventsStream(spark, dir)
       .join(dim, col("user_id") === col("c_custkey")) // stream-static inner
@@ -94,8 +93,7 @@ object Streams {
       .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName(table).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -111,8 +109,7 @@ object Streams {
         col("n"), col("total_value"))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName(table).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -163,8 +160,7 @@ object Streams {
       }
     val q = perUser.toDF().writeStream.outputMode("append")
       .format("memory").queryName(table).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -183,8 +179,7 @@ object Streams {
       .dropDuplicates("user_id", "event_type")
       .writeStream.outputMode("append").format("memory").queryName(table)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -204,8 +199,7 @@ object Streams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .writeStream.outputMode("append").format("memory").queryName(table)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -234,8 +228,7 @@ object Streams {
     val q = joined.select(col("view_id"), col("buy_id"))
       .writeStream.outputMode("append").format("memory").queryName(table)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 
@@ -256,8 +249,7 @@ object Streams {
       }
     val q = perUser.toDF().writeStream.outputMode("update")
       .format("memory").queryName(table).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(table)
   }
 }

@@ -20,12 +20,17 @@ object PlanBridge {
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
   /** Session-local physical-strategy registration (idempotent), for
-    * sessions not built with `spark.sql.extensions=GraftExtensions`.
+    * sessions not built with the `GraftExtensions` hook. Checks the
+    * planner's FULL strategy list, so an extensions-wired session is
+    * left untouched; synchronized because `extraStrategies` is a
+    * plain read-modify-write var.
     */
   def registerStrategy(spark: SparkSession,
-      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
-  }
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    synchronized {
+      val cs = spark.asInstanceOf[classic.SparkSession]
+      if (!cs.sessionState.planner.strategies.contains(strategy))
+        cs.experimental.extraStrategies =
+          cs.experimental.extraStrategies :+ strategy
+    }
 }

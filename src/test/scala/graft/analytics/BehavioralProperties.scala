@@ -2,7 +2,6 @@ package graft.analytics
 
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
@@ -37,16 +36,10 @@ object BehavioralProperties extends Properties("analytics.sessionize") with Spar
         .select(col("u"), col("session_window.start").as("start"), col("n"))
         .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
 
-      val w = Window.partitionBy(col("u")).orderBy(col("ts"))
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gi = df.withColumn("us", expr("unix_micros(ts)"))
-        .withColumn("prev", lag(col("us"), 1).over(w))
-        .withColumn("nf", when(col("prev").isNull ||
-          col("us") - col("prev") > GapMin * 60000000L, 1).otherwise(0))
-        .withColumn("sess", sum(col("nf")).over(run))
-        .groupBy(col("u"), col("sess"))
-        .agg(min(col("ts")).as("start"), count(lit(1)).as("n"))
-        .select(col("u"), col("start"), col("n"))
+      // the PRODUCTION sessionizer (same column tree as q_sessionize),
+      // so a convention regression there fails this property
+      val gi = Behavioral.sessionize(df, "u", "ts", Nil, GapMin * 60000000L)
+        .select(col("u"), col("start_ts"), col("n_events"))
         .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
 
       gi == sw

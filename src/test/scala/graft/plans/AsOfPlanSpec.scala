@@ -22,9 +22,15 @@ class AsOfPlanSpec extends AnyFunSuite with SparkSpec {
     val plan = executedPlan("q_asof_native")
     assert(plan.contains("BroadcastAsOfJoin"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
-    // the probe (events) side must not be shuffled before the join
-    val beforeJoin = plan.substring(plan.indexOf("BroadcastAsOfJoin"))
-    assert(!beforeJoin.contains("SortMergeJoin"), plan)
+    // zero-probe-shuffle invariant: the left (events) subtree — the
+    // text between the join node and the right side's
+    // BroadcastExchange — must carry no shuffle of any kind
+    val joinIdx = plan.indexOf("BroadcastAsOfJoin")
+    val bcIdx = plan.indexOf("BroadcastExchange", joinIdx)
+    assert(bcIdx > joinIdx, plan)
+    val probeSubtree = plan.substring(joinIdx, bcIdx)
+    assert(!probeSubtree.contains("Exchange"), plan)
+    assert(!probeSubtree.contains("SortMergeJoin"), plan)
   }
 
   test("native as-of join ≡ composed window form, row for row") {
