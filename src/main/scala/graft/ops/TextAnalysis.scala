@@ -550,6 +550,81 @@ object TextAnalysis {
           md5(array_join(array_sort(array_distinct(toks)), " ")).as("token_fp"))
         .join(mn, Seq("doc_id"), "left")
         .orderBy(col("doc_id"))
+    }),
+
+    // Duplicate-chunk ratio — the paragraph-dedup quality signal
+    // (Gopher's "duplicate paragraph fraction") mapped onto this
+    // corpus's flat token streams: docs split into consecutive
+    // 10-token chunks, a chunk is duplicated when its hash occurs in
+    // ≥2 distinct documents. Per doc: chunk counts, the duplicated
+    // fraction, and a keep flag (ratio ≤ 0.3). The only shuffles are
+    // the chunk-frequency aggregate and the hash-join back on the
+    // 16-byte chunk hash — the chunk TEXT never shuffles twice, and
+    // the frequency side is pre-shrunk to ndocs>1 rows before the
+    // join (dup chunks are the rare case at corpus scale, so the
+    // join's build side stays small without being broadcast-risky).
+    "q_dup_chunks" -> ((s, dir) => {
+      val C = 10
+      val docs = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val inst = docs
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / C).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * C + 1, lit(C))))).as("ch"))
+        .select(col("doc_id"), md5(col("ch")).as("h"))
+      val dup = inst.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("ndocs"))
+        .where(col("ndocs") > 1)
+        .select(col("h"), lit(1L).as("is_dup"))
+      val ratio = col("n_dup_chunks").cast("double") / col("n_chunks")
+      inst.join(dup, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          coalesce(sum(col("is_dup")), lit(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(ratio, 6).as("dup_ratio"),
+          (ratio <= 0.3).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-LM perplexity scoring — the CCNet-style quality filter:
+    // train p(w2|w1) = c(w1 w2)/c(w1 ·) on the corpus itself, then
+    // score every document's bigram stream under that model.
+    // H = -Σ ln p / n_bigrams; ppl = e^H. Low perplexity ⇒ the doc
+    // looks like the corpus; high ⇒ outlier/gibberish — the standard
+    // keep/drop signal. Per-occurrence ln p terms are cast ONCE to
+    // DECIMAL(28,20) and summed in integer arithmetic, so the per-doc
+    // sum is aggregation-order-independent; H is then one double
+    // division and round(6) absorbs libm last-ulp ln/exp drift.
+    // Scale: the LM is vocab²-bounded (tiny vs the corpus) and the
+    // score join keys on the bigram string — partial aggs + one hash
+    // join, nothing quadratic in documents.
+    "q_lm_perplexity" -> ((s, dir) => {
+      val bgDoc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 2)).as("bg"))
+      val lm = bgDoc.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .select(col("bg"), col("cnt"),
+          substring_index(col("bg"), " ", 1).as("w1"))
+      val uni = lm.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
+      val probs = lm.join(uni, Seq("w1"))
+        .select(col("bg"),
+          (col("cnt").cast("double") / col("cnt1")).as("p"))
+      bgDoc.join(probs, Seq("bg"))
+        .select(col("doc_id"),
+          log(col("p")).cast("decimal(28,20)").as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"), sum(col("term")).as("term_sum"))
+        .select(col("doc_id"), col("n_bg"),
+          round(negate(col("term_sum").cast("double")) / col("n_bg"), 6)
+            .as("cross_entropy"))
+        .select(col("doc_id"), col("n_bg"), col("cross_entropy"),
+          round(exp(col("cross_entropy")), 6).as("ppl"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -783,6 +858,42 @@ object TextAnalysis {
          |  md5(array_to_string(list_sort(list_distinct(${sqlTokens("d.text")})), ' ')) AS token_fp,
          |  mn.min_shingle_h
          |FROM documents d LEFT JOIN mn ON d.doc_id = mn.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+    // 64 covers ceil(maxTokens/10) for the testdata (≤ ~110 tokens);
+    // oracle-only bound, the Spark side has none.
+    "q_dup_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |ch AS (SELECT doc_id,
+         |    md5(array_to_string(a[(i*10+1):(i*10+10)], ' ')) AS h
+         |  FROM tk, generate_series(0, 63) g(i)
+         |  WHERE i*10 < len(a)),
+         |dup AS (SELECT h FROM ch GROUP BY h
+         |  HAVING count(DISTINCT doc_id) > 1),
+         |agg AS (SELECT ch.doc_id, count(*) AS n_chunks,
+         |    sum(CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END) AS n_dup_chunks
+         |  FROM ch LEFT JOIN dup ON ch.h = dup.h GROUP BY ch.doc_id)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+         |  round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_ratio,
+         |  CAST(n_dup_chunks AS DOUBLE) / n_chunks <= 0.3 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_lm_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS cnt FROM bgd GROUP BY bg),
+         |sp AS (SELECT bg, cnt, split_part(bg, ' ', 1) AS w1 FROM bc),
+         |un AS (SELECT w1, sum(cnt) AS cnt1 FROM sp GROUP BY w1),
+         |pr AS (SELECT bg, CAST(cnt AS DOUBLE) / cnt1 AS p
+         |  FROM sp JOIN un USING (w1)),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         |    sum(CAST(ln(p) AS DECIMAL(28,20))) AS term_sum
+         |  FROM bgd JOIN pr USING (bg) GROUP BY doc_id),
+         |ce AS (SELECT doc_id, n_bg,
+         |    round(-CAST(term_sum AS DOUBLE) / n_bg, 6) AS cross_entropy
+         |  FROM ag)
+         |SELECT doc_id, n_bg, cross_entropy,
+         |  round(exp(cross_entropy), 6) AS ppl
+         |FROM ce ORDER BY doc_id""".stripMargin
   )
 }

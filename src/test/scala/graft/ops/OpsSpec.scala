@@ -185,6 +185,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.sameElements(rows.sorted.reverse))
   }
 
+  test("dup chunks: shared 10-token runs are flagged, unique docs keep") {
+    // doc 0 and 1 share their first 10 tokens exactly (one chunk);
+    // doc 2 shares nothing. base is 21 tokens -> 3 chunks (10/10/1).
+    val dir = docsDir(Seq(
+      0L -> base,
+      1L -> (base.split(" ").take(10) ++ Seq("totally", "different",
+        "tail", "of", "ten", "more", "tokens", "here", "now", "end"))
+        .mkString(" "),
+      2L -> "an unrelated document with no overlapping chunk content at all in any window of ten tokens"))
+    val out = TextAnalysis.queries("q_dup_chunks")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(0L)._1 == 3 && out(0L)._2 == 1)        // 1 of 3 chunks shared
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1)        // 1 of 2 chunks shared
+    assert(out(2L)._2 == 0 && out(2L)._3)             // clean doc keeps
+    assert(!out(1L)._3)                               // 50% dup -> drop
+  }
+
+  test("lm perplexity: repeated text scores lower than a one-off doc") {
+    // Three copies of `base` dominate the LM, so their bigrams are
+    // high-probability. The outlier reuses base's VOCABULARY in novel
+    // order: its contexts (w1 marginals) are frequent but its bigrams
+    // are one-offs, so p(w2|w1) is small — the scrambled-text case a
+    // perplexity filter exists to catch. (A doc of entirely novel
+    // vocabulary would degenerately score ppl≈1 here: unique contexts
+    // make every p=1 in an unsmoothed self-trained LM.)
+    val dir = docsDir(Seq(
+      0L -> base, 1L -> base, 2L -> base,
+      3L -> base.split(" ").reverse.mkString(" ")))
+    val out = TextAnalysis.queries("q_lm_perplexity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(0L) == out(1L) && out(1L) == out(2L))  // identical docs, identical ppl
+    assert(out(3L) > out(0L))                         // outlier doc is higher-ppl
+    assert(out.values.forall(p => p >= 1.0 && !p.isNaN))
+  }
+
   test("multimodal feature extraction: batched stub decode is faithful") {
     import spark.implicits._
     val media = Seq((1L, "hello world"), (2L, ""))
