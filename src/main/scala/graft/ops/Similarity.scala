@@ -35,6 +35,11 @@ object Similarity {
   val Dim = 64
   val NProbe = 2
 
+  /** Lloyd iterations for the full q_kmeans loop (unrolled verbatim in
+    * its oracle — keep the two in sync through this constant).
+    */
+  val KmIters = 4
+
   /** Column form of the native expression; [[graft.Tables]] registers
     * it on the session (Column construction from a raw Expression is
     * private[sql] in Spark 4 — the function registry is the public door).
@@ -118,6 +123,50 @@ object Similarity {
         .groupBy(col("cid"), col("pos"))
         .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n_members"))
         .orderBy(col("cid"), col("pos"))
+    }),
+
+    // The FULL k-means training loop (KmIters Lloyd iterations), not
+    // just the single step: each round broadcasts the current K
+    // centroids, assigns every vector via the fused-codegen cosine +
+    // min_by aggregate (no n·K window sort), recomputes centroid
+    // cells, and COLLECTS the K×Dim cell table to the driver — K·Dim
+    // doubles, the legitimate driver-side state of an iterative ML
+    // job (this is exactly what a broadcast variable is) — so plan
+    // lineage restarts from literals every round instead of doubling.
+    // Centroid cells round to 6 before feeding the next round, which
+    // both truncates avg() merge-order drift (~1e-16) and lets the
+    // unrolled recursive oracle carry bit-identical values. Output =
+    // final-round centroid cells + member counts.
+    "q_kmeans" -> ((s, dir) => {
+      CosineSim.register(s)
+      val session = s
+      import session.implicits._
+      val emb = embeddings(s, dir)
+      val KSeeds = 8
+      var cents: Seq[(Long, Seq[Double])] = emb.where(col("vec_id") < KSeeds)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().toSeq.sortBy(_._1)
+      var out: DataFrame = null
+      for (t <- 1 to KmIters) {
+        val cdf = broadcast(cents.toDF("cid", "cv"))
+        val best = emb.crossJoin(cdf)
+          .select(col("vec_id"), col("v"), col("cid"),
+            cosine("v", "cv").as("cos"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cid"),
+            first(col("v")).as("v"))
+        val cells = best
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).as("n_members"))
+        if (t < KmIters)
+          cents = cells.select(col("cid"), col("pos"), col("c"))
+            .as[(Long, Int, Double)].collect().toSeq
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (cid, xs) => (cid, xs.sortBy(_._2).map(_._3).toSeq) }
+        else out = cells.orderBy(col("cid"), col("pos"))
+      }
+      out
     }),
 
     // Int8 scalar quantization of the embedding corpus: per-dimension
@@ -281,6 +330,28 @@ object Similarity {
          |  CAST(count(*) AS BIGINT) AS n_members
          |FROM b CROSS JOIN (SELECT unnest(range($Dim)) AS i) i
          |GROUP BY cid, i.i ORDER BY cid, pos""".stripMargin,
+    // Unrolled KmIters-round replay of the Spark loop: each round's
+    // rounded centroid cells are rebuilt into arrays (list ORDER BY
+    // pos) so the next round's cosine consumes bit-identical values.
+    "q_kmeans" -> {
+      val rounds = (1 to KmIters).map { t =>
+        val prev = if (t == 1) "c0" else s"c${t - 1}"
+        s"""sc$t AS (SELECT e.vec_id, e.v, c.cid, ${sqlCos("e.v", "c.cv")} AS cos
+           |  FROM e CROSS JOIN $prev c),
+           |a$t AS (SELECT vec_id, v, cid,
+           |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc$t),
+           |b$t AS (SELECT cid, v FROM a$t WHERE rn = 1),
+           |cc$t AS (SELECT cid, CAST(i.i AS INT) AS pos, round(avg(v[i.i + 1]), 6) AS c,
+           |  CAST(count(*) AS BIGINT) AS n_members
+           |  FROM b$t CROSS JOIN (SELECT unnest(range($Dim)) AS i) i
+           |  GROUP BY cid, i.i),
+           |c$t AS (SELECT cid, list(c ORDER BY pos) AS cv FROM cc$t GROUP BY cid)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |$rounds
+         |SELECT cid, pos, c, n_members FROM cc$KmIters ORDER BY cid, pos""".stripMargin
+    },
     "q_embedding_centroid" ->
       s"""SELECT d.lang, CAST(i.i AS INT) AS pos,
          |  round(avg(CAST(e.embedding[i.i + 1] AS DOUBLE)), 6) AS c

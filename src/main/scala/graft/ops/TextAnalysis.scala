@@ -590,6 +590,48 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk-level dedup with text reconstruction — the REMOVAL pass
+    // that q_dup_chunks' ratio only measures (RefinedWeb/CCNet line
+    // dedup on this corpus's flat token streams): every 10-token
+    // chunk keeps only its globally-first occurrence (min (doc_id,
+    // idx) lexicographically), and each doc's surviving chunks are
+    // re-joined into cleaned text. The keeper election is a
+    // partial+final min(struct) aggregate on the chunk hash — NOT a
+    // per-hash window sort — and reconstruction shuffles only kept
+    // chunks. Docs that lose every chunk (exact copies) still emit a
+    // row (left join from the doc list) with empty cleaned text —
+    // downstream filters drop them by clean_len, not by absence.
+    "q_chunk_dedup" -> ((s, dir) => {
+      val C = 10
+      val docs = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val inst = docs
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("toks")) - 1) / C).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * C + 1, lit(C)))))
+            .as(Seq("idx", "ch")))
+        .select(col("doc_id"), col("idx"), col("ch"), md5(col("ch")).as("h"))
+      val keeper = inst.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      val kept = inst.join(keeper, Seq("h"))
+        .where(col("doc_id") === col("k.doc_id") && col("idx") === col("k.idx"))
+      val perDoc = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("ch")))),
+            x => x("ch")), " ").as("clean_text"))
+      val total = inst.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      total.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          length(coalesce(col("clean_text"), lit(""))).cast("long").as("clean_len"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram-LM perplexity scoring — the CCNet-style quality filter:
     // train p(w2|w1) = c(w1 w2)/c(w1 ·) on the corpus itself, then
     // score every document's bigram stream under that model.
@@ -877,6 +919,26 @@ object TextAnalysis {
          |  round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_ratio,
          |  CAST(n_dup_chunks AS DOUBLE) / n_chunks <= 0.3 AS keep
          |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |ch AS (SELECT doc_id, i AS idx,
+         |    array_to_string(a[(i*10+1):(i*10+10)], ' ') AS ch
+         |  FROM tk, generate_series(0, 63) g(i)
+         |  WHERE i*10 < len(a)),
+         |rk AS (SELECT doc_id, idx, ch,
+         |    row_number() OVER (PARTITION BY md5(ch)
+         |      ORDER BY doc_id, idx) AS rn
+         |  FROM ch),
+         |pd AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(ch, ' ' ORDER BY idx) AS clean_text
+         |  FROM rk WHERE rn = 1 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         |SELECT tot.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(length(coalesce(clean_text, '')) AS BIGINT) AS clean_len,
+         |  md5(coalesce(clean_text, '')) AS clean_md5
+         |FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
     "q_lm_perplexity" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),

@@ -131,6 +131,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kmeans loop: full partition of the corpus, one cell row per (cid, dim)") {
+    val dir = "/root/testdata/sf0.001"
+    val n = Similarity.queries("q_kmeans")(spark, dir)
+    val rows = n.collect()
+    val cids = rows.map(_.getLong(0)).distinct
+    assert(cids.nonEmpty && cids.length <= 8)
+    assert(rows.length == cids.length * Similarity.Dim)
+    // every dimension slice accounts for every vector exactly once
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val perPos = rows.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(perPos.values.forall(_ == total))
+  }
+
   test("split assignment partitions the corpus") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "documents").count()
@@ -201,6 +214,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L)._1 == 2 && out(1L)._2 == 1)        // 1 of 2 chunks shared
     assert(out(2L)._2 == 0 && out(2L)._3)             // clean doc keeps
     assert(!out(1L)._3)                               // 50% dup -> drop
+  }
+
+  test("chunk dedup: first occurrence survives, exact copies empty out") {
+    val tail = Seq("totally", "different", "tail", "of", "ten",
+      "more", "tokens", "here", "now", "end")
+    val dir = docsDir(Seq(
+      0L -> base,                                       // 21 tokens -> 3 chunks
+      1L -> base,                                       // exact copy: loses all 3
+      2L -> (base.split(" ").take(10) ++ tail).mkString(" "))) // shares chunk 0
+    val out = TextAnalysis.queries("q_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 3L, base.length.toLong)))  // keeper doc intact
+    assert(out(1L)._2 == 0 && out(1L)._3 == 0)         // copy fully removed
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)         // shared chunk dropped
+    assert(out(2L)._3 == tail.mkString(" ").length)    // only its tail remains
   }
 
   test("lm perplexity: repeated text scores lower than a one-off doc") {
