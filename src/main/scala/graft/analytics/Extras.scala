@@ -52,6 +52,23 @@ object Extras {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — the top-N-
+    // per-row join shape. Catalyst decorrelates the limit into a
+    // row_number over a window partitioned by the correlation key, so
+    // the physical plan is one shuffle on c_custkey — no per-customer
+    // re-execution, which is what makes LATERAL viable at 100 TB.
+    "q_lateral_topn" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_v c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     // Correlated scalar subquery — Catalyst decorrelates to agg+join.
     "q_correlated_subquery" -> ((s, dir) => {
       Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -239,6 +256,13 @@ object Extras {
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q_array_agg" ->
       """SELECT o_custkey, count(*) AS n,
         |  array_to_string(list_sort(list(o_orderkey)), ',') AS keys

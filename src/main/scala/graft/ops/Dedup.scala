@@ -104,6 +104,11 @@ object Dedup {
     */
   val LocalCcMaxPairs = 4000000L
 
+  /** Power iterations for the full q_pagerank loop (unrolled verbatim
+    * in its oracle — keep the two in sync through this constant).
+    */
+  val PrIters = 3
+
   def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame =
     connectedComponents(docs, pairs, LocalCcMaxPairs)
 
@@ -416,6 +421,52 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // The FULL PageRank power loop (PrIters rounds) over the near-dup
+    // graph — q_pagerank_step is round 1 of exactly this. The
+    // edge⋈degree table is localCheckpoint'ed once and reused every
+    // round (the per-round plan restarts from materialized partitions
+    // instead of re-deriving the similarity join, and lineage stays
+    // flat); ranks live distributed — never collected — because the
+    // vertex set scales with the graph, unlike q_kmeans' K×Dim state.
+    // Per-round contribution sums keep the util.Exact discipline
+    // (double term → one DECIMAL(20,12) cast → integer-arithmetic
+    // sum), so every round's ranks are bit-identical in both engines
+    // and the unrolled-CTE oracle can replay all of them. Isolated
+    // docs never enter the loop and emit the teleport fixpoint.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val edges = jaccardPairs(docs, 0.6)
+        .select(explode(array(
+          struct(col("doc1").as("u"), col("doc2").as("v")),
+          struct(col("doc2").as("u"), col("doc1").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val withDeg = edges.join(deg, Seq("u")).localCheckpoint()
+      val verts = withDeg.select(col("u").as("doc_id")).distinct()
+        .localCheckpoint()
+      val teleport = lit(0.15 / n).cast("decimal(20,12)")
+      var rank = verts.select(col("doc_id"), lit(1.0 / n).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val contrib = withDeg
+          .join(rank.select(col("doc_id").as("u"), col("pr")), Seq("u"))
+          .select(col("v"),
+            (lit(0.85) * (col("pr") / col("deg"))).cast("decimal(20,12)").as("c"))
+          .groupBy(col("v")).agg(sum(col("c")).as("cs"))
+        rank = verts
+          .join(contrib.select(col("v").as("doc_id"), col("cs")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (teleport + coalesce(col("cs"), lit(0).cast("decimal(20,12)")))
+              .cast("double").as("pr"))
+          .localCheckpoint()
+      }
+      docs.select(col("doc_id"))
+        .join(rank, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("pr"), teleport.cast("double")).as("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Asymmetric containment (|A∩B| / |A|) over the same inverted
     // shingle index as q_ngram_jaccard — the "doc A is quoted inside
     // doc B" detector that symmetric Jaccard misses when sizes differ.
@@ -627,6 +678,40 @@ object Dedup {
          |FROM documents d CROSS JOIN nn
          |  LEFT JOIN contrib ON d.doc_id = contrib.v
          |ORDER BY doc_id""".stripMargin,
+    // Unrolled PrIters-round replay of the Spark power loop: each
+    // round's ranks are rebuilt from the previous round's decimal
+    // contribution sums, bit-identically to the DataFrame path.
+    "q_pagerank" -> {
+      val rounds = (1 to PrIters).map { t =>
+        s"""co$t AS (SELECT v, sum(CAST(0.85 * (pr / deg) AS DECIMAL(20,12))) AS cs
+           |  FROM wd JOIN r${t - 1} ON wd.u = r${t - 1}.doc_id GROUP BY v),
+           |r$t AS (SELECT vd.doc_id,
+           |  CAST(CAST(0.15 / n AS DECIMAL(20,12)) +
+           |    coalesce(cs, CAST(0 AS DECIMAL(20,12))) AS DOUBLE) AS pr
+           |  FROM vd CROSS JOIN nn LEFT JOIN co$t ON vd.doc_id = co$t.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS u, doc2 AS v FROM jp
+         |  UNION ALL SELECT doc2, doc1 FROM jp),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |wd AS (SELECT edges.u, edges.v, deg FROM edges JOIN deg USING (u)),
+         |vd AS (SELECT DISTINCT u AS doc_id FROM edges),
+         |r0 AS (SELECT doc_id, 1.0 / n AS pr FROM vd CROSS JOIN nn),
+         |$rounds
+         |SELECT d.doc_id,
+         |  coalesce(r$PrIters.pr, CAST(CAST(0.15 / n AS DECIMAL(20,12)) AS DOUBLE)) AS pr
+         |FROM documents d CROSS JOIN nn
+         |  LEFT JOIN r$PrIters ON d.doc_id = r$PrIters.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q_containment" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

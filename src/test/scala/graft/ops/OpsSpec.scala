@@ -181,6 +181,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pagerank loop: hubs outrank leaves, isolated docs hold the teleport fixpoint") {
+    // star: doc 0 near-dups 1 and 2 (J=19/27≈0.70), but the 8-token
+    // tails keep the leaves below threshold vs each other (J=19/35≈0.54)
+    // so the graph is a genuine hub, not a triangle; doc 3 isolated
+    val dir = docsDir(Seq(
+      0L -> base,
+      1L -> (base + " alpha beta gamma delta epsilon zeta eta theta"),
+      2L -> (base + " one two three four five six seven eight"),
+      3L -> "nothing in common with any other document here at all whatsoever in any shingle"))
+    val pr = Dedup.queries("q_pagerank")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L) && pr(0L) > pr(2L))       // hub accumulates rank
+    assert(pr(1L) == pr(2L))                          // symmetric leaves agree
+    assert(math.abs(pr(3L) - 0.15 / 4) < 1e-9)        // teleport-only fixpoint
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("lateral top-n matches the window idiom") {
+    val dir = "/root/testdata/sf0.001"
+    val lat = graft.analytics.Extras.queries("q_lateral_topn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = graft.Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lat == win && lat.nonEmpty)
+  }
+
   test("int8 quantization achieves its bounds per dimension") {
     val dir = "/root/testdata/sf0.001"
     val byPos = Similarity.queries("q_quantize_embedding")(spark, dir)
