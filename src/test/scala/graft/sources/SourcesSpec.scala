@@ -33,6 +33,27 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(n == 6000)
   }
 
+  test("ORC warehouse parity: round-trip preserves data, filters reach the scan") {
+    // the warehouse is parquet-first, but every sink/scan in the
+    // engine goes through the DataSource V1/V2 API — ORC is the same
+    // call with a different format string, and predicate pushdown
+    // must survive the switch (searchArgument in the scan).
+    val out = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    val orders = graft.Tables(spark, dir, "orders")
+    orders.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == orders.count())
+    def checksum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(graft.util.Exact.moneySum(col("o_totalprice"))).head().getDouble(0)
+    assert(checksum(back) == checksum(orders))
+    val filtered = back.where(col("o_orderkey") === 42L)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") &&
+      scan.toLowerCase.contains("equalto(o_orderkey,42"),
+      s"o_orderkey filter not pushed into the ORC scan:\n$scan")
+  }
+
   test("compaction rewrites many small files to few, preserving data") {
     val out = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val orders = graft.Tables(spark, dir, "orders")

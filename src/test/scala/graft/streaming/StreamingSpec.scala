@@ -50,4 +50,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(stream == batch)
   }
+
+  test("foreachBatch incremental dedup: one survivor per text across micro-batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val src = s"$root/src"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(src)
+    // two files -> two micro-batches (maxFilesPerTrigger=1); batch
+    // order follows file mtime, but the assertions are order-free
+    write(Seq(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text"))
+    Thread.sleep(1100)
+    write(Seq(4L -> "alpha text", 5L -> "gamma text"))
+    val kept = Streams.incrementalDedupIngest(spark, src, s"$root/work")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // exactly one survivor per distinct text, and it's a real source row
+    assert(kept.map(_._2).sorted == Seq("alpha text", "beta text", "gamma text"))
+    val all = Map(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text",
+      4L -> "alpha text", 5L -> "gamma text")
+    assert(kept.forall { case (id, t) => all(id) == t })
+    // within-batch election is min doc_id: doc 2 can never survive
+    assert(!kept.exists(_._1 == 2L))
+    // the index holds one hash per distinct text
+    assert(spark.read.parquet(s"$root/work/hash_index").distinct().count() == 3)
+  }
 }
