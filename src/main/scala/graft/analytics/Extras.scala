@@ -153,6 +153,34 @@ object Extras {
         .orderBy(col("day"))
     }),
 
+    // Forward-fill over a generated (group × day) grid — the
+    // time-series gap-repair idiom (`last_value IGNORE NULLS`): days
+    // with no orders inherit the most recent observed daily total;
+    // days before a group's first observation stay NULL. The grid is
+    // calendar-bounded (groups × days), never corpus-sized, and the
+    // fill is one window per group — the shuffle carries the tiny
+    // grid, not the fact table (facts collapse to daily partials
+    // first). Totals go through the decimal money sum so the filled
+    // doubles are bit-identical across engines.
+    "q_gap_fill" -> ((s, dir) => {
+      val days = s.range(1).select(explode(sequence(
+        lit("1995-03-01").cast("date"), lit("1995-03-14").cast("date"),
+        expr("interval 1 day"))).as("day"))
+      val prios = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio")).distinct()
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(moneySum(col("o_totalprice")).as("total"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      days.crossJoin(prios)
+        .join(daily, Seq("prio", "day"), "left")
+        .select(col("prio"), col("day"),
+          last(col("total"), ignoreNulls = true).over(w).as("filled_total"))
+        .orderBy(col("prio"), col("day"))
+    }),
+
     // Conditional aggregates: count_if / bool_and / bool_or / sum(CASE).
     "q_conditional_agg" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -256,6 +284,22 @@ object Extras {
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_gap_fill" ->
+      """WITH days AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',
+        |    DATE '1995-03-14', INTERVAL 1 DAY)) AS DATE) AS day),
+        |prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+        |daily AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT p.prio, days.day,
+        |  last_value(daily.total IGNORE NULLS) OVER (
+        |    PARTITION BY p.prio ORDER BY days.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+        |FROM days CROSS JOIN prios p
+        |  LEFT JOIN daily ON daily.prio = p.prio AND daily.day = days.day
+        |ORDER BY p.prio, days.day""".stripMargin,
     "q_lateral_topn" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c,

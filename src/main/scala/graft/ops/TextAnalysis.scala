@@ -502,6 +502,32 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // Overlap detection over the winnowing index — the MATCH side of
+    // q_winnowing (Schleimer et al.'s deployment: index fingerprints,
+    // then join on them). Doc pairs sharing ≥ 4 fingerprints, scored
+    // by containment of the smaller fingerprint set. The self-join
+    // keys on the 8-byte fingerprint, so pair generation is bounded
+    // by Σ df² over fingerprints — winnowing keeps ~n/w mins per doc,
+    // and a production run drops stop-fingerprints (df cap) the same
+    // way q_ngram_jaccard's index does. This reuses the q_winnowing
+    // builder verbatim, so index and match can never drift.
+    "q_winnow_match" -> ((s, dir) => {
+      val fp = queries("q_winnowing")(s, dir)
+      val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+      val pairs = fp.select(col("fp"), col("doc_id").as("doc1"))
+        .join(fp.select(col("fp"), col("doc_id").as("doc2")), Seq("fp"))
+        .where(col("doc1") < col("doc2"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 4)
+      pairs
+        .join(sz.select(col("doc_id").as("doc1"), col("nfp").as("n1")), Seq("doc1"))
+        .join(sz.select(col("doc_id").as("doc2"), col("nfp").as("n2")), Seq("doc2"))
+        .select(col("doc1"), col("doc2"), col("shared"),
+          round(col("shared").cast("double") / least(col("n1"), col("n2")), 6)
+            .as("overlap"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // Pointwise mutual information over token co-occurrence (within-
     // doc), the classic collocation statistic. The quadratic pair
     // space is bounded BEFORE the self-join by a deterministic
@@ -710,6 +736,25 @@ object TextAnalysis {
          |  FROM shp)
          |SELECT DISTINCT doc_id, fp FROM f WHERE pos <= n - 4
          |ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_match" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |shp AS (SELECT doc_id, i - 1 AS pos,
+         |    ${sqlH60("a[i] || ' ' || a[i+1] || ' ' || a[i+2]")} AS h,
+         |    len(a) - 2 AS n
+         |  FROM tk, generate_series(1, 512) g(i) WHERE i <= len(a) - 2),
+         |f AS (SELECT doc_id, pos, n,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM shp),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM f WHERE pos <= n - 4),
+         |sz AS (SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS shared
+         |  FROM fps a JOIN fps b USING (fp) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 4)
+         |SELECT doc1, doc2, CAST(shared AS BIGINT) AS shared,
+         |  round(CAST(shared AS DOUBLE) / least(x.nfp, y.nfp), 6) AS overlap
+         |FROM pr JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |ORDER BY doc1, doc2""".stripMargin,
     "q_pmi" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, t FROM
          |  (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents)),

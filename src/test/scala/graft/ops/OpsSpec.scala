@@ -181,6 +181,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnow match: copies overlap fully, unrelated docs never pair") {
+    val dir = docsDir(Seq(
+      0L -> base,
+      1L -> base,                                   // exact copy
+      2L -> "entirely different words that produce a disjoint fingerprint set for this document here"))
+    val out = TextAnalysis.queries("q_winnow_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 1L, 1.0)))         // full containment, only pair
+  }
+
+  test("gap fill: non-null from first observation on, constant across gaps") {
+    val rows = graft.analytics.Extras.queries("q_gap_fill")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDate(1), Option(r.get(2))))
+    assert(rows.length == 70)                        // 5 priorities x 14 days
+    rows.groupBy(_._1).values.foreach { g =>
+      val vals = g.sortBy(_._2.toString).map(_._3)
+      val firstObs = vals.indexWhere(_.isDefined)
+      // a group with no orders in the window stays all-null (firstObs
+      // -1); otherwise the fill must never re-null after the first hit
+      if (firstObs >= 0)
+        assert(vals.drop(firstObs).forall(_.isDefined))
+    }
+  }
+
   test("pagerank loop: hubs outrank leaves, isolated docs hold the teleport fixpoint") {
     // star: doc 0 near-dups 1 and 2 (J=19/27≈0.70), but the 8-token
     // tails keep the leaves below threshold vs each other (J=19/35≈0.54)
