@@ -153,6 +153,78 @@ object Extras {
         .orderBy(col("day"))
     }),
 
+    // Time-interval RANGE frame: each event's trailing-1-hour event
+    // count for its user — RANGE BETWEEN INTERVAL ... PRECEDING, the
+    // event-time sliding frame that ROWS frames can't express (the
+    // frame width is wall-clock, not row-count). One shuffle on
+    // user_id; per-user sort is the window's own; nothing global.
+    "q_window_time_range" -> ((s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |    AS n_last_hour
+          |FROM events_v
+          |ORDER BY user_id, ts, event_id""".stripMargin)
+    }),
+
+    // Null-safe equi-join (<=>): NULL keys MATCH each other, unlike
+    // plain equality which drops them — the semantic CDC/dimension
+    // reconciliation needs when "unknown" is a joinable value. Keys
+    // are derived nullable buckets over the tiny nation dim; the plan
+    // is a broadcast join on the null-safe predicate.
+    "q_join_nullsafe" -> ((s, dir) => {
+      def keyed(alias: String) = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as(s"${alias}_key"),
+          when(col("n_regionkey") === 0, lit(null).cast("long"))
+            .otherwise(col("n_regionkey")).as(s"${alias}_rk"))
+      keyed("a").join(keyed("b"), col("a_rk") <=> col("b_rk"))
+        .where(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"),
+          coalesce(col("a_rk"), lit(-1L)).as("rk"))
+        .orderBy(col("a_key"), col("b_key"))
+    }),
+
+    // Higher-moment statistics per group — mean/variance/skewness/
+    // kurtosis derived from power sums, NOT the built-in skewness()/
+    // kurtosis() aggregates (whose merge order and formulas differ
+    // across engines). Prices are scaled ONCE to exact integer cents
+    // (the established DECIMAL(18,2) money cast), so every power up
+    // to x⁴ and its corpus sum fits DECIMAL(38,0) EXACTLY — there is
+    // no double→decimal fractional rounding anywhere for engines to
+    // disagree on (a first cut casting double powers to DECIMAL(38,10)
+    // hit exactly that: decimal-boundary ties broke differently).
+    // Standardized moments are scale-invariant, so skew/kurt come
+    // straight from the cent sums; mean/variance rescale at the end.
+    // round(6) absorbs the last ulp of pow().
+    "q_moments" -> ((s, dir) => {
+      val xc = (dec(col("o_totalprice")) * 100).cast("decimal(38,0)")
+      val t = Tables(s, dir, "orders").select(col("o_orderpriority"),
+        xc.as("x"))
+        .select(col("o_orderpriority"), col("x"),
+          (col("x") * col("x")).as("x2"))
+        .select(col("o_orderpriority"), col("x"), col("x2"),
+          (col("x2") * col("x")).as("x3"), (col("x2") * col("x2")).as("x4"))
+      def dsum(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+      val agg = t.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n"), dsum(col("x")).as("s1"),
+          dsum(col("x2")).as("s2"), dsum(col("x3")).as("s3"),
+          dsum(col("x4")).as("s4"))
+      val m = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - m * m
+      val m3 = col("s3") / col("n") - lit(3.0) * m * (col("s2") / col("n")) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
+        lit(6.0) * m * m * (col("s2") / col("n")) - lit(3.0) * m * m * m * m
+      agg.select(col("o_orderpriority"), col("n").cast("long").as("n"),
+          round(m / lit(100.0), 6).as("mean"),
+          round(m2 / lit(10000.0), 6).as("variance"),
+          round(m3 / pow(m2, 1.5), 6).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Forward-fill over a generated (group × day) grid — the
     // time-series gap-repair idiom (`last_value IGNORE NULLS`): days
     // with no orders inherit the most recent observed daily total;
@@ -284,6 +356,45 @@ object Extras {
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_time_range" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_last_hour
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH k AS (SELECT n_nationkey AS key,
+        |    CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+        |  FROM nation)
+        |SELECT a.key AS a_key, b.key AS b_key,
+        |  coalesce(a.rk, -1) AS rk
+        |FROM k a JOIN k b ON a.rk IS NOT DISTINCT FROM b.rk
+        |WHERE a.key < b.key
+        |ORDER BY a.key, b.key""".stripMargin,
+    "q_moments" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+        |  FROM orders),
+        |t AS (SELECT o_orderpriority, x, x * x AS x2 FROM c),
+        |t2 AS (SELECT o_orderpriority, x, x2, x2 * x AS x3, x2 * x2 AS x4 FROM t),
+        |ag AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3,
+        |    CAST(sum(x4) AS DOUBLE) AS s4
+        |  FROM t2 GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round((s1 / n) / 100.0, 6) AS mean,
+        |  round((s2 / n - (s1 / n) * (s1 / n)) / 10000.0, 6) AS variance,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+        |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+        |    AS kurtosis
+        |FROM ag ORDER BY o_orderpriority""".stripMargin,
     "q_gap_fill" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',

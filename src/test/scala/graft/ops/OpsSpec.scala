@@ -191,6 +191,52 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))         // full containment, only pair
   }
 
+  test("moments agree with Spark's built-in variance/skewness/kurtosis") {
+    val dir = "/root/testdata/sf0.001"
+    val ours = graft.analytics.Extras.queries("q_moments")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ref = graft.Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(avg("o_totalprice"), var_pop("o_totalprice"),
+        skewness("o_totalprice"), kurtosis("o_totalprice"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    ours.foreach { case (k, (m, v, sk, ku)) =>
+      val (rm, rv, rsk, rku) = ref(k)
+      assert(math.abs(m - rm) / rm < 1e-9)
+      assert(math.abs(v - rv) / rv < 1e-6)
+      assert(math.abs(sk - rsk) < 1e-4)          // built-in is sample-corrected
+      assert(math.abs(ku - rku) < 1e-2)          // float paths differ; shape agrees
+    }
+  }
+
+  test("null-safe join: NULL keys pair with each other") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.analytics.Extras.queries("q_join_nullsafe")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nulls = rows.filter(_._3 == -1L)
+    val nNullKeys = graft.Tables(spark, dir, "nation")
+      .where(col("n_regionkey") === 0).count()
+    assert(nulls.length == nNullKeys * (nNullKeys - 1) / 2) // full clique of NULLs
+    assert(rows.forall { case (a, b, _) => a < b })
+  }
+
+  test("time-range window counts the event itself and trailing hour only") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.analytics.Extras.queries("q_window_time_range")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.forall(_._3 >= 1))
+    // replay one user's stream with a naive O(n²) count
+    val u = rows.head._1
+    val mine = rows.filter(_._1 == u)
+    mine.foreach { case (_, ts, n) =>
+      val naive = mine.count { case (_, t2, _) =>
+        !t2.after(ts) && t2.getTime >= ts.getTime - 3600 * 1000 }
+      assert(n == naive, s"user $u at $ts")
+    }
+  }
+
   test("gap fill: non-null from first observation on, constant across gaps") {
     val rows = graft.analytics.Extras.queries("q_gap_fill")(
         spark, "/root/testdata/sf0.001")
