@@ -326,6 +326,47 @@ object Dedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // Prefix-filtered exact Jaccard (PPJoin's candidate pruning): the
+    // SAME pairs as q_ngram_jaccard (identical oracle — this query is
+    // the optimization, not a new semantic), but candidates are
+    // generated only from each doc's ⌊(1−t)·|d|⌋+1 RAREST shingles
+    // under a global (df, h) order. Prefix-filter theorem: a pair
+    // with overlap ≥ α shares an element within its (|d|−α+1)-prefix
+    // under any common total order, and J ≥ t ⇒ α ≥ ⌈t·max(|A|,|B|)⌉,
+    // so recall stays 100% while candidate generation touches only
+    // the low-df end of the index — at web scale this is the
+    // difference between Σ df² over ALL shingles (stop-shingles make
+    // it quadratic) and Σ df² over rare ones. Candidates then verify
+    // exactly against the full shingle sets.
+    "q_jaccard_prefix" -> ((s, dir) => {
+      val t = 0.6
+      val sh = docShingles(Tables(s, dir, "documents"))
+        .select(col("doc_id"), h60(col("s")).as("h")).distinct().cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfh = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      val wdoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val prefix = sh.join(dfh, Seq("h")).join(sizes, Seq("doc_id"))
+        .withColumn("pos", row_number().over(wdoc))
+        .where(col("pos") <= floor((lit(1.0) - lit(t)) * col("sz")).cast("int") + 1)
+        .select(col("h"), col("doc_id"))
+      val cand = prefix.select(col("h"), col("doc_id").as("doc1"))
+        .join(prefix.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
+        .where(col("doc1") < col("doc2"))
+        .select("doc1", "doc2").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+        .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+        .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("sz1") + col("sz2") - col("i")))
+        .where(col("jaccard") >= t)
+        .select("doc1", "doc2", "jaccard")
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+
     // Sketch-quality audit: MAE and worst-case error of the MinHash
     // estimate against exact Jaccard, over the LSH candidate pairs.
     // This is how a production pipeline validates its sketch
@@ -744,6 +785,19 @@ object Dedup {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc1, doc2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
+         |FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6
+         |ORDER BY doc1, doc2""".stripMargin,
+    // Same answer as q_ngram_jaccard by construction — the prefix
+    // filter is a candidate-pruning optimization, so the oracle IS
+    // the unpruned computation.
+    "q_jaccard_prefix" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
          |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),

@@ -86,6 +86,36 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard: identical pairs, strictly fewer candidates") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Dedup.queries("q_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pref = Dedup.queries("q_jaccard_prefix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pref == full && full.nonEmpty)   // 100% recall, bit-equal scores
+    // the point of the filter: candidate generation touches a strict
+    // subset of the inverted index (rare shingles only)
+    import graft.ops.TextFns._
+    val sh = graft.Tables.fanout(graft.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("h")).distinct().cache()
+    def candidates(index: org.apache.spark.sql.DataFrame): Long =
+      index.select(col("h"), col("doc_id").as("d1"))
+        .join(index.select(col("h"), col("doc_id").as("d2")), Seq("h"))
+        .where(col("d1") < col("d2")).select("d1", "d2").distinct().count()
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfh, Seq("h")).join(sizes, Seq("doc_id"))
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= floor(lit(0.4) * col("sz")).cast("int") + 1)
+      .select(col("doc_id"), col("h"))
+    assert(candidates(prefix) < candidates(sh))
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
     val rows = Dedup.queries("q_dedup_exact")(spark, dir)
