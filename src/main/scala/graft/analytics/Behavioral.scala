@@ -128,6 +128,28 @@ object Behavioral {
         .orderBy(col("event_type"))
     }),
 
+    // Event-type transition matrix (first-order Markov statistics):
+    // per-user next-event pairs via lead() over (ts, event_id) —
+    // event_id breaks timestamp ties deterministically — then global
+    // transition counts and conditional probabilities (exact integer
+    // division). One shuffle on user_id for the window, one tiny agg;
+    // the |types|² matrix is broadcast-scale at any corpus size.
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+      pairs.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       // Snapshot deliberately misses every 7th key so the change batch
       // produces genuine inserts alongside updates and keeps.
@@ -197,6 +219,18 @@ object Behavioral {
         |    > 9.0 * m.variance THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         |FROM events e JOIN m ON e.event_type = m.event_type
         |GROUP BY e.event_type, m.n, m.mean ORDER BY e.event_type""".stripMargin,
+    "q_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n AS DOUBLE) / t.n_from AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "q_merge_upsert" ->
       """WITH snap AS (SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |              FROM customer WHERE c_custkey % 7 <> 0),

@@ -75,6 +75,21 @@ object WindowsSetsScalars {
       hi.unionByName(lo).orderBy(col("o_orderkey"), col("bucket"))
     }),
 
+    // Schema-evolution union: two snapshots whose schemas drifted
+    // (columns added/dropped between corpus versions) merged with
+    // unionByName(allowMissingColumns) — absent columns null-fill.
+    // THE ingestion op for long-lived datasets: parquet snapshots
+    // never all share one schema. Map-only (no shuffle but the sort).
+    "q_union_evolve" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val v1 = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("total"))
+      val v2 = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").as("key"),
+          col("o_orderpriority").as("prio"))
+      v1.unionByName(v2, allowMissingColumns = true).orderBy(col("key"))
+    }),
+
     "q_except" -> ((s, dir) => {
       val custs = Tables(s, dir, "customer").select(col("c_custkey").as("key"))
       val active = Tables(s, dir, "orders")
@@ -186,6 +201,13 @@ object WindowsSetsScalars {
         |UNION ALL
         |SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 5000
         |ORDER BY o_orderkey, bucket""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT o_orderkey AS key, o_totalprice AS total FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey AS key, o_orderpriority AS prio FROM orders
+        |WHERE o_orderkey % 2 = 1
+        |ORDER BY key""".stripMargin,
     "q_except" ->
       """SELECT c_custkey AS key FROM customer
         |EXCEPT

@@ -27,6 +27,27 @@ class BehavioralSpec extends AnyFunSuite with SparkSpec {
     assert(p > 0)
   }
 
+  test("transition matrix rows are proper conditional distributions") {
+    val rows = Behavioral.queries("q_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9)  // P(·|from) sums to 1
+    }
+    // pair count conservation: transitions = events - distinct users
+    val ev = graft.Tables(spark, dir, "events")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected)
+  }
+
+  test("schema-evolution union null-fills exactly the absent columns") {
+    val out = graft.analytics.WindowsSetsScalars.queries("q_union_evolve")(spark, dir)
+    val n = graft.Tables(spark, dir, "orders").count()
+    assert(out.count() == n)
+    assert(out.columns.toSeq == Seq("key", "total", "prio"))
+    assert(out.where(out("total").isNull === out("prio").isNull).count() == 0)
+  }
+
   test("merge emits all three actions and inserts exactly the missing keys") {
     val rows = Behavioral.queries("q_merge_upsert")(spark, dir)
       .select("key", "action").collect()
