@@ -154,6 +154,34 @@ object Relational {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey")).offset(100).limit(50)),
 
+    // Data-profiling: per-column health stats (row/non-null/distinct
+    // counts, min/max) in long form — the "describe the table before
+    // trusting it" op every ingest pipeline runs first. ONE pass over
+    // the scan computes every column's stats (Spark plans the multi-
+    // distinct agg via Expand — rows × columns, map-side combined);
+    // the long-form pivot is a literal stack over the 1-row result.
+    // Columns chosen are int/string so min/max stringify identically
+    // across engines (doubles would hit formatting drift).
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          count_distinct(col(c)).as(s"${c}_d"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val one = Tables(s, dir, "orders")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max").mkString(", ")
+      one.select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stacked) AS (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+        .orderBy(col("col_name"))
+    }),
+
     // S3: fixed-size batch numbering (BATCH_SIZE=100 in the reference).
     // Global row numbers WITHOUT a single-partition window: range-
     // partition on the key, rank within each partition in parallel,
@@ -184,6 +212,16 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_count_total" -> "SELECT count(*) AS cnt FROM lineitem",
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull, count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_max_date" ->
       "SELECT max(o_orderdate) AS max_date, min(o_orderdate) AS min_date FROM orders",
     "q_overview_limit" ->

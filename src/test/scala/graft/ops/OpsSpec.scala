@@ -221,6 +221,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))         // full containment, only pair
   }
 
+  test("profile: count invariants hold, key column is unique") {
+    val rows = graft.analytics.Relational.queries("q_profile")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 4)
+    rows.values.foreach { case (n, nn, nNull, d) =>
+      assert(nn + nNull == n && d <= nn)
+    }
+    val (n, nn, _, d) = rows("o_orderkey")
+    assert(d == nn && nn == n)                // primary key: unique, no nulls
+  }
+
   test("moments agree with Spark's built-in variance/skewness/kurtosis") {
     val dir = "/root/testdata/sf0.001"
     val ours = graft.analytics.Extras.queries("q_moments")(spark, dir)
