@@ -120,6 +120,18 @@ object Relational {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // grouping_id()/grouping() over a cube — how BI layers tell
+    // subtotal rows from genuine NULL group values (the reference's
+    // dashboard "All" rows). Same one-shuffle Expand as q_cube.
+    "q_grouping_id" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"),
+          grouping(col("o_orderstatus")).as("g_status"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // P1: projection + rename, pruned into the scan.
     "q_project_rename" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -270,6 +282,13 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_project_rename" ->
       """SELECT o_orderkey AS id, o_orderdate AS order_ts, o_totalprice AS amount,
         |  o_orderpriority AS priority
