@@ -98,6 +98,23 @@ object Temporal {
       graft.streaming.Streams.enrichToTable(s, dir, "stream_enrich_sink")
         .orderBy(col("c_mktsegment"))),
 
+    // EXECUTES on the streaming engine: per-user flatMapGroupsWithState
+    // emits consecutive event-type pairs (O(1) state/user — the
+    // unbounded-stream form of the batch lead() window); counts +
+    // exact conditional probabilities aggregate the drained pairs.
+    // Shares q_transitions' oracle — streaming and batch cannot drift.
+    "q_stream_transitions" -> ((s, dir) => {
+      val wFrom = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      graft.streaming.Streams
+        .transitionsToTable(s, dir, "stream_trans_sink")
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(wFrom)).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -137,6 +154,18 @@ object Temporal {
         |  SELECT user_id, event_id, event_type, ts,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_stream_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n AS DOUBLE) / t.n_from AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "q_stream_enrich" ->
       """SELECT c.c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -7,6 +7,8 @@ import graft.util.Exact._
 
 case class UserTotal(user_id: Long, n: Long)
 
+case class TransPair(from_type: String, to_type: String)
+
 case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
     sess_end: java.sql.Timestamp, n: Long)
 
@@ -279,6 +281,40 @@ object Streams {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(keptDir)
+  }
+
+  /** Streaming event-transition pairs — the stateful-streaming form of
+    * q_transitions: per-user keyed state carries the LAST event type
+    * across micro-batches, each batch's rows are ordered (ts,
+    * event_id) inside the group (micro-batch iterators arrive in
+    * partition order, not time order — the sort is the operator's
+    * job), and every consecutive pair is emitted. State is O(1) per
+    * user forever — this is the pattern for computing sequence
+    * statistics over an unbounded stream, where the batch lead()
+    * window would need the whole history. Emitted pairs equal the
+    * batch window form row-for-row (asserted in StreamingSpec), so
+    * q_stream_transitions shares q_transitions' oracle.
+    */
+  def transitionsToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val pairs = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[String]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          val types = state.getOption.toSeq ++ sorted.map(_._4)
+          if (sorted.nonEmpty) state.update(sorted.last._4)
+          types.sliding(2).collect { case Seq(a, b) => TransPair(a, b) }
+      }
+    val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
   }
 
   /** Custom keyed state via mapGroupsWithState: per-user running event

@@ -51,6 +51,14 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("flatMapGroupsWithState transitions == batch lead() window") {
+    val stream = Temporal.queries("q_stream_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.analytics.Behavioral.queries("q_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("foreachBatch incremental dedup: one survivor per text across micro-batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("incdedup").toString
