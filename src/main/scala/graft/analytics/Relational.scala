@@ -120,6 +120,43 @@ object Relational {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // Gaps-and-islands on sparse IDs: the missing o_orderkey ranges
+    // (TPC-H orderkeys are sparse by design — the data-quality scan
+    // that finds lost batches). Scale-safe: successors come from a
+    // lead() WITHIN hash-bucket partitions (keyspace/B buckets), and
+    // only the per-bucket (min, max) summary — bounded by the bucket
+    // count, thousands of rows at any corpus size with B sized to the
+    // keyspace — crosses buckets through a global-window stitch
+    // (ContractSpec-exempt with this bound; at larger keyspaces the
+    // stitch recurses on the summary instead). Same gap list as a
+    // global lead() at any scale.
+    "q_sequence_gaps" -> ((s, dir) => {
+      val B = 4000
+      // the synthetic orderkeys are dense (unlike TPC-H's 4-of-32
+      // sparsity), so a deterministic knockout recreates the sparse-
+      // keyspace shape the scan exists for — both engines apply it
+      val keys = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("key")).distinct()
+        .where(col("key") % 7 =!= 0 && col("key") % 11 =!= 0)
+        .withColumn("bucket", floor(col("key") / B))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("key"))
+      val inner = keys
+        .withColumn("nk", lead(col("key"), 1).over(wIn))
+        .where(col("nk") > col("key") + 1)
+        .select((col("key") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"))
+      val summary = keys.groupBy(col("bucket"))
+        .agg(min(col("key")).as("mn"), max(col("key")).as("mx"))
+      val wB = Window.orderBy(col("bucket"))
+      val boundary = summary
+        .withColumn("next_mn", lead(col("mn"), 1).over(wB))
+        .where(col("next_mn") > col("mx") + 1)
+        .select((col("mx") + 1).as("gap_start"), (col("next_mn") - 1).as("gap_end"))
+      inner.unionByName(boundary)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+        .orderBy(col("gap_start"))
+    }),
+
     // grouping_id()/grouping() over a cube — how BI layers tell
     // subtotal rows from genuine NULL group values (the reference's
     // dashboard "All" rows). Same one-shuffle Expand as q_cube.
@@ -282,6 +319,13 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_sequence_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
+        |g AS (SELECT key, lead(key) OVER (ORDER BY key) AS nk FROM k)
+        |SELECT key + 1 AS gap_start, nk - 1 AS gap_end,
+        |  nk - key - 1 AS gap_len
+        |FROM g WHERE nk > key + 1 ORDER BY gap_start""".stripMargin,
     "q_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -40,7 +40,10 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // at the use site: q_topk_other ranks ≤ brand-cardinality (~25)
     // pre-aggregated rows; q_batch_number prefix-sums one row per
     // shuffle partition (≤ defaultParallelism).
-    val boundedGlobalWindow = Set("q_topk_other", "q_batch_number")
+    // q_sequence_gaps' global window runs over the per-bucket summary
+    // (keyspace/B rows), not the data — see its scaladoc bound.
+    val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
+      "q_sequence_gaps")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)

@@ -221,6 +221,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == Seq((0L, 1L, 1.0)))         // full containment, only pair
   }
 
+  test("sequence gaps: every missing key is covered by exactly one gap") {
+    val dir = "/root/testdata/sf0.001"
+    val gaps = graft.analytics.Relational.queries("q_sequence_gaps")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gaps.nonEmpty)
+    assert(gaps.forall { case (s0, e, l) => s0 <= e && l == e - s0 + 1 })
+    // rebuild the kept keyset locally and check exact coverage
+    val kept = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey")).distinct()
+      .collect().map(_.getLong(0)).filter(k => k % 7 != 0 && k % 11 != 0).sorted
+    val missing = (kept.min to kept.max).toSet -- kept.toSet
+    val covered = gaps.flatMap { case (s0, e, _) => s0 to e }.toSeq
+    assert(covered.distinct.size == covered.size)      // gaps never overlap
+    assert(covered.toSet == missing)                   // exact coverage
+  }
+
   test("profile: count invariants hold, key column is unique") {
     val rows = graft.analytics.Relational.queries("q_profile")(
         spark, "/root/testdata/sf0.001")
