@@ -203,6 +203,21 @@ object Relational {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey")).offset(100).limit(50)),
 
+    // Deterministic mode per group — NOT the built-in mode() (whose
+    // tie-breaking is engine-defined): highest count wins, ties break
+    // to the smallest value, expressed as a min_by over (−cnt, value)
+    // — two partial+final aggregates, no window sort.
+    "q_mode" -> ((s, dir) => {
+      val counts = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_orderstatus"),
+            struct(negate(col("cnt")), col("o_orderstatus"))).as("mode_status"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Data-profiling: per-column health stats (row/non-null/distinct
     // counts, min/max) in long form — the "describe the table before
     // trusting it" op every ingest pipeline runs first. ONE pass over
@@ -319,6 +334,15 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, o_orderstatus, cnt,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cnt DESC, o_orderstatus) AS rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status,
+        |  CAST(cnt AS BIGINT) AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
     "q_sequence_gaps" ->
       """WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders
         |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0),
