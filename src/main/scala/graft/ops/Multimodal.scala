@@ -89,7 +89,29 @@ object Multimodal {
     // Full binary → batched-decode → features pipeline (stub decode;
     // no SQL oracle — rows-only check + MultimodalSpec assertions).
     "q_multimodal_features" -> ((s, dir) =>
-      extractFeatures(asMedia(s, dir)).toDF().orderBy(col("doc_id")))
+      extractFeatures(asMedia(s, dir)).toDF().orderBy(col("doc_id"))),
+
+    // Decode-batch packing: group media into fixed byte-budget
+    // batches (8 KB) per source so downstream decode workers get
+    // even-sized units of work — the scheduling pass that runs BEFORE
+    // extractFeatures at scale (decode cost tracks bytes, not rows,
+    // so row-count batches starve or blow up workers). Same exact
+    // running-cumsum shape as q_pack_sequences: one window per
+    // source partition over byte lengths — the payload itself never
+    // moves, only (id, length).
+    "q_multimodal_pack" -> ((s, dir) => {
+      val budget = 8192L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("batch",
+          floor((sum(col("n_bytes")).over(w) - col("n_bytes")) / budget))
+        .groupBy(col("source"), col("batch"))
+        .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("batch_bytes"))
+        .orderBy(col("source"), col("batch"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,6 +122,17 @@ object Multimodal {
         |ORDER BY doc_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |b AS (SELECT source, doc_id, n_bytes,
+        |    CAST(floor((sum(n_bytes) OVER (PARTITION BY source
+        |      ORDER BY doc_id) - n_bytes) / 8192) AS BIGINT) AS batch
+        |  FROM t)
+        |SELECT source, batch, count(*) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS batch_bytes
+        |FROM b GROUP BY source, batch
+        |ORDER BY source, batch""".stripMargin
   )
 }

@@ -412,6 +412,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.values.forall(p => p >= 1.0 && !p.isNaN))
   }
 
+  test("multimodal pack: batches are contiguous, conserve items, respect the budget") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.queries("q_multimodal_pack")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables(spark, dir, "documents")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxItem = docs.agg(max(length(col("text")))).head().getInt(0)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._3).sum == perSource(src))            // items conserved
+      assert(g.map(_._2).sorted.toSeq == (0L until g.size.toLong)) // contiguous ids
+      assert(g.forall(_._4 < 8192L + maxItem))             // budget + one item max
+    }
+  }
+
   test("multimodal feature extraction: batched stub decode is faithful") {
     import spark.implicits._
     val media = Seq((1L, "hello world"), (2L, ""))
