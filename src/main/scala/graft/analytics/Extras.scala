@@ -225,6 +225,35 @@ object Extras {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Pearson correlation + population covariance per group — like
+    // q_moments, derived from exact integer-cent cross sums rather
+    // than the built-in corr()/covar_pop() (engine-defined merge
+    // order): Σx, Σy, Σxy, Σx², Σy² all fit DECIMAL(38,0) exactly in
+    // cents, the closed-form runs in identical double op order, corr
+    // is scale-invariant so cents need no rescale, covariance divides
+    // back to dollar² at the end. round(6) absorbs sqrt() ulp.
+    "q_correlation" -> ((s, dir) => {
+      val xc = (dec(col("l_quantity")) * 100).cast("decimal(38,0)")
+      val yc = (dec(col("l_extendedprice")) * 100).cast("decimal(38,0)")
+      val t = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), xc.as("x"), yc.as("y"))
+      def d(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+      val agg = t.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d(col("x")).as("sx"), d(col("y")).as("sy"),
+          d(col("x") * col("y")).as("sxy"),
+          d(col("x") * col("x")).as("sxx"),
+          d(col("y") * col("y")).as("syy"))
+      val cov = (col("sxy") - col("sx") * col("sy") / col("n")) / col("n")
+      val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n") * col("syy") - col("sy") * col("sy")))
+      agg.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(cov / lit(10000.0), 6).as("covar"),
+          round(corr, 6).as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Forward-fill over a generated (group × day) grid — the
     // time-series gap-repair idiom (`last_value IGNORE NULLS`): days
     // with no orders inherit the most recent observed daily total;
@@ -395,6 +424,23 @@ object Extras {
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
         |    AS kurtosis
         |FROM ag ORDER BY o_orderpriority""".stripMargin,
+    "q_correlation" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS y
+        |  FROM lineitem),
+        |ag AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(((sxy - sx * sy / n) / n) / 10000.0, 6) AS covar,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM ag ORDER BY l_returnflag""".stripMargin,
     "q_gap_fill" ->
       """WITH days AS (
         |  SELECT CAST(unnest(generate_series(DATE '1995-03-01',

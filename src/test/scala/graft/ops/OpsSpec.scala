@@ -250,6 +250,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(d == nn && nn == n)                // primary key: unique, no nulls
   }
 
+  test("correlation agrees with Spark's built-in corr/covar_pop") {
+    val dir = "/root/testdata/sf0.001"
+    val ours = graft.analytics.Extras.queries("q_correlation")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = graft.Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice")),
+        corr(col("l_quantity"), col("l_extendedprice")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (k, (cv, cr)) =>
+      val (rcv, rcr) = ref(k)
+      assert(math.abs(cv - rcv) / math.abs(rcv) < 1e-6)
+      assert(math.abs(cr - rcr) < 1e-6)
+      // (no sign assertion: the synthetic generator draws quantity and
+      // extendedprice independently, unlike real TPC-H)
+      assert(cr.abs <= 1.0)
+    }
+  }
+
   test("moments agree with Spark's built-in variance/skewness/kurtosis") {
     val dir = "/root/testdata/sf0.001"
     val ours = graft.analytics.Extras.queries("q_moments")(spark, dir)
