@@ -225,6 +225,32 @@ object Extras {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Exact rolling median over a trailing 7-row window of DAILY
+    // PARTIALS — the robust-smoothing counterpart of a moving average.
+    // Facts collapse to (group, day) decimal-exact totals FIRST, so
+    // the median window runs over the calendar-bounded grid, never
+    // the fact table (the same discipline as q_gap_fill). Spark
+    // forbids median() with a window frame, so the median is spelled
+    // out: collect the ≤7-element frame, sort, take the middle (mean
+    // of the two middles when even — one addition and halving,
+    // identical in both engines, matching DuckDB's framed median()).
+    "q_rolling_median" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("date").as("day"))
+        .agg(moneySum(col("o_totalprice")).as("total"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      val arr = array_sort(collect_list(col("total")).over(w))
+      val n = size(arr)
+      val med = when(n % 2 === 1,
+          element_at(arr, floor((n + 1) / 2).cast("int")))
+        .otherwise((element_at(arr, floor(n / 2).cast("int")) +
+          element_at(arr, floor(n / 2).cast("int") + 1)) / 2.0)
+      daily.select(col("prio"), col("day"), round(med, 6).as("med7"))
+        .orderBy(col("prio"), col("day"))
+    }),
+
     // Pearson correlation + population covariance per group — like
     // q_moments, derived from exact integer-cent cross sums rather
     // than the built-in corr()/covar_pop() (engine-defined merge
@@ -424,6 +450,15 @@ object Extras {
         |    / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
         |    AS kurtosis
         |FROM ag ORDER BY o_orderpriority""".stripMargin,
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, day,
+        |  round(median(total) OVER (PARTITION BY prio ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+        |FROM daily ORDER BY prio, day""".stripMargin,
     "q_correlation" ->
       """WITH c AS (SELECT l_returnflag,
         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,

@@ -250,6 +250,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(d == nn && nn == n)                // primary key: unique, no nulls
   }
 
+  test("rolling median equals a local replay of the trailing-7 frame") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.analytics.Extras.queries("q_rolling_median")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // independent daily totals (decimal-exact, same as the query's
+    // first stage) replayed through a local sliding-median
+    val daily = graft.Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("day"))
+      .agg(graft.util.Exact.moneySum(col("o_totalprice")).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      val n = s0.size
+      if (n % 2 == 1) s0(n / 2) else (s0(n / 2 - 1) + s0(n / 2)) / 2.0
+    }
+    val expected = daily.groupBy(_._1).flatMap { case (p, g) =>
+      val days = g.sortBy(_._2)
+      days.indices.map { i =>
+        val frame = days.slice(math.max(0, i - 6), i + 1).map(_._3)
+        (p, days(i)._2, BigDecimal(medianOf(frame))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    assert(rows.toSet == expected)
+  }
+
   test("correlation agrees with Spark's built-in corr/covar_pop") {
     val dir = "/root/testdata/sf0.001"
     val ours = graft.analytics.Extras.queries("q_correlation")(spark, dir)
