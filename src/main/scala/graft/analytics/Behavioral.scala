@@ -150,6 +150,59 @@ object Behavioral {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // Sweep-line peak concurrency: events become [ts, ts+10min)
+    // intervals; ±1 deltas collapse per distinct instant FIRST (so the
+    // running sum is tie-order-free — intermediate values inside an
+    // instant never exist), then one cumulative window per event_type
+    // yields the concurrency curve; its max and first argmax come from
+    // a second frame-free window over the same partition (one shuffle
+    // total). Half-open semantics: an interval ending at t no longer
+    // counts at t, which the per-instant net (starts − ends) encodes
+    // exactly. 100 TB: deltas aggregate to ≤2 rows per distinct
+    // instant per type before the window; the per-type sweep is
+    // inherently sequential — with billions of instants per type the
+    // production form buckets by day and stitches boundary offsets
+    // (the q_sequence_gaps pattern).
+    "q_interval_overlap" -> ((s, dir) => {
+      val iv = Tables(s, dir, "events")
+        .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+        .withColumn("e_us", col("us") + lit(600L * 1000000L))
+      val deltas = iv.select(col("event_type"), col("us").as("t"), lit(1L).as("d"))
+        .unionAll(iv.select(col("event_type"), col("e_us").as("t"), lit(-1L).as("d")))
+      val net = deltas.groupBy(col("event_type"), col("t"))
+        .agg(sum(col("d")).as("net"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      net.withColumn("cur", sum(col("net")).over(wRun))
+        .withColumn("peak", max(col("cur")).over(wAll))
+        .where(col("cur") === col("peak"))
+        .groupBy(col("event_type"))
+        .agg(max(col("cur")).as("peak"), min(col("t")).as("peak_at_us"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SCD type-2 dimension build from an event log: consecutive
+    // repeats of the tracked attribute collapse (lag() change filter),
+    // each surviving change opens a version row whose validity closes
+    // at the next change (lead() on the filtered frame) — NULL
+    // valid_to marks the current version. Two windows, both on the
+    // user_id partition, so the whole build is one shuffle on the
+    // natural key; version counts are bounded by the change count, not
+    // the event count.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ch = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      ch.withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     "q_merge_upsert" -> ((s, dir) => {
       // Snapshot deliberately misses every 7th key so the change batch
       // produces genuine inserts alongside updates and keeps.
@@ -231,6 +284,33 @@ object Behavioral {
         |  CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts) AS us,
+        |    epoch_us(ts) + 600000000 AS e_us FROM events),
+        |d AS (SELECT event_type, us AS t, 1 AS d FROM iv
+        |      UNION ALL SELECT event_type, e_us AS t, -1 AS d FROM iv),
+        |n AS (SELECT event_type, t, sum(d) AS net FROM d GROUP BY 1, 2),
+        |c AS (SELECT event_type, t, sum(net) OVER (PARTITION BY event_type
+        |        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS cur FROM n),
+        |p AS (SELECT event_type, t, cur,
+        |        max(cur) OVER (PARTITION BY event_type) AS peak FROM c)
+        |SELECT event_type, CAST(max(cur) AS BIGINT) AS peak,
+        |  min(t) AS peak_at_us
+        |FROM p WHERE cur = peak GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q_merge_upsert" ->
       """WITH snap AS (SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
         |              FROM customer WHERE c_custkey % 7 <> 0),

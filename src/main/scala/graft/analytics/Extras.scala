@@ -387,7 +387,92 @@ object Extras {
           round(element_at(col("qs"), 1), 4).as("p50"),
           round(element_at(col("qs"), 2), 4).as("p90"),
           round(element_at(col("qs"), 3), 4).as("p99"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Per-group OLS regression (y = extendedprice on x = quantity) from
+    // exact integer-cent sums — the q_correlation discipline extended
+    // to the regression triple: Σx, Σy, Σxy, Σx², Σy² accumulate in
+    // DECIMAL(38,0) (order-free), then slope/intercept/R² derive in
+    // identical double formula order in both engines. Slope is a
+    // cents/cents ratio (scale-invariant), the intercept rescales once
+    // at the end, R² is the squared correlation. One partial+final
+    // aggregate — no second pass, no window.
+    "q_regression" -> ((s, dir) => {
+      val xc = (dec(col("l_quantity")) * 100).cast("decimal(38,0)")
+      val yc = (dec(col("l_extendedprice")) * 100).cast("decimal(38,0)")
+      val t = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), xc.as("x"), yc.as("y"))
+      def d(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+      val agg = t.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d(col("x")).as("sx"), d(col("y")).as("sy"),
+          d(col("x") * col("y")).as("sxy"),
+          d(col("x") * col("x")).as("sxx"),
+          d(col("y") * col("y")).as("syy"))
+      val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      val cxx = col("n") * col("sxx") - col("sx") * col("sx")
+      val cyy = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = cxy / cxx
+      agg.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(slope, 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n") / lit(100.0), 6)
+            .as("intercept"),
+          round(cxy * cxy / (cxx * cyy), 6).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // IQR-fence outlier counts per group. Exactness: quartiles are
+    // computed over integer CENTS, where linear interpolation at
+    // f ∈ {.25,.75} is exact in double (k/4 × integer spacing adds two
+    // mantissa bits), so `a + f·(b−a)` and `(1−f)·a + f·b` give the
+    // SAME double in any engine — no ulp drift for the fence
+    // comparison to trip over. Two passes: a 5-row quartile aggregate
+    // broadcast back, then a map-side flag+count.
+    "q_outlier_iqr" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice")) * 100).cast("double")
+      val t = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), cents.as("x"))
+      val qs = t.groupBy(col("prio"))
+        .agg(expr("percentile(x, array(0.25D, 0.75D))").as("q"))
+        .select(col("prio"), element_at(col("q"), 1).as("q1"),
+          element_at(col("q"), 2).as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+        .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+      t.join(broadcast(qs), "prio")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("q1")) / lit(100.0), 2).as("q1"),
+          round(first(col("q3")) / lit(100.0), 2).as("q3"),
+          sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("prio"))
+    }),
+
+    // Discrete percentiles (the value AT rank ⌈p·n⌉, no interpolation)
+    // per group, computed scale-aware: one within-group sort window
+    // (row_number + count over the same partition) and a rank filter —
+    // never a per-group collect. Equal values make the row_number
+    // tie-break immaterial: whichever duplicate wins the rank, the
+    // VALUE emitted is the same.
+    "q_percentile_disc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("prio")).orderBy(col("x"))
+      val wc = Window.partitionBy(col("prio"))
+      val ranked = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          dec(col("o_totalprice")).as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+      // one window pass for all three percentiles: each row emits the
+      // p-values whose rank it holds (a rank can serve several p's in
+      // tiny groups, hence explode rather than three filtered scans)
+      ranked
+        .select(col("prio"), col("x"),
+          explode(expr(
+            "filter(array(0.25D, 0.5D, 0.9D), p -> ceil(p * n) = rn)")).as("p"))
+        .select(col("prio"), col("p"), col("x").cast("double").as("value"))
+        .orderBy(col("prio"), col("p"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -573,6 +658,49 @@ object Extras {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_regression" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS y
+        |  FROM lineitem),
+        |ag AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100.0, 6)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM ag ORDER BY l_returnflag""".stripMargin,
+    "q_outlier_iqr" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS x
+        |  FROM orders),
+        |q AS (SELECT prio, quantile_cont(x, 0.25) AS q1,
+        |    quantile_cont(x, 0.75) AS q3 FROM t GROUP BY prio),
+        |f AS (SELECT prio, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT t.prio, count(*) AS n,
+        |  round(f.q1 / 100.0, 2) AS q1, round(f.q3 / 100.0, 2) AS q3,
+        |  CAST(sum(CASE WHEN t.x < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN t.x > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM t JOIN f USING (prio)
+        |GROUP BY t.prio, f.q1, f.q3 ORDER BY t.prio""".stripMargin,
+    "q_percentile_disc" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders),
+        |r AS (SELECT prio, x,
+        |    row_number() OVER (PARTITION BY prio ORDER BY x) AS rn,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM t),
+        |p AS (SELECT unnest(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS p)
+        |SELECT r.prio, p.p, CAST(r.x AS DOUBLE) AS value
+        |FROM r JOIN p ON ceil(p.p * r.n) = r.rn
+        |ORDER BY prio, p""".stripMargin
   )
 }

@@ -115,6 +115,23 @@ object Temporal {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // EXECUTES on the streaming engine: per-user O(1)-state strict-
+    // order funnel (Streams.funnelToTable); the drained per-user flag
+    // rows OR per user (flags are monotone across batches) and count
+    // into the same 1-row summary as batch q_funnel, whose oracle this
+    // shares — streaming and batch funnels cannot drift.
+    "q_stream_funnel" -> ((s, dir) => {
+      val per = graft.streaming.Streams
+        .funnelToTable(s, dir, "stream_funnel_sink")
+        .groupBy(col("user_id"))
+        .agg(expr("bool_or(has_view)").as("v"),
+          expr("bool_or(has_click)").as("c"),
+          expr("bool_or(has_purchase)").as("p"))
+      per.agg(sum(when(col("v"), 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_purchase"))
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -192,6 +209,18 @@ object Temporal {
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q_stream_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
     // Gaps-and-islands reconstruction of Spark's session_window: a new
     // session starts when the gap since the previous event is STRICTLY
     // > 30min (an event at exactly prev+gap still merges — probed

@@ -80,6 +80,40 @@ object TemporalJoins {
         .select(col("id1"), col("id2"),
           ((col("us2") - col("us1")) / lit(1000000.0)).as("diff_s"))
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Interval-OVERLAP join (two interval sets, `aS < bE AND bS < aE`)
+    // — the third temporal-join shape after as-of (top-1 backward) and
+    // range (point band). Views and purchases become [ts, ts+20min)
+    // intervals per user; equal interval length L means overlapping
+    // pairs start within L of each other, so bucketing both sides by
+    // L and replicating ONE side to its adjacent buckets makes it an
+    // equi-join on (user, bucket) — each qualifying pair shares
+    // exactly one (own-bucket, exploded-bucket) combination, no dedup
+    // — with the exact half-open predicate re-checked after. Variable-
+    // length intervals at scale: bucket by a chosen L, replicate
+    // ⌈len/L⌉+1 buckets per row (the q_range_join generalization).
+    "q_interval_join" -> ((s, dir) => {
+      val L = 1200L * 1000000L // 20 min in µs
+      val ev = Tables(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          expr("unix_micros(ts)").as("vs"),
+          expr(s"unix_micros(ts) + ${L}").as("ve"),
+          expr(s"unix_micros(ts) div ${L}").as("b"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"),
+          expr("unix_micros(ts)").as("bs"),
+          expr(s"unix_micros(ts) + ${L}").as("be"),
+          expr(s"unix_micros(ts) div ${L}").as("b0"))
+        .select(col("buy_id"), col("user_id"), col("bs"), col("be"),
+          explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"))
+      views.join(buys, Seq("user_id", "b"))
+        .where(col("vs") < col("be") && col("bs") < col("ve"))
+        .select(col("view_id"), col("buy_id"),
+          ((least(col("ve"), col("be")) - greatest(col("vs"), col("bs"))) /
+            lit(1000000.0)).as("overlap_s"))
+        .orderBy(col("view_id"), col("buy_id"))
     })
   )
 
@@ -108,6 +142,18 @@ object TemporalJoins {
         |FROM events a JOIN events b
         |  ON a.event_id < b.event_id
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+    "q_interval_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vs,
+        |    epoch_us(ts) + 1200000000 AS ve FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (SELECT event_id AS buy_id, user_id, epoch_us(ts) AS bs,
+        |    epoch_us(ts) + 1200000000 AS be FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.view_id, b.buy_id,
+        |  (least(v.ve, b.be) - greatest(v.vs, b.bs)) / 1000000.0 AS overlap_s
+        |FROM v JOIN b ON v.user_id = b.user_id
+        |  AND v.vs < b.be AND b.bs < v.ve
+        |ORDER BY view_id, buy_id""".stripMargin
   )
 }

@@ -9,6 +9,9 @@ case class UserTotal(user_id: Long, n: Long)
 
 case class TransPair(from_type: String, to_type: String)
 
+case class FunnelProbe(user_id: Long, has_view: Boolean,
+    has_click: Boolean, has_purchase: Boolean)
+
 case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
     sess_end: java.sql.Timestamp, n: Long)
 
@@ -312,6 +315,59 @@ object Streams {
           types.sliding(2).collect { case Seq(a, b) => TransPair(a, b) }
       }
     val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
+  /** Streaming strict-order funnel (view → click → purchase) — the
+    * stateful-streaming form of q_funnel: per-user state is three
+    * optional stage timestamps (first view, first click after that
+    * view, first purchase after that click) — O(1) per user forever,
+    * where the batch form re-aggregates the whole history. Each
+    * batch's rows fold in (ts, event_id) order; the fold is exact
+    * under in-order processing because each stage's candidate events
+    * can only qualify against stage times that are already final
+    * (a future view/click has ts ≥ the current event, so it can never
+    * retroactively lower a min the current event compared against).
+    * Like [[transitionsToTable]], cross-batch correctness assumes
+    * batches arrive in event-time order (AvailableNow drains history
+    * as one batch; continuous operation gates on the watermark).
+    * Emits one presence-flag row per user per batch; flags are
+    * monotone, so the drained table ORs per user before counting.
+    */
+  def funnelToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val probes = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           (Option[Long], Option[Long], Option[Long])]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          var (tv, tc, tp) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          for ((_, ts, _, typ) <- sorted) {
+            val us = micros(ts)
+            typ match {
+              // strict-> at every stage; ties on ts can't qualify
+              case "view" => if (tv.forall(us < _)) tv = Some(us)
+              case "click" =>
+                if (tv.exists(us > _) && tc.forall(us < _)) tc = Some(us)
+              case "purchase" =>
+                if (tc.exists(us > _) && tp.forall(us < _)) tp = Some(us)
+              case _ =>
+            }
+          }
+          state.update((tv, tc, tp))
+          Iterator.single(FunnelProbe(user, tv.isDefined, tc.isDefined, tp.isDefined))
+      }
+    val q = probes.toDF().writeStream.outputMode("append")
       .format("memory").queryName(table).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(table)

@@ -59,6 +59,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("stateful streaming funnel == batch q_funnel counts") {
+    val stream = Temporal.queries("q_stream_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.analytics.Behavioral.queries("q_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch)
+    // the funnel must be strictly narrowing and non-trivial on testdata
+    val (v, c, p) = stream.head
+    assert(v >= c && c >= p && v > 0)
+  }
+
   test("foreachBatch incremental dedup: one survivor per text across micro-batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("incdedup").toString
