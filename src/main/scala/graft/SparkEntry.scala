@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{Behavioral, CustomAgg, Extras, Joins, Relational, Temporal, TemporalJoins, WindowsSetsScalars}
+import graft.analytics.{Behavioral, CustomAgg, Extras, Joins, Relational, Stats, Temporal, TemporalJoins, WindowsSetsScalars}
 import graft.analytics.Typed
 import graft.ops.{Dedup, Multimodal, Prep, Similarity, Skew, TextAnalysis}
 
@@ -23,6 +23,7 @@ object SparkEntry {
       (Temporal.queries, Temporal.oracles),
       (TemporalJoins.queries, TemporalJoins.oracles),
       (Behavioral.queries, Behavioral.oracles),
+      (Stats.queries, Stats.oracles),
       (CustomAgg.queries, CustomAgg.oracles),
       (Extras.queries, Extras.oracles),
       (Dedup.queries, Dedup.oracles),

@@ -182,6 +182,27 @@ object Behavioral {
         .orderBy(col("event_type"))
     }),
 
+    // Trailing-7-day rolling DISTINCT user counts per event type —
+    // the window-distinct problem Spark (rightly) refuses as a window
+    // function. Scale-shape: facts collapse to distinct (type, user,
+    // day) triples first, each triple explodes to the ≤7 window days
+    // it serves (a constant fanout on the already-collapsed frame,
+    // grid-bounded by a semi-join), and ONE count-distinct aggregate
+    // per (type, window-day) finishes — no per-window recompute, no
+    // fact-sized window partition.
+    "q_rolling_distinct" -> ((s, dir) => {
+      val d = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val grid = d.select(col("day")).distinct()
+      d.select(col("event_type"), col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .join(grid, Seq("day"), "left_semi")
+        .groupBy(col("event_type"), col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // SCD type-2 dimension build from an event log: consecutive
     // repeats of the tracked attribute collapse (lag() change filter),
     // each surviving change opens a version row whose validity closes
@@ -284,6 +305,13 @@ object Behavioral {
         |  CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |g AS (SELECT DISTINCT day FROM d)
+        |SELECT d.event_type, g.day, count(DISTINCT d.user_id) AS n_users
+        |FROM g JOIN d ON d.day BETWEEN g.day - 6 AND g.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_interval_overlap" ->
       """WITH iv AS (SELECT event_type, epoch_us(ts) AS us,
         |    epoch_us(ts) + 600000000 AS e_us FROM events),

@@ -1,0 +1,131 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.util.Exact._
+
+/** Statistical analytics beyond moments/correlation (reference: the
+  * dashboard's aggregate cards generalize to distribution statistics;
+  * cf. README.md:84-96 — the engine carries the full family the
+  * Metabase cards sample from):
+  *
+  *  - q_gini: per-group Gini concentration index. The rank-weighted
+  *    formula G = Σ(2i−n−1)·x_(i) / (n·Σx) needs every element's
+  *    GLOBAL rank within its group, but a fact-sized window partition
+  *    is the q_batch_number scale-killer — so ranks are assembled with
+  *    the bucket-stitch pattern (q_sequence_gaps): value-range buckets
+  *    rank locally (bounded window partitions), a bucket-summary
+  *    window (≤ #buckets rows) prefix-sums the offsets, and
+  *    global rank = offset + local rank. Ties need no tiebreak: equal
+  *    x values make Σ(2i−n−1)x invariant under any tie order.
+  *    Numerator and denominator accumulate in DECIMAL(38,0) cents
+  *    (exact, order-free); the final division runs in identical double
+  *    formula order in both engines.
+  *  - q_chisq_cells: χ² contingency cells for event_type × customer
+  *    segment. Observed counts are one hash aggregate over the
+  *    broadcast-enriched stream; the margins are two tiny re-aggregates
+  *    of the |cells| frame (never the facts) cross-joined back.
+  *    Expected counts and contributions are emitted PER CELL — no
+  *    global double sum exists for engines to disagree on.
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Value-range bucket width for gini rank assembly, in cents. */
+  private val GiniBucketCents = 1000000L // $10k per bucket
+
+  val queries: Map[String, Q] = Map(
+    "q_gini" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice")) * 100).cast("decimal(38,0)")
+      val t = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), cents.as("x"))
+        .withColumn("b", (col("x") / lit(GiniBucketCents)).cast("long"))
+      // local rank inside each (prio, value-bucket) — bounded partition
+      val wLocal = Window.partitionBy(col("prio"), col("b")).orderBy(col("x"))
+      val local = t.withColumn("rl", row_number().over(wLocal))
+      // per-bucket counts → exclusive prefix offsets (window over the
+      // bucket SUMMARY, ≤ #buckets rows per prio)
+      val wBuckets = Window.partitionBy(col("prio")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = t.groupBy(col("prio"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", sum(col("cnt")).over(wBuckets) - col("cnt"))
+        .select(col("prio"), col("b"), col("off"))
+      val totals = t.groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      val ranked = local.join(offsets, Seq("prio", "b"))
+        .join(broadcast(totals), Seq("prio"))
+        .withColumn("i", col("off") + col("rl"))
+      ranked.groupBy(col("prio"))
+        .agg(max(col("n")).as("n"),
+          sum((lit(2L) * col("i") - col("n") - lit(1L))
+            .cast("decimal(38,0)") * col("x")).as("num"),
+          sum(col("x")).as("den"))
+        .select(col("prio"), col("n"),
+          round(col("num").cast("double") /
+            (col("n").cast("double") * col("den").cast("double")), 6).as("gini"))
+        .orderBy(col("prio"))
+    }),
+
+    "q_chisq_cells" -> ((s, dir) => {
+      val dim = broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      // |segments|×|types| rows feeding four consumers (cells + both
+      // margins + total) — cache so the fact join runs once
+      val cells = Tables(s, dir, "events")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("event_type").as("typ"))
+        .agg(count(lit(1)).as("obs"))
+        .cache()
+      val segTot = cells.groupBy(col("seg")).agg(sum(col("obs")).as("seg_tot"))
+      val typTot = cells.groupBy(col("typ")).agg(sum(col("obs")).as("typ_tot"))
+      val total = cells.agg(sum(col("obs")).as("total"))
+      val e = col("seg_tot").cast("double") * col("typ_tot").cast("double") /
+        col("total").cast("double")
+      cells.join(broadcast(segTot), "seg")
+        .join(broadcast(typTot), "typ")
+        .crossJoin(broadcast(total))
+        .withColumn("expected", e)
+        .select(col("seg"), col("typ"), col("obs"),
+          round(col("expected"), 6).as("expected"),
+          round((col("obs").cast("double") - col("expected")) *
+            (col("obs").cast("double") - col("expected")) / col("expected"), 6)
+            .as("contrib"))
+        .orderBy(col("seg"), col("typ"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Plain per-group rank formulation — Σ(2i−n−1)x is tie-order
+    // invariant, so the bucket-stitched ranks agree exactly.
+    "q_gini" ->
+      """WITH c AS (SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x
+        |  FROM orders),
+        |r AS (SELECT prio, x,
+        |    row_number() OVER (PARTITION BY prio ORDER BY x) AS i,
+        |    count(*) OVER (PARTITION BY prio) AS n FROM c)
+        |SELECT prio, CAST(max(n) AS BIGINT) AS n,
+        |  round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE) /
+        |    (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+        |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
+    "q_chisq_cells" ->
+      """WITH cells AS (SELECT c.c_mktsegment AS seg, e.event_type AS typ,
+        |    count(*) AS obs
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  GROUP BY 1, 2),
+        |st AS (SELECT seg, sum(obs) AS seg_tot FROM cells GROUP BY seg),
+        |tt AS (SELECT typ, sum(obs) AS typ_tot FROM cells GROUP BY typ),
+        |n AS (SELECT sum(obs) AS total FROM cells),
+        |x AS (SELECT cells.seg, cells.typ, cells.obs,
+        |    CAST(st.seg_tot AS DOUBLE) * CAST(tt.typ_tot AS DOUBLE)
+        |      / CAST(n.total AS DOUBLE) AS expected
+        |  FROM cells JOIN st USING (seg) JOIN tt USING (typ) CROSS JOIN n)
+        |SELECT seg, typ, CAST(obs AS BIGINT) AS obs,
+        |  round(expected, 6) AS expected,
+        |  round((CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected)
+        |    / expected, 6) AS contrib
+        |FROM x ORDER BY seg, typ""".stripMargin
+  )
+}

@@ -326,6 +326,24 @@ object Dedup {
       jaccardPairs(Tables(s, dir, "documents"), 0.6)
         .orderBy(col("doc1"), col("doc2"))),
 
+    // Triangle count over the near-dup graph — the clustering-
+    // coefficient primitive for auditing how clique-like near-dup
+    // neighborhoods are (transitive similarity ⇒ safe to collapse a
+    // whole component to one survivor; sparse triangles ⇒ chains of
+    // borderline pairs stitched through hubs). Canonical a<b<c edges
+    // make each triangle one (a,b)⋈(b,c) wedge closed by an (a,c)
+    // edge — two joins on the PAIR LIST (the similarity join's small
+    // output, cached once), never the corpus. At web scale the
+    // standard refinement is compact-forward: orient edges low-degree
+    // → high-degree so wedge generation is bounded by Σ min-degree².
+    "q_triangles" -> ((s, dir) => {
+      val e = jaccardPairs(Tables(s, dir, "documents"), 0.6)
+        .select(col("doc1").as("a"), col("doc2").as("b")).cache()
+      val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // Prefix-filtered exact Jaccard (PPJoin's candidate pruning): the
     // SAME pairs as q_ngram_jaccard (identical oracle — this query is
     // the optimization, not a new semantic), but candidates are
@@ -823,6 +841,18 @@ object Dedup {
          |FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
          |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6
          |ORDER BY doc1, doc2""".stripMargin,
+    "q_triangles" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |e AS (SELECT doc1 AS a, doc2 AS b
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6)
+         |SELECT count(*) AS n_triangles
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     // Same answer as q_ngram_jaccard by construction — the prefix
     // filter is a candidate-pruning optimization, so the oracle IS
     // the unpruned computation.
