@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 150+ queries of whole-stage codegen in one JVM: the JDK17 default
+  // 240m code cache forces JIT sweeps/deopt storms late in long runs
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

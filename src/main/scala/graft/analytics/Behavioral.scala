@@ -182,6 +182,44 @@ object Behavioral {
         .orderBy(col("event_type"))
     }),
 
+    // Last-observation-carried-forward via lag(..., IGNORE NULLS): for
+    // every event, the value of that user's most recent PURCHASE
+    // strictly before it (purchases project to a nullable column, the
+    // window skips the nulls). One window on the user partition — the
+    // streaming analog is O(1) keyed state carrying the last purchase.
+    "q_lag_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("pv",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("last_purchase_value", lag(col("pv"), 1, null, true).over(w))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("last_purchase_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
+    // Per-customer 2-D skyline (Pareto frontier): an order survives if
+    // no strictly-earlier order of the same customer had an
+    // equal-or-higher price. Sort-free dominance test: a cumulative
+    // max over a RANGE frame ending at 1 PRECEDING (same-day orders
+    // can't dominate each other — strict date dominance needs the
+    // RANGE frame, a ROWS frame would leak ties). Price compares in
+    // exact decimal; one window on the natural customer partition.
+    "q_skyline" -> ((s, dir) => {
+      val t = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("day"),
+          Exact.dec(col("o_totalprice")).as("price"))
+        .withColumn("dd", datediff(col("day"), lit("1990-01-01").cast("date")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("dd"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      t.withColumn("prev_max", max(col("price")).over(w))
+        .where(col("prev_max").isNull || col("price") > col("prev_max"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          col("price").cast("double").as("price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Trailing-7-day rolling DISTINCT user counts per event type —
     // the window-distinct problem Spark (rightly) refuses as a window
     // function. Scale-shape: facts collapse to distinct (type, user,
@@ -305,6 +343,24 @@ object Behavioral {
         |  CAST(c.n AS DOUBLE) / t.n_from AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY c.from_type, c.to_type""".stripMargin,
+    "q_lag_ignore_nulls" ->
+      """SELECT user_id, event_id, ts, event_type,
+        |  lag(CASE WHEN event_type = 'purchase' THEN value END, 1 IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS last_purchase_value
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_skyline" ->
+      """WITH t AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dd
+        |  FROM orders),
+        |m AS (SELECT *, max(price) OVER (PARTITION BY o_custkey ORDER BY dd
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM t)
+        |SELECT o_custkey, o_orderkey, day, CAST(price AS DOUBLE) AS price
+        |FROM m WHERE prev_max IS NULL OR price > prev_max
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rolling_distinct" ->
       """WITH d AS (SELECT DISTINCT event_type, user_id,
         |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -37,7 +37,29 @@ object CustomAgg {
         .select(col("l_returnflag"),
           round(col("w.mean"), 4).as("mean_qty"),
           round(col("w.var_samp"), 4).as("var_qty"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Exact heavy hitters in two passes — the production shape for hot
+    // keys at 100 TB: pass 1 is the Misra-Gries sketch
+    // (functions/MisraGries, one O(k)-state aggregate, map-side
+    // combinable) whose guarantee makes recall 100% for any item with
+    // freq > n/k; pass 2 recounts ONLY the ≤k candidates exactly and
+    // applies the threshold as the integer test cnt·k > n. The final
+    // output is deterministic and exact — the sketch prunes, it never
+    // decides. The driver collect is the ≤k candidate array (bounded,
+    // documented); threshold n rides along the same scan.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val k = 24 // < |brands| so the sketch genuinely decrements; threshold still selective
+      val t = Tables(s, dir, "part").select(col("p_brand").as("item"))
+      val sketch = t.agg(expr(s"mg_topk(item, $k)").as("cands"))
+        .select(explode(col("cands.item")).as("item"))
+        .collect().map(_.getString(0)).toSeq
+      val n = t.count()
+      t.where(col("item").isin(sketch: _*))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * lit(k.toLong) > lit(n))
+        .orderBy(col("item"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -51,6 +73,14 @@ object CustomAgg {
     "q_agg_custom" ->
       """SELECT l_returnflag, round(avg(l_quantity), 4) AS mean_qty,
         |  round(var_samp(l_quantity), 4) AS var_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // The sketch's 100%-recall guarantee (freq > n/k ⇒ candidate) plus
+    // the exact recount make the 2-pass result identical to the plain
+    // HAVING form at any partitioning.
+    "q_heavy_hitters" ->
+      """SELECT p_brand AS item, count(*) AS cnt FROM part
+        |GROUP BY 1
+        |HAVING count(*) * 24 > (SELECT count(*) FROM part)
+        |ORDER BY item""".stripMargin
   )
 }

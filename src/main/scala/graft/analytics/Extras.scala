@@ -389,6 +389,42 @@ object Extras {
           round(element_at(col("qs"), 3), 4).as("p99"))
         .orderBy(col("l_returnflag"))),
 
+    // EXISTS correlated subquery — decorrelates to a left-semi join
+    // (the SQL-surface twin of q_join_semi; Catalyst must prove it).
+    "q_exists_subquery" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer_v c
+          |WHERE EXISTS (SELECT 1 FROM orders_v o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // NOT IN with a nullable subquery column — three-valued-logic
+    // semantics force Spark's null-aware anti join (a plain anti join
+    // would be WRONG if the subquery ever yielded a NULL; the
+    // nullif() keeps the column nullable so the planner must prove
+    // null-awareness without degenerating the result to empty).
+    "q_not_in" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey FROM customer_v
+          |WHERE c_custkey NOT IN
+          |  (SELECT nullif(o_custkey, -1) FROM orders_v
+          |   WHERE o_totalprice > 450000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Positional explode: token + its 0-based position (the UDTF
+    // surface with ordinality — order must survive the explode).
+    "q_posexplode" -> ((s, dir) =>
+      Tables(s, dir, "documents").where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // Per-group OLS regression (y = extendedprice on x = quantity) from
     // exact integer-cent sums — the q_correlation discipline extended
     // to the regression triple: Σx, Σy, Σxy, Σx², Σy² accumulate in
@@ -659,6 +695,25 @@ object Extras {
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_not_in" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT nullif(o_custkey, -1) FROM orders
+        |   WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    // DuckDB lacks WITH ORDINALITY; two parallel unnests zip row-wise.
+    "q_posexplode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+        |  unnest(toks) AS token
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
     "q_regression" ->
       """WITH c AS (SELECT l_returnflag,
         |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS x,

@@ -23,6 +23,10 @@ import graft.util.Exact._
   *    Numerator and denominator accumulate in DECIMAL(38,0) cents
   *    (exact, order-free); the final division runs in identical double
   *    formula order in both engines.
+  *  - q_mannwhitney: Mann-Whitney U rank-sum test between two
+  *    samples, exact under the midrank tie convention by carrying
+  *    2×rank sums as integers; ranks assemble through the same
+  *    bucket-stitch as q_gini, so no fact-sized window exists.
   *  - q_chisq_cells: χ² contingency cells for event_type × customer
   *    segment. Observed counts are one hash aggregate over the
   *    broadcast-enriched stream; the margins are two tiny re-aggregates
@@ -68,6 +72,49 @@ object Stats {
         .orderBy(col("prio"))
     }),
 
+    // Mann-Whitney U (rank-sum test) between two order-priority
+    // samples. Ranks use the midrank (average-rank) tie convention;
+    // everything stays EXACT by carrying 2×rank sums as integers
+    // (midranks are halves): per distinct value, 2·avgrank =
+    // 2·off + c + 1 where off = #strictly-smaller elements and c =
+    // tie count. Offsets assemble scale-safe like q_gini: per-value
+    // counts → value-bucket local prefix sums + a bucket-summary
+    // prefix window (global, but over ≤ price-range/bucket-width
+    // rows — ContractSpec-exempt with that bound). The only doubles
+    // are the final /2 and the U formula, identical in both engines.
+    "q_mannwhitney" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice")) * 100).cast("long")
+      val t = Tables(s, dir, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderpriority").as("prio"), cents.as("x"))
+        .cache() // feeds the value index and the per-group counts
+      val vals = t.groupBy(col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("b", (col("x") / lit(GiniBucketCents)).cast("long"))
+      val wLocal = Window.partitionBy(col("b")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wB = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bucketOff = vals.groupBy(col("b")).agg(sum(col("c")).as("bc"))
+        .withColumn("boff", sum(col("bc")).over(wB) - col("bc"))
+        .select(col("b"), col("boff"))
+      val offs = vals
+        .withColumn("loff", coalesce(sum(col("c")).over(wLocal), lit(0L)))
+        .join(broadcast(bucketOff), Seq("b"))
+        .select(col("x"), col("c"), (col("boff") + col("loff")).as("off"))
+      val gcnt = t.groupBy(col("prio"), col("x")).agg(count(lit(1)).as("cg"))
+      gcnt.join(offs, "x")
+        .groupBy(col("prio"))
+        .agg(sum(col("cg")).as("n"),
+          sum((lit(2L) * col("off") + col("c") + lit(1L))
+            .cast("decimal(38,0)") * col("cg")).as("doubled"))
+        .select(col("prio"), col("n"),
+          (col("doubled").cast("double") / lit(2.0)).as("rank_sum"),
+          (col("doubled").cast("double") / lit(2.0) -
+            col("n").cast("double") * (col("n").cast("double") + lit(1.0)) /
+              lit(2.0)).as("u"))
+        .orderBy(col("prio"))
+    }),
+
     "q_chisq_cells" -> ((s, dir) => {
       val dim = broadcast(Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -109,6 +156,20 @@ object Stats {
         |SELECT prio, CAST(max(n) AS BIGINT) AS n,
         |  round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE) /
         |    (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+        |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
+    // Plain global-rank formulation: rank() = off + 1, so per row
+    // 2·rk + c − 1 = 2·off + c + 1 — the stitched form's exact term.
+    "q_mannwhitney" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |r AS (SELECT prio, x, rank() OVER (ORDER BY x) AS rk,
+        |    count(*) OVER (PARTITION BY x) AS c FROM t)
+        |SELECT prio, count(*) AS n,
+        |  CAST(sum(2 * rk + c - 1) AS DOUBLE) / 2.0 AS rank_sum,
+        |  CAST(sum(2 * rk + c - 1) AS DOUBLE) / 2.0
+        |    - CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) + 1.0) / 2.0
+        |    AS u
         |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
     "q_chisq_cells" ->
       """WITH cells AS (SELECT c.c_mktsegment AS seg, e.event_type AS typ,

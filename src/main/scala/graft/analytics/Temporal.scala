@@ -115,6 +115,13 @@ object Temporal {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // EXECUTES on the streaming engine: complete-mode top-3 event
+    // types by count — sort+limit runs INSIDE the streaming query
+    // (only complete mode allows it), i.e. a live leaderboard.
+    "q_stream_topk" -> ((s, dir) =>
+      graft.streaming.Streams.topkToTable(s, dir, "stream_topk_sink", 3)
+        .orderBy(col("n").desc, col("event_type"))),
+
     // EXECUTES on the streaming engine: per-user O(1)-state strict-
     // order funnel (Streams.funnelToTable); the drained per-user flag
     // rows OR per user (flags are monotone across batches) and count
@@ -209,6 +216,9 @@ object Temporal {
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q_stream_topk" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
     "q_stream_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

@@ -65,6 +65,43 @@ object TemporalJoins {
         .orderBy(col("event_id"))
     }),
 
+    // The co-partitioned MERGE form of the as-of join — the variant
+    // the broadcast operator can't cover when the build side is
+    // fact-sized: `cogroup` co-shuffles both sides once on the key,
+    // each group sorts its own slices, and one forward pointer pass
+    // emits the latest at-or-before order per event (orders ascending
+    // by (date, key) ⇒ the last qualifying one IS the (date, key)-max,
+    // matching the window tiebreak). O(|evs|·log + |ords|·log) per
+    // key, no per-event candidate blowup, no broadcast. Same oracle
+    // as q_asof_join/q_asof_native — three executions, one semantic.
+    "q_asof_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+      val ords = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp"))
+        .as[(Long, Long, java.sql.Timestamp)]
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      val merged = ev.groupByKey(_._2).cogroup(ords.groupByKey(_._1)) {
+        (user, evs, os) =>
+          val events = evs.toArray.sortBy(e => (us(e._3), e._1))
+          val orders = os.toArray.sortBy(o => (us(o._3), o._2))
+          var i = 0
+          var best: Option[(Long, java.sql.Timestamp)] = None
+          events.iterator.map { case (eid, _, ts) =>
+            while (i < orders.length && us(orders(i)._3) <= us(ts)) {
+              best = Some((orders(i)._2, orders(i)._3)); i += 1
+            }
+            (eid, user, ts, best.map(_._1), best.map(_._2))
+          }
+      }
+      merged.toDF("event_id", "user_id", "ts", "asof_orderkey", "asof_date")
+        .orderBy(col("event_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("ts"), expr("unix_micros(ts)").as("us"))
@@ -128,6 +165,15 @@ object TemporalJoins {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_asof_native" ->
+      """SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
+        |  o_orderdate AS asof_date
+        |FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_merge" ->
       """SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey,
         |  o_orderdate AS asof_date
         |FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,

@@ -163,6 +163,25 @@ object WindowsSetsScalars {
         .orderBy(col("event_id")).limit(2000)
     }),
 
+    // S1/S7 CSV parity through the ORACLE gate (the golden-file e2e in
+    // CovidPipelineSpec covers the covid schema; this covers the
+    // documents corpus): write documents to headered CSV, read back
+    // with the explicit schema, and aggregate — counts, exact char
+    // sums, and the lexicographic min/max of md5(text) per (lang,
+    // source), so any quoting/escaping lossiness in the CSV sink or
+    // scan hash-mismatches against the parquet-derived oracle. The
+    // write stays distributed (one CSV part per partition).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      val docs = Tables(s, dir, "documents")
+      docs.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(docs.schema).csv(tmp)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          min(md5(col("text"))).as("lo_md5"), max(md5(col("text"))).as("hi_md5"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // P3 triad: missing key → default 0; unparseable → row dropped
     // (Spark cast yields null under non-ANSI; oracle uses TRY_CAST).
     "q_cast_default" -> ((s, dir) => {
@@ -246,6 +265,14 @@ object WindowsSetsScalars {
     "q_json_roundtrip" ->
       """SELECT event_id, event_type, value FROM events
         |ORDER BY event_id LIMIT 2000""".stripMargin,
+    // Roundtrip identity: the oracle aggregates the PARQUET table —
+    // the query must get identical results back out of its CSV cycle.
+    "q_csv_roundtrip" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(md5(text)) AS lo_md5, max(md5(text)) AS hi_md5
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "q_cast_default" ->
       """SELECT event_id, k FROM (
         |  SELECT event_id,

@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("h60"),
       new ExpressionInfo(classOf[H60].getName, "h60"),
       (exprs: Seq[Expression]) => H60(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGries].getName, "mg_topk"),
+      (exprs: Seq[Expression]) =>
+        MisraGries(exprs(0), exprs(1)).toAggregateExpression()))
     e.injectOptimizerRule(_ => graft.plans.RewriteTop1PerGroup)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

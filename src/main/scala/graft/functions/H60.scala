@@ -62,6 +62,10 @@ object Registry {
       "top_k_by_score",
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "mg_topk",
+      exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(),
+      "scala_udf")
     // session-local optimizer rule (spark-submit users get it via
     // GraftExtensions.injectOptimizerRule instead)
     val exp = spark.experimental

@@ -91,6 +91,26 @@ object Multimodal {
     "q_multimodal_features" -> ((s, dir) =>
       extractFeatures(asMedia(s, dir)).toDF().orderBy(col("doc_id"))),
 
+    // Content-hash dedup of binary payloads — identical media dedupe
+    // WITHOUT decoding: one hash aggregate on md5(bytes), keeping the
+    // smallest doc_id and the replica count. The corpus is doubled
+    // (ids shifted) so every payload genuinely has a duplicate to
+    // elect against. At 100 TB this is the first pass of any media
+    // pipeline: the hash rides the parquet scan (bytes never shuffle
+    // — only the 16-byte digest and the id), and survivors alone
+    // reach the decode stage.
+    "q_multimodal_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      doubled
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .groupBy(md5(col("bytes")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(length(col("bytes"))).as("n_bytes"))
+        .orderBy(col("content_md5"))
+    }),
+
     // Decode-batch packing: group media into fixed byte-budget
     // batches (8 KB) per source so downstream decode workers get
     // even-sized units of work — the scheduling pass that runs BEFORE
@@ -123,6 +143,12 @@ object Multimodal {
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_dedup" ->
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies, CAST(min(strlen(text)) AS INT) AS n_bytes
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multimodal_pack" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),

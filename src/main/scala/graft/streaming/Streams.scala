@@ -320,6 +320,22 @@ object Streams {
     spark.table(table)
   }
 
+  /** Streaming top-k: complete-mode aggregation with sort+limit INSIDE
+    * the streaming query (legal only in complete mode, where every
+    * trigger re-emits the full result — the leaderboard deployment).
+    * Deterministic tie-break on the key keeps the k-th row stable.
+    */
+  def topkToTable(spark: SparkSession, dir: String, table: String,
+      k: Int): DataFrame = withStatePartitions(spark) {
+    val agg = eventsStream(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(k)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** Streaming strict-order funnel (view → click → purchase) — the
     * stateful-streaming form of q_funnel: per-user state is three
     * optional stage timestamps (first view, first click after that

@@ -42,8 +42,10 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // shuffle partition (≤ defaultParallelism).
     // q_sequence_gaps' global window runs over the per-bucket summary
     // (keyspace/B rows), not the data — see its scaladoc bound.
+    // q_mannwhitney's global window runs over the value-BUCKET summary
+    // (≤ price-range/bucket-width rows), not the data — see Stats.
     val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
-      "q_sequence_gaps")
+      "q_sequence_gaps", "q_mannwhitney")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)
