@@ -671,10 +671,14 @@ object TextAnalysis {
     // score join keys on the bigram string — partial aggs + one hash
     // join, nothing quadratic in documents.
     "q_lm_perplexity" -> ((s, dir) => {
+      // the exploded bigram stream feeds BOTH the LM build and the
+      // scoring join — cache it so tokenize+shingle runs once (was the
+      // whole-query cost, ~2× the explode at sf0.1)
       val bgDoc = Tables.fanout(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(shingles(tokens(col("text")), 2)).as("bg"))
+        .cache()
       val lm = bgDoc.groupBy("bg").agg(count(lit(1)).as("cnt"))
         .select(col("bg"), col("cnt"),
           substring_index(col("bg"), " ", 1).as("w1"))
@@ -682,7 +686,9 @@ object TextAnalysis {
       val probs = lm.join(uni, Seq("w1"))
         .select(col("bg"),
           (col("cnt").cast("double") / col("cnt1")).as("p"))
-      bgDoc.join(probs, Seq("bg"))
+      // the trained LM is vocab²-bounded — broadcast it so the
+      // corpus-sized occurrence stream never shuffles on string keys
+      bgDoc.join(broadcast(probs), Seq("bg"))
         .select(col("doc_id"),
           log(col("p")).cast("decimal(28,20)").as("term"))
         .groupBy(col("doc_id"))
