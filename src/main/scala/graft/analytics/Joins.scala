@@ -103,10 +103,44 @@ object Joins {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
+    }),
+
+    // Explicit Bloom-prefilter join: build a Bloom filter over the
+    // (selective) dim keys, drop probe rows that cannot match BEFORE
+    // the shuffle, then verify exactly with the real join — Bloom
+    // false positives die in the join, false negatives don't exist,
+    // so the result is identical to the plain join (and the oracle IS
+    // the plain join). This is the manual form of the runtime bloom
+    // pruning Spark injects automatically (asserted in SourcesSpec);
+    // explicit construction matters when the filter must cross jobs
+    // (e.g. built once, reused by N incremental loads). The udf probe
+    // is the demo-scale shortcut; the production path pushes
+    // might_contain against the scan.
+    "q_bloom_prefilter" -> ((s, dir) => {
+      val dim = Tables(s, dir, "orders")
+        .where(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val bf = dim.stat.bloomFilter("o_orderkey", 20000, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val might = udf((k: Long) => bfB.value.mightContain(k))
+      Tables(s, dir, "lineitem")
+        .where(might(col("l_orderkey")))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // The bloom prefilter is a lossless optimization — oracle is the
+    // plain join it accelerates.
+    "q_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

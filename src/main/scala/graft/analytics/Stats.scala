@@ -72,6 +72,41 @@ object Stats {
         .orderBy(col("prio"))
     }),
 
+    // Weighted median (price weighted by quantity) per group: the
+    // smallest value whose cumulative weight reaches half the total.
+    // Entirely in integers — the halving test is `2·cum ≥ tot`, so
+    // there is no double anywhere until the final /100 display
+    // division. Cumulative weights assemble with the same bucket
+    // stitch as q_gini (local in-bucket cumsum + bucket-summary
+    // offsets), keeping every window partition bounded.
+    "q_weighted_median" -> ((s, dir) => {
+      val xc = (dec(col("l_extendedprice")) * 100).cast("long")
+      val t = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"), xc.as("x"),
+          dec(col("l_quantity")).cast("long").as("w"))
+      val vals = t.groupBy(col("f"), col("x")).agg(sum(col("w")).as("vw"))
+        .withColumn("b", (col("x") / lit(GiniBucketCents)).cast("long"))
+      val wLocal = Window.partitionBy(col("f"), col("b")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wB = Window.partitionBy(col("f")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bucketOff = vals.groupBy(col("f"), col("b")).agg(sum(col("vw")).as("bw"))
+        .withColumn("boff", sum(col("bw")).over(wB) - col("bw"))
+        .select(col("f"), col("b"), col("boff"))
+      val tot = t.groupBy(col("f")).agg(sum(col("w")).as("tot"))
+      vals
+        .withColumn("cum", sum(col("vw")).over(wLocal))
+        .join(bucketOff, Seq("f", "b"))
+        .join(broadcast(tot), Seq("f"))
+        .where(lit(2L) * (col("boff") + col("cum")) >= col("tot"))
+        .groupBy(col("f"))
+        .agg(min(col("x")).as("mx"), max(col("tot")).as("tot"))
+        .select(col("f").as("l_returnflag"),
+          (col("mx").cast("double") / lit(100.0)).as("wmedian"),
+          col("tot").as("total_weight"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Mann-Whitney U (rank-sum test) between two order-priority
     // samples. Ranks use the midrank (average-rank) tie convention;
     // everything stays EXACT by carrying 2×rank sums as integers
@@ -157,6 +192,21 @@ object Stats {
         |  round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE) /
         |    (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
         |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
+    "q_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag AS f,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS w
+        |  FROM lineitem),
+        |v AS (SELECT f, x, sum(w) AS vw FROM t GROUP BY 1, 2),
+        |c AS (SELECT f, x, vw,
+        |    sum(vw) OVER (PARTITION BY f ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(vw) OVER (PARTITION BY f) AS tot FROM v)
+        |SELECT f AS l_returnflag,
+        |  CAST(min(CASE WHEN 2 * cum >= tot THEN x END) AS DOUBLE) / 100.0
+        |    AS wmedian,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c GROUP BY f ORDER BY f""".stripMargin,
     // Plain global-rank formulation: rank() = off + 1, so per row
     // 2·rk + c − 1 = 2·off + c + 1 — the stitched form's exact term.
     "q_mannwhitney" ->

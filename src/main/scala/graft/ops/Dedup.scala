@@ -246,6 +246,20 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Component-SIZE distribution of the near-dup graph — the shape
+    // statistic that drives dedup policy (a long tail of pairs vs a
+    // few mega-clusters need different survivors-per-cluster rules;
+    // a web-scale mega-component usually means a boilerplate shingle
+    // leaked through the filters). One tiny re-aggregate of the
+    // labels frame: size per component, then components per size.
+    "q_cc_sizes" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      connectedComponents(docs, jaccardPairs(docs, 0.6))
+        .groupBy(col("component")).agg(count(lit(1)).as("cl_size"))
+        .groupBy(col("cl_size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("cl_size"))
+    }),
+
     // Exact dedup: keep the smallest doc_id per identical text.
     "q_dedup_exact" -> ((s, dir) =>
       dupCorpus(s, dir)
@@ -714,6 +728,25 @@ object Dedup {
          |SELECT v AS doc_id, min(u) AS component,
          |  v = min(u) AS keeper
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    "q_cc_sizes" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |labels AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+         |csz AS (SELECT component, count(*) AS cl_size FROM labels GROUP BY 1)
+         |SELECT cl_size, count(*) AS n_components
+         |FROM csz GROUP BY cl_size ORDER BY cl_size""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies
