@@ -89,6 +89,30 @@ object Behavioral {
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
     }),
 
+    // Conversion-window funnel: q_funnel with a 7-day bound at each
+    // stage (the realistic attribution form — a purchase a month
+    // after the click doesn't convert). Same chained min-aggregate
+    // shape; the bound is exact µs interval arithmetic.
+    "q_funnel_bounded" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("ts") > col("tv") &&
+          col("ts") <= col("tv") + expr("interval 7 days"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("ts") > col("tc") &&
+          col("ts") <= col("tc") + expr("interval 7 days"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
     "q_retention" -> ((s, dir) => {
       val uw = Tables(s, dir, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
@@ -306,6 +330,20 @@ object Behavioral {
         |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
         |      JOIN c ON e.user_id = c.user_id
         |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q_funnel_bounded" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv
+        |        AND e.ts <= v.tv + INTERVAL 7 DAY GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |        AND e.ts <= c.tc + INTERVAL 7 DAY GROUP BY e.user_id)
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,

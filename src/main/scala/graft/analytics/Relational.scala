@@ -157,6 +157,27 @@ object Relational {
         .orderBy(col("gap_start"))
     }),
 
+    // Deterministic distributed data GENERATOR: spark.range (a
+    // parallel, partitioned source — no driver materialization) with
+    // every derived column a pure function of the id through the
+    // md5-derived h60 hash family both engines share. The synthesis
+    // primitive for scale tests: the same expression tree generates
+    // 10⁴ or 10¹² rows, partitioned, with zero input I/O.
+    "q_datagen" -> ((s, dir) => {
+      graft.functions.Registry.ensure(s)
+      s.range(10000).select(col("id"),
+          expr("h60(CAST(id AS STRING))").as("h"))
+        .select(col("id"),
+          (col("h") % 1000).as("uniform_1k"),
+          when(col("h") % 5 === 0, "red")
+            .when(col("h") % 5 === 1, "green")
+            .when(col("h") % 5 === 2, "blue")
+            .when(col("h") % 5 === 3, "black")
+            .otherwise("white").as("category"),
+          ((col("h") % 100000).cast("double") / lit(100.0)).as("amount"))
+        .orderBy(col("id"))
+    }),
+
     // grouping_id()/grouping() over a cube — how BI layers tell
     // subtotal rows from genuine NULL group values (the reference's
     // dashboard "All" rows). Same one-shuffle Expand as q_cube.
@@ -275,6 +296,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_datagen" ->
+      """WITH g AS (SELECT range AS id,
+        |    CAST('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS h
+        |  FROM range(10000))
+        |SELECT id, h % 1000 AS uniform_1k,
+        |  CASE h % 5 WHEN 0 THEN 'red' WHEN 1 THEN 'green' WHEN 2 THEN 'blue'
+        |    WHEN 3 THEN 'black' ELSE 'white' END AS category,
+        |  CAST(h % 100000 AS DOUBLE) / 100.0 AS amount
+        |FROM g ORDER BY id""".stripMargin,
     "q_count_total" -> "SELECT count(*) AS cnt FROM lineitem",
     "q_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

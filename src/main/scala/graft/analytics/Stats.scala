@@ -150,6 +150,50 @@ object Stats {
         .orderBy(col("prio"))
     }),
 
+    // Winsorized mean (clamp at p05/p95, then average): the clamped
+    // boundary values are interpolated DOUBLES, so a naive sum would
+    // be accumulation-order-dependent. Binary fixed-point makes it
+    // exact: floor(clamped·2²⁰ + 0.5) is deterministic in any engine
+    // (×2²⁰ is exact, floor is exact), the scaled longs sum in
+    // decimal, and one mirrored division chain converts back. The
+    // clamp comparisons are safe: interpolated cutpoints either equal
+    // a data value exactly (f=0 — same in both engines) or fall
+    // strictly between adjacent cents, ulp drift notwithstanding.
+    "q_winsorized_mean" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice")) * 100).cast("double")
+      val t = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), cents.as("x"))
+      val qs = t.groupBy(col("prio"))
+        .agg(expr("percentile(x, array(0.05D, 0.95D))").as("q"))
+        .select(col("prio"), element_at(col("q"), 1).as("lo"),
+          element_at(col("q"), 2).as("hi"))
+      val clamped = least(greatest(col("x"), col("lo")), col("hi"))
+      val fixed = floor(clamped * lit(1048576.0) + lit(0.5)).cast("decimal(38,0)")
+      t.join(broadcast(qs), "prio")
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(fixed).as("sfix"))
+        .select(col("prio"), col("n"),
+          round(col("sfix").cast("double") / col("n").cast("double") /
+            lit(1048576.0) / lit(100.0), 4).as("wins_mean"))
+        .orderBy(col("prio"))
+    }),
+
+    // Equi-DEPTH histogram (decile buckets): boundaries from one exact
+    // percentile aggregate, bucket assignment as a map-side lambda
+    // count of strictly-smaller boundaries — no window, no sort, two
+    // passes of which the second is map-only + a 10-row aggregate.
+    "q_histogram_equidepth" -> ((s, dir) => {
+      val cents = (dec(col("o_totalprice")) * 100).cast("double")
+      val t = Tables(s, dir, "orders").select(cents.as("x"))
+      val bnds = t.agg(expr(
+        "percentile(x, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bnds"))
+      t.crossJoin(broadcast(bnds))
+        .select(expr("size(filter(bnds, b -> b < x))").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_chisq_cells" -> ((s, dir) => {
       val dim = broadcast(Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -192,6 +236,29 @@ object Stats {
         |  round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE) /
         |    (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
         |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
+    "q_winsorized_mean" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS x
+        |  FROM orders),
+        |q AS (SELECT prio, quantile_cont(x, 0.05) AS lo,
+        |    quantile_cont(x, 0.95) AS hi FROM t GROUP BY prio),
+        |f AS (SELECT t.prio,
+        |    CAST(floor(least(greatest(t.x, q.lo), q.hi) * 1048576.0 + 0.5)
+        |      AS DECIMAL(38,0)) AS fx
+        |  FROM t JOIN q USING (prio))
+        |SELECT prio, count(*) AS n,
+        |  round(CAST(sum(fx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1048576.0 / 100.0, 4) AS wins_mean
+        |FROM f GROUP BY prio ORDER BY prio""".stripMargin,
+    "q_histogram_equidepth" ->
+      """WITH t AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS x
+        |  FROM orders),
+        |b AS (SELECT quantile_cont(x,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bnds FROM t)
+        |SELECT CAST(len(list_filter(b.bnds, v -> v < t.x)) AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM t CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_weighted_median" ->
       """WITH t AS (SELECT l_returnflag AS f,
         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
