@@ -127,6 +127,52 @@ object Behavioral {
         .orderBy(col("cohort"), col("week_no"))
     }),
 
+    // Day-over-day percent change of daily totals per event type —
+    // the BI trend column, computed on the AGGREGATED series (facts
+    // collapse to decimal-exact daily totals first, the lag window
+    // runs on the types×days grid). Division of two exact doubles,
+    // round(6) display-only; first day emits NULL change.
+    "q_pop_change" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(Exact.moneySum(col("value")).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev", lag(col("total"), 1).over(w))
+        .select(col("event_type"), col("day"), col("total"),
+          round((col("total") - col("prev")) / col("prev") * lit(100.0), 6)
+            .as("pct_change"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Time-weighted average value per user (each observation weighted
+    // by its holding duration until the next event — the IoT/position
+    // averaging idiom where arithmetic means lie). Exact decimals:
+    // value-cents × duration-µs products sum in DECIMAL(38,0), the
+    // µs denominators in long, one double division at the end. One
+    // lead() window on the user partition; users whose events all
+    // share one microsecond (zero total duration) are excluded rather
+    // than emitting 0/0.
+    "q_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .where(col("next_us").isNotNull)
+        .select(col("user_id"), (col("next_us") - col("us")).as("dur"),
+          (Exact.dec(col("value")) * 100).cast("decimal(38,0)").as("vc"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("vc") * col("dur").cast("decimal(38,0)")).as("num"),
+          sum(col("dur")).as("den"))
+        .where(col("den") > 0)
+        .select(col("user_id"), col("n_spans"),
+          round(col("num").cast("double") / col("den").cast("double") /
+            lit(100.0), 6).as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
     // Per-type outlier counts via 3σ z-score. Exactness trick: the
     // only order-dependent quantities (Σv, Σv²) are summed in DECIMAL
     // (exact, order-free); mean/variance/the squared-deviation
@@ -356,6 +402,28 @@ object Behavioral {
         |  count(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN co ON uw.user_id = co.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pop_change" ->
+      """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, total,
+        |    lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM d)
+        |SELECT event_type, day, total,
+        |  round((total - prev) / prev * 100.0, 6) AS pct_change
+        |FROM l ORDER BY event_type, day""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS vc,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |g AS (SELECT user_id, count(*) AS n_spans,
+        |    sum(vc * (next_us - us)) AS num, sum(next_us - us) AS den
+        |  FROM e WHERE next_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_spans,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 6) AS twa
+        |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin,
     "q_anomaly" ->
       """WITH st AS (SELECT event_type, count(*) AS n,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,

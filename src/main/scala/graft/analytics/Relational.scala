@@ -113,6 +113,24 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Rollup with percent-of-total shares — the BI "% of grand total"
+    // column. The total joins back via a broadcast 1-row frame (never
+    // a global window); share = n/total in one mirrored double
+    // division. Count ratios are exact in double, round(6) is
+    // display-only.
+    "q_rollup_share" -> ((s, dir) => {
+      val base = Tables(s, dir, "lineitem")
+      val agg = base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      val tot = base.agg(count(lit(1)).as("total"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q_cube" -> ((s, dir) =>
       Tables(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -359,6 +377,12 @@ object Relational {
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_rollup_share" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM lineitem) AS DOUBLE), 6) AS share
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_cube" ->

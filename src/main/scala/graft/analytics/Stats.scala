@@ -150,6 +150,34 @@ object Stats {
         .orderBy(col("prio"))
     }),
 
+    // Two-proportion z-test (A/B conversion): converters = customers
+    // of a segment with ≥1 purchase event. All counts are exact
+    // integers from one left join + conditional aggregate; the z
+    // statistic derives in one mirrored double expression tree, so
+    // even sqrt() feeds on identical inputs in both engines.
+    "q_ab_test" -> ((s, dir) => {
+      val conv = Tables(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val segs = Tables(s, dir, "customer")
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      val per = segs.join(conv, col("c_custkey") === col("user_id"), "left")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), count(col("user_id")).as("x"))
+      val one = per.agg(
+        sum(when(col("seg") === "BUILDING", col("n"))).as("n1"),
+        sum(when(col("seg") === "BUILDING", col("x"))).as("x1"),
+        sum(when(col("seg") === "AUTOMOBILE", col("n"))).as("n2"),
+        sum(when(col("seg") === "AUTOMOBILE", col("x"))).as("x2"))
+      def d(c: String) = col(c).cast("double")
+      val pp = (d("x1") + d("x2")) / (d("n1") + d("n2"))
+      val z = (d("x1") / d("n1") - d("x2") / d("n2")) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / d("n1") + lit(1.0) / d("n2")))
+      one.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        round(z, 6).as("z"))
+    }),
+
     // Winsorized mean (clamp at p05/p95, then average): the clamped
     // boundary values are interpolated DOUBLES, so a naive sum would
     // be accumulation-order-dependent. Binary fixed-point makes it
@@ -236,6 +264,29 @@ object Stats {
         |  round(CAST(sum((2 * i - n - 1) * x) AS DOUBLE) /
         |    (CAST(max(n) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
         |FROM r GROUP BY prio ORDER BY prio""".stripMargin,
+    "q_ab_test" ->
+      """WITH conv AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |a AS (SELECT c_mktsegment AS seg, count(*) AS n,
+        |    count(conv.user_id) AS x
+        |  FROM customer LEFT JOIN conv ON c_custkey = conv.user_id
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN n END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN x END) AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN x END) AS BIGINT) AS x2
+        |  FROM a)
+        |SELECT n1, x1, n2, x2,
+        |  round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / sqrt(((CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE))
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+        |    AS z
+        |FROM t""".stripMargin,
     "q_winsorized_mean" ->
       """WITH t AS (SELECT o_orderpriority AS prio,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS x
