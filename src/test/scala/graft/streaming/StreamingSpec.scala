@@ -70,6 +70,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(v >= c && c >= p && v > 0)
   }
 
+  test("checkpointed stateful stream: dedup state survives restart, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckptresume").toString
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    // start a FRESH query each time against the same checkpoint — this
+    // is a process restart as the engine sees it: offsets + state store
+    // must restore, not recompute
+    def run(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema).parquet(src)
+        .dropDuplicates("k")
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").format("parquet").option("path", sink).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq((1L, "a"), (2L, "b"), (1L, "dup-in-batch")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    run()
+    // k=2 recurs across the restart boundary: only restored state can drop it
+    Seq((2L, "dup-across-restart"), (3L, "c"), (3L, "dup-in-batch")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(src)
+    run()
+    run() // no new data: a third restart must add nothing (idempotent)
+    val out = spark.read.parquet(sink).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
   test("foreachBatch incremental dedup: one survivor per text across micro-batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("incdedup").toString
