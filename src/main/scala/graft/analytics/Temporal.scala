@@ -49,6 +49,36 @@ object Temporal {
         .orderBy(col("user_id"))
     }),
 
+    // Incremental materialized-view maintenance: the warehouse keeps a
+    // per-key aggregate table (n, total, mn, mx); a delta batch
+    // arrives past the watermark; the refreshed MV is a MERGE OF
+    // PARTIALS, never a recompute over base facts. count/sum/min/max
+    // are algebraic — partials combine by sum/sum/min/max, and avg
+    // derives as total/n at read time (avg itself is NOT algebraic:
+    // merging avgs loses the weights). At 100 TB this turns the daily
+    // full-table aggregate into an O(delta) job; it is also exactly
+    // Spark's own partial→final aggregation contract, applied across
+    // batches instead of across partitions. The oracle recomputes from
+    // all facts — merged partials must match the full recompute
+    // hash-exactly (decimal sums make the merge order-free).
+    "q_mv_merge" -> ((s, dir) => {
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      def partial(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val ev = Tables(s, dir, "events")
+      val baseMv = partial(ev.filter(col("ts") <= cutoff)) // stored MV
+      val delta = partial(ev.filter(col("ts") > cutoff))   // new batch
+      baseMv.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .select(col("event_type"), col("n"),
+          col("total").cast("double").as("total"), col("mn"), col("mx"),
+          (col("total").cast("double") / col("n")).as("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Tumbling 1-hour windows (batch form of q_stream_tumbling).
     "q_stream_tumbling" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -156,6 +186,13 @@ object Temporal {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Full recompute over all facts — the merged partials must equal it.
+    "q_mv_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(value) AS mn, max(value) AS mx,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  count(*) AS n,

@@ -105,6 +105,42 @@ object WindowsSetsScalars {
       rich.intersect(active).orderBy(col("key"))
     }),
 
+    // Multiset (ALL) set ops — distinct semantics from the two above:
+    // EXCEPT ALL subtracts one occurrence per match (a customer with n
+    // orders survives n−1 times — the "copies beyond the registry"
+    // shape), INTERSECT ALL keeps min(count_l, count_r) copies. Spark
+    // plans both as ONE hash aggregate counting per side then
+    // replicating rows — a single shuffle on the row value, no join,
+    // so they scale exactly like a groupBy on the same key.
+    "q_except_all" -> ((s, dir) => {
+      val ordered = Tables(s, dir, "orders").select(col("o_custkey").as("key"))
+      val registry = Tables(s, dir, "customer").select(col("c_custkey").as("key"))
+      ordered.exceptAll(registry).orderBy(col("key"))
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("key"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key"))
+      big.intersectAll(urgent).orderBy(col("key"))
+    }),
+
+    // ntile quartiles WITHIN each priority class — the partitioned form
+    // keeps every window partition bounded by the group's size (the
+    // global-ntile variant would be q_batch_number's single-reducer
+    // sort; at scale use the q_gini bucket-stitch to assemble global
+    // ranks instead).
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.7 scalar strings (P2 clean: trim/case/length; initcap parity
     // with Python str.title() is pinned in ScalaTest — DuckDB has no
     // initcap, so the oracle sticks to portable functions).
@@ -237,6 +273,21 @@ object WindowsSetsScalars {
         |INTERSECT
         |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
         |ORDER BY key""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey AS key FROM orders
+        |EXCEPT ALL
+        |SELECT c_custkey AS key FROM customer
+        |ORDER BY key""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_custkey AS key FROM orders WHERE o_totalprice > 200000
+        |INTERSECT ALL
+        |SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY key""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_clean_strings" ->
       """SELECT c_custkey, trim(lower(c_name)) AS name_lc,
         |  upper(c_mktsegment) AS seg_uc, CAST(length(c_name) AS INT) AS name_len

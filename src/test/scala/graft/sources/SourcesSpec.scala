@@ -228,4 +228,33 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
       .head().getDouble(0)
     assert(sumBack == 2 * sumSrc)
   }
+
+  test("binaryFile source ingests raw media files with path/length metadata") {
+    // The multimodal ingest front door: raw image/audio files on disk
+    // become (path, modificationTime, length, content) rows via the
+    // binaryFile source — the step that feeds Multimodal's decode
+    // pipeline. pathGlobFilter prunes non-media files at LISTING time
+    // (never read), and a length predicate is answerable from file
+    // status alone.
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft_media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(mediaDir.resolve(name), bytes)
+    put("a.jpg", Array[Byte](-1, -40, -1, -32, 1, 2, 3)) // JPEG SOI header
+    put("b.jpg", Array[Byte](-1, -40, -1, -32, 9, 8, 7, 6, 5))
+    put("notes.txt", "not media".getBytes)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(mediaDir.toString)
+    assert(df.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    assert(df.count() == 2) // the .txt never enters the scan
+    val rows = df.select(col("path"), col("length"), col("content"))
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getLong(1), r.getAs[Array[Byte]](2)))
+    val byName = rows.map(t => t._1 -> t).toMap
+    assert(byName("a.jpg")._2 == 7L && byName("b.jpg")._2 == 9L)
+    assert(byName("a.jpg")._3.take(2).sameElements(Array[Byte](-1, -40)))
+    // metadata-only predicates don't require reading content
+    assert(df.where(col("length") > 8).count() == 1)
+  }
 }
