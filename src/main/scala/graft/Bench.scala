@@ -50,8 +50,34 @@ object Bench {
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // Headline set: the flagship, the dashboard cards' shapes, one
+    // representative per operator family, and every known-heavy op.
+    // The full 180-query inventory is correctness-gated by Verify; the
+    // bench's job is a bounded, parseable throughput signal — 180
+    // entries would (a) blow past the driver's stdout tail-capture
+    // window (r01 lost the whole line that way at 80 queries) and
+    // (b) stretch the sf0.1 run past any sane timeout.
+    val headline = Seq(
+      "q_agg_pricing", "q_count_total", "q_sum_by_state", "q_topk_other",
+      "q_batch_number", "q_rollup", "q_cube", "q_quantiles",
+      "q_count_distinct",
+      "q_join_inner", "q_join_large", "q_join_multi", "q_join_semi",
+      "q_asof_join", "q_range_join",
+      "q_window_rank", "q_window_running", "q_window_dist", "q_topk",
+      "q_window_time_range",
+      "q_union", "q_scalar_strings", "q_array_lambda",
+      "q_stream_tumbling", "q_stream_session", "q_incremental",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_ngram_jaccard", "q_dedup_components", "q_semdedup", "q_chunk_dedup",
+      "q_sim_search", "q_sim_ann",
+      "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
+      "q_tfidf", "q_lm_perplexity",
+      "q_multimodal_features", "q_skew_salted_join",
+      "q_pagerank", "q_kmeans", "q_prep_pipeline")
+    val base =
+      if (sys.env.contains("SPARK_GRAFT_ALL")) SparkEntry.queries.keys.toSeq
+      else headline.filter(SparkEntry.queries.contains)
+    val names = base.sorted.filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       val t = materialize(n)
       System.err.println(f"[bench] $n%-24s $t%9.3f s")
@@ -59,7 +85,8 @@ object Bench {
     }
     // Driver contract: ONE JSON line, and it must survive a bounded
     // tail-capture of stdout (r01 lost the line to truncation). Keep it
-    // short: 3-decimal seconds, and print it as the very last line.
+    // short: headline queries only, 3-decimal seconds, printed as the
+    // very last line. Full per-query detail already went to stderr.
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -67,6 +94,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    System.err.println(line) // survives even if stdout goes through sbt buffering
     println(line)
   }
 }
