@@ -196,6 +196,21 @@ object Relational {
         .orderBy(col("id"))
     }),
 
+    // The same generated rows through the full DataSource V2 surface
+    // (sources/GraftGen): a TableProvider whose ScanBuilder prunes
+    // columns (uniform_1k is never computed here) and pushes the id
+    // range into generation — the scan produces 6000 rows, not 10000;
+    // the category predicate stays a residual filter above the scan.
+    // Plan shape (pruned schema, pushed range, partition count) is
+    // asserted in SourcesSpec; this query pins row-level values.
+    "q_dsv2_scan" -> ((s, dir) =>
+      s.read.format("graftgen")
+        .option("rows", 10000).option("slices", 8).load()
+        .where(col("id") >= 2000 && col("id") < 8000 &&
+          col("category") =!= "white")
+        .select(col("id"), col("category"), col("amount"))
+        .orderBy(col("id"))),
+
     // grouping_id()/grouping() over a cube — how BI layers tell
     // subtotal rows from genuine NULL group values (the reference's
     // dashboard "All" rows). Same one-shuffle Expand as q_cube.
@@ -324,6 +339,18 @@ object Relational {
         |    WHEN 3 THEN 'black' ELSE 'white' END AS category,
         |  CAST(h % 100000 AS DOUBLE) / 100.0 AS amount
         |FROM g ORDER BY id""".stripMargin,
+    "q_dsv2_scan" ->
+      """WITH g AS (SELECT range AS id,
+        |    CAST('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS h
+        |  FROM range(10000))
+        |SELECT id,
+        |  CASE h % 5 WHEN 0 THEN 'red' WHEN 1 THEN 'green' WHEN 2 THEN 'blue'
+        |    WHEN 3 THEN 'black' ELSE 'white' END AS category,
+        |  CAST(h % 100000 AS DOUBLE) / 100.0 AS amount
+        |FROM g WHERE id >= 2000 AND id < 8000
+        |  AND h % 5 <> 4
+        |ORDER BY id""".stripMargin,
     "q_count_total" -> "SELECT count(*) AS cnt FROM lineitem",
     "q_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

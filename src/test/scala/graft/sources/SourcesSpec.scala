@@ -257,4 +257,35 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     // metadata-only predicates don't require reading content
     assert(df.where(col("length") > 8).count() == 1)
   }
+
+  test("DSv2 graftgen source: filter pushdown, column pruning, slicing") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("graftgen") // short name via ServiceLoader
+      .option("rows", 10000).option("slices", 8).load()
+      .where(col("id") >= 2000 && col("id") < 8000 &&
+        col("category") =!= "white")
+      .select(col("id"), col("category"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.size == 1)
+    val scan = scans.head.scan.asInstanceOf[GraftGenScan]
+    // id range pushed INTO generation — the scan spans 6000 ids, and
+    // splits them over the requested 8 partitions
+    assert(scan.lo == 2000L && scan.hi == 8000L)
+    assert(scan.planInputPartitions().length == 8)
+    // amount/uniform_1k pruned out of the scan schema
+    assert(scan.readSchema().fieldNames.toSet == Set("id", "category"))
+    // the category residual is applied by Spark above the scan
+    val rows = df.collect()
+    assert(rows.length < 6000 && rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) >= 2000 && r.getLong(0) < 8000))
+    assert(rows.forall(_.getString(1) != "white"))
+    // pruning really skips work: an id-only projection never hashes
+    val idOnly = spark.read.format("graftgen").option("rows", 100).load()
+      .select(col("id"))
+    val idScan = idOnly.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftGenScan]
+    assert(idScan.readSchema().fieldNames.sameElements(Array("id")))
+    assert(idOnly.agg(sum(col("id"))).head().getLong(0) == 4950L)
+  }
 }
