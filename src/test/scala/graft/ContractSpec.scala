@@ -67,6 +67,46 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("plan lint: global sorts only as the final presentation sort") {
+    import org.apache.spark.sql.execution.{SparkPlan, SortExec}
+    val dir = "/root/testdata/sf0.001"
+    // A global SortExec is presentation (the deterministic ORDER BY the
+    // oracle compare needs) when it sits on the root path — nothing but
+    // row-preserving unary nodes above it. A global sort BELOW a join,
+    // aggregate, or window is a scale bug: it range-shuffles the whole
+    // input to establish an order later operators destroy anyway.
+    // Top-k queries must compile to TakeOrderedAndProject, never
+    // sort-then-limit (CollectLimit over a global sort is allowed: it
+    // IS the presentation when a limit caps the output).
+    def presentationPath(p: SparkPlan): Seq[SparkPlan] = p match {
+      case s: SortExec => s +: presentationPath(s.child)
+      case u if u.children.size == 1 &&
+          (u.isInstanceOf[org.apache.spark.sql.execution.ProjectExec] ||
+           u.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec] ||
+           u.isInstanceOf[org.apache.spark.sql.execution.InputAdapter] ||
+           u.isInstanceOf[org.apache.spark.sql.execution.CollectLimitExec] ||
+           u.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec] ||
+           u.isInstanceOf[org.apache.spark.sql.execution.LocalLimitExec] ||
+           u.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) =>
+        u +: presentationPath(u.children.head)
+      case other => Seq(other)
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan
+        val allGlobal = plan.collect { case s: SortExec if s.global => s }
+        val onRoot = presentationPath(plan)
+          .collect { case s: SortExec if s.global => s }.toSet
+        val buried = allGlobal.filterNot(onRoot)
+        assert(buried.isEmpty,
+          s"$name buries a global sort mid-plan (feeds computation, " +
+            s"not presentation): ${buried.map(_.sortOrder.mkString(","))}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("oracle SQL strings are DuckDB-side only (no spark-isms)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.toLowerCase.contains("parquet."), s"$k embeds a path")
