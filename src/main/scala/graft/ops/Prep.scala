@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import TextFns._
@@ -55,7 +56,27 @@ object Prep {
           col("score") >= MinScore && col("n_tok") >= MinTokens)
         .select(col("doc_id"), col("lang"), col("n_tok"), col("score"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Deterministic shuffle-sharding — the training-order shuffle that
+    // follows corpus prep: every doc gets a reproducible (shard, pos)
+    // from a seeded hash, so any worker can materialize its shard
+    // independently and a re-run (or a resumed job) yields the SAME
+    // permutation. The seed prefix is the epoch: "shuf:" → epoch-0
+    // order; changing it re-permutes without rewriting data. Scale
+    // shape: one hash projection + a window partitioned by shard
+    // (corpus/16 rows per partition — bounded, parallel, no global
+    // sort anywhere; shard files then stream to trainers in pos
+    // order).
+    "q_shuffle_shards" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          h60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard", (col("h") % 16).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +105,15 @@ object Prep {
          |WHERE pred_lang = 'en'
          |  AND ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} >= $MinScore
          |  AND n_tok >= $MinTokens
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH g AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |    AS INT) AS pos
+        |FROM g ORDER BY shard, pos""".stripMargin
   )
 }
