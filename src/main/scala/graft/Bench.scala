@@ -37,6 +37,14 @@ object Bench {
         // leftover blocks from GC-thrashing the tail of the run
         // (r01's 100 s minhash reproduces at ~11 s in a clean session).
         spark.catalog.clearCache()
+        // localCheckpoint blocks (pagerank/kmeans/SCD2 rounds) are RDD
+        // storage, NOT catalog cache — clearCache never frees them, and
+        // an ALL-inventory run measured 10-100× degradation on late
+        // queries (q_offset 0.16 s fresh → 9.4 s polluted) from the
+        // accumulated blocks. Unpersist them explicitly, and nudge the
+        // ContextCleaner (broadcast/shuffle refs are GC-driven).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -74,8 +82,11 @@ object Bench {
       "q_tfidf", "q_lm_perplexity",
       "q_multimodal_features", "q_skew_salted_join",
       "q_pagerank", "q_kmeans", "q_prep_pipeline")
+    // ONLY selects from the FULL inventory (it names exactly what to
+    // run); the headline subset is only the no-env default.
     val base =
-      if (sys.env.contains("SPARK_GRAFT_ALL")) SparkEntry.queries.keys.toSeq
+      if (sys.env.contains("SPARK_GRAFT_ALL") || only.isDefined)
+        SparkEntry.queries.keys.toSeq
       else headline.filter(SparkEntry.queries.contains)
     val names = base.sorted.filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
