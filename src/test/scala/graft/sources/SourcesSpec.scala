@@ -288,4 +288,52 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(idScan.readSchema().fieldNames.sameElements(Array("id")))
     assert(idOnly.agg(sum(col("id"))).head().getLong(0) == 4950L)
   }
+
+  test("CBO: ANALYZE column stats drive broadcast selection, no hints") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    // At 100 TB nobody hand-places broadcast() hints per query — the
+    // warehouse keeps table+column statistics and the cost-based
+    // optimizer estimates the post-filter size of the build side.
+    // A/B-proved here: the SAME selective-dim join under the SAME
+    // (low) broadcast threshold plans SMJ on raw file-size estimates,
+    // and BroadcastHashJoin once ANALYZE + CBO let FilterEstimation
+    // shrink the dim below the threshold.
+    spark.sql(s"CREATE TABLE IF NOT EXISTS orders_cbo USING parquet LOCATION '$dir/orders.parquet'")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS lineitem_cbo USING parquet LOCATION '$dir/lineitem.parquet'")
+    def dim() = spark.table("orders_cbo")
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    def plannedJoin(): org.apache.spark.sql.execution.SparkPlan =
+      spark.table("lineitem_cbo")
+        .join(dim(), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+        .queryExecution.executedPlan
+    val restore = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // plan-time only
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      // Without stats the filter is a no-op to size estimation: the
+      // dim's estimate stays width-scaled-file-size. Anchor the
+      // threshold just under THAT, so only a stats-driven shrink can
+      // cross it.
+      val noStats = dim().queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (noStats / 2).toString)
+      assert(plannedJoin().collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        "without stats the filtered dim should not look broadcastable")
+      spark.sql("ANALYZE TABLE orders_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql("ANALYZE TABLE lineitem_cbo COMPUTE STATISTICS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val withStats = dim().queryExecution.optimizedPlan.stats
+      assert(withStats.sizeInBytes < noStats / 2,
+        s"FilterEstimation should shrink the dim: ${withStats.sizeInBytes} vs $noStats")
+      assert(plannedJoin().collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "with column stats + CBO the filtered dim should broadcast")
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS orders_cbo")
+      spark.sql("DROP TABLE IF EXISTS lineitem_cbo")
+    }
+  }
 }
