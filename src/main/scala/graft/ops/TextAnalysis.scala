@@ -28,6 +28,8 @@ object TextAnalysis {
   private[ops] val ZhPat = "[一-鿿]"
   private[ops] val PunctPat = "[.,;:!?]"
   private[ops] val DigitPat = "[0-9]"
+  /** Greedy merges learned by q_bpe_train (the model size). */
+  val BpeRounds = 8
   private[ops] val SymPat = "[^a-z0-9\\s]"
 
   private[ops] def nMatches(c: Column, pat: String): Column =
@@ -345,6 +347,59 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    }),
+
+    // The FULL BPE merge-training loop (BpeRounds greedy merges), not
+    // just q_bpe_pairs' first-pass statistics — the engine trains the
+    // tokenizer. State is the WORD table (vocabulary-sized: heavy-tail
+    // bounded at ~10⁷ rows for a 100 TB corpus, never corpus-sized —
+    // the corpus collapses to (word, freq) once, exactly how
+    // industrial BPE trainers shard). Each round: adjacent-pair counts
+    // over the space-joined symbol sequences (one partial+final
+    // aggregate), a 1-row TakeOrdered collect (the chosen merge IS the
+    // model — like q_kmeans' K×Dim centroids, the only driver state is
+    // model-sized), then one map-only replace. The merge step is
+    // `replace(seq, ' a b ', ' ab ')`: string replace scans left to
+    // right over non-overlapping matches — BPE's exact greedy merge
+    // order — and the re-inserted trailing space keeps back-to-back
+    // occurrences ('a b a b') matching in the same pass. Both engines
+    // share these semantics byte-for-byte, so the unrolled-CTE oracle
+    // replays every round hash-exactly. localCheckpoint per round
+    // keeps lineage flat (the q_pagerank discipline).
+    "q_bpe_train" -> ((s, dir) => {
+      val session = s
+      import session.implicits._
+      var vocab = Tables.fanout(Tables(s, dir, "documents").select(col("text")))
+        .select(explode(tokens(col("text"))).as("w"))
+        .where(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(concat(lit(" "),
+            trim(regexp_replace(col("w"), "(.)", "$1 ")),
+            lit(" </w> ")).as("seq"),
+          col("n"))
+        .localCheckpoint()
+      val merges = collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val top = vocab
+          .withColumn("toks", split(trim(col("seq")), " "))
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> " +
+              "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .head()
+        val pair = top.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, a, b, a + b, top.getLong(1)))
+        vocab = vocab.select(
+          call_function("replace", col("seq"),
+            lit(s" $pair "), lit(s" $a$b ")).as("seq"),
+          col("n")).localCheckpoint()
+      }
+      merges.toSeq.toDF("round", "left", "right", "merged", "cnt")
+        .orderBy(col("round"))
     }),
 
     // Corpus-mixing weights: per-source char share and the sampling
@@ -845,6 +900,39 @@ object TextAnalysis {
          |  FROM tk WHERE length(t) >= 2)
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // Unrolled BpeRounds-round replay of the Spark training loop: each
+    // round re-derives pair counts from the previous word table, picks
+    // the same (cnt DESC, pair) argmax, and applies the same
+    // non-overlapping string replace.
+    "q_bpe_train" -> {
+      val rounds = (1 to BpeRounds).map { r =>
+        val prev = if (r == 1) "w0" else s"w${r - 1}"
+        s"""p$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS pair
+           |    FROM (SELECT n, string_split(trim(seq), ' ') AS toks,
+           |        unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
+           |      FROM $prev))
+           |  GROUP BY pair),
+           |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+           |w$r AS (SELECT replace(seq, ' ' || pair || ' ',
+           |    ' ' || replace(pair, ' ', '') || ' ') AS seq, n
+           |  FROM $prev CROSS JOIN t$r)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeRounds).map { r =>
+        s"""SELECT CAST($r AS INT) AS round, split_part(pair, ' ', 1) AS "left",
+           |  split_part(pair, ' ', 2) AS "right",
+           |  replace(pair, ' ', '') AS merged, cnt FROM t$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tk
+         |  WHERE regexp_full_match(w, '^[a-z]+$$') GROUP BY w),
+         |w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+         |    || ' </w> ' AS seq, n FROM wc),
+         |$rounds
+         |SELECT * FROM (
+         |$out
+         |) ORDER BY round""".stripMargin
+    },
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source),
