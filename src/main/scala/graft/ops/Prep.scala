@@ -58,6 +58,33 @@ object Prep {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic importance sampling: acceptance probability scales
+    // with quality (p = 0.2 + 0.6·score) and the accept/reject coin is
+    // the seeded hash, NOT rand() — every re-run, resume, or backfill
+    // draws the SAME sample, which is what makes corpus ablations
+    // reproducible. One map-only pass (score + hash + compare), no
+    // shuffle until the presentation sort. The accept test compares
+    // INTEGERS (hash ppm vs floor(p·10⁶)) so there is no FP boundary
+    // for the engines to disagree on.
+    "q_importance_sample" -> ((s, dir) => {
+      val lt = lower(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tok"),
+          nMatches(lt, EnPat).as("n_stop"),
+          nMatches(col("text"), PunctPat).as("n_punct"),
+          nMatches(col("text"), DigitPat).as("n_digit"),
+          length(col("text")).as("len"))
+        .withColumn("score", qualityScore(col("n_tok"), col("n_stop"),
+          col("n_punct"), col("n_digit"), col("len")))
+        .withColumn("u_ppm",
+          h60(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000000)
+        .where(col("u_ppm") <
+          floor((lit(0.2) + lit(0.6) * col("score")) * 1000000).cast("long"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic shuffle-sharding — the training-order shuffle that
     // follows corpus prep: every doc gets a reproducible (shard, pos)
     // from a seeded hash, so any worker can materialize its shard
@@ -105,6 +132,21 @@ object Prep {
          |WHERE pred_lang = 'en'
          |  AND ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} >= $MinScore
          |  AND n_tok >= $MinTokens
+         |ORDER BY doc_id""".stripMargin,
+    "q_importance_sample" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '$PunctPat')) AS INT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$DigitPat')) AS INT) AS n_digit,
+         |  CAST(length(text) AS INT) AS len
+         |FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score,
+         |  ${sqlH60("'samp:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u_ppm
+         |FROM m)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE u_ppm < CAST(floor((0.2 + 0.6 * score) * 1000000) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
     "q_shuffle_shards" ->
       """WITH g AS (SELECT doc_id,

@@ -30,6 +30,73 @@ object TextAnalysis {
   private[ops] val DigitPat = "[0-9]"
   /** Greedy merges learned by q_bpe_train (the model size). */
   val BpeRounds = 8
+
+  /** DuckDB replay of [[bpeLoop]]: CTEs `w0..w$BpeRounds` (word table
+    * per round, word column carried) and `t1..t$BpeRounds` (each
+    * round's chosen pair + count). Shared by the q_bpe_train and
+    * q_bpe_encode oracles.
+    */
+  private def sqlBpeChain: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""p$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS pair
+         |    FROM (SELECT n, string_split(trim(seq), ' ') AS toks,
+         |        unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
+         |      FROM $prev))
+         |  GROUP BY pair),
+         |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT w, replace(seq, ' ' || pair || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS seq, n
+         |  FROM $prev CROSS JOIN t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""tkb AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tkb
+       |  WHERE regexp_full_match(w, '^[a-z]+$$') GROUP BY w),
+       |w0 AS (SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) ||
+       |    ' </w> ' AS seq, n FROM wc),
+       |$rounds""".stripMargin
+  }
+
+  /** The BPE training loop shared by q_bpe_train / q_bpe_encode:
+    * returns the final word table (w, seq, n) — seq is the word's
+    * space-joined symbol segmentation after all merges — and the
+    * merges in training order as (round, left, right, merged, count).
+    */
+  private def bpeLoop(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    var vocab = Tables.fanout(Tables(s, dir, "documents").select(col("text")))
+      .select(explode(tokens(col("text"))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("w"),
+        concat(lit(" "),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")),
+          lit(" </w> ")).as("seq"),
+        col("n"))
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = vocab
+        .withColumn("toks", split(trim(col("seq")), " "))
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> " +
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .head()
+      val pair = top.getString(0)
+      val Array(a, b) = pair.split(" ", 2)
+      merges += ((r, a, b, a + b, top.getLong(1)))
+      vocab = vocab.select(col("w"),
+        call_function("replace", col("seq"),
+          lit(s" $pair "), lit(s" $a$b ")).as("seq"),
+        col("n")).localCheckpoint()
+    }
+    (vocab, merges.toSeq)
+  }
   private[ops] val SymPat = "[^a-z0-9\\s]"
 
   private[ops] def nMatches(c: Column, pat: String): Column =
@@ -369,37 +436,34 @@ object TextAnalysis {
     "q_bpe_train" -> ((s, dir) => {
       val session = s
       import session.implicits._
-      var vocab = Tables.fanout(Tables(s, dir, "documents").select(col("text")))
-        .select(explode(tokens(col("text"))).as("w"))
-        .where(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .select(concat(lit(" "),
-            trim(regexp_replace(col("w"), "(.)", "$1 ")),
-            lit(" </w> ")).as("seq"),
-          col("n"))
-        .localCheckpoint()
-      val merges = collection.mutable.ArrayBuffer
-        .empty[(Int, String, String, String, Long)]
-      for (r <- 1 to BpeRounds) {
-        val top = vocab
-          .withColumn("toks", split(trim(col("seq")), " "))
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> " +
-              "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-            .as("pair"))
-          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
-          .head()
-        val pair = top.getString(0)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((r, a, b, a + b, top.getLong(1)))
-        vocab = vocab.select(
-          call_function("replace", col("seq"),
-            lit(s" $pair "), lit(s" $a$b ")).as("seq"),
-          col("n")).localCheckpoint()
-      }
-      merges.toSeq.toDF("round", "left", "right", "merged", "cnt")
+      bpeLoop(s, dir)._2
+        .toDF("round", "left", "right", "merged", "cnt")
         .orderBy(col("round"))
+    }),
+
+    // The inference side of q_bpe_train: segment the corpus with the
+    // learned merges and report per-language tokenizer FERTILITY
+    // (symbols per word, incl. the </w> marker) — the metric that
+    // decides whether a tokenizer is usable for a language before any
+    // training run. The word table already holds each word's final
+    // segmentation, so encoding is a vocabulary-sized join back onto
+    // the token stream (broadcast here; at a 10⁷-word web vocabulary
+    // it is an ordinary hash join on the word key), one aggregate per
+    // language — the corpus is never re-segmented row by row.
+    "q_bpe_encode" -> ((s, dir) => {
+      val (vocab, _) = bpeLoop(s, dir)
+      val wsym = vocab.select(col("w"),
+        size(split(trim(col("seq")), " ")).as("n_sym"))
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("lang"), col("text")))
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .join(broadcast(wsym), Seq("w")) // inner join ⇒ [a-z]+ filter
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_symbols"))
+        .select(col("lang"), col("n_words"), col("n_symbols"),
+          round(col("n_symbols").cast("double") / col("n_words").cast("double"), 6)
+            .as("fertility"))
+        .orderBy(col("lang"))
     }),
 
     // Corpus-mixing weights: per-source char share and the sampling
@@ -905,34 +969,28 @@ object TextAnalysis {
     // the same (cnt DESC, pair) argmax, and applies the same
     // non-overlapping string replace.
     "q_bpe_train" -> {
-      val rounds = (1 to BpeRounds).map { r =>
-        val prev = if (r == 1) "w0" else s"w${r - 1}"
-        s"""p$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
-           |    SELECT n, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS pair
-           |    FROM (SELECT n, string_split(trim(seq), ' ') AS toks,
-           |        unnest(generate_series(1, len(string_split(trim(seq), ' ')) - 1)) AS i
-           |      FROM $prev))
-           |  GROUP BY pair),
-           |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-           |w$r AS (SELECT replace(seq, ' ' || pair || ' ',
-           |    ' ' || replace(pair, ' ', '') || ' ') AS seq, n
-           |  FROM $prev CROSS JOIN t$r)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to BpeRounds).map { r =>
         s"""SELECT CAST($r AS INT) AS round, split_part(pair, ' ', 1) AS "left",
            |  split_part(pair, ' ', 2) AS "right",
            |  replace(pair, ' ', '') AS merged, cnt FROM t$r""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
-         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tk
-         |  WHERE regexp_full_match(w, '^[a-z]+$$') GROUP BY w),
-         |w0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
-         |    || ' </w> ' AS seq, n FROM wc),
-         |$rounds
+      s"""WITH $sqlBpeChain
          |SELECT * FROM (
          |$out
          |) ORDER BY round""".stripMargin
     },
+    "q_bpe_encode" ->
+      s"""WITH $sqlBpeChain,
+         |wsym AS (SELECT w,
+         |    CAST(len(string_split(trim(seq), ' ')) AS INT) AS n_sym
+         |  FROM w$BpeRounds),
+         |dt AS (SELECT lang, unnest(${sqlTokens("text")}) AS w FROM documents)
+         |SELECT lang, count(*) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+         |  round(CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM dt JOIN wsym USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source),
