@@ -7,6 +7,37 @@ import graft.util.Exact._
 
 case class UserTotal(user_id: Long, n: Long)
 
+case class UserStat(user_id: Long, n: Long, total_cents: Long)
+
+/** Per-user running stats on the arbitrary-state API (Spark 4.x
+  * `transformWithState`) — the successor surface to
+  * mapGroupsWithState: explicit named state handles with their own
+  * encoders and TTL, timers, and a RocksDB-backed store. State is a
+  * typed ValueState[(n, cents)]; totals accumulate in integer CENTS
+  * (the util.Exact money discipline) so they are order-free exact and
+  * comparable bit-for-bit to the batch aggregate in StreamingSpec.
+  */
+class UserStatProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), UserStat] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("stat",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStat] = {
+    var (n, tot) = if (st.exists()) st.get() else (0L, 0L)
+    rows.foreach { case (_, cents) => n += 1; tot += cents }
+    st.update((n, tot))
+    Iterator.single(UserStat(key, n, tot))
+  }
+}
+
 case class TransPair(from_type: String, to_type: String)
 
 case class FunnelProbe(user_id: Long, has_view: Boolean,
@@ -408,5 +439,39 @@ object Streams {
       .format("memory").queryName(table).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(table)
+  }
+
+  /** [[UserStatProcessor]] driven over the event stream: the
+    * transformWithState execution path (requires the RocksDB state
+    * store provider — virtual-column-family state layout). The
+    * provider swap is scoped to this drain; a production job sets it
+    * once in the session conf.
+    */
+  def userStatsTwsToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val perUser = eventsStream(spark, dir)
+        .select(col("user_id").cast("long"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new UserStatProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = perUser.toDF().writeStream.outputMode("update")
+        .format("memory").queryName(table)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_tws").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

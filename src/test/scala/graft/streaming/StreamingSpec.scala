@@ -51,6 +51,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("transformWithState per-user stats == batch groupBy (RocksDB store)") {
+    // the Spark 4 arbitrary-state successor to mapGroupsWithState:
+    // named ValueState handle, RocksDB-backed store, update mode
+    val stream = Streams.userStatsTwsToTable(spark, dir, "tws_users")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.Tables(spark, dir, "events")
+      .select(col("user_id"),
+        (graft.util.Exact.dec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("flatMapGroupsWithState transitions == batch lead() window") {
     val stream = Temporal.queries("q_stream_transitions")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
