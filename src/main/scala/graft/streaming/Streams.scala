@@ -268,6 +268,86 @@ object Streams {
     spark.table(table)
   }
 
+  /** LEFT OUTER watermarked stream-stream join — the semantics the
+    * inner form above can't show: a view with NO purchase inside its
+    * one-hour window emits exactly once, null-padded, when the global
+    * watermark passes `v_ts + 1h` — state EVICTION is the emission
+    * trigger. A finite drain never flushes the tail on its own:
+    * eviction only runs inside a micro-batch, and the watermark
+    * trails one batch behind the data, so the harness stages two
+    * far-future sentinel rows as their own micro-batches
+    * (`maxFilesPerTrigger=1`) — sentinel 1 advances the watermark the
+    * batch that reads sentinel 2 applies, and that pass evicts and
+    * emits every remaining unmatched real view. A production stream
+    * needs no sentinels — the next hour's data plays their role
+    * continuously. Output is the exact left-outer interval-join pair
+    * set, asserted row-for-row against the batch join in
+    * StreamingSpec.
+    */
+  def leftOuterIntervalJoinToTable(spark: SparkSession, dir: String,
+      table: String): DataFrame = withStatePartitions(spark) {
+    val ev = graft.Tables(spark, dir, "events") // ts normalized to micros
+    val work = java.nio.file.Files.createTempDirectory("graft_loj")
+    val streamDir = work.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = work.resolve(s"${name}_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // Each watermark operator tracks only the rows that REACH it, and
+    // the query's global watermark is the min across operators — so a
+    // sentinel must advance BOTH branches: one 'view' row and one
+    // 'purchase' row per file (distinct negative users: they can match
+    // nothing, including each other).
+    def sentinel(id: Long, daysAfter: Int): DataFrame =
+      ev.limit(1).select(explode(array(
+          struct(lit(-2 * id).as("event_id"), lit(-2 * id).as("user_id"),
+            lit("view").as("event_type")),
+          struct(lit(-2 * id - 1).as("event_id"), lit(-2 * id - 1).as("user_id"),
+            lit("purchase").as("event_type")))).as("s"))
+        .select(col("s.event_id").as("event_id"),
+          (lit(maxTs) + expr(s"interval $daysAfter days")).as("ts"),
+          col("s.user_id").as("user_id"),
+          col("s.event_type").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        .select(ev.columns.map(col): _*) // keep the exact column order
+    val t0 = System.currentTimeMillis() - 60000
+    stage(ev, "b0", t0)
+    stage(sentinel(1, 2), "b1", t0 + 20000)
+    stage(sentinel(2, 4), "b2", t0 + 40000)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    // ONE watermark node, assigned upstream of the branch split — the
+    // metadata rides the renamed columns into both join inputs.
+    // Measured on this exact harness: declaring withWatermark
+    // per-branch (two nodes over the same source) freezes the global
+    // watermark at its batch-0 value — min-policy tracking never
+    // advances and unmatched rows never flush. Since both sides ARE
+    // the same stream, the single node is also the honest declaration.
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .withWatermark("ts", "1 hour")
+    val views = raw.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val buys = raw.where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+    val joined = views.join(buys,
+      expr("user_id = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
+      "leftOuter")
+    val q = joined.select(col("view_id"), col("buy_id"))
+      .where(col("view_id") >= 0) // sentinels are harness plumbing
+      .writeStream.outputMode("append").format("memory").queryName(table)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** Streaming incremental exact-dedup ingest — the foreachBatch
     * deployment of q_dedup_incremental: each micro-batch of documents
     * elects its within-batch first occurrence per content hash

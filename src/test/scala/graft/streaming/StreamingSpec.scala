@@ -67,6 +67,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("left-outer stream-stream join == batch left join, nulls flushed by watermark") {
+    val stream = Streams.leftOuterIntervalJoinToTable(spark, dir, "loj_sink")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    val ev = graft.Tables(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+    val batch = views.join(buys,
+        expr("user_id = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
+        "leftOuter")
+      .select(col("view_id"), col("buy_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(stream == batch && stream.nonEmpty)
+    assert(stream.exists(_._2 == -1L), "expected unmatched views (null flushes)")
+  }
+
   test("flatMapGroupsWithState transitions == batch lead() window") {
     val stream = Temporal.queries("q_stream_transitions")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
