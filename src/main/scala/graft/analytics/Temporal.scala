@@ -114,6 +114,24 @@ object Temporal {
       graft.streaming.Streams.intervalJoinToTable(s, dir, "stream_join_sink")
         .orderBy(col("view_id"), col("buy_id"))),
 
+    // LEFT OUTER stream-stream join — EXECUTES on the streaming
+    // engine; unmatched views emit null-padded when the watermark
+    // passes their window (state eviction IS the emission; see
+    // Streams.leftOuterIntervalJoinToTable for the sentinel-staged
+    // flush). The full pair set equals the batch left join exactly.
+    "q_stream_leftouter" -> ((s, dir) =>
+      graft.streaming.Streams.leftOuterIntervalJoinToTable(
+          s, dir, "stream_loj_sink")
+        .orderBy(col("view_id"), col("buy_id"))),
+
+    // Per-user running stats on the Spark 4 arbitrary-state API
+    // (transformWithState + RocksDB store) — EXECUTES on the
+    // streaming engine; the single-drain totals equal the batch
+    // aggregate exactly (integer-cent sums, order-free).
+    "q_stream_user_stats" -> ((s, dir) =>
+      graft.streaming.Streams.userStatsTwsToTable(s, dir, "stream_tws_sink")
+        .orderBy(col("user_id"))),
+
     // Streaming corpus quality gate — EXECUTES on the streaming
     // engine: document stream → Gopher rule filter (the exact batch
     // Column tree, shared via TextAnalysis.gopherFlags) → per-lang
@@ -253,6 +271,18 @@ object Temporal {
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |ORDER BY view_id, buy_id""".stripMargin,
+    "q_stream_leftouter" ->
+      """SELECT a.event_id AS view_id, b.event_id AS buy_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, buy_id""".stripMargin,
+    "q_stream_user_stats" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_topk" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
