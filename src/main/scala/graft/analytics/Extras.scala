@@ -350,6 +350,23 @@ object Extras {
             .as(Seq("key", "value")))
         .orderBy(col("event_id"), col("key")).limit(2000)),
 
+    // Schema-free profiling of a semi-structured column: flatten the
+    // JSON map and roll up per-key presence + numeric stats — the
+    // "what is actually IN props?" pass that precedes schema design,
+    // run without ever declaring one. One explode + one partial+final
+    // aggregate; cardinality is the KEY space, not the row count.
+    // Non-integer values survive as nulls (n - n_int counts them).
+    "q_json_profile" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+          .as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), count(col("v")).as("n_int"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          round(sum(col("v")).cast("double") / count(col("v")), 6).as("avg_v"))
+        .orderBy(col("k"))),
+
     // Higher-order array functions over the embedding vectors.
     "q_array_lambda" -> ((s, dir) => {
       val v = col("embedding").cast("array<double>")
@@ -684,6 +701,14 @@ object Extras {
         |  TRY_CAST(json_extract_string(props, '$.' || k) AS INT) AS value
         |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
         |ORDER BY event_id, key LIMIT 2000""".stripMargin,
+    "q_json_profile" ->
+      """WITH kv AS (SELECT k,
+        |    TRY_CAST(json_extract_string(props, '$.' || k) AS INT) AS v
+        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM events))
+        |SELECT k, count(*) AS n, CAST(count(v) AS BIGINT) AS n_int,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  round(CAST(sum(v) AS DOUBLE) / count(v), 6) AS avg_v
+        |FROM kv GROUP BY k ORDER BY k""".stripMargin,
     "q_array_lambda" ->
       """SELECT vec_id,
         |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
