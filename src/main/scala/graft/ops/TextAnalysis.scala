@@ -818,10 +818,52 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_bg"), col("cross_entropy"),
           round(exp(col("cross_entropy")), 6).as("ppl"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Linear quality-classifier inference (the fastText-shaped corpus
+    // filter): score(doc) = mean of per-token weights from a bounded
+    // vocabulary, OOV = 0. In production the vocab+weights are a
+    // trained artifact, broadcast to every executor — scoring is then
+    // explode → broadcast-join → partial-agg, a single map-side pass
+    // over the corpus with no token-string shuffle. Here the vocab is
+    // derived from the corpus itself (top-300 by document frequency,
+    // deterministic h60 weights) so the oracle can replay it; the
+    // token stream feeds both passes, cached once. Weights stay
+    // integer milli-units end-to-end — the one double appears at the
+    // final rounded division.
+    "q_classifier_score" -> ((s, dir) => {
+      val toks = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .cache()
+      val vocab = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(300)
+        .select(col("tok"), (h60(col("tok")) % 2001 - 1000).as("w"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("w"), lit(0L))).as("s"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("s").cast("double") / 1000.0 / col("n_tok"), 6)
+            .as("score"))
+        .withColumn("keep", col("score") > 0)
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_classifier_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, CAST(${sqlH60("tok")} % 2001 - 1000 AS BIGINT) AS w
+         |  FROM df ORDER BY df DESC, tok LIMIT 300),
+         |sc AS (SELECT t.doc_id, count(*) AS n_tok, sum(COALESCE(v.w, 0)) AS s
+         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
+         |SELECT doc_id, n_tok,
+         |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) AS score,
+         |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) > 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${sqlH60("text")} % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
