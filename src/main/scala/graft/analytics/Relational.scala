@@ -211,6 +211,23 @@ object Relational {
         .select(col("id"), col("category"), col("amount"))
         .orderBy(col("id"))),
 
+    // Aggregate pushdown through the same V2 source: the ScanBuilder
+    // accepts the whole group-by (count/min/max/sum over long), each
+    // slice emits O(groups) partial rows, and Spark's final aggregate
+    // merges slices×5 partials — the raw 60k-row stream never leaves
+    // the readers. Plan shape (PushedAggregation in the scan, no
+    // full-width scan below the agg) is asserted in SourcesSpec.
+    "q_dsv2_agg" -> ((s, dir) =>
+      s.read.format("graftgen")
+        .option("rows", 100000).option("slices", 8).load()
+        .where(col("id") < 60000)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"),
+          min(col("uniform_1k")).as("min_u"),
+          max(col("uniform_1k")).as("max_u"),
+          sum(col("uniform_1k")).as("sum_u"))
+        .orderBy(col("category"))),
+
     // grouping_id()/grouping() over a cube — how BI layers tell
     // subtotal rows from genuine NULL group values (the reference's
     // dashboard "All" rows). Same one-shuffle Expand as q_cube.
@@ -351,6 +368,17 @@ object Relational {
         |FROM g WHERE id >= 2000 AND id < 8000
         |  AND h % 5 <> 4
         |ORDER BY id""".stripMargin,
+    "q_dsv2_agg" ->
+      """WITH g AS (SELECT range AS id,
+        |    CAST('0x' || substr(md5(CAST(range AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS h
+        |  FROM range(100000))
+        |SELECT
+        |  CASE h % 5 WHEN 0 THEN 'red' WHEN 1 THEN 'green' WHEN 2 THEN 'blue'
+        |    WHEN 3 THEN 'black' ELSE 'white' END AS category,
+        |  count(*) AS n, min(h % 1000) AS min_u, max(h % 1000) AS max_u,
+        |  CAST(sum(h % 1000) AS BIGINT) AS sum_u
+        |FROM g WHERE id < 60000 GROUP BY 1 ORDER BY category""".stripMargin,
     "q_count_total" -> "SELECT count(*) AS cnt FROM lineitem",
     "q_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")

@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -69,16 +70,69 @@ class GraftGenTable(rows: Long, slices: Int) extends Table with SupportsRead {
     new GraftGenScanBuilder(rows, slices)
 }
 
+/** (op, col) pairs of a pushed aggregation; col is empty for count(*). */
+case class GenAgg(groupCols: Seq[String], funcs: Seq[(String, String)]) {
+  /** Scan output: group columns first, then one column per aggregate —
+    * the positional contract `V2ScanRelationPushDown` asserts against.
+    * Partial-pushdown types: count → LONG (Spark re-sums), min/max →
+    * the column's own type, sum(long) → LONG.
+    */
+  def schema: StructType = {
+    val byName = GraftGen.schema.fields.map(f => f.name -> f.dataType).toMap
+    StructType(
+      groupCols.map(c => StructField(c, byName(c), nullable = false)) ++
+      funcs.zipWithIndex.map {
+        case (("count", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (("sum", _), i)   => StructField(s"agg_$i", LongType, nullable = false)
+        case ((_, c), i)       => StructField(s"agg_$i", byName(c), nullable = false)
+      })
+  }
+}
+
 class GraftGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var required: StructType = GraftGen.schema
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[GenAgg] = None
 
   private def asLong(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
     case _ => None
+  }
+
+  private def colOf(e: Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Partial aggregate pushdown (`supportCompletePushDown` stays false:
+    * with multiple InputPartitions the same group surfaces once per
+    * slice, so Spark must run the final merge — the scan ships
+    * O(slices × groups) partial rows instead of O(span) raw rows).
+    * All-or-nothing per Spark's contract: one unsupported aggregate
+    * (distinct, sum over double, …) rejects the whole aggregation and
+    * the scan falls back to raw rows. Sum is long-columns-only so
+    * partial re-summation stays exact under any slice layout.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val longCols = Set("id", "uniform_1k")
+    val groups = aggregation.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", ""))
+      case c: Count if !c.isDistinct => colOf(c.column).map(("count", _))
+      case m: Min => colOf(m.column).map(("min", _))
+      case m: Max => colOf(m.column).map(("max", _))
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(longCols).map(("sum", _))
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    agg = Some(GenAgg(groups.flatten, funcs.flatten))
+    true
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -97,9 +151,96 @@ class GraftGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after aggregate pushdown the plan's columns are the agg outputs,
+    // not generator fields — the agg schema already is the projection
+    if (agg.isEmpty) required = requiredSchema
 
-  override def build(): Scan = new GraftGenScan(lo, math.max(lo, hi), slices, required)
+  override def build(): Scan = agg match {
+    case Some(a) => GraftGenAggScan(lo, math.max(lo, hi), slices, a)
+    case None => GraftGenScan(lo, math.max(lo, hi), slices, required)
+  }
+}
+
+/** Pre-aggregating scan: each slice folds its id span into per-group
+  * partial states in one pass and emits O(groups) rows — the raw
+  * stream never leaves the reader. At 100 TB this is the difference
+  * between shipping 10¹² rows into an Exchange and shipping
+  * slices × groups partials straight to the final aggregate.
+  */
+case class GraftGenAggScan(lo: Long, hi: Long, slices: Int, agg: GenAgg)
+    extends Scan with Batch {
+  override def readSchema(): StructType = agg.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftgen range=[$lo,$hi) PushedAggregation: " +
+      s"group=[${agg.groupCols.mkString(",")}] " +
+      agg.funcs.map { case (op, c) => s"$op($c)" }.mkString("[", ",", "]")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, slices)
+    val span = hi - lo
+    (0 until n).map { i =>
+      GraftGenPartition(lo + span * i / n, lo + span * (i + 1) / n)
+    }.filter(p => p.end > p.start).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftGenAggReaderFactory(agg)
+}
+
+case class GraftGenAggReaderFactory(agg: GenAgg) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftGenPartition]
+    val fieldOf: (Long, Long) => String => Any = (id, h) => {
+      case "id" => id
+      case "uniform_1k" => h % 1000
+      case "category" => UTF8String.fromString(GraftGen.categories((h % 5).toInt))
+      case "amount" => (h % 100000).toDouble / 100.0
+    }
+    // one pass over the slice; state is O(groups)
+    val state = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    var id = p.start
+    while (id < p.end) {
+      val h = graft.functions.H60.hash(UTF8String.fromString(id.toString))
+      val f = fieldOf(id, h)
+      val key = agg.groupCols.map(f)
+      val acc = state.getOrElseUpdate(key, Array.fill[Any](agg.funcs.length)(null))
+      var i = 0
+      while (i < agg.funcs.length) {
+        val (op, c) = agg.funcs(i)
+        acc(i) = (op, acc(i)) match {
+          case ("count", null) => 1L
+          case ("count", n: Long) => n + 1L
+          case ("sum", null) => f(c).asInstanceOf[Long]
+          case ("sum", s: Long) => s + f(c).asInstanceOf[Long]
+          case (_, null) => f(c)
+          case ("min", cur) => Seq(cur, f(c)).min(GenAggOrd)
+          case ("max", cur) => Seq(cur, f(c)).max(GenAggOrd)
+          case (_, cur) => cur
+        }
+        i += 1
+      }
+      id += 1
+    }
+    val it = state.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: (Seq[Any], Array[Any]) = _
+      override def next(): Boolean = { val n = it.hasNext; if (n) cur = it.next(); n }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cur._1 ++ cur._2.toSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Ordering over the generator's three comparable field types. */
+object GenAggOrd extends Ordering[Any] {
+  def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case _ => 0
+  }
 }
 
 case class GraftGenScan(lo: Long, hi: Long, slices: Int, required: StructType)

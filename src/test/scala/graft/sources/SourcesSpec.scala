@@ -289,6 +289,37 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(idOnly.agg(sum(col("id"))).head().getLong(0) == 4950L)
   }
 
+  test("DSv2 graftgen source: aggregate pushdown, partial-merge, fallback") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def agged() = spark.read.format("graftgen")
+      .option("rows", 100000).option("slices", 8).load()
+      .where(col("id") < 60000)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), min(col("uniform_1k")).as("min_u"),
+        max(col("uniform_1k")).as("max_u"), sum(col("uniform_1k")).as("sum_u"))
+    val scan = agged().queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    // the group-by reached the reader: pre-aggregating scan, id range
+    // still pushed, output is slices × groups partials (≤ 40 rows for
+    // a 60k-id span), merged by Spark's final aggregate
+    val aggScan = scan.asInstanceOf[GraftGenAggScan]
+    assert(aggScan.description().contains("PushedAggregation"))
+    assert(aggScan.lo == 0L && aggScan.hi == 60000L)
+    assert(aggScan.readSchema().fieldNames.length == 5)
+    val out = agged().orderBy(col("category")).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).sum == 60000L) // counts cover the span
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(3) <= 999))
+    // all-or-nothing contract: sum over a double column is not pushed,
+    // the scan falls back to raw rows and Spark aggregates them itself
+    val fb = spark.read.format("graftgen")
+      .option("rows", 1000).load()
+      .groupBy(col("category")).agg(sum(col("amount")).as("s"))
+    val fbScan = fb.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b }.head.scan
+    assert(fbScan.isInstanceOf[GraftGenScan])
+  }
+
   test("CBO: ANALYZE column stats drive broadcast selection, no hints") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     // At 100 TB nobody hand-places broadcast() hints per query — the
