@@ -300,6 +300,37 @@ object Similarity {
         .where(col("rn") === 1)
         .select(col("vec_id"), col("nn_id"), col("cos_sim"))
         .orderBy(col("vec_id"))
+    }),
+
+    // KNN-graph construction blocked by a coarse partition (the label
+    // column stands in for an IVF/cluster assignment): each vector's
+    // top-3 neighbors are searched ONLY inside its block — the join
+    // shuffles on the block key, pair count is Σ|block|², never n².
+    // The per-vector top-3 runs as the bounded-heap top_k_by_score
+    // aggregate (O(3) state, map-side partials), not a window sort
+    // over all candidate pairs. This is the semdedup/self-similarity
+    // primitive: at 10⁹ vectors the same plan holds with k-means cells
+    // as blocks (q_kmeans) and multi-probe for boundary recall
+    // (q_sim_ann) — here blocks are given, so the result is exact and
+    // the oracle replays it hash-identically.
+    "q_knn_graph" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val pairs = e.select(col("label"), col("vec_id"), col("v").as("v1"))
+        .join(e.select(col("label"), col("vec_id").as("nn_id"),
+          col("v").as("v2")), Seq("label"))
+        .where(col("vec_id") =!= col("nn_id"))
+        // round BEFORE ranking so the heap's tie-break (smaller nn_id)
+        // operates on the same values the oracle ranks
+        .select(col("vec_id"), col("nn_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+      pairs.groupBy(col("vec_id"))
+        .agg(expr("top_k_by_score(cos_sim, nn_id, 3)").as("top"))
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("vec_id"), (col("pos") + 1).cast("int").as("rn"),
+          col("t.doc_id").as("nn_id"), col("t.score").as("cos_sim"))
+        .orderBy(col("vec_id"), col("rn"))
     })
   )
 
@@ -309,6 +340,16 @@ object Similarity {
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT a.vec_id, b.vec_id AS nn_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, nn_id, cos_sim,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM c)
+         |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, cos_sim
+         |FROM r WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
     "q_quantize_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x
