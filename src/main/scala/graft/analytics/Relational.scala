@@ -105,6 +105,29 @@ object Relational {
       Tables(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
 
+    // EXACT distinct-count re-aggregation from materialized partials —
+    // the warehouse pattern HLL can't deliver: per-(day, bucket) user
+    // bitmaps are built once at ingest (stage 1), and any later slice
+    // re-aggregates by OR-merging bitmaps (stage 2) — no rescan of the
+    // raw events, no approximation. COUNT(DISTINCT) itself can't
+    // pre-aggregate (distinct doesn't decompose); the bitmap partials
+    // do, because OR is associative. Bucketing (bitmap_bucket_number)
+    // bounds each bitmap to 32k bits, so state per group stays fixed
+    // no matter how large the id domain grows — at 100 TB the daily
+    // bitmap table is the only thing the nightly rollup ever reads.
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy(col("event_type"), col("d"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      daily.groupBy(col("event_type"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_rollup" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -429,6 +452,10 @@ object Relational {
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS distinct_parts,
         |  count(DISTINCT l_suppkey) AS distinct_supps FROM lineitem""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
