@@ -308,6 +308,37 @@ object Extras {
         .orderBy(col("prio"), col("day"))
     }),
 
+    // Exact per-user EWMA (α = 1/2) — the online-feature recursion no
+    // window function expresses: each row depends on the previous
+    // RESULT, not a frame of inputs. Computed with the secondary-sort
+    // pattern: repartition on the group key, sortWithinPartitions on
+    // (group, time), then ONE streaming mapPartitions pass holding
+    // O(1) state that resets at group boundaries — no per-group
+    // collect, no window sort, group size unbounded. α = 1/2 keeps
+    // every step exact in binary floating point, so the oracle's
+    // recursive CTE replays the identical operation sequence
+    // bit-for-bit.
+    "q_ewma" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          var user = Long.MinValue
+          var ewma = 0.0
+          it.map { case (u, e, x) =>
+            ewma = if (u == user) 0.5 * x + 0.5 * ewma else x
+            user = u
+            (u, e, x, ewma)
+          }
+        }
+        .toDF("user_id", "event_id", "value", "ewma")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Conditional aggregates: count_if / bool_and / bool_or / sum(CASE).
     "q_conditional_agg" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -663,6 +694,21 @@ object Extras {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_ewma" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.value, o.rn,
+        |    0.5 * o.value + 0.5 * r.ewma
+        |  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+        |SELECT user_id, event_id, value, ewma
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
     "q_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
