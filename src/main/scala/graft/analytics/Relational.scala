@@ -105,6 +105,24 @@ object Relational {
       Tables(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))),
 
+    // The sketch twin of q_bitmap_distinct: per-(event_type, day) HLL
+    // sketches materialize once, and any later rollup UNION-merges the
+    // fixed-size sketches instead of rescanning raw events. Unlike the
+    // bitmap partials (exact, memory ∝ id-domain buckets) the sketch
+    // is O(2^lgK) bytes regardless of cardinality — the trade a
+    // 100 TB daily-active-users dashboard makes. Approximate ⇒ no SQL
+    // oracle (DuckDB's HLL differs); SketchSpec asserts merged ==
+    // direct sketch and <1% error vs the exact count.
+    "q_hll_rollup" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // EXACT distinct-count re-aggregation from materialized partials —
     // the warehouse pattern HLL can't deliver: per-(day, bucket) user
     // bitmaps are built once at ingest (stage 1), and any later slice

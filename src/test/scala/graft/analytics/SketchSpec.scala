@@ -18,6 +18,28 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(a - e) / e <= 0.05, s"approx $a vs exact $e")
   }
 
+  test("q_hll_rollup: day-sketch union matches direct sketch, tracks exact") {
+    import org.apache.spark.sql.functions._
+    val merged = Relational.queries("q_hll_rollup")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // union-of-daily-partials must equal the sketch built in one shot
+    // over the same rows (sketch merge is lossless at equal lgK)...
+    val direct = graft.Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, s"merged $merged != direct $direct")
+    // ...and both track the exact distinct count inside HLL error
+    val exact = graft.Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    exact.foreach { case (t, e) =>
+      assert(math.abs(merged(t).toDouble - e) / e <= 0.01,
+        s"$t: sketch ${merged(t)} vs exact $e") }
+  }
+
   test("q_approx_quantile tracks the exact percentile per group") {
     val approx = Extras.queries("q_approx_quantile")(spark, dir).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
