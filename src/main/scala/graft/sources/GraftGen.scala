@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -91,7 +91,8 @@ case class GenAgg(groupCols: Seq[String], funcs: Seq[(String, String)]) {
 
 class GraftGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var required: StructType = GraftGen.schema
@@ -149,6 +150,37 @@ class GraftGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushdown: the generator emits ids in order, so the first
+    * `limit` rows of the (post-filter) span are exactly
+    * [lo, lo+limit) — truncate generation instead of generating the
+    * whole span and discarding. Spark only offers the limit when every
+    * predicate below it was fully pushed, so truncation is safe.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  /** ORDER BY id ASC + LIMIT pushdown — same truncation as pushLimit
+    * (the generator's natural order IS id order). Any other sort key
+    * is declined and Spark keeps its TakeOrdered.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val idAsc = orders.length == 1 && (orders.head.expression() match {
+      case r: NamedReference =>
+        r.fieldNames.sameElements(Array("id")) &&
+          orders.head.direction() == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (idAsc) { hi = math.min(hi, lo + limit); true } else false
+  }
+
+  /** Both pushdowns truncate the span but Spark keeps its final
+    * limit/sort (partial push) — correctness never rests on partition
+    * emission order.
+    */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // after aggregate pushdown the plan's columns are the agg outputs,
@@ -244,11 +276,23 @@ object GenAggOrd extends Ordering[Any] {
 }
 
 case class GraftGenScan(lo: Long, hi: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftgen range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** Post-pushdown stats: the optimizer sees the TRUE row count of the
+    * truncated span (not the table default), so a filtered generator
+    * side auto-broadcasts with no hint — the V2 analog of ANALYZE'd
+    * tables driving CBO join selection.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, (hi - lo) * 48L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(0L, hi - lo))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, slices)

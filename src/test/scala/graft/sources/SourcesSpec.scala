@@ -320,6 +320,37 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(fbScan.isInstanceOf[GraftGenScan])
   }
 
+  test("DSv2 graftgen source: limit/top-N pushdown and reported statistics") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftGenScan]
+    val base = spark.read.format("graftgen").option("rows", 100000).load()
+    // LIMIT truncates generation to 7 ids, not 100k-then-discard
+    val lim = base.select(col("id"), col("category")).limit(7)
+    assert(scanOf(lim).hi - scanOf(lim).lo == 7L)
+    assert(lim.count() == 7)
+    // ORDER BY id + LIMIT rides the generator's natural order
+    val topn = base.select(col("id")).orderBy(col("id")).limit(9)
+    assert(scanOf(topn).hi - scanOf(topn).lo == 9L)
+    assert(topn.collect().map(_.getLong(0)).toSeq == (0L until 9L))
+    // a non-id sort is declined — full span, Spark takes-ordered
+    val other = base.orderBy(col("amount")).limit(3)
+    assert(scanOf(other).hi - scanOf(other).lo == 100000L)
+    assert(other.count() == 3)
+    // reported stats: a small filtered span broadcasts with NO hint
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val dim = spark.read.format("graftgen").option("rows", 100000).load()
+      .where(col("id") < 50)
+      .select(col("id"), col("category"))
+    val fact = graft.Tables(spark, dir, "lineitem")
+    val joined = fact.join(dim, fact("l_suppkey") === dim("id"))
+    val bhj = joined.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "50-row generator side not auto-broadcast:\n" +
+      joined.queryExecution.sparkPlan.toString)
+  }
+
   test("CBO: ANALYZE column stats drive broadcast selection, no hints") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     // At 100 TB nobody hand-places broadcast() hints per query — the
