@@ -260,6 +260,38 @@ object Dedup {
         .orderBy(col("cl_size"))
     }),
 
+    // Canonical-copy selection per near-dup cluster — dedup that keeps
+    // the BEST copy, not the lexicographically first: join the
+    // component labels with the per-doc quality score (same formula as
+    // q_quality_score) and take the per-component argmax in ONE
+    // aggregate — max over a (score, -doc_id) struct, ties to the
+    // smaller doc_id — no per-cluster sort, no window. The label frame
+    // is O(docs), scoring is map-only, and the argmax shuffles one
+    // struct per doc; at 100 TB the cluster sizes never enter the
+    // memory or shuffle picture.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val labels = connectedComponents(docs, jaccardPairs(docs, 0.6))
+      val lt = lower(col("text"))
+      val toks = tokens(col("text"))
+      val scored = Tables.fanout(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(size(toks),
+            TextAnalysis.nMatches(lt, TextAnalysis.EnPat),
+            TextAnalysis.nMatches(col("text"), TextAnalysis.PunctPat),
+            TextAnalysis.nMatches(col("text"), TextAnalysis.DigitPat),
+            length(col("text"))).as("score"))
+      labels.join(scored, Seq("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("score").as("s"), (-col("doc_id")).as("nid")))
+            .as("best"))
+        .select(col("component"), col("n_members"),
+          (-col("best.nid")).as("best_doc"),
+          round(col("best.s"), 6).as("best_score"))
+        .orderBy(col("component"))
+    }),
+
     // Exact dedup: keep the smallest doc_id per identical text.
     "q_dedup_exact" -> ((s, dir) =>
       dupCorpus(s, dir)
@@ -728,6 +760,40 @@ object Dedup {
          |SELECT v AS doc_id, min(u) AS component,
          |  v = min(u) AS keeper
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |labels AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+         |m AS (SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.EnPat}')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PunctPat}')) AS INT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitPat}')) AS INT) AS n_digit,
+         |  CAST(length(text) AS INT) AS len FROM documents),
+         |q AS (SELECT doc_id,
+         |  ${TextAnalysis.sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score
+         |  FROM m),
+         |j AS (SELECT l.component, q.doc_id, q.score
+         |  FROM labels l JOIN q USING (doc_id)),
+         |r AS (SELECT component, doc_id, score,
+         |  row_number() OVER (PARTITION BY component
+         |    ORDER BY score DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY component) AS n_members FROM j)
+         |SELECT component, n_members, doc_id AS best_doc,
+         |  round(score, 6) AS best_score
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
     "q_cc_sizes" ->
       s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
