@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import TextFns._
@@ -188,6 +189,28 @@ object TextAnalysis {
         .withColumn("pred_lang", predLangFromCounts(col("n_en"), col("n_de"),
           col("n_fr"), col("n_es"), col("n_zh")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Classifier-eval confusion matrix for the language-ID pass:
+    // true lang × predicted lang counts with per-true-class recall —
+    // the quality-control readout a labeling pipeline publishes next
+    // to its predictions. One map-only predict + one tiny aggregate;
+    // the recall window runs over the langs×langs cell frame (≤25
+    // rows), never the corpus.
+    "q_confusion" -> ((s, dir) => {
+      val lt = lower(col("text"))
+      val cells = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("lang"), col("text")))
+        .select(col("lang"), predLangFromCounts(
+          nMatches(lt, EnPat), nMatches(lt, DePat), nMatches(lt, FrPat),
+          nMatches(lt, EsPat), nMatches(col("text"), ZhPat)).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+      cells.select(col("lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(w), 6)
+            .as("recall"))
+        .orderBy(col("lang"), col("pred_lang"))
     }),
 
     // Length / punctuation / stopword / digit quality heuristics.
@@ -1085,6 +1108,13 @@ object TextAnalysis {
       s"""SELECT token, count(*) AS cnt
          |FROM (SELECT unnest(${sqlTokens("text")}) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_confusion" ->
+      s"""WITH p AS (SELECT lang, $sqlLangCase AS pred_lang FROM documents),
+         |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE) /
+         |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS recall
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id, lang,
          |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_en,
