@@ -84,7 +84,9 @@ object Bench {
       "q_pagerank", "q_kmeans", "q_prep_pipeline",
       "q_bpe_train", "q_shuffle_shards", "q_importance_sample",
       "q_mv_merge", "q_dsv2_scan", "q_stream_leftouter",
-      "q_stream_user_stats")
+      "q_stream_user_stats",
+      "q_dsv2_agg", "q_knn_graph", "q_classifier_score",
+      "q_bitmap_distinct", "q_ewma", "q_dedup_canonical")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
