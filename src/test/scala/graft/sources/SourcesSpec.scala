@@ -130,6 +130,28 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucket pruning: a bucket-key point lookup reads 1 of N buckets") {
+    // the point-lookup path at 100 TB: an equality filter on the
+    // bucketing key hashes to exactly one bucket, so the scan opens
+    // 1/N of the files — no index, just layout
+    Bucketing.writeBucketed(
+      graft.Tables(spark, dir, "orders"), "orders_bp", "o_orderkey")
+    // autoBucketedScan turns the bucketed layout off for scans with no
+    // interesting-partitioning consumer — the point-lookup prune needs
+    // the bucketed scan itself
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val q = spark.table("orders_bp").where(col("o_orderkey") === 42L)
+      val scanStr = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(scanStr.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing from scan:\n$scanStr")
+      assert(q.count() == 1)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
     // The 100 TB layout story: a fact table partitioned by month joined
     // to a filtered dim must only READ the qualifying partitions —
