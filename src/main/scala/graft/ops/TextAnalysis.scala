@@ -191,6 +191,45 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Zipf-law fit — the corpus-health diagnostic (a natural corpus
+    // has log-log slope ≈ −1; synthetic/templated text bends the
+    // curve): OLS of ln(cnt) on ln(rank) over the top-1000 tokens.
+    // The corpus collapses to the vocabulary aggregate, TakeOrdered
+    // keeps 1000 rows, and the global rank window runs on that
+    // 1000-row frame only. ln() products are formed in double
+    // (IEEE-identical both engines), summed in DECIMAL(28,20) so
+    // accumulation order cannot drift, and the final slope algebra is
+    // one mirrored double tree.
+    "q_zipf" -> ((s, dir) => {
+      val top = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("text")))
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(1000)
+      val d = "decimal(28,20)"
+      val xy = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val ag = xy.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(d)).cast("double").as("sx"),
+        sum(col("y").cast(d)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(d)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(d)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(d)).cast("double").as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      ag.select(
+        round(num / den, 6).as("slope"),
+        round((col("sy") - (num / den) * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round((num * num) /
+          (den * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    }),
+
     // Classifier-eval confusion matrix for the language-ID pass:
     // true lang × predicted lang counts with per-true-class recall —
     // the quality-control readout a labeling pipeline publishes next
@@ -1108,6 +1147,28 @@ object TextAnalysis {
       s"""SELECT token, count(*) AS cnt
          |FROM (SELECT unnest(${sqlTokens("text")}) AS token FROM documents)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q_zipf" ->
+      s"""WITH tok AS (SELECT unnest(${sqlTokens("text")}) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token
+         |  ORDER BY cnt DESC, token LIMIT 1000),
+         |rk AS (SELECT cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM tc),
+         |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+         |  ln(CAST(cnt AS DOUBLE)) AS y FROM rk),
+         |ag AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(CAST(x AS DECIMAL(28,20))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(y AS DECIMAL(28,20))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(x * y AS DECIMAL(28,20))) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(x * x AS DECIMAL(28,20))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(y * y AS DECIMAL(28,20))) AS DOUBLE) AS syy
+         |  FROM xy)
+         |SELECT
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         |    AS intercept,
+         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         |FROM ag""".stripMargin,
     "q_confusion" ->
       s"""WITH p AS (SELECT lang, $sqlLangCase AS pred_lang FROM documents),
          |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)

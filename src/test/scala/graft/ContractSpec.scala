@@ -44,8 +44,10 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // (keyspace/B rows), not the data — see its scaladoc bound.
     // q_mannwhitney's global window runs over the value-BUCKET summary
     // (≤ price-range/bucket-width rows), not the data — see Stats.
+    // q_zipf ranks the TakeOrdered top-1000 token frame, never the
+    // vocabulary or the corpus.
     val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
-      "q_sequence_gaps", "q_mannwhitney")
+      "q_sequence_gaps", "q_mannwhitney", "q_zipf")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)
