@@ -23,10 +23,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    def timed(name: String)(run: => Unit): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      try run
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
@@ -47,6 +46,11 @@ object Bench {
         System.gc()
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def materialize(name: String): Double = timed(name) {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     }
 
     // JVM / codegen / parquet-footer warm-up (not reported):
@@ -94,23 +98,42 @@ object Bench {
         SparkEntry.queries.keys.toSeq
       else headline.filter(SparkEntry.queries.contains)
     val names = base.sorted.filter(n => only.forall(_.contains(n)))
-    val results = names.map { n =>
+    // The near-dup pair list is a session-shared materialized
+    // intermediate (Dedup.sharedJaccardPairs) consumed by the whole
+    // jaccard family; build it up front and bill it as its OWN entry,
+    // so family queries measure their incremental cost instead of
+    // whichever one sorts first silently absorbing the ~40 s build.
+    val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
+      "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step")
+    val shared: Seq[(String, Double)] =
+      if (names.exists(family.contains)) {
+        val t = timed("shared_jaccard_pairs") {
+          graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_jaccard_pairs     $t%9.3f s")
+        Seq("shared_jaccard_pairs" -> t)
+      } else Seq.empty
+    val results = shared ++ names.map { n =>
       val t = materialize(n)
       System.err.println(f"[bench] $n%-24s $t%9.3f s")
       n -> t
     }
     // Driver contract: ONE JSON line, and it must survive a bounded
-    // tail-capture of stdout (r01 lost the line to truncation). Keep it
-    // short: headline queries only, 3-decimal seconds, printed as the
-    // very last line. Full per-query detail already went to stderr.
+    // tail-capture of stdout (r01 AND r02 lost the line to truncation
+    // — ~60 map entries put it near 2 KB). Keep the final stdout line
+    // SHORT: total + the 10 slowest queries only. The full per-query
+    // map goes to stderr, which the judge reads separately.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jline(rs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir"}"""
+    val top10 = results.sortBy(-_._2).take(10)
     spark.stop()
-    System.err.println(line) // survives even if stdout goes through sbt buffering
-    println(line)
+    System.err.println(jline(results)) // full detail for human readers
+    println(jline(top10))
   }
 }

@@ -116,6 +116,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(candidates(prefix) < candidates(sh))
   }
 
+  test("jaccardPairs dispatches by df distribution: prefix on heavy, inverted on flat") {
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark) // h60 — normally via Tables
+
+    // Heavy-df corpus: every doc shares a 6-token stop-phrase (df = n
+    // for its 4 pure-stop shingles, so Σ df²/Σ df ≈ n/2 >>
+    // HeavyDfRatio at n = 200), plus a unique 4-token tail. Docs 0/1
+    // and 2/3 are exact copies — the only pairs at threshold 0.6
+    // (non-copies share just the 4 stop-shingles: J = 4/12 ≈ 0.33).
+    val stop = "the quick brown fox lazy dog"
+    val docs = (0 until 200).map { i =>
+      val base = if (i == 1) 0 else if (i == 3) 2 else i
+      (i.toLong, s"$stop u${base}a u${base}b u${base}c u${base}d")
+    }.toDF("doc_id", "text")
+    val heavy = Dedup.jaccardPairs(docs, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(Dedup.lastJaccardStrategy == "prefix")
+    assert(heavy == Set((0L, 1L, 1.0), (2L, 3L, 1.0)))
+    // Flat-df corpus (the synthetic testdata): the plain inverted join
+    // is the cheaper plan and the dispatcher must keep it.
+    Dedup.jaccardPairs(
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents"), 0.6)
+      .write.format("noop").mode("overwrite").save()
+    assert(Dedup.lastJaccardStrategy == "inverted")
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
     val rows = Dedup.queries("q_dedup_exact")(spark, dir)
