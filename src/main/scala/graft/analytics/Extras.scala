@@ -217,9 +217,17 @@ object Extras {
         lit(2.0) * m * m * m
       val m4 = col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
         lit(6.0) * m * m * (col("s2") / col("n")) - lit(3.0) * m * m * m * m
+      // Magnitude-gated round for variance (~2e10 dollar²): DuckDB's
+      // round(x, 6) goes through x*1e6, which blows past 2^53 and
+      // mis-rounds, while Spark rounds exactly via BigDecimal. Above
+      // 1e9 the 6-decimal round is below double ulp anyway, so both
+      // engines emit the RAW double there — bit-identical since it is
+      // derived from identical sums — and round only small values.
+      val rawVar = m2 / lit(10000.0)
       agg.select(col("o_orderpriority"), col("n").cast("long").as("n"),
           round(m / lit(100.0), 6).as("mean"),
-          round(m2 / lit(10000.0), 6).as("variance"),
+          when(abs(rawVar) < 1e9, round(rawVar, 6)).otherwise(rawVar)
+            .as("variance"),
           round(m3 / pow(m2, 1.5), 6).as("skewness"),
           round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
         .orderBy(col("o_orderpriority"))
@@ -386,12 +394,21 @@ object Extras {
     // "what is actually IN props?" pass that precedes schema design,
     // run without ever declaring one. One explode + one partial+final
     // aggregate; cardinality is the KEY space, not the row count.
-    // Non-integer values survive as nulls (n - n_int counts them).
+    // Values are parsed as STRINGS and coerced per entry — a
+    // map<string,int> parse would null the whole record's map when ANY
+    // value fails to parse, silently dropping its good keys. The
+    // coercion is regex-gated to strict integral strings because the
+    // engines' native string→int casts disagree on fractions (DuckDB
+    // rounds '5.5'→6, Spark truncates); non-integral values survive as
+    // nulls (n - n_int counts them), overflow nulls out via try_cast
+    // on both sides.
     "q_json_profile" -> ((s, dir) =>
       Tables(s, dir, "events")
         .select(explode(from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
-          .as(Seq("k", "v")))
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+          .as(Seq("k", "vs")))
+        .withColumn("v",
+          when(col("vs").rlike("^-?[0-9]+$"), expr("try_cast(vs AS int)")))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), count(col("v")).as("n_int"),
           min(col("v")).as("min_v"), max(col("v")).as("max_v"),
@@ -611,7 +628,9 @@ object Extras {
         |  FROM t2 GROUP BY o_orderpriority)
         |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
         |  round((s1 / n) / 100.0, 6) AS mean,
-        |  round((s2 / n - (s1 / n) * (s1 / n)) / 10000.0, 6) AS variance,
+        |  CASE WHEN abs((s2 / n - (s1 / n) * (s1 / n)) / 10000.0) < 1e9
+        |    THEN round((s2 / n - (s1 / n) * (s1 / n)) / 10000.0, 6)
+        |    ELSE (s2 / n - (s1 / n) * (s1 / n)) / 10000.0 END AS variance,
         |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
         |    / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
         |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
@@ -748,9 +767,10 @@ object Extras {
         |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
         |ORDER BY event_id, key LIMIT 2000""".stripMargin,
     "q_json_profile" ->
-      """WITH kv AS (SELECT k,
-        |    TRY_CAST(json_extract_string(props, '$.' || k) AS INT) AS v
-        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM events))
+      """WITH kv0 AS (SELECT k, json_extract_string(props, '$.' || k) AS vs
+        |  FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)),
+        |kv AS (SELECT k, CASE WHEN regexp_full_match(vs, '-?[0-9]+')
+        |    THEN TRY_CAST(vs AS INT) END AS v FROM kv0)
         |SELECT k, count(*) AS n, CAST(count(v) AS BIGINT) AS n_int,
         |  min(v) AS min_v, max(v) AS max_v,
         |  round(CAST(sum(v) AS DOUBLE) / count(v), 6) AS avg_v

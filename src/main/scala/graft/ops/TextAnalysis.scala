@@ -32,12 +32,29 @@ object TextAnalysis {
   /** Greedy merges learned by q_bpe_train (the model size). */
   val BpeRounds = 8
 
+  /** String `replace` consumes its match and resumes scanning AFTER it
+    * in the source, so back-to-back occurrences (' a b a b ') merge
+    * only alternately per call — one pass is NOT canonical BPE, which
+    * merges every non-overlapping adjacent occurrence in a round. A
+    * run of k occurrences loses at least half per pass, so
+    * ⌈log₂ k⌉ passes reach the fixed point; 6 passes cover runs up to
+    * 64 pairs (words of ~128 letters — far past any `[a-z]+` token).
+    * Both engines apply the SAME nested-replace count, so oracle
+    * parity holds round for round by construction.
+    */
+  val MergePasses = 6
+
   /** DuckDB replay of [[bpeLoop]]: CTEs `w0..w$BpeRounds` (word table
     * per round, word column carried) and `t1..t$BpeRounds` (each
     * round's chosen pair + count). Shared by the q_bpe_train and
     * q_bpe_encode oracles.
     */
   private def sqlBpeChain: String = {
+    // [[MergePasses]]-deep nested replace — the oracle's merge step,
+    // mirroring the Spark side's fold exactly.
+    val sqlMergeFixpoint = (1 to MergePasses).foldLeft("seq") { (e, _) =>
+      s"replace($e, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')"
+    }
     val rounds = (1 to BpeRounds).map { r =>
       val prev = if (r == 1) "w0" else s"w${r - 1}"
       s"""p$r AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -47,8 +64,7 @@ object TextAnalysis {
          |      FROM $prev))
          |  GROUP BY pair),
          |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |w$r AS (SELECT w, replace(seq, ' ' || pair || ' ',
-         |    ' ' || replace(pair, ' ', '') || ' ') AS seq, n
+         |w$r AS (SELECT w, $sqlMergeFixpoint AS seq, n
          |  FROM $prev CROSS JOIN t$r)""".stripMargin
     }.mkString(",\n")
     s"""tkb AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
@@ -91,10 +107,13 @@ object TextAnalysis {
       val pair = top.getString(0)
       val Array(a, b) = pair.split(" ", 2)
       merges += ((r, a, b, a + b, top.getLong(1)))
-      vocab = vocab.select(col("w"),
-        call_function("replace", col("seq"),
-          lit(s" $pair "), lit(s" $a$b ")).as("seq"),
-        col("n")).localCheckpoint()
+      // Fixed-point merge (see [[MergePasses]]): nested replace, the
+      // same depth the oracle CTE applies.
+      val mergedSeq = (1 to MergePasses).foldLeft(col("seq")) { (c, _) =>
+        call_function("replace", c, lit(s" $pair "), lit(s" $a$b "))
+      }
+      vocab = vocab.select(col("w"), mergedSeq.as("seq"), col("n"))
+        .localCheckpoint()
     }
     (vocab, merges.toSeq)
   }
@@ -487,14 +506,16 @@ object TextAnalysis {
     // over the space-joined symbol sequences (one partial+final
     // aggregate), a 1-row TakeOrdered collect (the chosen merge IS the
     // model — like q_kmeans' K×Dim centroids, the only driver state is
-    // model-sized), then one map-only replace. The merge step is
-    // `replace(seq, ' a b ', ' ab ')`: string replace scans left to
-    // right over non-overlapping matches — BPE's exact greedy merge
-    // order — and the re-inserted trailing space keeps back-to-back
-    // occurrences ('a b a b') matching in the same pass. Both engines
-    // share these semantics byte-for-byte, so the unrolled-CTE oracle
-    // replays every round hash-exactly. localCheckpoint per round
-    // keeps lineage flat (the q_pagerank discipline).
+    // model-sized), then one map-only merge pass. The merge is
+    // `replace(seq, ' a b ', ' ab ')` iterated [[MergePasses]] times
+    // to its fixed point — a single replace resumes scanning after
+    // each consumed match, so back-to-back occurrences ('a b a b')
+    // would merge only alternately; the nested form merges every
+    // non-overlapping adjacent occurrence, matching canonical greedy
+    // BPE. Both engines apply the identical nested call, so the
+    // unrolled-CTE oracle replays every round hash-exactly.
+    // localCheckpoint per round keeps lineage flat (the q_pagerank
+    // discipline).
     "q_bpe_train" -> ((s, dir) => {
       val session = s
       import session.implicits._
@@ -1071,7 +1092,7 @@ object TextAnalysis {
     // Unrolled BpeRounds-round replay of the Spark training loop: each
     // round re-derives pair counts from the previous word table, picks
     // the same (cnt DESC, pair) argmax, and applies the same
-    // non-overlapping string replace.
+    // MergePasses-deep fixed-point replace.
     "q_bpe_train" -> {
       val out = (1 to BpeRounds).map { r =>
         s"""SELECT CAST($r AS INT) AS round, split_part(pair, ' ', 1) AS "left",

@@ -99,8 +99,27 @@ class GraftGenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[GenAgg] = None
 
+  // Only integral numbers may translate to span bounds: longValue()
+  // would TRUNCATE a fractional value (5.5 → 5) and the filter would
+  // then be reported fully pushed while returning wrong rows. Spark
+  // currently casts the long column for non-integral comparisons so
+  // the fractional case isn't reachable today, but a future filter
+  // translation must fall through as a residual, not truncate.
   private def asLong(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
+    case n @ (_: java.lang.Long | _: java.lang.Integer | _: java.lang.Short
+        | _: java.lang.Byte) => Some(n.asInstanceOf[java.lang.Number].longValue())
+    case d: java.math.BigDecimal if d.stripTrailingZeros.scale <= 0 &&
+        d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0 &&
+        d.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) >= 0 =>
+      Some(d.longValueExact())
+    case d: java.lang.Double if d.doubleValue.isWhole &&
+        d.doubleValue >= Long.MinValue.toDouble &&
+        d.doubleValue < Long.MaxValue.toDouble => // 2^63 itself overflows
+      Some(d.doubleValue.toLong)
+    case f: java.lang.Float if f.floatValue.toDouble.isWhole &&
+        f.floatValue.toDouble >= Long.MinValue.toDouble &&
+        f.floatValue.toDouble < Long.MaxValue.toDouble =>
+      Some(f.floatValue.toLong)
     case _ => None
   }
 

@@ -552,7 +552,18 @@ object Streams {
           java.nio.file.Files.createTempDirectory("graft_tws").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
+      // The update-mode memory sink accumulates one row per user per
+      // micro-batch; reduce to each user's FINAL update so the result
+      // doesn't depend on the source arriving as exactly one batch
+      // (extra files / maxFilesPerTrigger would otherwise duplicate
+      // users). n strictly increases across a user's updates — every
+      // emission follows ≥1 new event — so max_by(…, n) is the last
+      // one.
       spark.table(table)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n"), col("total_cents")), col("n")).as("s"))
+        .select(col("user_id"), col("s.n").as("n"),
+          col("s.total_cents").as("total_cents"))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
