@@ -11,20 +11,24 @@ import graft.Tables
   */
 case class MediaRecord(doc_id: Long, bytes: Array[Byte], mime: String)
 
-/** Features produced by the (stubbed) decode stage. */
-case class MediaFeatures(doc_id: Long, n_bytes: Int, header: Int,
-    checksum: Long, width: Int, height: Int)
+/** Features produced by the real image-decode stage. */
+case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+    n_pixels: Long, sum_lum: Long, mean_lum: Double)
 
 /** Multimodal-column operators: opaque binary payloads with typed
   * metadata, a batched decode/feature-extract stage, and the
   * documents⋈embeddings "text + vector" join.
   *
-  * The decode step is a STUB (no image/audio codecs in this
-  * container): [[Multimodal.decodeStub]] fabricates deterministic
-  * dimensions from the bytes. Everything around it — the binary
-  * schema, the typed Dataset encoders, the mapPartitions batching
-  * shape (fixed-size batches, as a vectorized decoder would demand),
-  * partition behavior — is real and exercised by MultimodalSpec.
+  * The decode stage is REAL: each document carries a deterministic
+  * tiny PNG (dimensions and pixel values are closed-form functions of
+  * doc_id), encoded and decoded with the JDK's `javax.imageio` —
+  * no native codecs needed. PNG is lossless, so the decoded pixel
+  * aggregates equal the closed form and the DuckDB oracle can verify
+  * the whole encode→decode→aggregate pipeline hash-exactly. The
+  * surrounding plumbing — binary schema, typed Dataset encoders, the
+  * fixed-size mapPartitions batching a vectorized decoder would
+  * demand, partition behavior — is the same shape a JPEG/WebP/audio
+  * decoder would ride; only the codec call changes.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -39,32 +43,75 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
         lit("application/octet-stream").as("mime"))
 
-  /** STUB decode: a real implementation would hand each fixed-size
-    * batch of byte arrays to a native codec. Deterministic fake so the
-    * pipeline is testable end-to-end.
+  /** Deterministic tiny grayscale PNG for a document: width/height and
+    * every pixel value are closed-form in doc_id (so an oracle can
+    * recompute the decoded aggregates without any codec), encoded for
+    * real through `javax.imageio.ImageIO`.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
-    val n = bytes.length
-    (n % 640 + 16, n % 480 + 16)
+  def pngFor(docId: Long): Array[Byte] = {
+    val w = (docId % 24 + 8).toInt
+    val h = (docId % 16 + 8).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 31 + x * 7 + y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents as real PNG payloads, generated per partition on the
+    * executors (the ingest stand-in for reading media files; the
+    * binaryFile front door is exercised in SourcesSpec).
+    */
+  def asPngMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, pngFor(id), "image/png")))
+  }
+
+  /** Real decode: ImageIO PNG read → dimensions + luminance sum (the
+    * blue channel — all three channels carry the same value).
+    */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+      y += 1
+    }
+    (w, h, sum)
   }
 
   /** Batched per-partition feature extraction over the binary column —
     * the Scala/Tungsten analog of a pandas_udf/mapInPandas stage:
     * fixed-size batches inside each partition, no shuffle, output is a
-    * typed Dataset.
+    * typed Dataset. The decode is a real ImageIO call per payload.
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { it =>
+    media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.map { m =>
-          val crc = new java.util.zip.CRC32()
-          crc.update(m.bytes)
-          val (w, h) = decodeStub(m.bytes)
-          MediaFeatures(m.doc_id, m.bytes.length,
-            if (m.bytes.nonEmpty) m.bytes(0) & 0xff else -1,
-            crc.getValue, w, h)
+          val (w, h, sum) = decodeImage(m.bytes)
+          val n = w.toLong * h
+          MediaFeatures(m.doc_id, w, h, n, sum,
+            BigDecimal(sum.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }
     }
@@ -86,10 +133,12 @@ object Multimodal {
         .select(col("doc_id"), length(col("bytes")).as("n_bytes"))
         .orderBy(col("doc_id"))),
 
-    // Full binary → batched-decode → features pipeline (stub decode;
-    // no SQL oracle — rows-only check + MultimodalSpec assertions).
+    // Full binary → batched-decode → features pipeline, decoding REAL
+    // PNGs through javax.imageio. The oracle recomputes the decoded
+    // aggregates from the closed-form pixel function (PNG is
+    // lossless), so the codec round-trip itself is oracle-verified.
     "q_multimodal_features" -> ((s, dir) =>
-      extractFeatures(asMedia(s, dir)).toDF().orderBy(col("doc_id"))),
+      extractFeatures(asPngMedia(s, dir)).toDF().orderBy(col("doc_id"))),
 
     // Content-hash dedup of binary payloads — identical media dedupe
     // WITHOUT decoding: one hash aggregate on md5(bytes), keeping the
@@ -143,6 +192,21 @@ object Multimodal {
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Recomputes the decoded-pixel aggregates from the closed form the
+    // PNGs were generated with — lossless codec ⇒ equality is exact.
+    "q_multimodal_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (doc_id * 31 + x * 7 + y) % 256 AS v
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_lum,
+        |  round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_lum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q_multimodal_dedup" ->
       """WITH m AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)

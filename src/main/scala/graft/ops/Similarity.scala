@@ -302,6 +302,36 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
+    // Recall@1 of the IVF ANN against the exact brute force — the
+    // approximation's quality metric as a FIRST-CLASS, oracle-exact
+    // query (1 row): a vector scores a hit when its ANN neighbor is
+    // as close as the true nearest (cosine equality on the rounded
+    // value — an equally-near different neighbor still counts; vectors
+    // the ANN left uncovered count as misses via the left join). The
+    // whole IVF pipeline is deterministic, so the oracle replays BOTH
+    // sides in SQL and the recall is hash-checked, not just asserted
+    // in a unit test. Brute force is the n² probe side — at 10⁹ rows
+    // this query runs on a sampled probe set, same plan.
+    "q_ann_recall" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      val ann = queries("q_sim_ann")(s, dir)
+        .select(col("vec_id"), col("cos_sim").as("ann_cos"))
+      val truth = emb.select(col("vec_id"), col("v").as("v1"))
+        .crossJoin(broadcast(
+          emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
+      truth.join(ann, Seq("vec_id"), "left")
+        .select((col("ann_cos") === col("true_cos"))
+          .cast("int").as("hit"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+            count(lit(1)), 6).as("recall_at_1"))
+    }),
+
     // KNN-graph construction blocked by a coarse partition (the label
     // column stands in for an IVF/cluster assignment): each vector's
     // top-3 neighbors are searched ONLY inside its block — the join
@@ -429,8 +459,50 @@ object Similarity {
          |  (sqrt(list_sum(list_transform(range($Dim), i -> v[i+1] * v[i+1]))) *
          |   sqrt(list_sum(list_transform(range($Dim), i -> pv[i+1] * pv[i+1])))), 6) AS cos_sim
          |FROM e, p WHERE vec_id <> 0
-         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // Full SQL replay of the deterministic IVF pipeline (two-level
+    // quantizer, multi-probe 2, bucket self-join, rn=1 re-rank) plus
+    // the exact brute force — recall is therefore hash-checked.
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |prm AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+         |prm2 AS (SELECT m,
+         |    greatest(2, CAST(ceil(sqrt(CAST(m AS DOUBLE))) AS BIGINT)) AS c FROM prm),
+         |fine AS (SELECT vec_id AS fine_id, v AS fv FROM e
+         |  WHERE vec_id < (SELECT m FROM prm2)),
+         |coarse AS (SELECT vec_id AS coarse_id, v AS cv FROM e
+         |  WHERE vec_id < (SELECT c FROM prm2)),
+         |fb0 AS (SELECT fine_id, fv, coarse_id, ${sqlCos("fv", "cv")} AS fcos
+         |  FROM fine CROSS JOIN coarse),
+         |fb AS (SELECT coarse_id, fine_id, fv FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fine_id
+         |    ORDER BY fcos DESC, coarse_id) AS rn FROM fb0) WHERE rn = 1),
+         |vc0 AS (SELECT e.vec_id, e.v, coarse_id, ${sqlCos("e.v", "cv")} AS ccos
+         |  FROM e CROSS JOIN coarse),
+         |vc AS (SELECT vec_id, v, coarse_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, coarse_id) AS rn FROM vc0) WHERE rn <= $NProbe),
+         |pr0 AS (SELECT vc.vec_id, vc.v, fb.fine_id, ${sqlCos("vc.v", "fb.fv")} AS acos
+         |  FROM vc JOIN fb USING (coarse_id)),
+         |probed AS (SELECT vec_id, v, fine_id AS anchor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY acos DESC, fine_id) AS rn FROM pr0) WHERE rn <= $NProbe),
+         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM probed a JOIN probed b
+         |    ON a.anchor_id = b.anchor_id AND a.vec_id <> b.vec_id),
+         |ann AS (SELECT vec_id, cos_sim AS ann_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand) WHERE rn = 1),
+         |truth AS (SELECT a.vec_id, max(round(${sqlCos("a.v", "b.v")}, 6)) AS true_cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id GROUP BY a.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall_at_1
+         |FROM truth LEFT JOIN ann USING (vec_id)""".stripMargin
     // q_sim_ann: intentionally no oracle — approximate op, verified by
-    // recall-vs-brute-force in OpsSpec.
+    // recall-vs-brute-force in OpsSpec and quantified by q_ann_recall.
   )
 }

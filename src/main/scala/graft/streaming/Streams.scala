@@ -65,7 +65,7 @@ object Streams {
     * after; production sizes this to stream volume (it is fixed at
     * the FIRST start of a stateful query by the checkpoint anyway).
     */
-  private val StatePartitions = 8
+  private val StatePartitions = 4
   private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -286,11 +286,13 @@ object Streams {
     */
   def leftOuterIntervalJoinToTable(spark: SparkSession, dir: String,
       table: String): DataFrame = withStatePartitions(spark) {
-    // only the two participating event types are staged — other types
-    // would be filtered in-stream anyway, so the harness skips writing
-    // and re-reading them (60% of the staging I/O at sf0.1)
+    // only the two participating event types and the four columns the
+    // join touches are staged — anything else would be pruned
+    // in-stream anyway, so the harness skips writing and re-reading it
+    // (60% of rows, half the bytes at sf0.1)
     val ev = graft.Tables(spark, dir, "events") // ts normalized to micros
       .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val work = java.nio.file.Files.createTempDirectory("graft_loj")
     val streamDir = work.resolve("stream")
     java.nio.file.Files.createDirectories(streamDir)
@@ -344,12 +346,25 @@ object Streams {
     val joined = views.join(buys,
       expr("user_id = b_user AND b_ts >= v_ts AND b_ts <= v_ts + interval 1 hour"),
       "leftOuter")
-    val q = joined.select(col("view_id"), col("buy_id"))
-      .where(col("view_id") >= 0) // sentinels are harness plumbing
-      .writeStream.outputMode("append").format("memory").queryName(table)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(table)
+    // The sentinel-2 micro-batch already applies sentinel-1's
+    // watermark and evicts every remaining real view; the default
+    // no-data micro-batch would only re-apply sentinel-2's watermark
+    // to evict the sentinels themselves (filtered out below) — skip
+    // that fourth stateful batch for the finite drain.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
+      val q = joined.select(col("view_id"), col("buy_id"))
+        .where(col("view_id") >= 0) // sentinels are harness plumbing
+        .writeStream.outputMode("append").format("memory").queryName(table)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(table)
+    } finally ndPrev match {
+      case Some(v) => spark.conf.set(ndKey, v)
+      case None => spark.conf.unset(ndKey)
+    }
   }
 
   /** Streaming incremental exact-dedup ingest — the foreachBatch

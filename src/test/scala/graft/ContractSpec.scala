@@ -15,7 +15,7 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.queries.keys.forall(_.startsWith("q_")))
     // every query is oracle-checked unless deliberately rows-only
     val rowsOnly = Set("q_approx_distinct", "q_approx_quantile", "q_sim_ann",
-      "q_multimodal_features", "q_hll_rollup")
+      "q_hll_rollup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries missing an oracle: $missing")
   }

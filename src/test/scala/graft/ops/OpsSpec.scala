@@ -500,19 +500,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("multimodal feature extraction: batched stub decode is faithful") {
+  test("multimodal feature extraction: real PNG round-trip recovers the closed form") {
     import spark.implicits._
-    val media = Seq((1L, "hello world"), (2L, ""))
-      .toDF("doc_id", "text")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"),
-        lit("application/octet-stream").as("mime"))
+    // The PNG bytes are a REAL ImageIO encode; decode must recover the
+    // generator's dimensions and pixel sum exactly (lossless codec).
+    val ids = Seq(0L, 7L, 23L, 100L)
+    val media = ids.toDS()
+      .mapPartitions(_.map(id =>
+        MediaRecord(id, Multimodal.pngFor(id), "image/png")))
     val feats = Multimodal.extractFeatures(media).collect()
       .map(f => f.doc_id -> f).toMap
-    val crc = new java.util.zip.CRC32()
-    crc.update("hello world".getBytes("UTF-8"))
-    assert(feats(1L).n_bytes == 11)
-    assert(feats(1L).header == 'h'.toInt)
-    assert(feats(1L).checksum == crc.getValue)
-    assert(feats(2L).n_bytes == 0 && feats(2L).header == -1)
+    for (id <- ids) {
+      val w = (id % 24 + 8).toInt; val h = (id % 16 + 8).toInt
+      val expSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y) % 256).sum
+      assert(feats(id).width == w && feats(id).height == h)
+      assert(feats(id).n_pixels == w.toLong * h)
+      assert(feats(id).sum_lum == expSum)
+    }
+    // and the payload really is a PNG (magic bytes)
+    val png = Multimodal.pngFor(1L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
   }
 }
