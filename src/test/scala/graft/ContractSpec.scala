@@ -109,6 +109,65 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** Canonically-equal exchange subtrees still present as SEPARATE
+    * nodes after Spark's reuse rule ran: each one re-executes the same
+    * expensive subtree (shuffle/broadcast + everything below it) — the
+    * duplicate-subplan bug class (a builder helper called twice
+    * instead of shared/cached defeats reuse the moment the two call
+    * sites drift). With exchange reuse ON, identical subtrees collapse
+    * into ReusedExchangeExec (not matched here), so anything this
+    * returns is a duplicate that reuse could NOT merge — nondeterminism
+    * or accidental plan drift between the copies.
+    */
+  private def duplicateExchanges(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    val ex = plan.collect {
+      case e: ShuffleExchangeExec => e: org.apache.spark.sql.execution.SparkPlan
+      case e: BroadcastExchangeExec => e
+    }
+    ex.groupBy(_.canonicalized).collect {
+      case (c, copies) if copies.size > 1 =>
+        s"${copies.size}x ${c.nodeName}: ${c.simpleString(60)}"
+    }.toSeq
+  }
+
+  test("plan lint: no duplicate expensive subtree survives exchange reuse") {
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val dups = duplicateExchanges(fn(spark, dir).queryExecution.executedPlan)
+        assert(dups.isEmpty,
+          s"$name executes the same exchange subtree twice: ${dups.mkString("; ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("plan lint detector catches a seeded duplicate subtree") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val reuse = spark.conf.get("spark.sql.exchange.reuse")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // Disabling reuse simulates the failure mode where the optimizer
+      // cannot merge the two copies — the detector must still see them.
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      def agg = Tables(spark, dir, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val seeded = agg.join(agg.withColumnRenamed("n", "n2"),
+        Seq("o_orderpriority"))
+      val dups = duplicateExchanges(seeded.queryExecution.executedPlan)
+      assert(dups.nonEmpty, "detector missed a duplicated aggregate subtree")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.exchange.reuse", reuse)
+    }
+  }
+
   test("oracle SQL strings are DuckDB-side only (no spark-isms)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.toLowerCase.contains("parquet."), s"$k embeds a path")
