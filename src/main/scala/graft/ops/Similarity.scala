@@ -59,15 +59,66 @@ object Similarity {
     */
   val DupThreshold = 0.40
 
+  /** The IVF multi-probe assignment shared by q_sim_ann /
+    * q_dedup_embedding_ivf (and replayed in SQL by [[sqlIvfProbed]]):
+    * two-level coarse quantizer — √m coarse anchors route each vector
+    * to a subset of the m = √n fine anchors, so assignment scans
+    * c + p·m/c anchors per vector (O(n^1.25) cosine evals total)
+    * instead of the flat quantizer's m (O(n^1.5)). Every coarse anchor
+    * id is also a fine anchor id, so each coarse bucket owns ≥ 1 fine
+    * anchor (its own) — full coverage holds. Returns
+    * (vec_id, v, anchor_id), NProbe rows per vector.
+    */
+  private def ivfProbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    // anchor counts from a direct parquet count (metadata-cheap) —
+    // caching emb for this would pin it in executor storage for the
+    // whole session (Verify/Bench run ~70 queries in one session)
+    val nVec = Tables(s, dir, "embeddings").count().toDouble
+    val mFine = math.max(4, math.ceil(math.sqrt(nVec)).toInt)
+    val nCoarse = math.max(2, math.ceil(math.sqrt(mFine.toDouble)).toInt)
+    val fine = broadcast(emb.where(col("vec_id") < mFine)
+      .select(col("vec_id").as("fine_id"), col("v").as("fv")))
+    val coarse = broadcast(emb.where(col("vec_id") < nCoarse)
+      .select(col("vec_id").as("coarse_id"), col("v").as("cv")))
+    // level 1: each fine anchor lives in exactly one coarse bucket
+    // (m×c rows — driver-trivial at any n)
+    val wf = Window.partitionBy(col("fine_id"))
+      .orderBy(col("fcos").desc, col("coarse_id"))
+    val fineBucket = fine.crossJoin(coarse)
+      .select(col("fine_id"), col("fv"), col("coarse_id"),
+        cosine("fv", "cv").as("fcos"))
+      .withColumn("frn", row_number().over(wf)).where(col("frn") === 1)
+      .select(col("coarse_id"), col("fine_id"), col("fv"))
+    // level 2: vector → top-NProbe coarse buckets (n·c evals)
+    val wc = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("coarse_id"))
+    val vecCoarse = emb.crossJoin(coarse)
+      .select(col("vec_id"), col("v"), col("coarse_id"),
+        cosine("v", "cv").as("ccos"))
+      .withColumn("crn", row_number().over(wc)).where(col("crn") <= NProbe)
+      .select(col("vec_id"), col("v"), col("coarse_id"))
+    // level 3: vector → top-NProbe fine anchors within the probed
+    // coarse buckets (n·p·m/c evals)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("fine_id"))
+    vecCoarse.join(broadcast(fineBucket), Seq("coarse_id"))
+      .select(col("vec_id"), col("v"), col("fine_id"),
+        cosine("v", "fv").as("acos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") <= NProbe)
+      .select(col("vec_id"), col("v"), col("fine_id").as("anchor_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicate pairs — the dedup-family member
     // that keys on semantic (vector) identity rather than text. This
     // is the EXACT variant: one side broadcast, a single fused-loop
     // cosine per pair, filter on the unrounded value (both engines
-    // compute bit-identical doubles). At 10⁹ rows the same predicate
-    // runs as a re-check over q_sim_ann's IVF candidate buckets
-    // instead of the full pair space; the exact form is also what the
-    // oracle can replay, so it carries the correctness contract.
+    // compute bit-identical doubles). The production-scale form of the
+    // same predicate is EXECUTED as q_dedup_embedding_ivf (candidates
+    // from IVF buckets, never the full pair space); this exact form
+    // bounds it from above and carries the recall assertion in OpsSpec.
     "q_dedup_embedding" -> ((s, dir) => {
       CosineSim.register(s)
       val emb = embeddings(s, dir)
@@ -249,44 +300,7 @@ object Similarity {
     // bucket owns ≥ 1 fine anchor (its own) — full coverage holds.
     "q_sim_ann" -> ((s, dir) => {
       CosineSim.register(s)
-      val emb = embeddings(s, dir)
-      // anchor counts from a direct parquet count (metadata-cheap) —
-      // caching emb for this would pin it in executor storage for the
-      // whole session (Verify/Bench run ~70 queries in one session)
-      val nVec = Tables(s, dir, "embeddings").count().toDouble
-      val mFine = math.max(4, math.ceil(math.sqrt(nVec)).toInt)
-      val nCoarse = math.max(2, math.ceil(math.sqrt(mFine.toDouble)).toInt)
-      val fine = broadcast(emb.where(col("vec_id") < mFine)
-        .select(col("vec_id").as("fine_id"), col("v").as("fv")))
-      val coarse = broadcast(emb.where(col("vec_id") < nCoarse)
-        .select(col("vec_id").as("coarse_id"), col("v").as("cv")))
-      // level 1: each fine anchor lives in exactly one coarse bucket
-      // (m×c rows — driver-trivial at any n)
-      val wf = Window.partitionBy(col("fine_id"))
-        .orderBy(col("fcos").desc, col("coarse_id"))
-      val fineBucket = fine.crossJoin(coarse)
-        .select(col("fine_id"), col("fv"), col("coarse_id"),
-          cosine("fv", "cv").as("fcos"))
-        .withColumn("frn", row_number().over(wf)).where(col("frn") === 1)
-        .select(col("coarse_id"), col("fine_id"), col("fv"))
-      // level 2: vector → top-NProbe coarse buckets (n·c evals)
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("coarse_id"))
-      val vecCoarse = emb.crossJoin(coarse)
-        .select(col("vec_id"), col("v"), col("coarse_id"),
-          cosine("v", "cv").as("ccos"))
-        .withColumn("crn", row_number().over(wc)).where(col("crn") <= NProbe)
-        .select(col("vec_id"), col("v"), col("coarse_id"))
-      // level 3: vector → top-NProbe fine anchors within the probed
-      // coarse buckets (n·p·m/c evals)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("acos").desc, col("fine_id"))
-      val probed = vecCoarse.join(broadcast(fineBucket), Seq("coarse_id"))
-        .select(col("vec_id"), col("v"), col("fine_id"),
-          cosine("v", "fv").as("acos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .where(col("arn") <= NProbe)
-        .select(col("vec_id"), col("v"), col("fine_id").as("anchor_id"))
+      val probed = ivfProbed(s, dir) // the shared two-level quantizer
       val cand = probed.select(col("anchor_id"), col("vec_id"), col("v").as("v1"))
         .join(probed.select(col("anchor_id"), col("vec_id").as("nn_id"), col("v").as("v2")),
           Seq("anchor_id"))
@@ -300,6 +314,30 @@ object Similarity {
         .where(col("rn") === 1)
         .select(col("vec_id"), col("nn_id"), col("cos_sim"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The EXECUTED scale path for embedding near-dup (the exact
+    // q_dedup_embedding broadcasts the full table — its oracle role):
+    // candidate pairs come only from IVF bucket co-membership (the
+    // same two-level multi-probe quantizer as q_sim_ann), then the
+    // exact cosine threshold verifies candidates — Σ|bucket|² pairs,
+    // never n². The pipeline is deterministic, so the oracle replays
+    // it exactly and this row is hash-checked like any exact query;
+    // recall vs the exact pair set is asserted in OpsSpec. At 10⁹
+    // rows this plan is the production form: assignment O(n^1.25),
+    // verify bounded by bucket products, broadcast only anchors.
+    "q_dedup_embedding_ivf" -> ((s, dir) => {
+      CosineSim.register(s)
+      val probed = ivfProbed(s, dir)
+      probed.select(col("anchor_id"), col("vec_id").as("doc1"), col("v").as("v1"))
+        .join(probed.select(col("anchor_id"), col("vec_id").as("doc2"),
+          col("v").as("v2")), Seq("anchor_id"))
+        .where(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), cosine("v1", "v2").as("c"))
+        .where(col("c") >= DupThreshold)
+        .select(col("doc1"), col("doc2"), round(col("c"), 6).as("cos_sim"))
+        .distinct()
+        .orderBy(col("doc1"), col("doc2"))
     }),
 
     // Recall@1 of the IVF ANN against the exact brute force — the
@@ -368,6 +406,35 @@ object Similarity {
     s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
        |  (sqrt(list_sum(list_transform(range($Dim), i -> $a[i+1] * $a[i+1]))) *
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
+
+  /** SQL replay of [[ivfProbed]] — CTE chain ending in
+    * `probed(vec_id, v, anchor_id)`; prefix for the q_ann_recall and
+    * q_dedup_embedding_ivf oracles.
+    */
+  private def sqlIvfProbed: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |prm AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+       |prm2 AS (SELECT m,
+       |    greatest(2, CAST(ceil(sqrt(CAST(m AS DOUBLE))) AS BIGINT)) AS c FROM prm),
+       |fine AS (SELECT vec_id AS fine_id, v AS fv FROM e
+       |  WHERE vec_id < (SELECT m FROM prm2)),
+       |coarse AS (SELECT vec_id AS coarse_id, v AS cv FROM e
+       |  WHERE vec_id < (SELECT c FROM prm2)),
+       |fb0 AS (SELECT fine_id, fv, coarse_id, ${sqlCos("fv", "cv")} AS fcos
+       |  FROM fine CROSS JOIN coarse),
+       |fb AS (SELECT coarse_id, fine_id, fv FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY fine_id
+       |    ORDER BY fcos DESC, coarse_id) AS rn FROM fb0) WHERE rn = 1),
+       |vc0 AS (SELECT e.vec_id, e.v, coarse_id, ${sqlCos("e.v", "cv")} AS ccos
+       |  FROM e CROSS JOIN coarse),
+       |vc AS (SELECT vec_id, v, coarse_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, coarse_id) AS rn FROM vc0) WHERE rn <= $NProbe),
+       |pr0 AS (SELECT vc.vec_id, vc.v, fb.fine_id, ${sqlCos("vc.v", "fb.fv")} AS acos
+       |  FROM vc JOIN fb USING (coarse_id)),
+       |probed AS (SELECT vec_id, v, fine_id AS anchor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY acos DESC, fine_id) AS rn FROM pr0) WHERE rn <= $NProbe)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_knn_graph" ->
@@ -463,30 +530,18 @@ object Similarity {
     // Full SQL replay of the deterministic IVF pipeline (two-level
     // quantizer, multi-probe 2, bucket self-join, rn=1 re-rank) plus
     // the exact brute force — recall is therefore hash-checked.
+    // The executed IVF near-dup path, replayed exactly: bucket
+    // candidates, unrounded threshold, rounded output.
+    "q_dedup_embedding_ivf" ->
+      s"""WITH $sqlIvfProbed,
+         |cp AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+         |    ${sqlCos("a.v", "b.v")} AS c
+         |  FROM probed a JOIN probed b
+         |    ON a.anchor_id = b.anchor_id AND a.vec_id < b.vec_id)
+         |SELECT DISTINCT doc1, doc2, round(c, 6) AS cos_sim FROM cp
+         |WHERE c >= $DupThreshold ORDER BY doc1, doc2""".stripMargin,
     "q_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |prm AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM e),
-         |prm2 AS (SELECT m,
-         |    greatest(2, CAST(ceil(sqrt(CAST(m AS DOUBLE))) AS BIGINT)) AS c FROM prm),
-         |fine AS (SELECT vec_id AS fine_id, v AS fv FROM e
-         |  WHERE vec_id < (SELECT m FROM prm2)),
-         |coarse AS (SELECT vec_id AS coarse_id, v AS cv FROM e
-         |  WHERE vec_id < (SELECT c FROM prm2)),
-         |fb0 AS (SELECT fine_id, fv, coarse_id, ${sqlCos("fv", "cv")} AS fcos
-         |  FROM fine CROSS JOIN coarse),
-         |fb AS (SELECT coarse_id, fine_id, fv FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY fine_id
-         |    ORDER BY fcos DESC, coarse_id) AS rn FROM fb0) WHERE rn = 1),
-         |vc0 AS (SELECT e.vec_id, e.v, coarse_id, ${sqlCos("e.v", "cv")} AS ccos
-         |  FROM e CROSS JOIN coarse),
-         |vc AS (SELECT vec_id, v, coarse_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, coarse_id) AS rn FROM vc0) WHERE rn <= $NProbe),
-         |pr0 AS (SELECT vc.vec_id, vc.v, fb.fine_id, ${sqlCos("vc.v", "fb.fv")} AS acos
-         |  FROM vc JOIN fb USING (coarse_id)),
-         |probed AS (SELECT vec_id, v, fine_id AS anchor_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY acos DESC, fine_id) AS rn FROM pr0) WHERE rn <= $NProbe),
+      s"""WITH $sqlIvfProbed,
          |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
          |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
          |  FROM probed a JOIN probed b

@@ -142,6 +142,18 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.lastJaccardStrategy == "inverted")
   }
 
+  test("ivf embedding dedup: subset of exact pairs with usable recall") {
+    val dir = "/root/testdata/sf0.001"
+    val ivf = Similarity.queries("q_dedup_embedding_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.queries("q_dedup_embedding")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact),
+      s"IVF produced pairs outside the exact set: ${ivf -- exact}")
+    assert(exact.nonEmpty && ivf.size.toDouble / exact.size >= 0.3,
+      s"IVF recall ${ivf.size}/${exact.size} below floor")
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
     val rows = Dedup.queries("q_dedup_exact")(spark, dir)
