@@ -90,7 +90,12 @@ object Bench {
       "q_mv_merge", "q_dsv2_scan", "q_stream_leftouter",
       "q_stream_user_stats",
       "q_dsv2_agg", "q_knn_graph", "q_classifier_score",
-      "q_bitmap_distinct", "q_ewma", "q_dedup_canonical")
+      "q_bitmap_distinct", "q_ewma", "q_dedup_canonical",
+      // round-3 flagships: executed IVF near-dup + its recall audit,
+      // the prefix-filtered Jaccard path, the candidates-only sketch
+      // audit, and the graph family members that ride the shared pairs
+      "q_dedup_embedding_ivf", "q_ann_recall", "q_jaccard_prefix",
+      "q_minhash_error", "q_cc_sizes", "q_triangles")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
