@@ -46,7 +46,10 @@ object Multimodal {
   /** Deterministic tiny grayscale PNG for a document: width/height and
     * every pixel value are closed-form in doc_id (so an oracle can
     * recompute the decoded aggregates without any codec), encoded for
-    * real through `javax.imageio.ImageIO`.
+    * real through `javax.imageio.ImageIO`. Assumes doc_id ≥ 0 (true of
+    * every table here): a negative id would make the % expressions
+    * negative, which the two engines agree on arithmetically but which
+    * would corrupt the packed RGB channels.
     */
   def pngFor(docId: Long): Array[Byte] = {
     val w = (docId % 24 + 8).toInt
