@@ -1,0 +1,23 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** The PNG encode→decode round-trip vs the closed-form generator for
+  * arbitrary doc ids — the lossless-codec invariant the
+  * q_multimodal_features oracle rests on, checked without Spark.
+  */
+object MultimodalProperties extends Properties("ops.multimodal") {
+
+  private val genId: Gen[Long] = Gen.chooseNum(0L, 1000000L)
+
+  property("ImageIO round-trip recovers closed-form dims and pixel sum") =
+    forAll(genId) { id =>
+      val (w, h, sum) = Multimodal.decodeImage(Multimodal.pngFor(id))
+      val ew = (id % 24 + 8).toInt
+      val eh = (id % 16 + 8).toInt
+      val expSum = (for (y <- 0 until eh; x <- 0 until ew)
+        yield (id * 31 + x * 7 + y) % 256).sum
+      w == ew && h == eh && sum == expSum
+    }
+}
