@@ -767,8 +767,51 @@ object Dedup {
       batch.join(corpus, Seq("content_md5"), "left_anti")
         .select(col("doc_id"), col("content_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Span-level duplicate coverage — the sliding-window form of
+    // repeated-substring dedup (Lee et al.'s "deduplicating training
+    // data" signal): every W-token window (stride 1, so overlaps at
+    // ARBITRARY offsets are caught — the case disjoint-chunk dedup
+    // q_chunk_dedup structurally misses), windows whose hash occurs
+    // ≥ 2 times globally mark their token positions as duplicated,
+    // per-doc coverage ratio decides the keep flag. No pair list, no
+    // suffix array: the plan is explode (L rows/doc) → one groupBy on
+    // the 8-byte window hash → bounded W× position explode of DUP
+    // windows only → per-doc agg. At 100 TB every stage is a single
+    // partial+final aggregate over scan-partitioned data; the dup
+    // side is corpus-duplication-bounded, not corpus-bounded.
+    "q_span_dedup" -> ((s, dir) => {
+      val W = SpanW
+      val docs = Tables(s, dir, "documents")
+      val toked = Tables.fanout(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val sizes = toked.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      val wins = toked
+        .select(col("doc_id"),
+          posexplode(shingles(col("toks"), W)).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+      val dupHashes = wins.groupBy("h")
+        .agg(count(lit(1)).as("occ")).where(col("occ") >= 2)
+      val covered = wins.join(dupHashes, Seq("h"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("tpos"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+      sizes.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("dup_ratio",
+          when(col("n_tokens") > 0,
+            round(col("n_covered").cast("double") / col("n_tokens"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_ratio") < 0.5)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Window width for q_span_dedup (tokens). */
+  val SpanW = 8
 
   // ---- oracles (generated so the 32/60-column signature SQL cannot
   //      drift from the Scala constants) ----
@@ -1067,6 +1110,34 @@ object Dedup {
          |SELECT doc1, doc2, CAST(i AS DOUBLE) / (x.sz + y.sz - i) AS jaccard
          |FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
          |WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6
-         |ORDER BY doc1, doc2""".stripMargin
+         |ORDER BY doc1, doc2""".stripMargin,
+    // Sliding W-gram windows (series bound 512 covers the testdata's
+    // ≤ 100-token docs; oracle-only construct), duplicate = hash occurs
+    // ≥ 2 times globally, coverage = distinct positions under any
+    // duplicated window.
+    "q_span_dedup" -> {
+      val W = SpanW
+      val gram = (0 until W).map(j => s"a[i+$j]").mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |sz AS (SELECT doc_id, CAST(len(a) AS INT) AS n_tokens FROM tk),
+         |win AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    ${sqlH60(s"($gram)")} AS h
+         |  FROM tk, generate_series(1, 512) g(i) WHERE i <= len(a) - ${W - 1}),
+         |freq AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, pos FROM win JOIN freq USING (h)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+         |  FROM dup, generate_series(0, ${W - 1}) s(j)),
+         |nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+         |  FROM cov GROUP BY doc_id)
+         |SELECT sz.doc_id, n_tokens,
+         |  coalesce(n_covered, 0) AS n_covered,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(CAST(coalesce(n_covered, 0) AS DOUBLE) / n_tokens, 6)
+         |    ELSE 0.0 END AS dup_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(CAST(coalesce(n_covered, 0) AS DOUBLE) / n_tokens, 6)
+         |    ELSE 0.0 END < 0.5 AS keep
+         |FROM sz LEFT JOIN nc USING (doc_id) ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -154,6 +154,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"IVF recall ${ivf.size}/${exact.size} below floor")
   }
 
+  test("span dedup: shared 8-token span at DIFFERENT offsets is covered") {
+    // the case disjoint-chunk dedup structurally misses: the same
+    // 8-token run starts at offset 2 in doc 0 and offset 1 in doc 1
+    val dir = docsDir(Seq(
+      0L -> "z1 z2 s1 s2 s3 s4 s5 s6 s7 s8 q1",
+      1L -> "y1 s1 s2 s3 s4 s5 s6 s7 s8 y2 y3",
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+    val rows = Dedup.queries("q_span_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(rows(0L) == ((11, 8L, false))) // tokens 2..9 covered
+    assert(rows(1L) == ((11, 8L, false))) // tokens 1..8 covered
+    assert(rows(2L) == ((9, 0L, true)))   // unique doc untouched
+  }
+
   test("exact dedup keeps min doc_id per text") {
     val dir = docsDir(Seq(0L -> "aaa", 1L -> "bbb"))
     val rows = Dedup.queries("q_dedup_exact")(spark, dir)
