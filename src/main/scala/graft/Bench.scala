@@ -109,7 +109,8 @@ object Bench {
     // so family queries measure their incremental cost instead of
     // whichever one sorts first silently absorbing the ~40 s build.
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
-      "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step")
+      "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
+      "q_prep_pipeline")
     val shared: Seq[(String, Double)] =
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {

@@ -407,8 +407,11 @@ object Extras {
         .select(explode(from_json(col("props"),
           org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
           .as(Seq("k", "vs")))
+        // \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline
+        // (so "5\n" would pass the gate and cast to 5) while DuckDB's
+        // regexp_full_match rejects it — \z pins the true end on both.
         .withColumn("v",
-          when(col("vs").rlike("^-?[0-9]+$"), expr("try_cast(vs AS int)")))
+          when(col("vs").rlike("\\A-?[0-9]+\\z"), expr("try_cast(vs AS int)")))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), count(col("v")).as("n_int"),
           min(col("v")).as("min_v"), max(col("v")).as("max_v"),

@@ -151,8 +151,8 @@ object Dedup {
 
   /** The near-dup pair list IS the similarity join's output — a tiny
     * product consumed by nine downstream operators (components, sizes,
-    * canonical, triangles, pagerank ×2, edit-distance re-rank, minhash
-    * audit, the plain pair query). Recomputing the shingle+join chain
+    * canonical, triangles, pagerank ×2, edit-distance re-rank, the
+    * prep capstone, the plain pair query). Recomputing the shingle+join chain
     * per consumer multiplied a ~40 s upstream cost across the bench
     * (r2: ~285 s of a 439 s total), so it is materialized ONCE per
     * (corpus dir, threshold) as write-once parquet in engine scratch
@@ -162,6 +162,14 @@ object Dedup {
     * round-trip is exact (long, long, double), so every oracle hash is
     * unchanged; correctness runs remain per-query independent because
     * the file is a pure deterministic function of the same inputs.
+    *
+    * Deliberate contract deviation: a family BUILDER's first call per
+    * session EXECUTES the materialization (and the small df-stats job
+    * inside [[jaccardPairs]]) instead of staying lazy — the price of a
+    * real intermediate table. Plan-only tooling (Explain, plan lints)
+    * therefore sees the READ side of the family queries; the build
+    * side's plan is audited once through q_ngram_jaccard's oracle and
+    * the OpsSpec dispatch/property tests.
     */
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String, Double), String]
@@ -180,8 +188,15 @@ object Dedup {
   def sharedJaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val key = (s.sparkContext.applicationId, dir, threshold)
     val path = pairsMemo.getOrElseUpdate(key, {
+      // Path must be injective in the FULL memo key: a 128-bit md5 of
+      // the dir (not String.hashCode — 32 bits collide) plus the
+      // applicationId, so a second session in the same JVM never
+      // overwrites files a first session's lazy frames still read.
+      val dirTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val p = scratchRoot.resolve(
-        f"pairs_${dir.hashCode}%08x_t${(threshold * 1000).toInt}").toString
+        s"pairs_${s.sparkContext.applicationId}_${dirTag}_t${(threshold * 1000).toInt}")
+        .toString
       jaccardPairs(Tables(s, dir, "documents"), threshold)
         .write.mode("overwrite").parquet(p)
       p
@@ -787,10 +802,14 @@ object Dedup {
       val toked = Tables.fanout(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val sizes = toked.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      // consumed twice (occurrence count + the coverage join) — cache
+      // so the tokenize+shingle+md5 chain runs once (the
+      // shinglePostings discipline)
       val wins = toked
         .select(col("doc_id"),
           posexplode(shingles(col("toks"), W)).as(Seq("pos", "g")))
         .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+        .cache()
       val dupHashes = wins.groupBy("h")
         .agg(count(lit(1)).as("occ")).where(col("occ") >= 2)
       val covered = wins.join(dupHashes, Seq("h"))

@@ -87,6 +87,11 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): (Int, Int, Long) = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read returns null (no exception) when no registered
+    // reader handles the bytes — fail with the payload size instead of
+    // an anonymous NPE deep in an executor stage
+    require(img != null,
+      s"undecodable image payload (${bytes.length} bytes)")
     val w = img.getWidth
     val h = img.getHeight
     var sum = 0L
@@ -110,7 +115,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.map { m =>
-          val (w, h, sum) = decodeImage(m.bytes)
+          val (w, h, sum) = try decodeImage(m.bytes) catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s"doc_id=${m.doc_id}: ${e.getMessage}", e)
+          }
           val n = w.toLong * h
           MediaFeatures(m.doc_id, w, h, n, sum,
             BigDecimal(sum.toDouble / n)

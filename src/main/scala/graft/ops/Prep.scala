@@ -34,7 +34,9 @@ object Prep {
   val queries: Map[String, Q] = Map(
     "q_prep_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val dupIds = Dedup.jaccardPairs(docs, JaccardThreshold)
+      // rides the session-shared materialized pair list (same corpus,
+      // same threshold) instead of re-deriving the shingle+join chain
+      val dupIds = Dedup.sharedJaccardPairs(s, dir, JaccardThreshold)
         .select(col("doc2").as("doc_id")).distinct()
       val deduped = docs.join(dupIds, Seq("doc_id"), "left_anti")
 
