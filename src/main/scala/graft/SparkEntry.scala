@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Behavioral, CustomAgg, Extras, Joins, Relational, Stats, Temporal, TemporalJoins, WindowsSetsScalars}
 import graft.analytics.Typed
-import graft.ops.{Dedup, Multimodal, Prep, Similarity, Skew, TextAnalysis}
+import graft.ops.{Baskets, Dedup, Multimodal, Prep, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
   * the per-module scaladoc for reference citations. Every implemented
@@ -32,7 +32,8 @@ object SparkEntry {
       (Typed.queries, Typed.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (Baskets.queries, Baskets.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
