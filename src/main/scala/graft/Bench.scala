@@ -96,8 +96,8 @@ object Bench {
       // audit, and the graph family members that ride the shared pairs
       "q_dedup_embedding_ivf", "q_ann_recall", "q_jaccard_prefix",
       "q_minhash_error", "q_cc_sizes", "q_triangles", "q_span_dedup",
-      // market-basket family (round 3)
-      "q_assoc_rules", "q_cooccur")
+      // market-basket family + second real modality (round 3)
+      "q_assoc_rules", "q_cooccur", "q_audio_features")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

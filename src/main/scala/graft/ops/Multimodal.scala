@@ -15,6 +15,13 @@ case class MediaRecord(doc_id: Long, bytes: Array[Byte], mime: String)
 case class MediaFeatures(doc_id: Long, width: Int, height: Int,
     n_pixels: Long, sum_lum: Long, mean_lum: Double)
 
+/** Features produced by the real audio-decode stage: sample rate and
+  * frame count come from the decoded WAV header, the amplitude
+  * aggregates from the decoded PCM frames.
+  */
+case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+    sum_abs: Long, peak: Int, mean_abs: Double)
+
 /** Multimodal-column operators: opaque binary payloads with typed
   * metadata, a batched decode/feature-extract stage, and the
   * documents⋈embeddings "text + vector" join.
@@ -104,6 +111,99 @@ object Multimodal {
     (w, h, sum)
   }
 
+  /** Deterministic mono 16-bit PCM WAV for a document: sample count,
+    * sample rate, and every sample value are closed-form in doc_id
+    * (sawtooth-ish `(doc_id·131 + i·17) mod 4096 − 2048`), written
+    * through the JDK's `javax.sound.sampled` WAVE writer — the audio
+    * analog of [[pngFor]]. PCM WAV is lossless, so the decoded
+    * amplitude aggregates equal the closed form and the oracle can
+    * verify the container round-trip hash-exactly. Assumes doc_id ≥ 0
+    * (negative ids would flip the % sign and corrupt the sample range).
+    */
+  def wavFor(docId: Long): Array[Byte] = {
+    val n = (docId % 256 + 64).toInt
+    val rate = (8000 + (docId % 4) * 4000).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((docId * 131 + i * 17) % 4096 - 2048).toInt
+      pcm(2 * i) = (v & 0xff).toByte         // little-endian s16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Documents as real WAV payloads, generated per partition on the
+    * executors (the audio analog of [[asPngMedia]]).
+    */
+  def asWavMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, wavFor(id), "audio/wav")))
+  }
+
+  /** Real audio decode: `javax.sound.sampled` WAV read → (sample rate,
+    * frame count, Σ|sample|, max |sample|). Header fields come from
+    * the decoded [[javax.sound.sampled.AudioFormat]], amplitudes from
+    * the decoded little-endian PCM frames.
+    */
+  def decodeAudio(bytes: Array[Byte]): (Int, Long, Long, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"unexpected PCM layout: $fmt (${bytes.length} bytes)")
+    val n = ais.getFrameLength
+    val pcm = ais.readAllBytes()
+    require(pcm.length == n * 2,
+      s"short read: ${pcm.length} bytes for $n frames")
+    var sum = 0L
+    var peak = 0
+    var i = 0
+    while (i < pcm.length) {
+      // Byte → Int promotion sign-extends, so the high byte shifted
+      // left 8 ORed with the unsigned low byte IS the signed sample.
+      val v = (pcm(i + 1) << 8) | (pcm(i) & 0xff)
+      val a = math.abs(v)
+      sum += a
+      if (a > peak) peak = a
+      i += 2
+    }
+    (fmt.getSampleRate.round, n, sum, peak)
+  }
+
+  /** Batched audio decode stage — same shape as [[extractFeatures]]:
+    * fixed-size batches inside each partition, no shuffle, real codec
+    * call per payload, only (id, features) leave the stage.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (rate, n, sum, peak) = try decodeAudio(m.bytes) catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"doc_id=${m.doc_id}: undecodable audio (${e.getMessage})", e)
+          }
+          AudioFeatures(m.doc_id, rate, n, sum, peak,
+            BigDecimal(sum.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the Scala/Tungsten analog of a pandas_udf/mapInPandas stage:
     * fixed-size batches inside each partition, no shuffle, output is a
@@ -150,6 +250,13 @@ object Multimodal {
     // lossless), so the codec round-trip itself is oracle-verified.
     "q_multimodal_features" -> ((s, dir) =>
       extractFeatures(asPngMedia(s, dir)).toDF().orderBy(col("doc_id"))),
+
+    // Second real modality: binary → batched-decode → features over
+    // WAV audio through javax.sound.sampled. Lossless PCM container,
+    // so the oracle recomputes the decoded amplitude aggregates from
+    // the closed-form sample function.
+    "q_audio_features" -> ((s, dir) =>
+      extractAudioFeatures(asWavMedia(s, dir)).toDF().orderBy(col("doc_id"))),
 
     // Content-hash dedup of binary payloads — identical media dedupe
     // WITHOUT decoding: one hash aggregate on md5(bytes), keeping the
@@ -218,6 +325,21 @@ object Multimodal {
         |  CAST(sum(v) AS BIGINT) AS sum_lum,
         |  round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_lum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of the decoded WAV: sample i of doc d is
+    // (d·131 + i·17) mod 4096 − 2048 at rate 8000 + (d mod 4)·4000 —
+    // lossless PCM ⇒ equality with the real decode is exact.
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 256 + 64 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS rate FROM documents),
+        |sm AS (SELECT doc_id, n, rate,
+        |    abs((doc_id * 131 + i * 17) % 4096 - 2048) AS a
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) xs)
+        |SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak,
+        |  round(CAST(sum(a) AS DOUBLE) / n, 6) AS mean_abs
+        |FROM sm GROUP BY doc_id, n, rate ORDER BY doc_id""".stripMargin,
     "q_multimodal_dedup" ->
       """WITH m AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)

@@ -20,4 +20,13 @@ object MultimodalProperties extends Properties("ops.multimodal") {
         yield (id * 31 + x * 7 + y) % 256).sum
       w == ew && h == eh && sum == expSum
     }
+
+  property("WAV round-trip recovers closed-form rate, count, amplitudes") =
+    forAll(genId) { id =>
+      val (rate, n, sum, peak) = Multimodal.decodeAudio(Multimodal.wavFor(id))
+      val en = id % 256 + 64
+      val samples = (0L until en).map(i => math.abs((id * 131 + i * 17) % 4096 - 2048))
+      rate == 8000 + (id % 4) * 4000 && n == en &&
+        sum == samples.sum && peak == samples.max
+    }
 }
