@@ -19,6 +19,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -142,6 +143,16 @@ object Bench {
     val top10 = results.sortBy(-_._2).take(10)
     spark.stop()
     System.err.println(jline(results)) // full detail for human readers
+    // Belt and braces for the driver's stdout tail-capture: persist the
+    // FULL result to files too (BENCH.json at the repo root and under
+    // target/), so three rounds of "parsed": null can't happen again
+    // even if stdout is truncated or prefixed by the launcher.
+    for (p <- Seq("BENCH.json", "target/bench.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), jline(results) + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     println(jline(top10))
   }
 }

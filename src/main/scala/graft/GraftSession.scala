@@ -29,5 +29,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Parquet timestamps without the UTC-adjusted flag read as plain
+      // TIMESTAMP, not TIMESTAMP_NTZ — watermarks and unix_micros
+      // require it, and [[Tables]] normalizes either way (this default
+      // just keeps direct spark.read callers on the same type).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
 }

@@ -17,16 +17,37 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.Registry.ensure(spark) // native exprs available everywhere
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long and truncate to micros —
-      // exactly what DuckDB's micro-precision TIMESTAMP does, so the
-      // oracle sees identical values.
+      // events.ts has shipped as three different parquet physical types
+      // across testdata generations: TIMESTAMP(NANOS) (rejected by the
+      // vectorized reader — read as long via nanosAsLong and truncate),
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 infers
+      // TIMESTAMP_NTZ when inferTimestampNTZ is on), and plain
+      // TIMESTAMP(MICROS). Normalize ALL of them to session-TZ
+      // TimestampType here, the single read seam, so every downstream
+      // operator (`unix_micros`, watermarks, typed Timestamp encoders)
+      // sees one type regardless of the file generation or the NTZ
+      // inference flag. Sessions run UTC, so the NTZ→TZ cast is a
+      // value-preserving relabel of the same micros — identical to what
+      // DuckDB's micro-precision naive TIMESTAMP gives the oracle.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      else raw
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val out = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — extend the " +
+            "Tables normalization for this testdata generation")
+      }
+      // Loud boundary guard: a future type drift must fail HERE, not as
+      // eight operators silently vanishing from the correctness run
+      // (round 3's failure mode).
+      require(out.schema("ts").dataType == TimestampType,
+        s"events.ts normalization failed: ${out.schema("ts").dataType}")
+      out
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

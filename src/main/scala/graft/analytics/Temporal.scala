@@ -187,6 +187,17 @@ object Temporal {
         sum(when(col("p"), 1L).otherwise(0L)).as("n_purchase"))
     }),
 
+    // EXECUTES on the streaming engine: timeout-closed sessionization
+    // (flatMapGroupsWithState + EventTimeTimeout) — per-user state is
+    // only the OPEN session and watermark-driven eviction IS the
+    // emission, i.e. the sessionizer that survives an unbounded stream
+    // with bounded state (see Streams.sessionizeTimeoutToTable for the
+    // sentinel-staged tail flush).
+    "q_stream_sessionize" -> ((s, dir) =>
+      graft.streaming.Streams
+        .sessionizeTimeoutToTable(s, dir, "stream_sessto_sink")
+        .orderBy(col("user_id"), col("sess_start"))),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_stream_session" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -298,6 +309,23 @@ object Temporal {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    // Same gaps-and-islands reconstruction as q_stream_session (split
+    // STRICTLY > 30 min; end = last event + gap), keyed output shape.
+    "q_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |grouped AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM grouped GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin,
     // Gaps-and-islands reconstruction of Spark's session_window: a new
     // session starts when the gap since the previous event is STRICTLY
     // > 30min (an event at exactly prev+gap still merges — probed

@@ -52,8 +52,9 @@ case class SessionOut(user_id: Long, sess_start: java.sql.Timestamp,
   * into a memory sink; in production the same plans run continuously
   * with a checkpointLocation and a real sink.
   *
-  * events.ts is TIMESTAMP(NANOS) parquet — the stream reads it as long
-  * (nanosAsLong) and truncates to micros, same as [[graft.Tables]].
+  * events.ts arrives in whatever parquet timestamp flavor the testdata
+  * generation used (nanos, NTZ micros, adjusted micros) — the stream
+  * normalizes to session-TZ TIMESTAMP, same as [[graft.Tables]].
   */
 object Streams {
 
@@ -73,17 +74,28 @@ object Streams {
     try body finally spark.conf.set(key, prev)
   }
 
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-source basePath must be a directory; glob-filter the table
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    // same LongType guard as Tables.apply — if the table ever carries
-    // real micros timestamps the conversion must not run
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    // file-source basePath must be a directory; glob-filter the table.
+    // The glob also admits events_*.parquet shards so tests can stage a
+    // multi-file table and force genuine multi-batch drains.
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events*.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.parquet(dir)
+    // same type normalization as Tables.apply — nanos-as-long gets
+    // truncated to micros, TIMESTAMP_NTZ (inferred when the parquet
+    // micros lack the UTC-adjusted flag and the NTZ flag is on) gets
+    // relabeled to session-TZ TIMESTAMP (UTC sessions: same micros).
+    // Watermarks reject NTZ outright, so the stream MUST normalize.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   private def docsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -200,6 +212,125 @@ object Streams {
     spark.table(table)
   }
 
+  /** Timeout-closed streaming sessionization — the form of
+    * [[sessionsToTable]] that survives an UNBOUNDED stream: per-user
+    * state holds only the OPEN session (start, last, count — O(1) per
+    * active user), sessions that close inside a batch emit immediately,
+    * and a session with no follow-up activity is closed by an
+    * EventTimeTimeout when the watermark passes `last + gap` — state
+    * EVICTION is the emission trigger, exactly the mechanism that keeps
+    * state bounded forever. The batch `session_window` form re-scans
+    * per-key history each trigger; this one never revisits a closed
+    * session.
+    *
+    * Finite-drain harness: events are staged as time-ranged shard files
+    * (`maxFilesPerTrigger=1`, increasing mtimes) so micro-batches
+    * arrive in event-time order — the precondition for the cross-batch
+    * fold, met in production by watermark-gated ingestion. Two
+    * far-future sentinel shards flush the tail ([[
+    * leftOuterIntervalJoinToTable]]'s trick): sentinel 1 advances the
+    * watermark that the batch reading sentinel 2 applies, timing out
+    * every remaining real open session. Output equals the batch
+    * gaps-and-islands sessionizer row-for-row (oracle-gated as
+    * q_stream_sessionize; session end = last event + gap, the
+    * session_window convention).
+    */
+  def sessionizeTimeoutToTable(spark: SparkSession, dir: String,
+      table: String, gapMinutes: Int = 30, shards: Int = 4): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val bounds = ev.agg(expr("min(unix_micros(ts))"), expr("max(unix_micros(ts))")).head()
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val work = java.nio.file.Files.createTempDirectory("graft_sess_to")
+    val streamDir = work.resolve("stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = work.resolve(s"${name}_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val span = math.max(1L, maxUs - minUs + 1)
+    val t0 = System.currentTimeMillis() - 600000
+    for (i <- 0 until shards) {
+      val lo = minUs + i * span / shards
+      val hi = if (i == shards - 1) maxUs + 1 else minUs + (i + 1) * span / shards
+      stage(ev.where(expr(s"unix_micros(ts) >= $lo AND unix_micros(ts) < $hi")),
+        s"b$i", t0 + i * 10000L)
+    }
+    def sentinel(uid: Long, daysAfter: Int): DataFrame =
+      ev.limit(1).select(lit(uid).as("user_id"),
+        (expr(s"timestamp_micros($maxUs)") + expr(s"interval $daysAfter days")).as("ts"),
+        lit(uid).as("event_id"))
+    stage(sentinel(-1L, 2), "s1", t0 + shards * 10000L)
+    stage(sentinel(-2L, 4), "s2", t0 + (shards + 1) * 10000L)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .withWatermark("ts", "0 seconds")
+    val sessions = raw
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          def toTs(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000000L * 1000)
+            t.setNanos(((us % 1000000L) * 1000).toInt)
+            t
+          }
+          def closed(s: (Long, Long, Long)): SessionOut =
+            SessionOut(user, toTs(s._1), toTs(s._2 + gapUs), s._3)
+          if (state.hasTimedOut) {
+            // no activity before last+gap — the watermark closed it
+            val s = state.get; state.remove()
+            Iterator.single(closed(s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            // batch iterators arrive in partition order — time order
+            // inside the batch is this operator's job
+            val sorted = rows.toArray.sortBy(r => (micros(r._2), r._3))
+            for ((_, t, _) <- sorted) {
+              val us = micros(t)
+              cur match {
+                // <= gap merges (STRICTLY > splits — session_window's
+                // convention, shared with the batch sessionizer)
+                case Some(s) if us - s._2 <= gapUs =>
+                  cur = Some((s._1, math.max(s._2, us), s._3 + 1))
+                case Some(s) =>
+                  out += closed(s); cur = Some((us, us, 1L))
+                case None => cur = Some((us, us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // ms ceiling (+1) so a µs-precision event at EXACTLY
+              // last+gap in a later batch always arrives before the
+              // timeout can fire
+              state.setTimeoutTimestamp(s._2 / 1000 + gapMinutes * 60000L + 1)
+            }
+            out.iterator
+          }
+      }
+    val q = sessions.toDF()
+      .where(col("user_id") >= 0) // sentinels are harness plumbing
+      .writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** Streaming exact deduplication: first-seen row per
     * (user_id, event_type), state-backed `dropDuplicates` — the
     * streaming member of the dedup family. Exact-forever semantics
@@ -305,7 +436,16 @@ object Streams {
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(mtime)
     }
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // NTZ-tolerant row access: Tables normalizes ts to TIMESTAMP, but a
+    // LocalDateTime here (future drift) should degrade to a clear value,
+    // not a ClassCastException deep inside the sentinel harness.
+    val maxTs = ev.agg(max(col("ts"))).head().getAs[Any](0) match {
+      case t: java.sql.Timestamp => t
+      case l: java.time.LocalDateTime =>
+        java.sql.Timestamp.valueOf(l) // UTC sessions: same wall-clock
+      case other => throw new IllegalStateException(
+        s"max(ts) returned unsupported type ${other.getClass}")
+    }
     // Each watermark operator tracks only the rows that REACH it, and
     // the query's global watermark is the min across operators — so a
     // sentinel must advance BOTH branches: one 'view' row and one
@@ -522,9 +662,10 @@ object Streams {
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * totals (the KeyValueGroupedDataset stateful surface).
     */
-  def userTotalsToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+  def userTotalsToTable(spark: SparkSession, dir: String, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
-    val perUser = eventsStream(spark, dir)
+    val perUser = eventsStream(spark, dir, maxFilesPerTrigger)
       .select(col("user_id").cast("long"))
       .as[Long]
       .groupByKey(identity)
@@ -537,7 +678,13 @@ object Streams {
     val q = perUser.toDF().writeStream.outputMode("update")
       .format("memory").queryName(table).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(table)
+    // The update-mode memory sink keeps one row per user per
+    // micro-batch; reduce to the FINAL update per user (n is a running
+    // total, strictly increasing across a user's emissions) so the
+    // result is correct however the source files batch up — same
+    // robustness contract as [[userStatsTwsToTable]].
+    spark.table(table).groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"))
   }
 
   /** [[UserStatProcessor]] driven over the event stream: the
@@ -546,14 +693,15 @@ object Streams {
     * provider swap is scoped to this drain; a production job sets it
     * once in the session conf.
     */
-  def userStatsTwsToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+  def userStatsTwsToTable(spark: SparkSession, dir: String, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val perUser = eventsStream(spark, dir)
+      val perUser = eventsStream(spark, dir, maxFilesPerTrigger)
         .select(col("user_id").cast("long"),
           (dec(col("value")) * 100).cast("long").as("cents"))
         .as[(Long, Long)]

@@ -342,6 +342,33 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(fbScan.isInstanceOf[GraftGenScan])
   }
 
+  test("DSv2 graftgen source: fractional literals fall through as residual") {
+    // asLong guard: longValue() on 5.5 would TRUNCATE (id >= 5.5 → lo=5,
+    // admitting id=5) and the filter would be reported fully pushed
+    // while returning wrong rows. Spark's current filter translation
+    // casts the long column instead, so this path is only reachable by
+    // a future translation — pin the guard with direct builder calls.
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val b = new GraftGenScanBuilder(100L, 4)
+    val frac = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("id", new java.math.BigDecimal("5.5")),
+      LessThan("id", java.lang.Double.valueOf(42.25)))
+    val residual = b.pushFilters(frac)
+    assert(residual.toSet == frac.toSet) // nothing pushed, all residual
+    assert(b.pushedFilters().isEmpty)
+    val scan = b.build().asInstanceOf[GraftGenScan]
+    assert(scan.lo == 0L && scan.hi == 100L) // span untouched
+    // integral-valued decimals/doubles ARE safe and must still push
+    val b2 = new GraftGenScanBuilder(100L, 4)
+    val intish = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("id", new java.math.BigDecimal("10.00")),
+      LessThan("id", java.lang.Double.valueOf(90.0)))
+    assert(b2.pushFilters(intish).isEmpty)
+    assert(b2.pushedFilters().length == 2)
+    val scan2 = b2.build().asInstanceOf[GraftGenScan]
+    assert(scan2.lo == 10L && scan2.hi == 90L)
+  }
+
   test("DSv2 graftgen source: limit/top-N pushdown and reported statistics") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     def scanOf(df: org.apache.spark.sql.DataFrame) =

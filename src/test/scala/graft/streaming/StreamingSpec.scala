@@ -51,6 +51,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("EventTimeTimeout sessionization == batch session_window (evicted tail)") {
+    // the bounded-state sessionizer: open-session-only state, sessions
+    // closed by watermark timeout — must equal the batch session_window
+    // result including the final sessions (flushed via sentinel shards)
+    val stream = Streams.sessionizeTimeoutToTable(spark, dir, "stream_sess_to_spec")
+      .select("sess_start", "sess_end", "user_id", "n")
+      .orderBy("user_id", "sess_start").collect().toSeq
+    val batch = Temporal.queries("q_stream_session")(spark, dir)
+      .select("sess_start", "sess_end", "user_id", "n")
+      .collect().toSeq
+    assert(stream.size == batch.size)
+    assert(stream == batch)
+  }
+
+  test("mapGroupsWithState totals survive multi-batch arrival (maxFilesPerTrigger=1)") {
+    // stage events as TWO shard files so the update-mode memory sink
+    // receives two emissions for users present in both shards — the
+    // final-row reduction must still equal the batch groupBy
+    val work = java.nio.file.Files.createTempDirectory("graft_multibatch")
+    val ev = graft.Tables(spark, dir, "events")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = work.resolve(s"${name}_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, work.resolve(s"$name.parquet"))
+    }
+    stage(ev.where(col("event_id") % 2 === 0), "events")
+    stage(ev.where(col("event_id") % 2 === 1), "events_b")
+    val stream = Streams.userTotalsToTable(
+        spark, work.toString, "stream_users_mb", maxFilesPerTrigger = Some(1))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
+  test("transformWithState stats survive multi-batch arrival (maxFilesPerTrigger=1)") {
+    // same robustness contract for the q_stream_user_stats path: the
+    // max_by(batch-final) reduction must hold when the source arrives
+    // as two micro-batches instead of one
+    val work = java.nio.file.Files.createTempDirectory("graft_multibatch_tws")
+    val ev = graft.Tables(spark, dir, "events")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = work.resolve(s"${name}_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, work.resolve(s"$name.parquet"))
+    }
+    stage(ev.where(col("event_id") % 2 === 0), "events")
+    stage(ev.where(col("event_id") % 2 === 1), "events_b")
+    val stream = Streams.userStatsTwsToTable(
+        spark, work.toString, "tws_users_mb", maxFilesPerTrigger = Some(1))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = ev.select(col("user_id"),
+        (graft.util.Exact.dec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("transformWithState per-user stats == batch groupBy (RocksDB store)") {
     // the Spark 4 arbitrary-state successor to mapGroupsWithState:
     // named ValueState handle, RocksDB-backed store, update mode
