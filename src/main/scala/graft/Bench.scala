@@ -114,7 +114,20 @@ object Bench {
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
       "q_prep_pipeline")
-    val shared: Seq[(String, Double)] =
+    // Consumers of the materialized postings layer BELOW the pair list
+    // (the pair-list build itself is one of them).
+    val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
+      "q_minhash_error", "q_containment", "q_contamination")
+    val sharedPostings: Seq[(String, Double)] =
+      if (names.exists(postingsFamily.contains)) {
+        val t = timed("shared_shingle_postings") {
+          graft.ops.Dedup.sharedShinglePostings(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_shingle_postings  $t%9.3f s")
+        Seq("shared_shingle_postings" -> t)
+      } else Seq.empty
+    val shared: Seq[(String, Double)] = sharedPostings ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)
@@ -122,7 +135,7 @@ object Bench {
         }
         System.err.println(f"[bench] shared_jaccard_pairs     $t%9.3f s")
         Seq("shared_jaccard_pairs" -> t)
-      } else Seq.empty
+      } else Seq.empty)
     val results = shared ++ names.map { n =>
       val t = materialize(n)
       System.err.println(f"[bench] $n%-24s $t%9.3f s")
