@@ -98,7 +98,10 @@ object Bench {
       "q_dedup_embedding_ivf", "q_ann_recall", "q_jaccard_prefix",
       "q_minhash_error", "q_cc_sizes", "q_triangles", "q_span_dedup",
       // market-basket family + second real modality (round 3)
-      "q_assoc_rules", "q_cooccur", "q_audio_features")
+      "q_assoc_rules", "q_cooccur", "q_audio_features",
+      // round-4 additions: timeout-closed streaming sessionizer,
+      // foreachBatch MV maintenance, the corpus-wide data card
+      "q_stream_sessionize", "q_stream_mv_merge", "q_data_card")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

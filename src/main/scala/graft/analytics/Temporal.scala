@@ -187,6 +187,21 @@ object Temporal {
         sum(when(col("p"), 1L).otherwise(0L)).as("n_purchase"))
     }),
 
+    // EXECUTES on the streaming engine: foreachBatch incremental MV
+    // maintenance — per-key algebraic partials (n, decimal total, mn,
+    // mx) merged batch-over-batch, never recomputing base facts; the
+    // final stored MV must equal the full recompute bit-for-bit (the
+    // same contract q_mv_merge asserts across two batches, here across
+    // three genuine micro-batches with a versioned write-then-swap).
+    "q_stream_mv_merge" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_smv").toString
+      graft.streaming.Streams.mvMergeIngest(s, dir, work)
+        .select(col("event_type"), col("n"),
+          col("total").cast("double").as("total"), col("mn"), col("mx"),
+          (col("total").cast("double") / col("n")).as("avg_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // EXECUTES on the streaming engine: timeout-closed sessionization
     // (flatMapGroupsWithState + EventTimeTimeout) — per-user state is
     // only the OPEN session and watermark-driven eviction IS the
@@ -309,6 +324,14 @@ object Temporal {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    // Full recompute over all facts — the streamed MV must equal it
+    // (same contract as q_mv_merge's oracle).
+    "q_stream_mv_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(value) AS mn, max(value) AS mx,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same gaps-and-islands reconstruction as q_stream_session (split
     // STRICTLY > 30 min; end = last event + gap), keyed output shape.
     "q_stream_sessionize" ->

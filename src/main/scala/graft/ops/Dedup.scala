@@ -641,6 +641,30 @@ object Dedup {
           round(max(col("err")), 6).as("max_err"))
     }),
 
+    // LSH parameter design table — the analytic S-curve of the
+    // configured sketch (K=32 hashes as b=8 bands × r=4 rows):
+    // P(candidate | J=s) = 1 − (1 − s^r)^b, evaluated on a similarity
+    // grid. This is the other half of the q_minhash_error audit: the
+    // empirical sketch quality is measured there, the DESIGN curve
+    // (what recall/false-positive trade the parameters promise, where
+    // the 50% threshold (1/b)^(1/r) ≈ 0.59 sits) is computed here —
+    // together they are how band/row counts get chosen before a
+    // 100 TB run. Powers are spelled as repeated IEEE multiplications,
+    // NOT pow(): libm pow differs across engines in the last ulp,
+    // double multiplication is bit-exact everywhere.
+    "q_lsh_tuning" -> ((s, dir) => {
+      require(K / Bands == 4 && Bands == 8,
+        "oracle SQL unrolls r=4 rows and b=8 bands — keep in sync")
+      val sim = col("id").cast("double") * lit(0.05)
+      val pBand = sim * sim * sim * sim // s^r, r = 4
+      val q = lit(1.0) - pBand
+      val q8 = q * q * q * q * q * q * q * q // (1-s^r)^b, b = 8
+      s.range(1, 20).toDF("id")
+        .select(sim.as("sim"), pBand.as("p_band"),
+          (lit(1.0) - q8).as("p_candidate"))
+        .orderBy(col("sim"))
+    }),
+
     // Boilerplate detection: documents sharing their first or last 5
     // tokens (the header/footer signature of template pages). Runs on
     // the dup corpus so exact copies demonstrably cluster. Map-only
@@ -951,6 +975,14 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> minhashErrorOracle,
+    // Same left-associative multiplication chains as the Spark side —
+    // bit-exact IEEE agreement needs identical operation order.
+    "q_lsh_tuning" ->
+      """WITH g AS (SELECT CAST(range AS DOUBLE) * 0.05 AS sim FROM range(1, 20)),
+        |b AS (SELECT sim, sim*sim*sim*sim AS p_band,
+        |  1.0 - sim*sim*sim*sim AS q FROM g)
+        |SELECT sim, p_band, 1.0 - q*q*q*q*q*q*q*q AS p_candidate
+        |FROM b ORDER BY sim""".stripMargin,
     "q_dedup_components" ->
       s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

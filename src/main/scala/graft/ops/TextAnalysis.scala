@@ -308,6 +308,33 @@ object TextAnalysis {
           ceil(length(col("text")) / lit(4.0)).cast("int").as("est_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Dataset card: the one-page per-language summary a corpus release
+    // ships with — doc/source counts, token and char totals, the
+    // exact-duplicate rate, mean document length. One wide aggregate
+    // over a single map pass (token counting is the only per-row
+    // work). The duplicate count runs on countDistinct of the text's
+    // md5, NOT the text: a distinct aggregate ships its argument's
+    // distinct values through the exchange, and at 100 TB that is the
+    // corpus — the 16-byte digest carries the same count (both engines
+    // compute identical md5, so the oracle agrees under the same
+    // negligible collision odds every exact-dedup operator here
+    // already accepts). All terms are exact integers plus two
+    // deterministic final divisions, so the card is hash-checkable
+    // end to end.
+    "q_data_card" -> ((s, dir) =>
+      Tables.fanout(Tables(s, dir, "documents"))
+        .select(col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("th"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          (count(lit(1)) - countDistinct(col("th"))).as("n_dup_docs"),
+          (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_doc_tokens"))
+        .orderBy(col("lang"))),
+
     // Deterministic stratified sampling — rebalance a corpus by
     // downsampling the dominant class (keep 10% of 'en', 50% of the
     // rest). The keep decision hashes the CONTENT (h60 % 100 <
@@ -1222,6 +1249,17 @@ object TextAnalysis {
          |  CAST(n_digit AS DOUBLE) / greatest(len, 1) AS digit_ratio,
          |  ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q_data_card" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  count(*) - count(DISTINCT th) AS n_dup_docs,
+         |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_doc_tokens
+         |FROM (SELECT lang, source, md5(text) AS th, n_chars,
+         |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(${sqlTokens("text")}) AS INT) AS ws_tokens,

@@ -556,6 +556,63 @@ object Streams {
     spark.read.parquet(keptDir)
   }
 
+  /** Streaming incremental materialized-view maintenance — the
+    * foreachBatch deployment of q_mv_merge: the stored MV is a per-key
+    * table of ALGEBRAIC partials (n, decimal total, min, max); each
+    * micro-batch aggregates itself once, merges with the stored
+    * partials by sum/sum/min/max, and writes the refreshed MV to a
+    * batch-id-versioned path (write-new-then-swap, so a reader never
+    * sees a half-written view and a micro-batch retry just rewrites
+    * its own version). No batch ever re-reads base facts — the daily
+    * 100 TB full-table aggregate becomes an O(delta) job per trigger.
+    * count/sum/min/max merge commutatively and the money sum rides a
+    * decimal, so the final MV equals the full recompute bit-for-bit
+    * regardless of how the source files batched up — exactly what the
+    * shared q_mv_merge-style oracle asserts. Events are staged as
+    * three shards (`maxFilesPerTrigger=1`) so cross-batch merging is
+    * genuinely exercised.
+    */
+  def mvMergeIngest(spark: SparkSession, dir: String, workDir: String): DataFrame = withStatePartitions(spark) {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    val srcDir = java.nio.file.Paths.get(workDir, "stream")
+    java.nio.file.Files.createDirectories(srcDir)
+    for (i <- 0 until 3) { // deterministic shards; any split merges the same
+      val tmp = s"$workDir/shard_${i}_tmp"
+      ev.where(col("event_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"shard_$i.parquet"))
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    @volatile var current: Option[String] = None
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val partial = batch.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val merged = current match {
+          case Some(p) => spark.read.parquet(p).unionByName(partial)
+            .groupBy(col("event_type"))
+            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"),
+              min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          case None => partial
+        }
+        val out = s"$workDir/mv_v$bid"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(current.getOrElse(
+      throw new IllegalStateException("no micro-batch ran — empty source?")))
+  }
+
   /** Streaming event-transition pairs — the stateful-streaming form of
     * q_transitions: per-user keyed state carries the LAST event type
     * across micro-batches, each batch's rows are ordered (ts,

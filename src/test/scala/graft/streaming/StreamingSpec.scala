@@ -51,6 +51,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("foreachBatch MV maintenance: three genuine micro-batches, merged == recompute") {
+    val work = java.nio.file.Files.createTempDirectory("graft_smv_spec").toString
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getDecimal(2).stripTrailingZeros, r.getDouble(3), r.getDouble(4))
+    val mv = Streams.mvMergeIngest(spark, dir, work)
+      .select(col("event_type"), col("n"),
+        col("total").cast("decimal(28,2)").as("total"), col("mn"), col("mx"))
+      .orderBy("event_type").collect().map(key).toSeq
+    // one versioned MV per micro-batch — proves merging actually
+    // crossed batch boundaries instead of one batch seeing everything
+    assert((0 until 3).forall(i => new java.io.File(s"$work/mv_v$i").exists()))
+    val batch = graft.Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.util.Exact.dec(col("value"))).cast("decimal(28,2)").as("total"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy("event_type").collect().map(key).toSeq
+    assert(mv.nonEmpty && mv == batch)
+  }
+
   test("EventTimeTimeout sessionization == batch session_window (evicted tail)") {
     // the bounded-state sessionizer: open-session-only state, sessions
     // closed by watermark timeout — must equal the batch session_window
