@@ -99,9 +99,11 @@ object Bench {
       "q_minhash_error", "q_cc_sizes", "q_triangles", "q_span_dedup",
       // market-basket family + second real modality (round 3)
       "q_assoc_rules", "q_cooccur", "q_audio_features",
-      // round-4 additions: timeout-closed streaming sessionizer,
-      // foreachBatch MV maintenance, the corpus-wide data card
-      "q_stream_sessionize", "q_stream_mv_merge", "q_data_card")
+      // round-4 additions: timeout-closed streaming sessionizer, the
+      // foreachBatch maintenance family (MV merge, keyed upsert, as-of
+      // enrichment), the corpus data card, and 2-core peeling
+      "q_stream_sessionize", "q_stream_mv_merge", "q_stream_upsert",
+      "q_stream_asof", "q_data_card", "q_kcore", "q_pq_encode")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -116,7 +118,7 @@ object Bench {
     // whichever one sorts first silently absorbing the ~40 s build.
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
-      "q_prep_pipeline")
+      "q_prep_pipeline", "q_kcore")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

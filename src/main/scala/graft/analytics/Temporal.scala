@@ -187,6 +187,29 @@ object Temporal {
         sum(when(col("p"), 1L).otherwise(0L)).as("n_purchase"))
     }),
 
+    // EXECUTES on the streaming engine: foreachBatch keyed upsert —
+    // the changelog→table materialization (CDC apply / SCD1): one
+    // stored row per user, each micro-batch merges its per-key argmax
+    // by (ts, event_id); associative+commutative merge ⇒ arrival-order
+    // invariant ⇒ equals the batch last-row-per-key window query.
+    "q_stream_upsert" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_sups").toString
+      graft.streaming.Streams.upsertIngest(s, dir, work)
+        .orderBy(col("user_id"))
+    }),
+
+    // EXECUTES on the streaming engine: per-micro-batch as-of
+    // enrichment against the static orders dim through the NATIVE
+    // broadcast as-of operator (feature-store lookup; Structured
+    // Streaming has no as-of join type — foreachBatch is the door).
+    // Row-local against an immutable dim ⇒ arrival-order invariant ⇒
+    // shares q_asof_join's oracle.
+    "q_stream_asof" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_sasof").toString
+      graft.streaming.Streams.asofEnrichIngest(s, dir, work)
+        .orderBy(col("event_id"))
+    }),
+
     // EXECUTES on the streaming engine: foreachBatch incremental MV
     // maintenance — per-key algebraic partials (n, decimal total, mn,
     // mx) merged batch-over-batch, never recomputing base facts; the
@@ -324,6 +347,17 @@ object Temporal {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q_stream_upsert" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type,
+        |  value AS last_value
+        |FROM (SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Identical to q_asof_join's oracle — per-batch enrichment against
+    // an immutable dim must equal the one-shot batch join.
+    "q_stream_asof" -> TemporalJoins.oracles("q_asof_join"),
     // Full recompute over all facts — the streamed MV must equal it
     // (same contract as q_mv_merge's oracle).
     "q_stream_mv_merge" ->

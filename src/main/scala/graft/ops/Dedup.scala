@@ -641,6 +641,35 @@ object Dedup {
           round(max(col("err")), 6).as("max_err"))
     }),
 
+    // k-core decomposition (k=2, fixed 3 peel rounds) over the
+    // near-dup graph — the graph-family member that separates DENSE
+    // duplication cores (template farms, mirror clusters — every
+    // vertex keeps ≥2 neighbors after repeated peeling) from incidental
+    // pairwise matches, which CC lumps into the same component. Each
+    // round is one degree aggregate + one induced-subgraph semi-join
+    // on the (tiny) surviving vertex set; edges only shrink, and
+    // localCheckpoint truncates the loop lineage (the pagerank
+    // discipline). Fixed-round form like q_pagerank_step, so the
+    // oracle unrolls the peels verbatim.
+    "q_kcore" -> ((s, dir) => {
+      val kMin = 2; val rounds = 3 // mirrored literally in the oracle
+      val p = sharedJaccardPairs(s, dir, 0.6).select(col("doc1"), col("doc2"))
+      var edges = p.select(col("doc1").as("a"), col("doc2").as("b"))
+        .unionByName(p.select(col("doc2").as("a"), col("doc1").as("b")))
+      for (_ <- 0 until rounds) {
+        val keep = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= kMin).select(col("a").as("v"))
+        edges = edges
+          .join(keep.select(col("v").as("a")), Seq("a"))
+          .join(keep.select(col("v").as("b")), Seq("b"))
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+      }
+      edges.groupBy(col("a")).agg(count(lit(1)).as("core_deg"))
+        .select(col("a").as("doc_id"), col("core_deg"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LSH parameter design table — the analytic S-curve of the
     // configured sketch (K=32 hashes as b=8 bands × r=4 rows):
     // P(candidate | J=s) = 1 − (1 − s^r)^b, evaluated on a similarity
@@ -975,6 +1004,30 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> minhashErrorOracle,
+    // 3 peel rounds unrolled verbatim (k=2): v_r = vertices with
+    // degree ≥ 2 in e_{r-1}, e_r = the induced subgraph.
+    "q_kcore" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |e0 AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |v1 AS (SELECT a AS v FROM e0 GROUP BY a HAVING count(*) >= 2),
+         |e1 AS (SELECT a, b FROM e0
+         |  WHERE a IN (SELECT v FROM v1) AND b IN (SELECT v FROM v1)),
+         |v2 AS (SELECT a AS v FROM e1 GROUP BY a HAVING count(*) >= 2),
+         |e2 AS (SELECT a, b FROM e1
+         |  WHERE a IN (SELECT v FROM v2) AND b IN (SELECT v FROM v2)),
+         |v3 AS (SELECT a AS v FROM e2 GROUP BY a HAVING count(*) >= 2),
+         |e3 AS (SELECT a, b FROM e2
+         |  WHERE a IN (SELECT v FROM v3) AND b IN (SELECT v FROM v3))
+         |SELECT a AS doc_id, count(*) AS core_deg FROM e3
+         |GROUP BY a ORDER BY doc_id""".stripMargin,
     // Same left-associative multiplication chains as the Spark side —
     // bit-exact IEEE agreement needs identical operation order.
     "q_lsh_tuning" ->

@@ -33,6 +33,8 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   val Dim = 64
+  val PqM = 4   // product-quantization subspaces
+  val PqK = 16  // codebook entries per subspace (4-bit codes)
   val NProbe = 2
 
   /** Lloyd iterations for the full q_kmeans loop (unrolled verbatim in
@@ -218,6 +220,45 @@ object Similarity {
         else out = cells.orderBy(col("cid"), col("pos"))
       }
       out
+    }),
+
+    // Product quantization encode — the ANN-at-scale companion to the
+    // int8 scalar quantizer: the (already exactly-quantized) vector
+    // splits into PqM=4 contiguous subspaces and each sub-vector maps
+    // to its nearest of PqK=16 codebook entries by integer L2² — a
+    // 4-bit code per subspace, 16 bits per vector, the 32× memory cut
+    // that makes billion-vector indexes fit RAM (query side then uses
+    // per-subspace ADC lookup tables against these codes). Codebooks
+    // here are the PqK lowest vec_ids' sub-vectors (deterministic —
+    // production trains them with the q_kmeans loop per subspace; the
+    // assignment plan is identical either way: broadcast M×K codebook
+    // cells, one integer multiply-add pass over the corpus cells, one
+    // partial+final argmin). All-integer arithmetic end to end, so the
+    // code table is hash-exact on both engines with no fp caveats; the
+    // (dist·K + cid) composite is the argmin-with-tiebreak in ONE
+    // bigint min.
+    "q_pq_encode" -> ((s, dir) => {
+      val subDim = Dim / PqM
+      val emb = embeddings(s, dir)
+      val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val stats = cells.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val qc = cells.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") > col("mn"),
+            round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
+            .otherwise(lit(0.0)).cast("long").as("q"))
+      val cb = qc.where(col("vec_id") < PqK)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+      qc.join(broadcast(cb), Seq("pos"))
+        .groupBy(col("vec_id"), expr(s"pos div $subDim").cast("int").as("sub"),
+          col("cid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("dist") * PqK + col("cid")).as("mc"))
+        .select(col("vec_id"), col("sub"),
+          (col("mc") % PqK).as("code"), expr(s"mc div $PqK").as("dist"))
+        .orderBy(col("vec_id"), col("sub"))
     }),
 
     // Int8 scalar quantization of the embedding corpus: per-dimension
@@ -447,6 +488,27 @@ object Similarity {
          |    ORDER BY cos_sim DESC, nn_id) AS rn FROM c)
          |SELECT vec_id, CAST(rn AS INT) AS rn, nn_id, cos_sim
          |FROM r WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+    // Same quantize cells as q_quantize_embedding, then integer L2²
+    // against the seeded codebook; (dist*K + cid) composite mirrors
+    // the Spark argmin-with-tiebreak bigint exactly.
+    "q_pq_encode" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range($Dim)) AS i) i),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM cells GROUP BY pos),
+         |qc AS (SELECT vec_id, cells.pos,
+         |  CAST(CASE WHEN mx > mn THEN round((x - mn) / (mx - mn) * 127.0, 0)
+         |       ELSE 0.0 END AS BIGINT) AS q
+         |  FROM cells JOIN st USING (pos)),
+         |cb AS (SELECT vec_id AS cid, pos, q AS cq FROM qc WHERE vec_id < $PqK),
+         |d AS (SELECT qc.vec_id, CAST(qc.pos // ${Dim / PqM} AS INT) AS sub,
+         |    cb.cid, CAST(sum((qc.q - cb.cq) * (qc.q - cb.cq)) AS BIGINT) AS dist
+         |  FROM qc JOIN cb USING (pos) GROUP BY 1, 2, 3),
+         |m AS (SELECT vec_id, sub, min(dist * $PqK + cid) AS mc
+         |  FROM d GROUP BY 1, 2)
+         |SELECT vec_id, sub, CAST(mc % $PqK AS BIGINT) AS code,
+         |  CAST(mc // $PqK AS BIGINT) AS dist
+         |FROM m ORDER BY vec_id, sub""".stripMargin,
     "q_quantize_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x

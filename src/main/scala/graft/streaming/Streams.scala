@@ -556,6 +556,113 @@ object Streams {
     spark.read.parquet(keptDir)
   }
 
+  /** Stage a frame as `n` deterministic single-file shards (split by
+    * `event_id % n`) under `workDir/stream`, so a file-source stream
+    * with `maxFilesPerTrigger=1` replays it as n genuine micro-batches.
+    */
+  private def stageShards(df: DataFrame, workDir: String, n: Int): String = {
+    val srcDir = java.nio.file.Paths.get(workDir, "stream")
+    java.nio.file.Files.createDirectories(srcDir)
+    for (i <- 0 until n) {
+      val tmp = s"$workDir/shard_${i}_tmp"
+      df.where(col("event_id") % n === i).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"shard_$i.parquet"))
+    }
+    srcDir.toString
+  }
+
+  /** Streaming keyed upsert (CDC apply / SCD-type-1 maintenance): the
+    * stored table keeps ONE row per user — the latest event by
+    * (ts, event_id) — and each micro-batch merges its own per-key
+    * argmax into it via foreachBatch, the same versioned
+    * write-then-swap as [[mvMergeIngest]]. The argmax is a plain
+    * `max(struct(ts, event_id, payload...))` — struct ordering
+    * compares field-by-field, and event_id is unique, so the payload
+    * fields never decide — which makes the merge associative and
+    * commutative: the final table is arrival-order invariant and
+    * equals the batch last-row-per-key window query exactly. This is
+    * the changelog→table materialization every warehouse ingest needs
+    * (Delta MERGE's keep-latest special case) running with O(keys)
+    * stored state and O(batch) work per trigger.
+    */
+  def upsertIngest(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id")).agg(max(struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("s"))
+    val srcDir = stageShards(ev, workDir, 3)
+    val schema = spark.read.parquet(srcDir).schema
+    @volatile var current: Option[String] = None
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val part = latest(batch.toDF())
+        val merged = current match {
+          case Some(p) => spark.read.parquet(p).unionByName(part)
+            .groupBy(col("user_id")).agg(max(col("s")).as("s"))
+          case None => part
+        }
+        val out = s"$workDir/tbl_v$bid"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(current.getOrElse(
+      throw new IllegalStateException("no micro-batch ran — empty source?")))
+      .select(col("user_id"), col("s.ts").as("last_ts"),
+        col("s.event_type").as("last_type"), col("s.value").as("last_value"))
+  }
+
+  /** Streaming as-of enrichment — the feature-store lookup pattern:
+    * each event is joined to the LATEST order of its customer at or
+    * before the event time, against a static dimension. Structured
+    * Streaming has no as-of join type, so foreachBatch is the door:
+    * every micro-batch runs the native broadcast as-of operator
+    * ([[graft.plans.AsOfJoin]] — O(log m) probe per event, zero
+    * shuffle of the event side) and appends the enriched rows.
+    * Enrichment is row-local against an immutable dim, so the result
+    * is arrival-order invariant and equals the batch as-of join
+    * exactly — q_stream_asof shares q_asof_join's oracle. At 100 TB/
+    * day the same plan runs per trigger with the dim refreshed from a
+    * warehouse snapshot between batches; batch-id-derived file names
+    * would make the appends idempotent under micro-batch retry.
+    */
+  def asofEnrichIngest(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    val outDir = s"$workDir/enriched"
+    val ords = graft.Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      // date <= timestamp coerces date → midnight; make the cast
+      // explicit for the native operator's time key (as q_asof_native)
+      .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+    val q = eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.plans.AsOfJoin.broadcastAsOf(batch.toDF(), ords,
+            Seq("user_id"), Seq("o_custkey"), "ts", "o_ts", Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_orderdate").as("asof_date"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming incremental materialized-view maintenance — the
     * foreachBatch deployment of q_mv_merge: the stored MV is a per-key
     * table of ALGEBRAIC partials (n, decimal total, min, max); each
@@ -575,20 +682,11 @@ object Streams {
   def mvMergeIngest(spark: SparkSession, dir: String, workDir: String): DataFrame = withStatePartitions(spark) {
     val ev = graft.Tables(spark, dir, "events")
       .select(col("event_type"), col("value"), col("event_id"))
-    val srcDir = java.nio.file.Paths.get(workDir, "stream")
-    java.nio.file.Files.createDirectories(srcDir)
-    for (i <- 0 until 3) { // deterministic shards; any split merges the same
-      val tmp = s"$workDir/shard_${i}_tmp"
-      ev.where(col("event_id") % 3 === i).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"shard_$i.parquet"))
-    }
-    val schema = spark.read.parquet(srcDir.toString).schema
+    val srcDir = stageShards(ev, workDir, 3)
+    val schema = spark.read.parquet(srcDir).schema
     @volatile var current: Option[String] = None
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
