@@ -261,6 +261,52 @@ object Similarity {
         .orderBy(col("vec_id"), col("sub"))
     }),
 
+    // PQ asymmetric-distance (ADC) search — the QUERY side of
+    // q_pq_encode: the query vector is quantized but NOT encoded, a
+    // per-subspace lookup table of integer L2² distances to each
+    // codebook entry is built (M×K = 64 tiny rows, broadcast), and
+    // every corpus vector's approximate distance is the SUM OF M TABLE
+    // LOOKUPS on its 4-bit codes — no touching the original vectors,
+    // which is the entire point at 10⁹ vectors: the scan reads 2-byte
+    // codes instead of 256-byte floats. Top-10 by (adc_dist, vec_id);
+    // all-integer so the ranking (and the ADC error itself, audited by
+    // comparing with q_pq_encode's exact per-subspace dists) is
+    // hash-exact. Query = vec_id 0, excluded from results.
+    "q_pq_search" -> ((s, dir) => {
+      val subDim = Dim / PqM
+      val emb = embeddings(s, dir)
+      val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val stats = cells.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val qc = cells.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") > col("mn"),
+            round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
+            .otherwise(lit(0.0)).cast("long").as("q"))
+      val cb = qc.where(col("vec_id") < PqK)
+        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+      // codes for the whole corpus (the stored index)
+      val codes = qc.join(broadcast(cb), Seq("pos"))
+        .groupBy(col("vec_id"), expr(s"pos div $subDim").cast("int").as("sub"),
+          col("cid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("dist") * PqK + col("cid")).as("mc"))
+        .select(col("vec_id"), col("sub"), (col("mc") % PqK).as("code"))
+      // per-subspace ADC lookup table for the query vector (vec_id 0)
+      val lut = qc.where(col("vec_id") === 0)
+        .select(col("pos"), col("q").as("qq"))
+        .join(broadcast(cb), Seq("pos"))
+        .groupBy(expr(s"pos div $subDim").cast("int").as("sub"), col("cid"))
+        .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq"))).as("d"))
+      codes.join(broadcast(lut),
+          codes("sub") === lut("sub") && codes("code") === lut("cid"))
+        .groupBy(col("vec_id")).agg(sum(col("d")).as("adc_dist"))
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
     // Int8 scalar quantization of the embedding corpus: per-dimension
     // global min/max (one tiny partial+final agg over (dim) cells —
     // Dim rows out), broadcast back, map-only quantize. This is the
@@ -509,6 +555,31 @@ object Similarity {
          |SELECT vec_id, sub, CAST(mc % $PqK AS BIGINT) AS code,
          |  CAST(mc // $PqK AS BIGINT) AS dist
          |FROM m ORDER BY vec_id, sub""".stripMargin,
+    // Codes + query lookup table from the same integer CTEs; ADC dist
+    // is the per-vector sum of M table lookups, top-10 by (dist, id).
+    "q_pq_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range($Dim)) AS i) i),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM cells GROUP BY pos),
+         |qc AS (SELECT vec_id, cells.pos,
+         |  CAST(CASE WHEN mx > mn THEN round((x - mn) / (mx - mn) * 127.0, 0)
+         |       ELSE 0.0 END AS BIGINT) AS q
+         |  FROM cells JOIN st USING (pos)),
+         |cb AS (SELECT vec_id AS cid, pos, q AS cq FROM qc WHERE vec_id < $PqK),
+         |d AS (SELECT qc.vec_id, CAST(qc.pos // ${Dim / PqM} AS INT) AS sub,
+         |    cb.cid, CAST(sum((qc.q - cb.cq) * (qc.q - cb.cq)) AS BIGINT) AS dist
+         |  FROM qc JOIN cb USING (pos) GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, CAST(mc % $PqK AS BIGINT) AS code
+         |  FROM (SELECT vec_id, sub, min(dist * $PqK + cid) AS mc
+         |    FROM d GROUP BY 1, 2)),
+         |lut AS (SELECT CAST(qc.pos // ${Dim / PqM} AS INT) AS sub, cb.cid,
+         |    CAST(sum((qc.q - cb.cq) * (qc.q - cb.cq)) AS BIGINT) AS dd
+         |  FROM qc JOIN cb USING (pos) WHERE qc.vec_id = 0 GROUP BY 1, 2)
+         |SELECT codes.vec_id, CAST(sum(dd) AS BIGINT) AS adc_dist
+         |FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+         |WHERE codes.vec_id <> 0
+         |GROUP BY codes.vec_id ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "q_quantize_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x
