@@ -14,6 +14,11 @@ class GraftSessionSpec extends AnyFunSuite with SparkSpec {
     SparkSession.clearDefaultSession()
     try {
       val s = GraftSession.create("local[2]", "graft-session-spec", 2)
+      // scale defaults the operators' plan shapes assume — including
+      // the round-3 lesson: parquet timestamps read as TIMESTAMP, not
+      // TIMESTAMP_NTZ (watermarks and unix_micros require it)
+      assert(s.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false")
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
       // native expressions resolve in SQL with no Registry.ensure call
       assert(s.sql("SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
         .head().getDouble(0) == 1.0)

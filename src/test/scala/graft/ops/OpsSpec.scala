@@ -86,6 +86,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_kcore: core members have >= 2 distinct neighbors in the pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val core = graft.SparkEntry.queries("q_kcore")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(core.nonEmpty) // non-vacuous at this SF (7 docs survive)
+    // peeling can only REMOVE vertices, so every survivor must have
+    // had >= 2 distinct neighbors in the original near-dup graph —
+    // i.e. the 2-core is a subset of the min-degree-2 vertex set
+    val p = Dedup.sharedJaccardPairs(spark, dir, 0.6)
+    val deg2 = p.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(p.select(col("doc2").as("a"), col("doc1").as("b")))
+      .groupBy(col("a")).agg(countDistinct(col("b")).as("d"))
+      .where(col("d") >= 2).collect().map(_.getLong(0)).toSet
+    assert(core.subsetOf(deg2))
+  }
+
   test("prefix-filtered jaccard: identical pairs, strictly fewer candidates") {
     val dir = "/root/testdata/sf0.001"
     val full = Dedup.queries("q_ngram_jaccard")(spark, dir)

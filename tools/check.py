@@ -38,6 +38,14 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes an explicit crash manifest (round-3 lesson: a
+    # crashed query otherwise just VANISHES from the compare).
+    try:
+        crashed = json.load(open(f"{out_dir}/_failures.json"))
+    except Exception:
+        crashed = {}
+    for name, msg in sorted(crashed.items()):
+        print(f"CRASH {name}: {msg.splitlines()[0] if msg else ''}")
     n_pass = n_fail = n_exact_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
@@ -97,8 +105,9 @@ def main():
         else:
             print(f"PASS {name} ({len(orows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass ({n_exact_fail} non-exact), {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    print(f"== {n_pass} pass ({n_exact_fail} non-exact), {n_fail} fail, "
+          f"{len(crashed)} crashed ==")
+    sys.exit(1 if (n_fail or crashed) else 0)
 
 if __name__ == "__main__":
     main()
