@@ -16,6 +16,32 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.Registry.ensure(spark) // native exprs available everywhere
+    normalizeNtz(readRaw(spark, dir, name), name)
+  }
+
+  /** Boundary normalization applied to EVERY table: any TIMESTAMP_NTZ
+    * column (what Spark 4 infers for parquet micros written without
+    * the UTC-adjusted flag, when `inferTimestampNTZ` is on) becomes
+    * session-TZ TIMESTAMP. Sessions run UTC, so the cast relabels the
+    * same micros — identical to DuckDB's naive-timestamp view of the
+    * file. events.ts caused round 3's silent 8-operator outage;
+    * orders.o_orderdate and lineitem.l_shipdate carry the same parquet
+    * type and would drift identically, so the fix is table-generic.
+    */
+  private def normalizeNtz(raw: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val out = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((df, f) => df.withColumn(f.name,
+        org.apache.spark.sql.functions.col(f.name).cast(TimestampType)))
+    // Loud boundary guard: a future type drift must fail HERE, not as
+    // operators silently vanishing from the correctness run.
+    if (name == "events")
+      require(out.schema("ts").dataType == TimestampType,
+        s"events.ts normalization failed: ${out.schema("ts").dataType}")
+    out
+  }
+
+  private def readRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped as three different parquet physical types
       // across testdata generations: TIMESTAMP(NANOS) (rejected by the
@@ -31,23 +57,10 @@ object Tables {
       // DuckDB's micro-precision naive TIMESTAMP gives the oracle.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val out = raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts",
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => raw.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-        case TimestampType => raw
-        case other => throw new IllegalStateException(
-          s"events.ts read as unsupported type $other — extend the " +
-            "Tables normalization for this testdata generation")
-      }
-      // Loud boundary guard: a future type drift must fail HERE, not as
-      // eight operators silently vanishing from the correctness run
-      // (round 3's failure mode).
-      require(out.schema("ts").dataType == TimestampType,
-        s"events.ts normalization failed: ${out.schema("ts").dataType}")
-      out
+      else raw
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

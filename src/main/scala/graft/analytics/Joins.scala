@@ -74,6 +74,23 @@ object Joins {
         .orderBy(col("c_custkey"))
     }),
 
+    // RIGHT outer — the mirror of q_join_left with the dim on the
+    // probe side: orders RIGHT JOIN customer keeps every customer.
+    // Planned as the same broadcast join with build/probe swapped;
+    // registered so the enumerable join-type surface is complete.
+    "q_join_right" -> ((s, dir) => {
+      val bigOrders = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      bigOrders
+        .join(Tables(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"),
+          moneySum(col("o_totalprice")).as("big_total"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_join_full" -> ((s, dir) => {
       val hi = Tables(s, dir, "orders").filter(col("o_totalprice") > 480000)
         .select(col("o_custkey").as("k"), col("o_orderkey").as("hi_key"))
@@ -168,6 +185,13 @@ object Joins {
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |  WHERE o_totalprice > 450000) o ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_total
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 450000) o
+        |RIGHT JOIN customer ON c_custkey = o.o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_join_full" ->
       """SELECT coalesce(k, k2) AS custkey, hi_key, lo_key FROM

@@ -26,6 +26,12 @@ class NtzBoundarySpec extends AnyFunSuite with SparkSpec {
     test(s"events.ts normalizes to TIMESTAMP with inferTimestampNTZ=$ntz") {
       underFlag(ntz) {
         assert(Tables(spark, Dir, "events").schema("ts").dataType == TimestampType)
+        // orders/lineitem carry the same unadjusted-micros parquet type
+        // — the generic normalization must cover them too
+        assert(Tables(spark, Dir, "orders")
+          .schema("o_orderdate").dataType == TimestampType)
+        assert(Tables(spark, Dir, "lineitem")
+          .schema("l_shipdate").dataType == TimestampType)
       }
     }
 
