@@ -204,6 +204,36 @@ object Behavioral {
     // transition counts and conditional probabilities (exact integer
     // division). One shuffle on user_id for the window, one tiny agg;
     // the |types|² matrix is broadcast-scale at any corpus size.
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRECEDING touchpoint (view/click), or 'direct' if
+    // none — the marketing-analytics join of sessionization and the
+    // as-of idea, executed as one LOCF window pass (last(...,
+    // ignoreNulls) over rows [-∞, -1]) — shuffles once on user_id,
+    // no self-join, no per-purchase probe. Revenue rides the decimal
+    // money sum; waiting time totals in exact integer micros.
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("touch", last(
+          when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(w))
+        .withColumn("touch_us", last(
+          when(col("event_type").isin("view", "click"),
+            expr("unix_micros(ts)")),
+          ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Exact.moneySum(col("value")).as("revenue"),
+          sum(when(col("touch_us").isNotNull,
+            expr("unix_micros(ts)") - col("touch_us"))).as("wait_us_total"))
+        .orderBy(col("touch_type"))
+    }),
+
     "q_transitions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -355,6 +385,24 @@ object Behavioral {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS touch_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT coalesce(touch, 'direct') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CASE WHEN touch_us IS NOT NULL
+        |    THEN epoch_us(ts) - touch_us END) AS BIGINT) AS wait_us_total
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
         |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
