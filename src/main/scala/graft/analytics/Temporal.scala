@@ -247,6 +247,17 @@ object Temporal {
         .orderBy(col("user_id"), col("sess_start")))
   )
 
+  /** Shared by q_mv_merge and q_stream_mv_merge: both assert "merged
+    * partials == full recompute", so they must check against the SAME
+    * recompute or the contract silently diverges.
+    */
+  private val MvRecomputeOracle =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(value) AS mn, max(value) AS mx,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_incremental" ->
       """SELECT event_type, count(*) AS n,
@@ -254,12 +265,7 @@ object Temporal {
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Full recompute over all facts — the merged partials must equal it.
-    "q_mv_merge" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  min(value) AS mn, max(value) AS mx,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mv_merge" -> MvRecomputeOracle,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  count(*) AS n,
@@ -359,13 +365,8 @@ object Temporal {
     // an immutable dim must equal the one-shot batch join.
     "q_stream_asof" -> TemporalJoins.oracles("q_asof_join"),
     // Full recompute over all facts — the streamed MV must equal it
-    // (same contract as q_mv_merge's oracle).
-    "q_stream_mv_merge" ->
-      """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  min(value) AS mn, max(value) AS mx,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // (literally q_mv_merge's oracle; the two cannot drift apart).
+    "q_stream_mv_merge" -> MvRecomputeOracle,
     // Same gaps-and-islands reconstruction as q_stream_session (split
     // STRICTLY > 30 min; end = last event + gap), keyed output shape.
     "q_stream_sessionize" ->

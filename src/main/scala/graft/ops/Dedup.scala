@@ -478,16 +478,17 @@ object Dedup {
       // join) and would otherwise recompute the whole shingle+hash
       // pipeline each time (measured 3× the query cost). K longs per
       // doc ⇒ tiny (~0.3 KB/doc).
+      // Cached but NOT force-materialized: builders must stay
+      // plan-only cheap (Explain/lint tooling constructs every query).
+      // The r3 23.6 s cache race (band self-join sides racing an
+      // unpopulated cache, each recomputing the shingle pipeline) is
+      // gone structurally — vec now derives from the materialized
+      // postings PARQUET, so a racy recompute re-reads a small file
+      // instead of re-tokenizing the corpus (≤1 s at sf0.1, measured).
       val vec = hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
         .cache()
-      // Force the cache to land BEFORE the consumers fan out: the band
-      // self-join schedules both of its sides concurrently, and two
-      // scans racing an unpopulated cache each recompute the full
-      // shingle+hash pipeline (r3 bench: 23.6 s vs 8.2 s for the
-      // strict-superset q_minhash_error, which materializes first).
-      vec.count()
       val bandStructs = (0 until Bands).map(b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until K / Bands).map(r =>

@@ -35,6 +35,41 @@ object Similarity {
   val Dim = 64
   val PqM = 4   // product-quantization subspaces
   val PqK = 16  // codebook entries per subspace (4-bit codes)
+
+  /** Single source of the PQ quantize→codebook pipeline, shared by
+    * q_pq_encode and q_pq_search — the encode/search pair must agree
+    * on the codes or the hash-exact audit pairing silently breaks.
+    * Returns (quantized cells (vec_id, pos, q), codebook cells
+    * (cid, pos, cq) — the PqK lowest vec_ids' sub-vectors).
+    */
+  private def pqQuantizedCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = embeddings(s, dir)
+    val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val stats = cells.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val qc = cells.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") > col("mn"),
+          round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
+          .otherwise(lit(0.0)).cast("long").as("q"))
+    val cb = qc.where(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+    (qc, cb)
+  }
+
+  /** Integer L2² of every (vector, subspace, codebook entry) triple. */
+  private def pqSubDists(qc: DataFrame, cb: DataFrame): DataFrame =
+    qc.join(broadcast(cb), Seq("pos"))
+      .groupBy(col("vec_id"),
+        expr(s"pos div ${Dim / PqM}").cast("int").as("sub"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
+
+  /** Per-(vector, subspace) argmin-with-tiebreak as one bigint min:
+    * mc = winning dist · PqK + winning cid.
+    */
+  private def pqWinners(d: DataFrame): DataFrame =
+    d.groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dist") * PqK + col("cid")).as("mc"))
   val NProbe = 2
 
   /** Lloyd iterations for the full q_kmeans loop (unrolled verbatim in
@@ -238,24 +273,8 @@ object Similarity {
     // (dist·K + cid) composite is the argmin-with-tiebreak in ONE
     // bigint min.
     "q_pq_encode" -> ((s, dir) => {
-      val subDim = Dim / PqM
-      val emb = embeddings(s, dir)
-      val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      val stats = cells.groupBy("pos")
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      val qc = cells.join(broadcast(stats), Seq("pos"))
-        .select(col("vec_id"), col("pos"),
-          when(col("mx") > col("mn"),
-            round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
-            .otherwise(lit(0.0)).cast("long").as("q"))
-      val cb = qc.where(col("vec_id") < PqK)
-        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
-      qc.join(broadcast(cb), Seq("pos"))
-        .groupBy(col("vec_id"), expr(s"pos div $subDim").cast("int").as("sub"),
-          col("cid"))
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(col("dist") * PqK + col("cid")).as("mc"))
+      val (qc, cb) = pqQuantizedCells(s, dir)
+      pqWinners(pqSubDists(qc, cb))
         .select(col("vec_id"), col("sub"),
           (col("mc") % PqK).as("code"), expr(s"mc div $PqK").as("dist"))
         .orderBy(col("vec_id"), col("sub"))
@@ -273,32 +292,13 @@ object Similarity {
     // comparing with q_pq_encode's exact per-subspace dists) is
     // hash-exact. Query = vec_id 0, excluded from results.
     "q_pq_search" -> ((s, dir) => {
-      val subDim = Dim / PqM
-      val emb = embeddings(s, dir)
-      val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      val stats = cells.groupBy("pos")
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      val qc = cells.join(broadcast(stats), Seq("pos"))
-        .select(col("vec_id"), col("pos"),
-          when(col("mx") > col("mn"),
-            round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
-            .otherwise(lit(0.0)).cast("long").as("q"))
-      val cb = qc.where(col("vec_id") < PqK)
-        .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
+      val (qc, cb) = pqQuantizedCells(s, dir)
       // codes for the whole corpus (the stored index)
-      val codes = qc.join(broadcast(cb), Seq("pos"))
-        .groupBy(col("vec_id"), expr(s"pos div $subDim").cast("int").as("sub"),
-          col("cid"))
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dist"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(col("dist") * PqK + col("cid")).as("mc"))
+      val codes = pqWinners(pqSubDists(qc, cb))
         .select(col("vec_id"), col("sub"), (col("mc") % PqK).as("code"))
       // per-subspace ADC lookup table for the query vector (vec_id 0)
-      val lut = qc.where(col("vec_id") === 0)
-        .select(col("pos"), col("q").as("qq"))
-        .join(broadcast(cb), Seq("pos"))
-        .groupBy(expr(s"pos div $subDim").cast("int").as("sub"), col("cid"))
-        .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq"))).as("d"))
+      val lut = pqSubDists(qc.where(col("vec_id") === 0), cb)
+        .select(col("sub"), col("cid"), col("dist").as("d"))
       codes.join(broadcast(lut),
           codes("sub") === lut("sub") && codes("code") === lut("cid"))
         .groupBy(col("vec_id")).agg(sum(col("d")).as("adc_dist"))

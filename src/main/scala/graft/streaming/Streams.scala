@@ -239,36 +239,30 @@ object Streams {
       table: String, gapMinutes: Int = 30, shards: Int = 4): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    // cached: the staging harness consumes ev ~7 times (bounds agg,
+    // one filter-write per shard, two sentinel builders) — without the
+    // cache each re-reads and re-normalizes the parquet from scratch
     val ev = graft.Tables(spark, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("ts"), col("event_id")).cache()
+    try {
     val bounds = ev.agg(expr("min(unix_micros(ts))"), expr("max(unix_micros(ts))")).head()
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
     val work = java.nio.file.Files.createTempDirectory("graft_sess_to")
     val streamDir = work.resolve("stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = work.resolve(s"${name}_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = streamDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
-    }
     val span = math.max(1L, maxUs - minUs + 1)
     val t0 = System.currentTimeMillis() - 600000
     for (i <- 0 until shards) {
       val lo = minUs + i * span / shards
       val hi = if (i == shards - 1) maxUs + 1 else minUs + (i + 1) * span / shards
-      stage(ev.where(expr(s"unix_micros(ts) >= $lo AND unix_micros(ts) < $hi")),
-        s"b$i", t0 + i * 10000L)
+      stageFile(ev.where(expr(s"unix_micros(ts) >= $lo AND unix_micros(ts) < $hi")),
+        streamDir, s"b$i", t0 + i * 10000L)
     }
     def sentinel(uid: Long, daysAfter: Int): DataFrame =
       ev.limit(1).select(lit(uid).as("user_id"),
         (expr(s"timestamp_micros($maxUs)") + expr(s"interval $daysAfter days")).as("ts"),
         lit(uid).as("event_id"))
-    stage(sentinel(-1L, 2), "s1", t0 + shards * 10000L)
-    stage(sentinel(-2L, 4), "s2", t0 + (shards + 1) * 10000L)
+    stageFile(sentinel(-1L, 2), streamDir, "s1", t0 + shards * 10000L)
+    stageFile(sentinel(-2L, 4), streamDir, "s2", t0 + (shards + 1) * 10000L)
     val schema = spark.read.parquet(streamDir.toString).schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -329,6 +323,7 @@ object Streams {
       .format("memory").queryName(table).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(table)
+    } finally ev.unpersist()
   }
 
   /** Streaming exact deduplication: first-seen row per
@@ -426,16 +421,8 @@ object Streams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val work = java.nio.file.Files.createTempDirectory("graft_loj")
     val streamDir = work.resolve("stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = work.resolve(s"${name}_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = streamDir.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
-    }
+    def stage(df: DataFrame, name: String, mtime: Long): Unit =
+      stageFile(df, streamDir, name, mtime)
     // NTZ-tolerant row access: Tables normalizes ts to TIMESTAMP, but a
     // LocalDateTime here (future drift) should degrade to a clear value,
     // not a ClassCastException deep inside the sentinel harness.
@@ -556,21 +543,30 @@ object Streams {
     spark.read.parquet(keptDir)
   }
 
+  /** Write `df` as ONE parquet file named `name.parquet` under `dir`
+    * with the given mtime — the staging ritual every finite-drain
+    * harness here shares (the file source orders batches by mtime).
+    */
+  private[streaming] def stageFile(df: DataFrame, dir: java.nio.file.Path,
+      name: String, mtime: Long = System.currentTimeMillis()): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolveSibling(s"${dir.getFileName}_${name}_tmp").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtime): Unit
+  }
+
   /** Stage a frame as `n` deterministic single-file shards (split by
     * `event_id % n`) under `workDir/stream`, so a file-source stream
     * with `maxFilesPerTrigger=1` replays it as n genuine micro-batches.
     */
   private def stageShards(df: DataFrame, workDir: String, n: Int): String = {
     val srcDir = java.nio.file.Paths.get(workDir, "stream")
-    java.nio.file.Files.createDirectories(srcDir)
-    for (i <- 0 until n) {
-      val tmp = s"$workDir/shard_${i}_tmp"
-      df.where(col("event_id") % n === i).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, srcDir.resolve(s"shard_$i.parquet"))
-    }
+    for (i <- 0 until n)
+      stageFile(df.where(col("event_id") % n === i), srcDir, s"shard_$i")
     srcDir.toString
   }
 

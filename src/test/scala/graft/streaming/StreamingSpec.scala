@@ -91,15 +91,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // final-row reduction must still equal the batch groupBy
     val work = java.nio.file.Files.createTempDirectory("graft_multibatch")
     val ev = graft.Tables(spark, dir, "events")
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = work.resolve(s"${name}_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, work.resolve(s"$name.parquet"))
-    }
-    stage(ev.where(col("event_id") % 2 === 0), "events")
-    stage(ev.where(col("event_id") % 2 === 1), "events_b")
+    Streams.stageFile(ev.where(col("event_id") % 2 === 0), work, "events")
+    Streams.stageFile(ev.where(col("event_id") % 2 === 1), work, "events_b")
     val stream = Streams.userTotalsToTable(
         spark, work.toString, "stream_users_mb", maxFilesPerTrigger = Some(1))
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -114,15 +107,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // as two micro-batches instead of one
     val work = java.nio.file.Files.createTempDirectory("graft_multibatch_tws")
     val ev = graft.Tables(spark, dir, "events")
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = work.resolve(s"${name}_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, work.resolve(s"$name.parquet"))
-    }
-    stage(ev.where(col("event_id") % 2 === 0), "events")
-    stage(ev.where(col("event_id") % 2 === 1), "events_b")
+    Streams.stageFile(ev.where(col("event_id") % 2 === 0), work, "events")
+    Streams.stageFile(ev.where(col("event_id") % 2 === 1), work, "events_b")
     val stream = Streams.userStatsTwsToTable(
         spark, work.toString, "tws_users_mb", maxFilesPerTrigger = Some(1))
       .orderBy("user_id").collect()

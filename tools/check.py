@@ -48,6 +48,8 @@ def main():
         print(f"CRASH {name}: {msg.splitlines()[0] if msg else ''}")
     n_pass = n_fail = n_exact_fail = 0
     for name in sorted(oracle):
+        if name in crashed:
+            continue  # already reported as CRASH; don't double-count
         sql = oracle[name]
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
