@@ -104,7 +104,7 @@ object Bench {
       // enrichment), the corpus data card, and 2-core peeling
       "q_stream_sessionize", "q_stream_mv_merge", "q_stream_upsert",
       "q_stream_asof", "q_data_card", "q_kcore", "q_pq_encode",
-      "q_pq_search", "q_attribution", "q_join_right")
+      "q_pq_search", "q_attribution", "q_stream_attribution", "q_join_right")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -187,6 +187,21 @@ object Temporal {
         sum(when(col("p"), 1L).otherwise(0L)).as("n_purchase"))
     }),
 
+    // EXECUTES on the streaming engine: per-user O(1)-state last-touch
+    // attribution (Streams.attributionToTable) — each purchase is
+    // credited the moment it arrives against the latest stored
+    // view/click; the drained per-purchase rows aggregate to the batch
+    // attribution table exactly, so this shares q_attribution's oracle
+    // and streaming/batch attribution cannot drift.
+    "q_stream_attribution" -> ((s, dir) =>
+      graft.streaming.Streams
+        .attributionToTable(s, dir, "stream_attr_sink")
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          moneySum(col("value")).as("revenue"),
+          sum(col("wait_us")).as("wait_us_total"))
+        .orderBy(col("touch_type"))),
+
     // EXECUTES on the streaming engine: foreachBatch keyed upsert —
     // the changelog→table materialization (CDC apply / SCD1): one
     // stored row per user, each micro-batch merges its per-key argmax
@@ -353,6 +368,9 @@ object Temporal {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click,
         |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    // Identical to q_attribution's oracle — streaming credit
+    // assignment must equal the batch LOCF window.
+    "q_stream_attribution" -> Behavioral.oracles("q_attribution"),
     "q_stream_upsert" ->
       """SELECT user_id, ts AS last_ts, event_type AS last_type,
         |  value AS last_value

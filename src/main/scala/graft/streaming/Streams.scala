@@ -810,6 +810,50 @@ object Streams {
     spark.table(table)
   }
 
+  /** Streaming last-touch attribution — the stateful-streaming form of
+    * q_attribution: per-user state is just the latest view/click seen
+    * (type + micros, O(1) per user forever, where the batch form's
+    * LOCF window re-scans history); each purchase emits one credited
+    * row the moment it arrives. Like [[transitionsToTable]], rows fold
+    * in (ts, event_id) order inside the batch and cross-batch
+    * correctness assumes event-time-ordered batches (AvailableNow
+    * drains history as one batch). The emitted per-purchase rows
+    * aggregate to exactly the batch attribution table, so
+    * q_stream_attribution shares q_attribution's oracle.
+    */
+  def attributionToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+    val credited = ev.groupByKey(_._1)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(String, Long)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          var touch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Double, Option[Long])]
+          for ((_, ts, _, typ, value) <-
+               rows.toSeq.sortBy(r => (micros(r._2), r._3))) typ match {
+            case "view" | "click" => touch = Some((typ, micros(ts)))
+            case "purchase" => out += ((touch.map(_._1).getOrElse("direct"),
+              value, touch.map(t => micros(ts) - t._2)))
+            case _ =>
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+    val q = credited.toDF("touch_type", "value", "wait_us")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running event
     * totals (the KeyValueGroupedDataset stateful surface).
     */
