@@ -88,6 +88,26 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Probe-set sampling for q_ann_recall's brute-force truth side:
+    * recall is estimated over the probes where
+    * `((vec_id * 1315423911) % 1000003) % SampleMod == 0` — a
+    * deterministic multiplicative mix (odd constant, then a prime
+    * modulus so the residue is NOT a systematic id stride) computed in
+    * exact integer arithmetic by both engines, so the oracle mirrors
+    * the predicate verbatim and the row stays hash-exact. The sampled
+    * probes are the BROADCAST side; the full table is only streamed —
+    * pair count is n·(n/SampleMod) instead of n², and the broadcast
+    * payload is sample-sized. At 10⁹ rows raise SampleMod so the
+    * sample stays ~10⁴ probes; the estimate's standard error is
+    * √(r(1−r)/sample), independent of n. No overflow: ids up to 7·10⁹
+    * keep vec_id·1315423911 < 2⁶³.
+    */
+  val SampleMod = 4L
+  private def probeSampled(c: Column): Column =
+    ((c * lit(1315423911L)) % lit(1000003L)) % lit(SampleMod) === lit(0L)
+  private def sqlProbeSampled(c: String): String =
+    s"(($c * 1315423911) % 1000003) % $SampleMod = 0"
+
   /** Near-dup cosine threshold for q_dedup_embedding: the synthetic
     * vectors are near-orthogonal (max pairwise cos ≈ 0.5-0.6), so a
     * "duplicate" threshold of 0.95 would be vacuously empty; 0.40
@@ -147,27 +167,57 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("fine_id").as("anchor_id"))
   }
 
+  /** Exact all-pairs near-dup is the AUDIT role only — it bounds the
+    * executed IVF scale path (q_dedup_embedding_ivf) from above. Above
+    * `maxRows` the n² pair space and the full-table broadcast are both
+    * unaffordable, so the guard fails fast with the scale path named
+    * instead of letting the broadcast blow the 8 GB ceiling mid-job.
+    * `maxRows` is a parameter only so OpsSpec can hit the guard on the
+    * small fixture; production callers use the default.
+    */
+  private[ops] def dedupEmbeddingExact(
+      s: SparkSession, dir: String,
+      maxRows: Long = ExactDedupMaxRows): DataFrame = {
+    CosineSim.register(s)
+    // metadata-only parquet row count — no scan, no caching
+    val n = Tables(s, dir, "embeddings").count()
+    if (n > maxRows) throw new IllegalStateException(
+      s"q_dedup_embedding is the exact n^2 audit bound and is capped at " +
+        s"$maxRows rows (embeddings has $n). Use q_dedup_embedding_ivf — " +
+        "the executed IVF scale path with the same threshold semantics " +
+        "(candidates from bucket co-membership, pair count bounded by " +
+        "sum of squared bucket sizes).")
+    val emb = embeddings(s, dir)
+    emb.select(col("vec_id").as("doc1"), col("v").as("v1"))
+      .crossJoin(broadcast(
+        emb.select(col("vec_id").as("doc2"), col("v").as("v2"))))
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), cosine("v1", "v2").as("c"))
+      .where(col("c") >= DupThreshold)
+      .select(col("doc1"), col("doc2"), round(col("c"), 6).as("cos_sim"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Row cap for [[dedupEmbeddingExact]] — 10⁵ rows ≈ 5·10⁹ candidate
+    * pairs and a ~50 MB broadcast: the outer edge of what an exact
+    * audit run should ever attempt.
+    */
+  val ExactDedupMaxRows = 100000L
+
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicate pairs — the dedup-family member
     // that keys on semantic (vector) identity rather than text. This
     // is the EXACT variant: one side broadcast, a single fused-loop
     // cosine per pair, filter on the unrounded value (both engines
-    // compute bit-identical doubles). The production-scale form of the
-    // same predicate is EXECUTED as q_dedup_embedding_ivf (candidates
-    // from IVF buckets, never the full pair space); this exact form
-    // bounds it from above and carries the recall assertion in OpsSpec.
-    "q_dedup_embedding" -> ((s, dir) => {
-      CosineSim.register(s)
-      val emb = embeddings(s, dir)
-      emb.select(col("vec_id").as("doc1"), col("v").as("v1"))
-        .crossJoin(broadcast(
-          emb.select(col("vec_id").as("doc2"), col("v").as("v2"))))
-        .where(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2"), cosine("v1", "v2").as("c"))
-        .where(col("c") >= DupThreshold)
-        .select(col("doc1"), col("doc2"), round(col("c"), 6).as("cos_sim"))
-        .orderBy(col("doc1"), col("doc2"))
-    }),
+    // compute bit-identical doubles). Its ROLE is the exact oracle
+    // bound for the executed scale path q_dedup_embedding_ivf
+    // (candidates from IVF buckets, never the full pair space); the
+    // recall assertion lives in OpsSpec. Because the full-table
+    // broadcast is only valid in that audit role, the query refuses —
+    // loudly, naming the scale path — above [[ExactDedupMaxRows]]
+    // rather than silently attempting an n² plan (guard tested in
+    // OpsSpec with a lowered threshold).
+    "q_dedup_embedding" -> ((s, dir) => dedupEmbeddingExact(s, dir)),
 
     // Per-language embedding centroids — the quantizer-training
     // primitive (IVF anchors are exactly these, over clusters instead
@@ -431,20 +481,34 @@ object Similarity {
     // approximation's quality metric as a FIRST-CLASS, oracle-exact
     // query (1 row): a vector scores a hit when its ANN neighbor is
     // as close as the true nearest (cosine equality on the rounded
-    // value — an equally-near different neighbor still counts; vectors
+    // value — an equally-near different neighbor still counts; probes
     // the ANN left uncovered count as misses via the left join). The
     // whole IVF pipeline is deterministic, so the oracle replays BOTH
     // sides in SQL and the recall is hash-checked, not just asserted
-    // in a unit test. Brute force is the n² probe side — at 10⁹ rows
-    // this query runs on a sampled probe set, same plan.
+    // in a unit test. The brute-force truth runs on the
+    // [[probeSampled]] probe set: the SAMPLE is the broadcast build
+    // side, the full table is only streamed past it — n·(n/SampleMod)
+    // cosines and a sample-sized broadcast, never an n² pair space or
+    // a full-table broadcast. The recall estimate over the hash sample
+    // is unbiased; its variance depends only on sample size, so the
+    // same plan (with SampleMod raised) is the production audit at
+    // 10⁹ rows.
     "q_ann_recall" -> ((s, dir) => {
       CosineSim.register(s)
       val emb = embeddings(s, dir)
+      // The audited ANN is the UNFILTERED q_sim_ann — pre-filtering
+      // its probe side to the sample was tried and measured SLOWER
+      // (5.5 s vs 3.9 s at sf0.1): the pushed predicate splits the
+      // shared ivfProbed subtree into two non-identical copies, losing
+      // exchange reuse. The left join below discards non-sampled rows
+      // anyway, and the full ANN is the linear production cost being
+      // audited.
       val ann = queries("q_sim_ann")(s, dir)
         .select(col("vec_id"), col("cos_sim").as("ann_cos"))
-      val truth = emb.select(col("vec_id"), col("v").as("v1"))
-        .crossJoin(broadcast(
-          emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))))
+      val probes = emb.where(probeSampled(col("vec_id")))
+        .select(col("vec_id"), col("v").as("v1"))
+      val truth = emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
+        .crossJoin(broadcast(probes))
         .where(col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
         .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
@@ -683,7 +747,8 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand) WHERE rn = 1),
          |truth AS (SELECT a.vec_id, max(round(${sqlCos("a.v", "b.v")}, 6)) AS true_cos
-         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id GROUP BY a.vec_id)
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |  WHERE ${sqlProbeSampled("a.vec_id")} GROUP BY a.vec_id)
          |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_hits,

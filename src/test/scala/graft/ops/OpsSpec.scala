@@ -170,6 +170,17 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"IVF recall ${ivf.size}/${exact.size} below floor")
   }
 
+  test("exact embedding dedup refuses above the row cap, naming the IVF scale path") {
+    val dir = "/root/testdata/sf0.001" // 500 rows > lowered cap of 10
+    val ex = intercept[IllegalStateException] {
+      Similarity.dedupEmbeddingExact(spark, dir, maxRows = 10)
+    }
+    assert(ex.getMessage.contains("q_dedup_embedding_ivf"),
+      s"guard must name the scale path: ${ex.getMessage}")
+    // at the production cap the small fixture still runs
+    assert(Similarity.dedupEmbeddingExact(spark, dir).count() > 0)
+  }
+
   test("span dedup: shared 8-token span at DIFFERENT offsets is covered") {
     // the case disjoint-chunk dedup structurally misses: the same
     // 8-token run starts at offset 2 in doc 0 and offset 1 in doc 1
