@@ -119,6 +119,40 @@ object CovidPipeline {
     } finally batch.unpersist()
   }
 
+  /** S10/S11 EXECUTED warehouse-sink parity: the reference's actual
+    * load is row-batched INSERTs into Postgres after running the DDL
+    * bootstrap script every ETL cycle (dags/ETL.py:124-148;
+    * scripts/postgres_db_scripts.sql CREATE TABLE IF NOT EXISTS).
+    * `df.write.jdbc` in Append mode has exactly those semantics —
+    * create-when-missing (S11), then JDBC-batched inserts (S10;
+    * `batchsize` mirrors the reference's batch_size=100, though at
+    * scale you'd raise it to thousands) — with one improvement: each
+    * executor partition opens its own connection and writes in
+    * parallel, so the sink scales out instead of single-cursor
+    * serializing. The reference's secondary indexes
+    * (postgres_db_scripts.sql idx_*) have no JDBC-write equivalent and
+    * are replaced architecturally by parquet date partitioning (see
+    * class scaladoc); when the target really is an RDBMS they belong
+    * to the DBA-side DDL, as in the reference.
+    *
+    * Round-trip (write → [[readWarehouseJdbc]] → equality vs the
+    * parquet warehouse) is executed against embedded Derby in
+    * CovidPipelineSpec — same DriverManager/JDBC surface as Postgres,
+    * no server needed in the sandbox.
+    */
+  def loadWarehouseJdbc(df: DataFrame, url: String,
+      table: String = "covid_cases", batchSize: Int = 100): Unit =
+    df.select(col("date"), col("state"), col("county"),
+        col("new_cases"), col("new_deaths"))
+      .write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, new java.util.Properties)
+
+  /** Read side of the JDBC warehouse (dashboard-over-RDBMS parity). */
+  def readWarehouseJdbc(spark: SparkSession, url: String,
+      table: String = "covid_cases"): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties)
+
   /** Per-run pipeline metrics, appended as JSONL beside the watermark
     * (overwrite would erase the interesting runs — a caught-up run's
     * 0/0/0 is the last one to execute).

@@ -52,11 +52,53 @@ object Baskets {
   /** Minimum co-occurrence count for a pair to become a rule. */
   val MinPair = 2
 
-  /** Co-occurrence df cap: items in more baskets than this are dropped
-    * before the pair join (quadratic-guard; no-op on the uniform
-    * testdata, load-bearing on Zipfian real baskets).
+  /** Pair-instance budget for the co-occurrence self-join: the df cap
+    * is DERIVED from the measured df distribution as the largest df
+    * value whose cumulative Σdf² (= pair instances the join will
+    * generate) still fits this budget — the same
+    * measure-then-dispatch discipline as [[Dedup.jaccardPairs]]'
+    * HeavyDfRatio, instead of a magic constant that is a no-op on one
+    * corpus and wrong on another. 5·10⁷ pair instances ≈ seconds of
+    * join work per executor core; at warehouse scale raise it with the
+    * cluster, not the data.
     */
-  val DfCap = 100000L
+  val PairBudget = 50000000L
+
+  /** Floor for the derived co-occurrence df cap: items this common or
+    * rarer are never dropped, no matter how tight the budget — capping
+    * below ~100 baskets would distort the similarity head, not just
+    * trim the ubiquitous-item tail (whose cosine is necessarily tiny:
+    * denominator √(n1·n2) ≥ cap).
+    */
+  val DfCapFloor = 100L
+
+  /** The df cap actually derived by the last q_cooccur build — the
+    * observability hook (mirrors Dedup.lastJaccardStrategy) so tests
+    * and operators can assert the dispatch without re-deriving it.
+    */
+  @volatile var lastCooccurDfCap: Option[Long] = None
+
+  /** Derive the co-occurrence df cap from the measured df
+    * distribution: over the df-value HISTOGRAM (one row per distinct
+    * basket count — ≤ max-df rows, a true summary frame, never the
+    * item dimension), accumulate Σdf² ascending and keep the largest
+    * df value still inside [[PairBudget]], floored at [[DfCapFloor]].
+    * Runs as one tiny build-time job (histogram agg → ordered cumsum →
+    * 1-row max); the global window is over the bounded histogram
+    * frame, the q_sequence_gaps/q_gini summary-window pattern. The
+    * derivation is deterministic from the data, so the oracle replays
+    * it verbatim in SQL and q_cooccur stays hash-exact.
+    */
+  private[ops] def cooccurDfCap(deg: DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = deg.groupBy("n").agg(sum(col("n") * col("n")).as("w"))
+    val cum = hist.withColumn("cw",
+      sum(col("w")).over(Window.orderBy(col("n"))))
+    val capRow = cum
+      .agg(max(when(col("cw") <= lit(PairBudget), col("n"))).as("c")).head()
+    val derived = if (capRow.isNullAt(0)) DfCapFloor else capRow.getLong(0)
+    math.max(derived, DfCapFloor)
+  }
 
   /** Minimum shared-basket count for a co-occurrence pair. */
   val MinBoth = 3
@@ -106,32 +148,45 @@ object Baskets {
     }),
 
     // Item-item cosine similarity from customer baskets (who-bought-X-
-    // bought-Y). Inverted incidence self-join on the customer key, df
-    // cap before the join, bounded top-N by unrounded cosine.
+    // bought-Y). Inverted incidence self-join on the customer key,
+    // measured-df cap before the join, bounded top-N by unrounded
+    // cosine.
     "q_cooccur" -> ((s, dir) => {
       val bi = Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
         .distinct()
-      val deg = bi.groupBy("pk").agg(count(lit(1)).as("n"))
-      val fb = bi.join(broadcast(deg.where(col("n") <= DfCap)), Seq("pk"))
-        .select("ck", "pk")
-      val pairs = fb.select(col("ck"), col("pk").as("p1"))
-        .join(fb.select(col("ck"), col("pk").as("p2")), Seq("ck"))
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2").agg(count(lit(1)).as("n_both"))
-        .where(col("n_both") >= MinBoth)
-      pairs
-        .join(broadcast(deg.select(col("pk").as("p1"), col("n").as("n1"))), Seq("p1"))
-        .join(broadcast(deg.select(col("pk").as("p2"), col("n").as("n2"))), Seq("p2"))
-        .withColumn("cos",
-          col("n_both").cast("double") / sqrt((col("n1") * col("n2")).cast("double")))
-        .orderBy(col("cos").desc, col("p1"), col("p2"))
-        .limit(CoTopN)
-        .select(col("p1"), col("p2"), col("n_both"),
-          round(col("cos"), 6).as("cosine"))
+      cooccurPairs(bi)
     })
   )
+
+  /** The q_cooccur body over an arbitrary (basket, item) incidence —
+    * split out so the Zipfian-dispatch test can inject a skewed corpus.
+    * Derives the df cap from the measured distribution
+    * ([[cooccurDfCap]]), records it in [[lastCooccurDfCap]], then runs
+    * the capped inverted self-join.
+    */
+  private[ops] def cooccurPairs(bi: DataFrame): DataFrame = {
+    val deg = bi.groupBy("pk").agg(count(lit(1)).as("n"))
+    val cap = cooccurDfCap(deg)
+    lastCooccurDfCap = Some(cap)
+    val fb = bi.join(broadcast(deg.where(col("n") <= cap)), Seq("pk"))
+      .select("ck", "pk")
+    val pairs = fb.select(col("ck"), col("pk").as("p1"))
+      .join(fb.select(col("ck"), col("pk").as("p2")), Seq("ck"))
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= MinBoth)
+    pairs
+      .join(broadcast(deg.select(col("pk").as("p1"), col("n").as("n1"))), Seq("p1"))
+      .join(broadcast(deg.select(col("pk").as("p2"), col("n").as("n2"))), Seq("p2"))
+      .withColumn("cos",
+        col("n_both").cast("double") / sqrt((col("n1") * col("n2")).cast("double")))
+      .orderBy(col("cos").desc, col("p1"), col("p2"))
+      .limit(CoTopN)
+      .select(col("p1"), col("p2"), col("n_both"),
+        round(col("cos"), 6).as("cosine"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_assoc_rules" ->
@@ -150,11 +205,19 @@ object Baskets {
          |FROM p JOIN freq s1 ON p1 = s1.pk JOIN freq s2 ON p2 = s2.pk
          |  CROSS JOIN nb
          |ORDER BY p1, p2""".stripMargin,
+    // capq replays cooccurDfCap: Σdf² cumsum over the df-value
+    // histogram, largest value within PairBudget, DfCapFloor floor.
     "q_cooccur" ->
       s"""WITH bi AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |deg AS (SELECT pk, count(*) AS n FROM bi GROUP BY 1),
-         |fb AS (SELECT ck, bi.pk FROM bi JOIN deg USING (pk) WHERE n <= $DfCap),
+         |hist AS (SELECT n, sum(n * n) AS w FROM deg GROUP BY 1),
+         |cum AS (SELECT n, sum(w) OVER (ORDER BY n) AS cw FROM hist),
+         |capq AS (SELECT greatest(
+         |  coalesce(max(CASE WHEN cw <= $PairBudget THEN n END), $DfCapFloor),
+         |  $DfCapFloor) AS cap FROM cum),
+         |fb AS (SELECT ck, bi.pk FROM bi JOIN deg USING (pk)
+         |  WHERE n <= (SELECT cap FROM capq)),
          |p AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
          |  FROM fb a JOIN fb b ON a.ck = b.ck AND a.pk < b.pk
          |  GROUP BY 1, 2 HAVING count(*) >= $MinBoth),

@@ -79,10 +79,17 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-source basePath must be a directory; glob-filter the table.
-    // The glob also admits events_*.parquet shards so tests can stage a
-    // multi-file table and force genuine multi-batch drains.
+    // The WIDE glob (events*.parquet, admitting staged events_* shards
+    // for genuine multi-batch drains) is tied to maxFilesPerTrigger:
+    // only the multi-batch callers opt in. Single-drain consumers whose
+    // cross-batch folds assume event-time-ordered arrival
+    // (attributionToTable, transitionsToTable, funnel) read ONLY the
+    // canonical events.parquet — a stray shard file beside it can
+    // never silently join their stream out of order.
+    val glob = if (maxFilesPerTrigger.isDefined) "events*.parquet"
+               else "events.parquet"
     val reader = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events*.parquet")
+      .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     val raw = reader.parquet(dir)
     // same type normalization as Tables.apply — nanos-as-long gets
@@ -246,6 +253,10 @@ object Streams {
       .select(col("user_id"), col("ts"), col("event_id")).cache()
     try {
     val bounds = ev.agg(expr("min(unix_micros(ts))"), expr("max(unix_micros(ts))")).head()
+    // loud guard: on an empty events table the min/max are null (an
+    // opaque NPE below) and the limit(1)-derived sentinels would be
+    // empty frames, so the tail flush silently never fires
+    require(!bounds.isNullAt(0), "events table is empty — nothing to sessionize")
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
     val work = java.nio.file.Files.createTempDirectory("graft_sess_to")
     val streamDir = work.resolve("stream")
@@ -556,18 +567,58 @@ object Streams {
       .filter(_.getName.endsWith(".parquet")).head
     val dst = dir.resolve(s"$name.parquet")
     java.nio.file.Files.move(part.toPath, dst)
-    dst.toFile.setLastModified(mtime): Unit
+    // every finite-drain harness orders micro-batches by mtime — a
+    // silently failed write (e.g. a filesystem without mtime support)
+    // would reorder batches and break the event-time-ordered-batches
+    // precondition with no signal, so fail loudly instead
+    require(dst.toFile.setLastModified(mtime),
+      s"could not set mtime on $dst — batch ordering would be undefined")
   }
 
   /** Stage a frame as `n` deterministic single-file shards (split by
     * `event_id % n`) under `workDir/stream`, so a file-source stream
     * with `maxFilesPerTrigger=1` replays it as n genuine micro-batches.
+    * `upTo` stages only the first `upTo` shards (same shard boundaries)
+    * — the checkpoint-resume test stages a prefix, drains, then stages
+    * the rest and resumes from the same checkpoint.
     */
-  private def stageShards(df: DataFrame, workDir: String, n: Int): String = {
+  private[streaming] def stageShards(df: DataFrame, workDir: String, n: Int,
+      upTo: Option[Int] = None): String = {
     val srcDir = java.nio.file.Paths.get(workDir, "stream")
-    for (i <- 0 until n)
+    // staging is deterministic, so shards already on disk (a prior
+    // prefix-stage before a simulated crash) are simply kept
+    for (i <- 0 until math.min(n, upTo.getOrElse(n))
+         if !java.nio.file.Files.exists(srcDir.resolve(s"shard_$i.parquet")))
       stageFile(df.where(col("event_id") % n === i), srcDir, s"shard_$i")
     srcDir.toString
+  }
+
+  /** Newest `prefix<bid>` output directory under `workDir`, optionally
+    * restricted to versions STRICTLY below `belowBid`. This is the MV/
+    * upsert chain's source of truth: deriving the previous version from
+    * DISK (not a driver-side var) is what makes the foreachBatch chain
+    * survive both failure modes — on restart-from-checkpoint the source
+    * skips committed batches and the chain resumes from their on-disk
+    * output; on a retried micro-batch the strictly-below-bid read means
+    * the retry recomputes from the same pre-batch state and just
+    * rewrites its own version (sum/count partials are NOT idempotent
+    * under re-merge, so merging from a state that already includes the
+    * batch would double-count).
+    */
+  private def latestVersioned(workDir: String, prefix: String,
+      belowBid: Option[Long] = None): Option[String] = {
+    val files = Option(new java.io.File(workDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    files.filter(_.isDirectory)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith(prefix))
+          scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+            .map(v => (v, f.getPath))
+        else None
+      }
+      .filter { case (v, _) => belowBid.forall(v < _) }
+      .sortBy(_._1).lastOption.map(_._2)
   }
 
   /** Streaming keyed upsert (CDC apply / SCD-type-1 maintenance): the
@@ -585,35 +636,44 @@ object Streams {
     * stored state and O(batch) work per trigger.
     */
   def upsertIngest(spark: SparkSession, dir: String,
-      workDir: String): DataFrame = withStatePartitions(spark) {
+      workDir: String): DataFrame = {
     val ev = graft.Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
+    stageShards(ev, workDir, 3)
+    upsertRun(spark, workDir)
+  }
+
+  /** Drain whatever is staged under `workDir/stream` into the upsert
+    * chain and return the current table. Separated from the staging so
+    * the checkpoint-resume test can drain, "crash", stage more, and
+    * call this again — the chain continues from the on-disk versions
+    * ([[latestVersioned]]), not from any driver-side state.
+    */
+  private[streaming] def upsertRun(spark: SparkSession,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
     def latest(df: DataFrame): DataFrame =
       df.groupBy(col("user_id")).agg(max(struct(col("ts"), col("event_id"),
         col("event_type"), col("value"))).as("s"))
-    val srcDir = stageShards(ev, workDir, 3)
     val schema = spark.read.parquet(srcDir).schema
-    @volatile var current: Option[String] = None
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val part = latest(batch.toDF())
-        val merged = current match {
+        val merged = latestVersioned(workDir, "tbl_v", Some(bid)) match {
           case Some(p) => spark.read.parquet(p).unionByName(part)
             .groupBy(col("user_id")).agg(max(col("s")).as("s"))
           case None => part
         }
-        val out = s"$workDir/tbl_v$bid"
-        merged.write.mode("overwrite").parquet(out)
-        current = Some(out)
+        merged.write.mode("overwrite").parquet(s"$workDir/tbl_v$bid")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(current.getOrElse(
+    spark.read.parquet(latestVersioned(workDir, "tbl_v").getOrElse(
       throw new IllegalStateException("no micro-batch ran — empty source?")))
       .select(col("user_id"), col("s.ts").as("last_ts"),
         col("s.event_type").as("last_type"), col("s.value").as("last_value"))
@@ -675,12 +735,23 @@ object Streams {
     * three shards (`maxFilesPerTrigger=1`) so cross-batch merging is
     * genuinely exercised.
     */
-  def mvMergeIngest(spark: SparkSession, dir: String, workDir: String): DataFrame = withStatePartitions(spark) {
+  def mvMergeIngest(spark: SparkSession, dir: String, workDir: String): DataFrame = {
     val ev = graft.Tables(spark, dir, "events")
       .select(col("event_type"), col("value"), col("event_id"))
-    val srcDir = stageShards(ev, workDir, 3)
+    stageShards(ev, workDir, 3)
+    mvMergeRun(spark, workDir)
+  }
+
+  /** Drain whatever is staged under `workDir/stream` into the MV chain
+    * and return the current view — see [[upsertRun]] for why the
+    * previous version comes from disk ([[latestVersioned]]) rather
+    * than driver state: it is what makes restart-from-checkpoint and
+    * micro-batch retry both land on exactly-once output.
+    */
+  private[streaming] def mvMergeRun(spark: SparkSession,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
     val schema = spark.read.parquet(srcDir).schema
-    @volatile var current: Option[String] = None
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = stream.writeStream
@@ -689,21 +760,19 @@ object Streams {
         val partial = batch.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("total"),
             min(col("value")).as("mn"), max(col("value")).as("mx"))
-        val merged = current match {
+        val merged = latestVersioned(workDir, "mv_v", Some(bid)) match {
           case Some(p) => spark.read.parquet(p).unionByName(partial)
             .groupBy(col("event_type"))
             .agg(sum(col("n")).as("n"), sum(col("total")).as("total"),
               min(col("mn")).as("mn"), max(col("mx")).as("mx"))
           case None => partial
         }
-        val out = s"$workDir/mv_v$bid"
-        merged.write.mode("overwrite").parquet(out)
-        current = Some(out)
+        merged.write.mode("overwrite").parquet(s"$workDir/mv_v$bid")
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(current.getOrElse(
+    spark.read.parquet(latestVersioned(workDir, "mv_v").getOrElse(
       throw new IllegalStateException("no micro-batch ran — empty source?")))
   }
 

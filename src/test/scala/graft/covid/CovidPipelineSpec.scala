@@ -69,6 +69,39 @@ class CovidPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(CovidPipeline.etlOnce(spark, staging, wh, s"$dir/state") == 0)
   }
 
+  test("S10/S11 executed: JDBC warehouse round-trip equals the parquet warehouse") {
+    // The reference's real sink is batched INSERTs into Postgres behind
+    // a CREATE TABLE IF NOT EXISTS bootstrap (dags/ETL.py:124-148).
+    // Embedded Derby exercises the identical Spark JDBC surface with no
+    // server: first Append CREATES the table (S11), second APPENDS
+    // (S10) — then the read-back must equal the parquet warehouse
+    // row-for-row.
+    val dir = tmp()
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val csv = dir.resolve("covid.csv")
+    Files.writeString(csv, fixtureCsv)
+    val staging = s"$dir/staging"
+    val wh = s"$dir/warehouse"
+    CovidPipeline.ingest(spark, csv.toString, staging)
+    CovidPipeline.runToCompletion(spark, staging, wh, s"$dir/state")
+    val parquetWh = spark.read.parquet(wh)
+
+    val url = s"jdbc:derby:$dir/derbydb;create=true"
+    // two incremental loads, split like two ETL cycles
+    val cut = "2022-01-08"
+    CovidPipeline.loadWarehouseJdbc(
+      parquetWh.filter(col("date") <= lit(cut)), url)       // bootstrap + load
+    CovidPipeline.loadWarehouseJdbc(
+      parquetWh.filter(col("date") > lit(cut)), url)        // append to existing
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("date").cast("string"), col("state"), col("county"),
+        col("new_cases"), col("new_deaths"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val back = CovidPipeline.readWarehouseJdbc(spark, url)
+    assert(back.count() == expectedRows)
+    assert(key(back) == key(parquetWh)) // multiset equality incl. the dup pair
+  }
+
   test("P4 observability: dropped-row metrics persisted beside the watermark") {
     val dir = tmp()
     val csv = dir.resolve("covid.csv")

@@ -66,6 +66,32 @@ class BasketsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.toSeq == Seq((100L, 200L, 4L, 1.0)))
   }
 
+  test("cooccur: df cap derives from the measured distribution (Zipfian head capped)") {
+    // Zipfian corpus: head item 1 sits in 8000 baskets — its df² (64M)
+    // alone blows PairBudget, so the derived cap lands at DfCapFloor
+    // and the head is dropped BEFORE the pair join. The torso pair
+    // (items 10, 20, df = 5 each) is far under the floor and must
+    // survive with its exact cosine. Head pairs (1,10)/(1,20) co-occur
+    // 5 ≥ MinBoth times but may not appear.
+    val items = (1L to 8000L).map(ok => ok -> 1L) ++
+      (1L to 5L).flatMap(ok => Seq(ok -> 10L, ok -> 20L))
+    val dir = basketDir(items, identity)
+    val rows = Baskets.queries("q_cooccur")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(Baskets.lastCooccurDfCap.contains(Baskets.DfCapFloor),
+      s"derived cap should hit the floor on a Zipfian head: ${Baskets.lastCooccurDfCap}")
+    assert(rows.toSeq == Seq((10L, 20L, 5L, 1.0)))
+  }
+
+  test("cooccur: uniform corpus derives a no-op cap (dispatch keeps everything)") {
+    // the flat-df testdata shape: every df far below both budget and
+    // floor — the derived cap must not drop anything (cap ≥ every df).
+    val items = (1L to 4L).flatMap(ok => Seq(ok -> 100L, ok -> 200L))
+    val dir = basketDir(items, identity)
+    val n = Baskets.queries("q_cooccur")(spark, dir).count()
+    assert(n == 1 && Baskets.lastCooccurDfCap.exists(_ >= 4L))
+  }
+
   test("cooccur: incidence is per customer, not per order") {
     // One customer with 3 orders, each containing {7, 8}: distinct
     // (customer, item) incidence must count the pair ONCE per customer

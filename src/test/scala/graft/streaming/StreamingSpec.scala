@@ -71,6 +71,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(mv.nonEmpty && mv == batch)
   }
 
+  test("foreachBatch MV: kill after 2 of 3 batches, restart from checkpoint == recompute") {
+    // The restart failure mode the disk-derived version chain exists
+    // for: drain a 2-shard prefix, "crash" (the query object is gone),
+    // stage the third shard, and resume against the SAME
+    // checkpointLocation. The source skips the committed batches; the
+    // chain must continue from their on-disk MV — a driver-side var
+    // would reset to None and silently drop their contribution.
+    val work = java.nio.file.Files.createTempDirectory("graft_smv_resume").toString
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+    Streams.stageShards(ev, work, 3, upTo = Some(2))
+    Streams.mvMergeRun(spark, work)                     // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/mv_v1").exists())
+    Streams.stageShards(ev, work, 3)                    // shard 2 appears
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getDecimal(2).stripTrailingZeros, r.getDouble(3), r.getDouble(4))
+    val mv = Streams.mvMergeRun(spark, work)            // run 2: resumes, only batch 2
+      .select(col("event_type"), col("n"),
+        col("total").cast("decimal(28,2)").as("total"), col("mn"), col("mx"))
+      .orderBy("event_type").collect().map(key).toSeq
+    // the resumed run processed ONLY the new shard (one new version)
+    assert(new java.io.File(s"$work/mv_v2").exists())
+    assert(!new java.io.File(s"$work/mv_v3").exists())
+    val batch = ev
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.util.Exact.dec(col("value"))).cast("decimal(28,2)").as("total"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy("event_type").collect().map(key).toSeq
+    assert(mv.nonEmpty && mv == batch)
+  }
+
+  test("foreachBatch upsert: restart from checkpoint == batch last-row-per-key") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sup_resume").toString
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    Streams.stageShards(ev, work, 3, upTo = Some(2))
+    Streams.upsertRun(spark, work)
+    Streams.stageShards(ev, work, 3)
+    val up = Streams.upsertRun(spark, work)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    assert(up.nonEmpty && up == batch)
+  }
+
   test("EventTimeTimeout sessionization == batch session_window (evicted tail)") {
     // the bounded-state sessionizer: open-session-only state, sessions
     // closed by watermark timeout — must equal the batch session_window
