@@ -90,23 +90,29 @@ object Similarity {
 
   /** Probe-set sampling for q_ann_recall's brute-force truth side:
     * recall is estimated over the probes where
-    * `((vec_id * 1315423911) % 1000003) % SampleMod == 0` — a
+    * `((vec_id * 1315423911) % 1000003) % sampleMod(n) == 0` — a
     * deterministic multiplicative mix (odd constant, then a prime
     * modulus so the residue is NOT a systematic id stride) computed in
     * exact integer arithmetic by both engines, so the oracle mirrors
     * the predicate verbatim and the row stays hash-exact. The sampled
-    * probes are the BROADCAST side; the full table is only streamed —
-    * pair count is n·(n/SampleMod) instead of n², and the broadcast
-    * payload is sample-sized. At 10⁹ rows raise SampleMod so the
-    * sample stays ~10⁴ probes; the estimate's standard error is
-    * √(r(1−r)/sample), independent of n. No overflow: ids up to 7·10⁹
-    * keep vec_id·1315423911 < 2⁶³.
+    * probes are the BROADCAST side; the full table is only streamed.
+    *
+    * The mod SCALES WITH n (`max(4, n / SampleTarget)`, integer
+    * division replayed as `//` in the oracle) so the sample SIZE stays
+    * ~[[SampleTarget]] probes at every scale: truth-side work is
+    * n·SampleTarget cosines — linear in rows forever, verified by the
+    * sf1 scaling pass — and the estimate's standard error
+    * √(r(1−r)/sample) is scale-independent. A fixed mod would have
+    * crept back to n²/mod. No overflow: ids up to 7·10⁹ keep
+    * vec_id·1315423911 < 2⁶³.
     */
-  val SampleMod = 4L
-  private def probeSampled(c: Column): Column =
-    ((c * lit(1315423911L)) % lit(1000003L)) % lit(SampleMod) === lit(0L)
+  val SampleTarget = 500L
+  private def sampleMod(n: Long): Long = math.max(4L, n / SampleTarget)
+  private def probeSampled(c: Column, n: Long): Column =
+    ((c * lit(1315423911L)) % lit(1000003L)) % lit(sampleMod(n)) === lit(0L)
   private def sqlProbeSampled(c: String): String =
-    s"(($c * 1315423911) % 1000003) % $SampleMod = 0"
+    s"(($c * 1315423911) % 1000003) % " +
+      s"(SELECT greatest(4, count(*) // $SampleTarget) FROM e) = 0"
 
   /** Near-dup cosine threshold for q_dedup_embedding: the synthetic
     * vectors are near-orthogonal (max pairwise cos ≈ 0.5-0.6), so a
@@ -505,7 +511,9 @@ object Similarity {
       // audited.
       val ann = queries("q_sim_ann")(s, dir)
         .select(col("vec_id"), col("cos_sim").as("ann_cos"))
-      val probes = emb.where(probeSampled(col("vec_id")))
+      // metadata-only count, sizing the scale-invariant probe sample
+      val n = Tables(s, dir, "embeddings").count()
+      val probes = emb.where(probeSampled(col("vec_id"), n))
         .select(col("vec_id"), col("v").as("v1"))
       val truth = emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
         .crossJoin(broadcast(probes))
