@@ -141,6 +141,24 @@ object Bench {
         }
         System.err.println(f"[bench] shared_jaccard_pairs     $t%9.3f s")
         Seq("shared_jaccard_pairs" -> t)
+      } else Seq.empty) ++ (
+      // basket incidences: same discipline — build up front, bill as
+      // their own entries so the basket queries measure incremental cost
+      if (names.contains("q_assoc_rules")) {
+        val t = timed("shared_order_baskets") {
+          graft.ops.Baskets.orderItems(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_order_baskets     $t%9.3f s")
+        Seq("shared_order_baskets" -> t)
+      } else Seq.empty) ++ (
+      if (names.contains("q_cooccur")) {
+        val t = timed("shared_cust_baskets") {
+          graft.ops.Baskets.custItems(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_cust_baskets      $t%9.3f s")
+        Seq("shared_cust_baskets" -> t)
       } else Seq.empty)
     val results = shared ++ names.map { n =>
       val t = materialize(n)

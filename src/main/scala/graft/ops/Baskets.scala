@@ -72,33 +72,41 @@ object Baskets {
     */
   val DfCapFloor = 100L
 
-  /** The df cap actually derived by the last q_cooccur build — the
-    * observability hook (mirrors Dedup.lastJaccardStrategy) so tests
-    * and operators can assert the dispatch without re-deriving it.
+  /** The df-cap derivation as a 1-ROW PLAN over the item-degree frame:
+    * over the df-value HISTOGRAM (one row per distinct basket count —
+    * ≤ max-df rows, a true summary frame, never the item dimension),
+    * accumulate Σdf² ascending and keep the largest df value still
+    * inside [[PairBudget]], floored at [[DfCapFloor]]. The global
+    * window runs over the bounded histogram frame — the
+    * q_sequence_gaps/q_gini summary-window pattern. q_cooccur embeds
+    * this plan as a broadcast scalar over the MATERIALIZED incidence
+    * scan ([[custItems]]) — an eager driver-job derivation was measured
+    * to re-execute the join+distinct incidence pipeline (~3 s at
+    * sf0.1), and exchange reuse could not dedupe the in-plan copies
+    * because column pruning makes them canonically unequal; reading
+    * the shared file makes the extra copy a cheap scan. The oracle
+    * replays the same derivation verbatim in SQL, so the query stays
+    * hash-exact. This method is the SINGLE source of the derivation —
+    * [[cooccurDfCap]] just executes it.
     */
-  @volatile var lastCooccurDfCap: Option[Long] = None
-
-  /** Derive the co-occurrence df cap from the measured df
-    * distribution: over the df-value HISTOGRAM (one row per distinct
-    * basket count — ≤ max-df rows, a true summary frame, never the
-    * item dimension), accumulate Σdf² ascending and keep the largest
-    * df value still inside [[PairBudget]], floored at [[DfCapFloor]].
-    * Runs as one tiny build-time job (histogram agg → ordered cumsum →
-    * 1-row max); the global window is over the bounded histogram
-    * frame, the q_sequence_gaps/q_gini summary-window pattern. The
-    * derivation is deterministic from the data, so the oracle replays
-    * it verbatim in SQL and q_cooccur stays hash-exact.
-    */
-  private[ops] def cooccurDfCap(deg: DataFrame): Long = {
+  private def cooccurCapPlan(deg: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = deg.groupBy("n").agg(sum(col("n") * col("n")).as("w"))
     val cum = hist.withColumn("cw",
       sum(col("w")).over(Window.orderBy(col("n"))))
-    val capRow = cum
-      .agg(max(when(col("cw") <= lit(PairBudget), col("n"))).as("c")).head()
-    val derived = if (capRow.isNullAt(0)) DfCapFloor else capRow.getLong(0)
-    math.max(derived, DfCapFloor)
+    cum.agg(greatest(
+      coalesce(max(when(col("cw") <= lit(PairBudget), col("n"))),
+        lit(DfCapFloor)),
+      lit(DfCapFloor)).as("cap"))
   }
+
+  /** Eagerly evaluate [[cooccurCapPlan]] — the observability hook for
+    * tests and capacity planning (what cap WOULD q_cooccur run with on
+    * this corpus?). The production query does not call this; it embeds
+    * the same plan as a broadcast scalar.
+    */
+  private[ops] def cooccurDfCap(deg: DataFrame): Long =
+    cooccurCapPlan(deg).head().getLong(0)
 
   /** Minimum shared-basket count for a co-occurrence pair. */
   val MinBoth = 3
@@ -108,11 +116,36 @@ object Baskets {
     */
   val CoTopN = 1000
 
-  /** Distinct (basket, item) incidence from order baskets. */
-  private def orderItems(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+  /** Distinct (basket, item) incidence from ORDER baskets, materialized
+    * once per session ([[Scratch]]): q_assoc_rules starts from it three
+    * times (support counts, pruned baskets, basket total) and the
+    * copies prune different columns, so Catalyst cannot collapse them
+    * via exchange reuse — without the materialization the
+    * lineitem-scan+distinct chain executes once per copy. Billed as its
+    * own bench entry (shared_order_baskets), like the shingle postings.
+    */
+  def orderItems(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"order_baskets_$dir") {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** Distinct (customer, item) incidence from CUSTOMER baskets — the
+    * q_cooccur base, materialized for the same reason: the plan reads
+    * it six times (fb's two self-join sides, deg, the df-cap scalar,
+    * n1, n2) and a plan dump measured ZERO exchange reuse across the
+    * copies (pruning differences make them canonically unequal), so
+    * the lineitem⋈orders+distinct chain was executing per copy.
+    * Billed as shared_cust_baskets.
+    */
+  def custItems(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"cust_baskets_$dir") {
+      Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .distinct()
+    }
 
   val queries: Map[String, Q] = Map(
     // Frequent item pairs + confidence/lift over order baskets.
@@ -151,26 +184,23 @@ object Baskets {
     // bought-Y). Inverted incidence self-join on the customer key,
     // measured-df cap before the join, bounded top-N by unrounded
     // cosine.
-    "q_cooccur" -> ((s, dir) => {
-      val bi = Tables(s, dir, "lineitem")
-        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
-        .distinct()
-      cooccurPairs(bi)
-    })
+    "q_cooccur" -> ((s, dir) => cooccurPairs(custItems(s, dir)))
   )
 
   /** The q_cooccur body over an arbitrary (basket, item) incidence —
     * split out so the Zipfian-dispatch test can inject a skewed corpus.
-    * Derives the df cap from the measured distribution
-    * ([[cooccurDfCap]]), records it in [[lastCooccurDfCap]], then runs
-    * the capped inverted self-join.
+    * The df cap is the [[cooccurCapPlan]] broadcast scalar, derived
+    * from the measured distribution inside the same plan.
     */
   private[ops] def cooccurPairs(bi: DataFrame): DataFrame = {
     val deg = bi.groupBy("pk").agg(count(lit(1)).as("n"))
-    val cap = cooccurDfCap(deg)
-    lastCooccurDfCap = Some(cap)
-    val fb = bi.join(broadcast(deg.where(col("n") <= cap)), Seq("pk"))
+    // cap applied INSIDE the broadcast build side (item-dim × 1-row
+    // scalar — trivial), so the fact-side probe join keeps the exact
+    // shape of a static-filtered build and the cap machinery never
+    // touches the incidence table
+    val degCapped = deg.crossJoin(broadcast(cooccurCapPlan(deg)))
+      .where(col("n") <= col("cap")).select("pk", "n")
+    val fb = bi.join(broadcast(degCapped), Seq("pk"))
       .select("ck", "pk")
     val pairs = fb.select(col("ck"), col("pk").as("p1"))
       .join(fb.select(col("ck"), col("pk").as("p2")), Seq("ck"))

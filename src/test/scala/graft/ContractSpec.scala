@@ -46,8 +46,10 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // (≤ price-range/bucket-width rows), not the data — see Stats.
     // q_zipf ranks the TakeOrdered top-1000 token frame, never the
     // vocabulary or the corpus.
+    // q_cooccur's global window is the df-cap cumsum over the df-value
+    // HISTOGRAM (≤ max-df rows, a summary frame) — see cooccurCapPlan.
     val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
-      "q_sequence_gaps", "q_mannwhitney", "q_zipf")
+      "q_sequence_gaps", "q_mannwhitney", "q_zipf", "q_cooccur")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)

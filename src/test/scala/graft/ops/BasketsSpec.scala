@@ -76,10 +76,13 @@ class BasketsSpec extends AnyFunSuite with SparkSpec {
     val items = (1L to 8000L).map(ok => ok -> 1L) ++
       (1L to 5L).flatMap(ok => Seq(ok -> 10L, ok -> 20L))
     val dir = basketDir(items, identity)
+    import spark.implicits._
+    val deg = items.map { case (ok, pk) => (ok, pk) }.distinct.toDF("ck", "pk")
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    assert(Baskets.cooccurDfCap(deg) == Baskets.DfCapFloor,
+      "derived cap should hit the floor on a Zipfian head")
     val rows = Baskets.queries("q_cooccur")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(Baskets.lastCooccurDfCap.contains(Baskets.DfCapFloor),
-      s"derived cap should hit the floor on a Zipfian head: ${Baskets.lastCooccurDfCap}")
     assert(rows.toSeq == Seq((10L, 20L, 5L, 1.0)))
   }
 
@@ -88,8 +91,11 @@ class BasketsSpec extends AnyFunSuite with SparkSpec {
     // floor — the derived cap must not drop anything (cap ≥ every df).
     val items = (1L to 4L).flatMap(ok => Seq(ok -> 100L, ok -> 200L))
     val dir = basketDir(items, identity)
-    val n = Baskets.queries("q_cooccur")(spark, dir).count()
-    assert(n == 1 && Baskets.lastCooccurDfCap.exists(_ >= 4L))
+    import spark.implicits._
+    val deg = items.distinct.toDF("ck", "pk")
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+    assert(Baskets.cooccurDfCap(deg) >= 4L)
+    assert(Baskets.queries("q_cooccur")(spark, dir).count() == 1)
   }
 
   test("cooccur: incidence is per customer, not per order") {
