@@ -104,7 +104,9 @@ object Bench {
       // enrichment), the corpus data card, and 2-core peeling
       "q_stream_sessionize", "q_stream_mv_merge", "q_stream_upsert",
       "q_stream_asof", "q_data_card", "q_kcore", "q_pq_encode",
-      "q_pq_search", "q_attribution", "q_stream_attribution", "q_join_right")
+      "q_pq_search", "q_attribution", "q_stream_attribution", "q_join_right",
+      // round-5: the empirical LSH candidate-quality audit
+      "q_lsh_recall")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -119,7 +121,7 @@ object Bench {
     // whichever one sorts first silently absorbing the ~40 s build.
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
-      "q_prep_pipeline", "q_kcore")
+      "q_prep_pipeline", "q_kcore", "q_lsh_recall")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

@@ -695,6 +695,33 @@ object Dedup {
         .orderBy(col("sim"))
     }),
 
+    // Empirical LSH candidate-quality audit — the MEASURED complement
+    // of q_lsh_tuning's analytic S-curve, closing the audit symmetry
+    // the approximate families share (IVF ANN → q_ann_recall, MinHash
+    // estimate → q_minhash_error, LSH candidate GENERATION → this):
+    // recall = fraction of true Jaccard-≥0.6 pairs the banded join
+    // surfaces, candidate_precision = fraction of surfaced candidates
+    // that are true pairs (the verify stage's workload efficiency).
+    // Both sides ride session-materialized intermediates (pair list,
+    // sketch candidates from the shared postings) and the whole
+    // pipeline is deterministic md5 arithmetic, so the quality metric
+    // itself is ORACLE-EXACT — at 100 TB this single cheap row is how
+    // you know the sketch parameters still fit the corpus before
+    // trusting a full dedup pass (three tiny aggregates + a semi-join
+    // on 8-byte pair keys; never the corpus).
+    "q_lsh_recall" -> ((s, dir) => {
+      val exact = sharedJaccardPairs(s, dir, 0.6).select(col("doc1"), col("doc2"))
+      val cand = queries("q_dedup_minhash")(s, dir).select(col("doc1"), col("doc2"))
+      val hits = exact.join(cand, Seq("doc1", "doc2"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+          round(col("n_hit").cast("double") / col("n_cand"), 6)
+            .as("candidate_precision"))
+    }),
+
     // Boilerplate detection: documents sharing their first or last 5
     // tokens (the header/footer signature of template pages). Runs on
     // the dup corpus so exact copies demonstrably cluster. Map-only
@@ -1003,8 +1030,44 @@ object Dedup {
        |FROM j""".stripMargin
   }
 
+  /** Replays the banded candidate set (the minhashOracle CTEs) and the
+    * exact Jaccard-≥0.6 pair list over the same shingles, then counts
+    * the overlap — recall and candidate precision are hash-checked.
+    */
+  private def lshRecallOracle: String = {
+    val mhCols = (0 until K).map(i =>
+      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
+    val bands = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', " +
+        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
+        ") AS sig FROM mh").mkString("\nUNION ALL\n")
+    s"""WITH ${sqlShingleCtes("documents")},
+       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+       |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT doc1, doc2
+       |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+       |hits AS (SELECT doc1, doc2 FROM jp INTERSECT SELECT doc1, doc2 FROM cand)
+       |SELECT CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_exact,
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hit,
+       |  round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |    / (SELECT count(*) FROM jp), 6) AS recall,
+       |  round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |    / (SELECT count(*) FROM cand), 6) AS candidate_precision""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> minhashErrorOracle,
+    "q_lsh_recall" -> lshRecallOracle,
     // 3 peel rounds unrolled verbatim (k=2): v_r = vertices with
     // degree ≥ 2 in e_{r-1}, e_r = the induced subgraph.
     "q_kcore" ->
