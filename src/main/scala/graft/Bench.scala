@@ -105,8 +105,9 @@ object Bench {
       "q_stream_sessionize", "q_stream_mv_merge", "q_stream_upsert",
       "q_stream_asof", "q_data_card", "q_kcore", "q_pq_encode",
       "q_pq_search", "q_attribution", "q_stream_attribution", "q_join_right",
-      // round-5: the empirical LSH candidate-quality audit
-      "q_lsh_recall")
+      // round-5: the empirical LSH candidate-quality audit + the
+      // streaming sketch-dedup ingest
+      "q_lsh_recall", "q_stream_minhash")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -50,6 +50,53 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
 
+  /** Per-doc K-hash MinHash signature from raw (doc_id, text) — the
+    * per-BATCH form of the signature build shared with the streaming
+    * ingest ([[graft.streaming.Streams.minhashDedupIngest]]); the
+    * batch q_dedup_minhash rides the materialized postings instead but
+    * computes the identical md5-derived minima, so batch and stream
+    * signatures cannot drift.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hm = docShingles(docs)
+      .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+      .select(col("doc_id"), (col("h") % P).as("hm"))
+    val mhAggs = (0 until K).map(i =>
+      min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
+    hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
+  }
+
+  /** Banded LSH keys of a signature table (doc_id, v) — b×r slicing of
+    * the K-array; the single source for the batch query AND the
+    * streaming store, so the bucket keys cannot drift either.
+    */
+  def minhashBands(vec: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until K / Bands).map(r =>
+          element_at(col("v"), b * (K / Bands) + r + 1)): _*).as("sig")))
+    vec.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Estimated Jaccard from two K-hash signatures (matching-minima
+    * fraction) — codegen HOF, no UDF.
+    */
+  def minhashEst(v1: Column, v2: Column): Column =
+    aggregate(zip_with(v1, v2, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x) / lit(K.toDouble)
+
+  /** Estimated-similarity threshold for the streaming near-dup ingest:
+    * a new doc is dropped when any smaller-id doc shares an LSH band
+    * AND the signature estimate reaches this. 0.5 sits just under the
+    * sketch's S-curve midpoint ((1/b)^(1/r) ≈ 0.59, q_lsh_tuning), so
+    * banded candidate generation still has high recall at the
+    * threshold itself.
+    */
+  val StreamDupThreshold = 0.5
+
   /** Average candidate-pair fanout per posting (Σ df² / Σ df) above
     * which candidate generation switches from the plain inverted join
     * to the prefix-filtered (PPJoin) generator. On a Zipfian corpus a
@@ -489,12 +536,7 @@ object Dedup {
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
         .cache()
-      val bandStructs = (0 until Bands).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", (0 until K / Bands).map(r =>
-            element_at(col("v"), b * (K / Bands) + r + 1)): _*).as("sig")))
-      val bands = vec.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bands = minhashBands(vec)
       val cand = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
         .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
           Seq("band", "sig"))
@@ -504,9 +546,7 @@ object Dedup {
         .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
         .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
         .select(col("doc1"), col("doc2"),
-          (aggregate(zip_with(col("v1"), col("v2"),
-              (a, b) => when(a === b, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x) / lit(K.toDouble)).as("est_sim"))
+          minhashEst(col("v1"), col("v2")).as("est_sim"))
         .orderBy(col("doc1"), col("doc2"))
     }),
 
@@ -720,6 +760,21 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
           round(col("n_hit").cast("double") / col("n_cand"), 6)
             .as("candidate_precision"))
+    }),
+
+    // EXECUTES on the streaming engine: sketch-based near-dup dedup of
+    // a document stream — each micro-batch's signatures banded-join the
+    // accumulated signature store, docs with a smaller-id neighbor at
+    // est ≥ StreamDupThreshold are dropped on arrival (see
+    // Streams.minhashDedupIngest for the state story). The kept set is
+    // the order-free predicate "no smaller id with est ≥ θ", so the
+    // oracle replays it from the batch MinHash pipeline and streaming ≡
+    // batch is hash-checked, not just asserted.
+    "q_stream_minhash" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_minhash").toString
+      graft.streaming.Streams.minhashDedupIngest(s, dir, work)
+        .orderBy(col("doc_id"))
     }),
 
     // Boilerplate detection: documents sharing their first or last 5
@@ -1065,9 +1120,39 @@ object Dedup {
        |    / (SELECT count(*) FROM cand), 6) AS candidate_precision""".stripMargin
   }
 
+  /** Kept set of the streaming sketch dedup: docs with NO smaller-id
+    * banded neighbor at est ≥ StreamDupThreshold — replayed from the
+    * batch MinHash pipeline (es = candidate pairs with estimates,
+    * doc1 < doc2, so the LARGER side of a qualifying pair drops).
+    */
+  private def streamMinhashOracle: String = {
+    val mhCols = (0 until K).map(i =>
+      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
+    val bands = (0 until Bands).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws(',', " +
+        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
+        ") AS sig FROM mh").mkString("\nUNION ALL\n")
+    val est = (0 until K).map(i =>
+      s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${sqlShingleCtes("documents")},
+       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
+       |es AS (SELECT doc1, doc2, ($est) / 32.0 AS est_sim
+       |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),
+       |dropped AS (SELECT DISTINCT doc2 AS doc_id FROM es
+       |  WHERE est_sim >= $StreamDupThreshold)
+       |SELECT d.doc_id FROM documents d LEFT JOIN dropped USING (doc_id)
+       |WHERE dropped.doc_id IS NULL ORDER BY d.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> minhashErrorOracle,
     "q_lsh_recall" -> lshRecallOracle,
+    "q_stream_minhash" -> streamMinhashOracle,
     // 3 peel rounds unrolled verbatim (k=2): v_r = vertices with
     // degree ≥ 2 in e_{r-1}, e_r = the induced subgraph.
     "q_kcore" ->

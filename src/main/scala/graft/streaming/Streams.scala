@@ -554,6 +554,91 @@ object Streams {
     spark.read.parquet(keptDir)
   }
 
+  /** Streaming SKETCH-based near-dup ingest — the foreachBatch
+    * deployment of the MinHash/LSH family: documents stream in doc_id
+    * order (range-staged shards, the watermark-gated-ingestion stand-in
+    * shared with [[sessionizeTimeoutToTable]]); each micro-batch
+    * computes its K-hash signatures ([[graft.ops.Dedup.minhashSignatures]]
+    * — the identical md5 family as the batch query, shared code so they
+    * cannot drift), banded-joins its docs against the accumulated
+    * signature store ∪ the batch itself (candidates only from shared
+    * LSH buckets — never the pair space), drops docs whose estimate
+    * vs any SMALLER id reaches [[graft.ops.Dedup.StreamDupThreshold]],
+    * appends survivors to the kept sink and ALL signatures to the
+    * store. The predicate "∃ smaller-id doc with est ≥ θ" is
+    * order-free, so the drained kept set equals the batch form exactly
+    * (q_stream_minhash's oracle replays it in SQL). State is the
+    * signature store: K longs per doc (~0.3 KB) regardless of corpus
+    * size — this is how near-dup dedup runs on an UNBOUNDED crawl
+    * feed, where the batch pair-join would re-scan the whole corpus
+    * per refresh; at production scale the store is a bucketed table
+    * co-located on the band keys so each batch's candidate join
+    * shuffles only the batch.
+    */
+  def minhashDedupIngest(spark: SparkSession, dir: String,
+      workDir: String, shards: Int = 3): DataFrame = withStatePartitions(spark) {
+    import graft.ops.Dedup
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!bounds.isNullAt(0), "documents table is empty — nothing to ingest")
+    val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val srcDir = java.nio.file.Paths.get(workDir, "stream")
+    val span = math.max(1L, hi0 - lo0)
+    val t0 = System.currentTimeMillis() - 600000
+    for (i <- 0 until shards) {
+      val lo = lo0 + i * span / shards
+      val hi = if (i == shards - 1) hi0 else lo0 + (i + 1) * span / shards
+      stageFile(docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        srcDir, s"d$i", t0 + i * 10000L)
+    }
+    val sigDir = s"$workDir/sig_store"
+    val keptDir = s"$workDir/kept"
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // cache: consumed by bands, the estimate join, and the store
+        // append — without it the shingle+hash pipeline runs per use
+        val vec = Dedup.minhashSignatures(batch.toDF()).cache()
+        try {
+          val allVec =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(sigDir)))
+              spark.read.parquet(sigDir).unionByName(vec)
+            else vec
+          val cand = Dedup.minhashBands(vec)
+            .select(col("band"), col("sig"), col("doc_id").as("doc1"))
+            .join(Dedup.minhashBands(allVec)
+              .select(col("band"), col("sig"), col("doc_id").as("doc2")),
+              Seq("band", "sig"))
+            .where(col("doc2") < col("doc1"))
+            .select("doc1", "doc2").distinct()
+          val dropped = cand
+            .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")),
+              Seq("doc1"))
+            .join(allVec.select(col("doc_id").as("doc2"), col("v").as("v2")),
+              Seq("doc2"))
+            .where(Dedup.minhashEst(col("v1"), col("v2")) >=
+              Dedup.StreamDupThreshold)
+            .select(col("doc1").as("doc_id")).distinct()
+          batch.toDF().join(dropped, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"))
+            .write.mode("append").parquet(keptDir)
+          // ALL signatures join the store (kept or dropped): the
+          // order-free predicate compares against every smaller id,
+          // and a dropped doc can still be the nearest neighbor that
+          // kills a later duplicate
+          vec.write.mode("append").parquet(sigDir)
+        } finally { vec.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(keptDir)
+  }
+
   /** Write `df` as ONE parquet file named `name.parquet` under `dir`
     * with the given mtime — the staging ritual every finite-drain
     * harness here shares (the file source orders batches by mtime).

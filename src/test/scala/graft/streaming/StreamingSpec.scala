@@ -260,6 +260,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("foreachBatch minhash dedup: streamed kept set == batch banded predicate") {
+    // the sketch-dedup pairing: the streamed "no smaller id with
+    // est >= theta" kept set must equal the same predicate computed in
+    // one batch pass over the full corpus (shared signature helpers,
+    // so only the cross-batch store logic is under test)
+    import graft.ops.Dedup
+    val work = java.nio.file.Files.createTempDirectory("graft_smh_spec").toString
+    val kept = Streams.minhashDedupIngest(spark, dir, work)
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val vec = Dedup.minhashSignatures(docs).cache()
+    val bands = Dedup.minhashBands(vec)
+    val dropped = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
+        Seq("band", "sig"))
+      .where(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+      .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
+      .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
+      .where(Dedup.minhashEst(col("v1"), col("v2")) >= Dedup.StreamDupThreshold)
+      .select("doc2").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    vec.unpersist()
+    assert(kept == (all -- dropped) && kept.nonEmpty && dropped.nonEmpty)
+  }
+
   test("foreachBatch incremental dedup: one survivor per text across micro-batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("incdedup").toString
