@@ -107,7 +107,7 @@ object Bench {
       "q_pq_search", "q_attribution", "q_stream_attribution", "q_join_right",
       // round-5: the empirical LSH candidate-quality audit + the
       // streaming sketch-dedup ingest
-      "q_lsh_recall", "q_stream_minhash")
+      "q_lsh_recall", "q_stream_minhash", "q_video_frames")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -22,6 +22,13 @@ case class MediaFeatures(doc_id: Long, width: Int, height: Int,
 case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
     sum_abs: Long, peak: Int, mean_abs: Double)
 
+/** Features produced by the video frame-sampling stage: container
+  * metadata from the parsed header, luminance aggregates from the REAL
+  * PNG decode of only the SAMPLED frames.
+  */
+case class VideoFeatures(doc_id: Long, n_frames: Int, fps: Int,
+    n_sampled: Int, width: Int, height: Int, sum_lum: Long, mean_lum: Double)
+
 /** Multimodal-column operators: opaque binary payloads with typed
   * metadata, a batched decode/feature-extract stage, and the
   * documents⋈embeddings "text + vector" join.
@@ -204,6 +211,121 @@ object Multimodal {
     }
   }
 
+  /** Frame-sample stride for the video stage: decode every k-th frame,
+    * skip the rest by seeking their length fields — decode cost is
+    * O(sampled frames), container parse is O(header), exactly the
+    * economics of real video feature extraction (where decoding every
+    * frame of a 100 TB crawl is the budget-killer).
+    */
+  val FrameStride = 2
+
+  /** Deterministic multi-frame "video" for a document — the third
+    * modality: a length-prefixed container (magic `GVID`, frame count,
+    * fps, then [len][PNG] per frame) whose frames are REAL PNGs with
+    * closed-form pixels (frame i pixel (x,y) =
+    * (doc_id·31 + i·13 + x·7 + y) mod 256, dimensions shared with
+    * [[pngFor]]). Container parsing, frame seeking, and the per-frame
+    * codec call are all real; only the codec is PNG instead of H.264 —
+    * which is what keeps the sampled-frame aggregates closed-form so
+    * the oracle can verify the parse→seek→decode pipeline hash-exactly.
+    */
+  def videoFor(docId: Long): Array[Byte] = {
+    val w = (docId % 24 + 8).toInt
+    val h = (docId % 16 + 8).toInt
+    val m = (docId % 6 + 4).toInt
+    val fps = ((docId % 3 + 1) * 5).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID"); out.writeInt(m); out.writeInt(fps)
+    var i = 0
+    while (i < m) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((docId * 31 + i * 13 + x * 7 + y) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", fb)
+      val png = fb.toByteArray
+      out.writeInt(png.length); out.write(png)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Documents as video payloads (the video analog of [[asPngMedia]]). */
+  def asVideoMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRecord(id, videoFor(id), "video/x-gvid")))
+  }
+
+  /** Parse the container header, SEEK past unsampled frames (skipBytes
+    * on the length field — never decoded), decode every
+    * [[FrameStride]]-th frame for real through ImageIO, and aggregate
+    * luminance over the sampled frames only.
+    */
+  def decodeVideoSampled(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Long) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID",
+      s"not a GVID container (${bytes.length} bytes)")
+    val m = in.readInt()
+    val fps = in.readInt()
+    var sampled = 0
+    var sum = 0L
+    var w = 0
+    var h = 0
+    var i = 0
+    while (i < m) {
+      val len = in.readInt()
+      if (i % FrameStride == 0) {
+        val png = new Array[Byte](len)
+        in.readFully(png)
+        val (fw, fh, s) = decodeImage(png)
+        w = fw; h = fh; sum += s; sampled += 1
+      } else {
+        var toSkip = len
+        while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+      }
+      i += 1
+    }
+    (m, fps, sampled, w, h, sum)
+  }
+
+  /** Batched video frame-sampling stage — the same fixed-batch
+    * per-partition shape as [[extractFeatures]]; only sampled frames
+    * pay the codec.
+    */
+  def extractVideoFeatures(media: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { rec =>
+          val (m, fps, sampled, w, h, sum) = try decodeVideoSampled(rec.bytes)
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"doc_id=${rec.doc_id}: undecodable video (${e.getMessage})", e)
+          }
+          val px = sampled.toLong * w * h
+          VideoFeatures(rec.doc_id, m, fps, sampled, w, h, sum,
+            BigDecimal(sum.toDouble / px)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the Scala/Tungsten analog of a pandas_udf/mapInPandas stage:
     * fixed-size batches inside each partition, no shuffle, output is a
@@ -257,6 +379,15 @@ object Multimodal {
     // the closed-form sample function.
     "q_audio_features" -> ((s, dir) =>
       extractAudioFeatures(asWavMedia(s, dir)).toDF().orderBy(col("doc_id"))),
+
+    // Third modality: frame-SAMPLED video features — parse the
+    // container header, seek past unsampled frames, real PNG decode of
+    // every FrameStride-th frame only. The decode economics (cost ∝
+    // sampled frames, not stream length) are the whole point of frame
+    // sampling at 100 TB; lossless frames keep the sampled aggregates
+    // closed-form, so the parse→seek→decode pipeline is oracle-exact.
+    "q_video_frames" -> ((s, dir) =>
+      extractVideoFeatures(asVideoMedia(s, dir)).toDF().orderBy(col("doc_id"))),
 
     // Content-hash dedup of binary payloads — identical media dedupe
     // WITHOUT decoding: one hash aggregate on md5(bytes), keeping the
@@ -340,6 +471,23 @@ object Multimodal {
         |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak,
         |  round(CAST(sum(a) AS DOUBLE) / n, 6) AS mean_abs
         |FROM sm GROUP BY doc_id, n, rate ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of the SAMPLED frames only (i = 0, 2, …):
+    // frame i pixel (x,y) of doc d is (d·31 + i·13 + x·7 + y) mod 256.
+    "q_video_frames" ->
+      """WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h,
+        |    doc_id % 6 + 4 AS m, (doc_id % 3 + 1) * 5 AS fps FROM documents),
+        |px AS (SELECT doc_id, w, h, m, fps,
+        |    (doc_id * 31 + i * 13 + x * 7 + y) % 256 AS v
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, m - 1, 2)) AS i) fs,
+        |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys)
+        |SELECT doc_id, CAST(m AS INT) AS n_frames, CAST(fps AS INT) AS fps,
+        |  CAST((m + 1) // 2 AS INT) AS n_sampled,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS sum_lum,
+        |  round(CAST(sum(v) AS DOUBLE) / (((m + 1) // 2) * w * h), 6) AS mean_lum
+        |FROM px GROUP BY doc_id, w, h, m, fps ORDER BY doc_id""".stripMargin,
     "q_multimodal_dedup" ->
       """WITH m AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)

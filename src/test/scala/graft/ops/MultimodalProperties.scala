@@ -29,4 +29,18 @@ object MultimodalProperties extends Properties("ops.multimodal") {
       rate == 8000 + (id % 4) * 4000 && n == en &&
         sum == samples.sum && peak == samples.max
     }
+
+  property("GVID parse+seek+decode recovers SAMPLED-frame closed form only") =
+    forAll(genId) { id =>
+      val (m, fps, sampled, w, h, sum) =
+        Multimodal.decodeVideoSampled(Multimodal.videoFor(id))
+      val em = (id % 6 + 4).toInt
+      val ew = (id % 24 + 8).toInt
+      val eh = (id % 16 + 8).toInt
+      val frames = 0 until em by Multimodal.FrameStride
+      val expSum = (for (i <- frames; y <- 0 until eh; x <- 0 until ew)
+        yield (id * 31 + i * 13 + x * 7 + y) % 256).sum
+      m == em && fps == (id % 3 + 1) * 5 && sampled == frames.size &&
+        w == ew && h == eh && sum == expSum
+    }
 }
