@@ -91,7 +91,11 @@ object Multimodal {
     */
   def asPngMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
+    // the id list comes from ONE small parquet file (1-2 scan splits);
+    // repartition it so the embarrassingly-parallel codec work uses
+    // every core — the shuffle moves only 8-byte ids
     Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id => MediaRecord(id, pngFor(id), "image/png")))
   }
 
@@ -154,6 +158,7 @@ object Multimodal {
   def asWavMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism) // see asPngMedia
       .mapPartitions(_.map(id => MediaRecord(id, wavFor(id), "audio/wav")))
   }
 
@@ -265,6 +270,7 @@ object Multimodal {
   def asVideoMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism) // see asPngMedia
       .mapPartitions(_.map(id => MediaRecord(id, videoFor(id), "video/x-gvid")))
   }
 
