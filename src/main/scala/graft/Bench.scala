@@ -24,7 +24,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query shuffle-write volume — the "measure, don't guess"
+    // counterpart to the plan lints: a query whose plan LOOKS
+    // exchange-light but shuffles gigabytes shows up here. Stage
+    // completion events are async, so attribution at query boundaries
+    // is approximate (±one straggler stage); written to
+    // BENCH_SHUFFLE.json + stderr, never the stdout contract line.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+      })
+    val shuffleByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
     def timed(name: String)(run: => Unit): Double = {
+      val sh0 = shuffleBytes.get()
+      val t = timedInner(name)(run)
+      shuffleByQuery(name) = (shuffleBytes.get() - sh0) / 1e6
+      t
+    }
+
+    def timedInner(name: String)(run: => Unit): Double = {
       val t0 = System.nanoTime()
       try run
       catch { case e: Throwable =>
@@ -193,6 +220,18 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
+    // Shuffle-volume detail (MB written per entry, approximate at the
+    // boundaries — see the listener note above): its own file so the
+    // stdout contract line stays short and schema-stable.
+    val shuffleJson = shuffleByQuery
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SHUFFLE.json"), shuffleJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_SHUFFLE.json: ${e.getMessage}")
+    }
+    System.err.println(s"[bench] shuffle MB by entry: $shuffleJson")
     println(jline(top10))
   }
 }

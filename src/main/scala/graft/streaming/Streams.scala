@@ -608,8 +608,13 @@ object Streams {
             if (java.nio.file.Files.exists(java.nio.file.Paths.get(sigDir)))
               spark.read.parquet(sigDir).unionByName(vec)
             else vec
-          val cand = Dedup.minhashBands(vec)
-            .select(col("band"), col("sig"), col("doc_id").as("doc1"))
+          // the BATCH side broadcasts (it is the small one by
+          // construction); the accumulated store is only scanned and
+          // probed, never shuffled — at production scale the store is
+          // additionally bucketed on the band key so the probe prunes
+          // to matching buckets
+          val cand = broadcast(Dedup.minhashBands(vec)
+              .select(col("band"), col("sig"), col("doc_id").as("doc1")))
             .join(Dedup.minhashBands(allVec)
               .select(col("band"), col("sig"), col("doc_id").as("doc2")),
               Seq("band", "sig"))
