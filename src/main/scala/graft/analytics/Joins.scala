@@ -34,8 +34,15 @@ object Joins {
           moneySum(col("o_totalprice")).as("total_price"))
         .orderBy(col("c_mktsegment"))),
 
+    // MERGE hint: this entry's inventory role is the fact⋈fact
+    // SHUFFLED join path (both sides exchanged on the key). At bench
+    // SFs the orders file squeaks under autoBroadcastJoinThreshold and
+    // the planner would quietly broadcast — correct planning for small
+    // inputs, but it would leave the sort-merge path with zero bench
+    // coverage and the measured shuffle at 0 MB. At warehouse scale
+    // the hint is a no-op (both sides are far past the threshold).
     "q_join_large" -> ((s, dir) =>
-      Tables(s, dir, "lineitem")
+      Tables(s, dir, "lineitem").hint("merge")
         .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(

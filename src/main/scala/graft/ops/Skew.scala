@@ -38,7 +38,13 @@ object Skew {
         .withColumn("salt_l", pmod(col("l_orderkey"), lit(Salt)))
       val ords = Tables(s, dir, "orders")
         .withColumn("salt_r", explode(array((0 until Salt).map(i => lit(i)): _*)))
-      li.join(ords,
+      // SHUFFLE_HASH forces the exchange on (key, salt): the planner's
+      // size estimate does not grow through explode, so left alone it
+      // auto-BROADCASTS the ×Salt-replicated build side (measured 0 MB
+      // shuffled at sf0.1) — silently un-demonstrating the salt (a
+      // broadcast join has no reducer skew to spread) and, at scale,
+      // shipping Salt copies of the dimension to every executor.
+      li.hint("shuffle_hash").join(ords,
           col("l_orderkey") === col("o_orderkey") && col("salt_l") === col("salt_r"))
         .groupBy(col("o_orderstatus"))
         .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
