@@ -134,7 +134,11 @@ object Bench {
       "q_pq_search", "q_attribution", "q_stream_attribution", "q_join_right",
       // round-5: the empirical LSH candidate-quality audit + the
       // streaming sketch-dedup ingest
-      "q_lsh_recall", "q_stream_minhash", "q_video_frames")
+      "q_lsh_recall", "q_stream_minhash", "q_video_frames",
+      // late round-5: composed IVF-PQ index query, dedup-aware split +
+      // its leakage audit, CCNet perplexity terciles
+      "q_ivf_pq_search", "q_dedup_aware_split", "q_leakage_guard",
+      "q_perplexity_buckets")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -149,7 +153,8 @@ object Bench {
     // whichever one sorts first silently absorbing the ~40 s build.
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
-      "q_prep_pipeline", "q_kcore", "q_lsh_recall")
+      "q_prep_pipeline", "q_kcore", "q_lsh_recall",
+      "q_dedup_aware_split", "q_leakage_guard")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

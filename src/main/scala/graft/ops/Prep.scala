@@ -105,7 +105,60 @@ object Prep {
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
         .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy(col("shard"), col("pos")))
+        .orderBy(col("shard"), col("pos"))),
+
+    // Dedup-AWARE train/val/test split: assignment hashes the near-dup
+    // CLUSTER label (the connected-component representative), not the
+    // document, so a doc and all its near-duplicates land in the SAME
+    // split by construction — the standard fix for eval leakage that a
+    // per-doc content hash (q_split_assign) cannot give you, because
+    // near-dups differ in text and hash apart. Cost at 100 TB: the
+    // component labels are the already-bounded dedup-graph output
+    // (pairs ≪ corpus), the label join is one hash join, and the final
+    // aggregate is tiny. Output is the per-(split, lang) doc and
+    // cluster census — the table you'd eyeball before a training run.
+    "q_dedup_aware_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val labels = Dedup.connectedComponents(docs,
+        Dedup.sharedJaccardPairs(s, dir, JaccardThreshold))
+      val b = pmod(h60(concat(lit("dsplit:"),
+        col("component").cast("string"))), lit(100L))
+      docs.select(col("doc_id"), col("lang")).join(labels, Seq("doc_id"))
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_clusters"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Leakage audit for the NAIVE content-hash split: how many
+    // near-dup pairs straddle split boundaries? Each cell of the
+    // split×split confusion matrix counts Jaccard-≥-0.6 pairs whose
+    // members hashed into (split_a, split_b); `leaky` rows are
+    // train/test contamination a dedup-aware split (above) eliminates.
+    // The pair list is the similarity join's bounded output, so both
+    // enrichment joins broadcast the pair side and stream the corpus
+    // scan once — no corpus-sized shuffle anywhere.
+    "q_leakage_guard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val split = docs.select(col("doc_id"),
+        when(pmod(h60(col("text")), lit(100L)) < 80, "train")
+          .when(pmod(h60(col("text")), lit(100L)) < 90, "val")
+          .otherwise("test").as("split"))
+      val pairs = Dedup.sharedJaccardPairs(s, dir, JaccardThreshold)
+        .select(col("doc1"), col("doc2"))
+      val p1 = split.select(col("doc_id").as("doc1"), col("split").as("s1"))
+        .join(broadcast(pairs), Seq("doc1"))
+      split.select(col("doc_id").as("doc2"), col("split").as("s2"))
+        .join(broadcast(p1), Seq("doc2"))
+        .select(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaky", col("split_a") =!= col("split_b"))
+        .orderBy(col("split_a"), col("split_b"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +211,54 @@ object Prep {
         |SELECT doc_id, CAST(h % 16 AS INT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
         |    AS INT) AS pos
-        |FROM g ORDER BY shard, pos""".stripMargin
+        |FROM g ORDER BY shard, pos""".stripMargin,
+    // Same recursive-reachability component labels as the
+    // q_dedup_components oracle, then the split hashes the component
+    // representative exactly as the Spark side does.
+    "q_dedup_aware_split" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $JaccardThreshold),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |labels AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+         |sp AS (SELECT d.lang, l.component,
+         |  CASE WHEN ${sqlH60("'dsplit:' || CAST(l.component AS VARCHAR)")} % 100 < 80
+         |    THEN 'train'
+         |  WHEN ${sqlH60("'dsplit:' || CAST(l.component AS VARCHAR)")} % 100 < 90
+         |    THEN 'val' ELSE 'test' END AS split
+         |  FROM documents d JOIN labels l USING (doc_id))
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+         |FROM sp GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "q_leakage_guard" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jp AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $JaccardThreshold),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN ${sqlH60("text")} % 100 < 80 THEN 'train'
+         |    WHEN ${sqlH60("text")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split FROM documents)
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  least(a.split, b.split) <> greatest(a.split, b.split) AS leaky
+         |FROM jp JOIN spl a ON jp.doc1 = a.doc_id
+         |JOIN spl b ON jp.doc2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
   )
 }

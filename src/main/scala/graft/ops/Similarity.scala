@@ -132,7 +132,7 @@ object Similarity {
     * anchor (its own) — full coverage holds. Returns
     * (vec_id, v, anchor_id), NProbe rows per vector.
     */
-  private def ivfProbed(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def ivfProbed(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     // anchor counts from a direct parquet count (metadata-cheap) —
     // caching emb for this would pin it in executor storage for the
@@ -359,6 +359,42 @@ object Similarity {
           codes("sub") === lut("sub") && codes("code") === lut("cid"))
         .groupBy(col("vec_id")).agg(sum(col("d")).as("adc_dist"))
         .where(col("vec_id") =!= 0)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF-PQ search — the composed billion-scale ANN index query path
+    // (FAISS's IndexIVFPQ shape): the IVF quantizer routes the query
+    // (vec_id 0) to its NProbe fine buckets, the CANDIDATE set is the
+    // vectors co-resident in those buckets (the probed inverted lists
+    // — the only corpus slice the query ever touches), and candidates
+    // rank by PQ ADC distance over their 4-bit codes. At 10⁹ vectors
+    // this scan reads NProbe inverted lists of 2-byte codes instead of
+    // n·256-byte floats: the two approximations compose — IVF bounds
+    // WHAT is read, PQ bounds HOW MUCH per entry. Both stages are the
+    // already-oracle-checked q_sim_ann / q_pq_search pipelines, and
+    // the composition stays all-integer after candidate selection, so
+    // the result is hash-exact (the IVF routing is deterministic
+    // cosine + id tie-breaks; ADC is integer L2²). Top-10 by
+    // (adc_dist, vec_id) among candidates.
+    "q_ivf_pq_search" -> ((s, dir) => {
+      CosineSim.register(s)
+      val probed = ivfProbed(s, dir) // shared two-level IVF quantizer
+      val qAnchors = probed.where(col("vec_id") === 0)
+        .select(col("anchor_id")).distinct()
+      // the probed inverted lists: vectors sharing a fine bucket with
+      // the query — NProbe buckets of ~n/m entries, never the corpus
+      val cand = probed.join(broadcast(qAnchors), Seq("anchor_id"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id")).distinct()
+      val (qc, cb) = pqQuantizedCells(s, dir)
+      val codes = pqWinners(pqSubDists(qc, cb))
+        .select(col("vec_id"), col("sub"), (col("mc") % PqK).as("code"))
+      val lut = pqSubDists(qc.where(col("vec_id") === 0), cb)
+        .select(col("sub"), col("cid").as("code"), col("dist").as("d"))
+      codes.join(cand, Seq("vec_id"), "left_semi")
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy(col("vec_id")).agg(sum(col("d")).as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)
     }),
@@ -651,6 +687,35 @@ object Similarity {
          |SELECT codes.vec_id, CAST(sum(dd) AS BIGINT) AS adc_dist
          |FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
          |WHERE codes.vec_id <> 0
+         |GROUP BY codes.vec_id ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+    // IVF routing CTEs (shared with q_ann_recall / q_dedup_embedding_ivf)
+    // select the candidate lists; then the same integer PQ CTEs as
+    // q_pq_search rank them by ADC distance.
+    "q_ivf_pq_search" ->
+      s"""WITH $sqlIvfProbed,
+         |qa AS (SELECT DISTINCT anchor_id FROM probed WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT vec_id FROM probed JOIN qa USING (anchor_id)
+         |  WHERE vec_id <> 0),
+         |cells AS (SELECT vec_id, CAST(i.i AS INT) AS pos, v[i.i + 1] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(range($Dim)) AS i) i),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM cells GROUP BY pos),
+         |qc AS (SELECT vec_id, cells.pos,
+         |  CAST(CASE WHEN mx > mn THEN round((x - mn) / (mx - mn) * 127.0, 0)
+         |       ELSE 0.0 END AS BIGINT) AS q
+         |  FROM cells JOIN st USING (pos)),
+         |cb AS (SELECT vec_id AS cid, pos, q AS cq FROM qc WHERE vec_id < $PqK),
+         |d AS (SELECT qc.vec_id, CAST(qc.pos // ${Dim / PqM} AS INT) AS sub,
+         |    cb.cid, CAST(sum((qc.q - cb.cq) * (qc.q - cb.cq)) AS BIGINT) AS dist
+         |  FROM qc JOIN cb USING (pos) GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, CAST(mc % $PqK AS BIGINT) AS code
+         |  FROM (SELECT vec_id, sub, min(dist * $PqK + cid) AS mc
+         |    FROM d GROUP BY 1, 2)),
+         |lut AS (SELECT CAST(qc.pos // ${Dim / PqM} AS INT) AS sub, cb.cid,
+         |    CAST(sum((qc.q - cb.cq) * (qc.q - cb.cq)) AS BIGINT) AS dd
+         |  FROM qc JOIN cb USING (pos) WHERE qc.vec_id = 0 GROUP BY 1, 2)
+         |SELECT codes.vec_id, CAST(sum(dd) AS BIGINT) AS adc_dist
+         |FROM codes JOIN cand USING (vec_id)
+         |JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
          |GROUP BY codes.vec_id ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
     "q_quantize_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

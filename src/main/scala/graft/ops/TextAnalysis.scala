@@ -187,6 +187,41 @@ object TextAnalysis {
        |    0.2 * (1.0 - CAST($nPunct AS DOUBLE) / greatest($len, 1)) +
        |    0.1 * (1.0 - CAST($nDigit AS DOUBLE) / greatest($len, 1))""".stripMargin
 
+  /** Per-document bigram-LM perplexity (unordered) — the shared body
+    * of q_lm_perplexity and q_perplexity_buckets; see the
+    * q_lm_perplexity commentary for the model and determinism notes.
+    * The exploded bigram stream feeds BOTH the LM build and the
+    * scoring join — cached so tokenize+shingle runs once (was the
+    * whole-query cost, ~2× the explode at sf0.1). Returns
+    * (doc_id, n_bg, cross_entropy, ppl).
+    */
+  private def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val bgDoc = Tables.fanout(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .cache()
+    val lm = bgDoc.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .select(col("bg"), col("cnt"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+    val uni = lm.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
+    val probs = lm.join(uni, Seq("w1"))
+      .select(col("bg"),
+        (col("cnt").cast("double") / col("cnt1")).as("p"))
+    // the trained LM is vocab²-bounded — broadcast it so the
+    // corpus-sized occurrence stream never shuffles on string keys
+    bgDoc.join(broadcast(probs), Seq("bg"))
+      .select(col("doc_id"),
+        log(col("p")).cast("decimal(28,20)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("term")).as("term_sum"))
+      .select(col("doc_id"), col("n_bg"),
+        round(negate(col("term_sum").cast("double")) / col("n_bg"), 6)
+          .as("cross_entropy"))
+      .select(col("doc_id"), col("n_bg"), col("cross_entropy"),
+        round(exp(col("cross_entropy")), 6).as("ppl"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Global token frequency, top 20. (fanout: the regex/explode work
     // dwarfs the pre-explode shuffle of the raw text — see Tables.fanout.)
@@ -899,35 +934,49 @@ object TextAnalysis {
     // Scale: the LM is vocab²-bounded (tiny vs the corpus) and the
     // score join keys on the bigram string — partial aggs + one hash
     // join, nothing quadratic in documents.
-    "q_lm_perplexity" -> ((s, dir) => {
-      // the exploded bigram stream feeds BOTH the LM build and the
-      // scoring join — cache it so tokenize+shingle runs once (was the
-      // whole-query cost, ~2× the explode at sf0.1)
-      val bgDoc = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          explode(shingles(tokens(col("text")), 2)).as("bg"))
-        .cache()
-      val lm = bgDoc.groupBy("bg").agg(count(lit(1)).as("cnt"))
-        .select(col("bg"), col("cnt"),
-          substring_index(col("bg"), " ", 1).as("w1"))
-      val uni = lm.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
-      val probs = lm.join(uni, Seq("w1"))
-        .select(col("bg"),
-          (col("cnt").cast("double") / col("cnt1")).as("p"))
-      // the trained LM is vocab²-bounded — broadcast it so the
-      // corpus-sized occurrence stream never shuffles on string keys
-      bgDoc.join(broadcast(probs), Seq("bg"))
-        .select(col("doc_id"),
-          log(col("p")).cast("decimal(28,20)").as("term"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bg"), sum(col("term")).as("term_sum"))
-        .select(col("doc_id"), col("n_bg"),
-          round(negate(col("term_sum").cast("double")) / col("n_bg"), 6)
-            .as("cross_entropy"))
-        .select(col("doc_id"), col("n_bg"), col("cross_entropy"),
-          round(exp(col("cross_entropy")), 6).as("ppl"))
-        .orderBy(col("doc_id"))
+    "q_lm_perplexity" -> ((s, dir) =>
+      perplexityPerDoc(s, dir).orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity bucketing: rank every document within its
+    // language by LM perplexity and cut into terciles (head = looks
+    // most like the corpus, tail = outlier/gibberish) — the bucket
+    // label that CCNet keeps/weights by. Bucket = the SQL ntile(3)
+    // assignment, computed here as 1 + ((rank−1)·3) div n so the rule
+    // is pure integer arithmetic on both engines. The rank itself uses
+    // the same bucket-stitched assembly as q_gini — a local
+    // row_number inside (lang, ⌊ppl⌋ value-range bucket) plus
+    // bucket-summary prefix offsets — so no window partition ever
+    // holds a language's whole corpus; per-bucket means sum ppl as
+    // DECIMAL so merge order can't drift the rounded average.
+    "q_perplexity_buckets" -> ((s, dir) => {
+      val ppl = perplexityPerDoc(s, dir).select(col("doc_id"), col("ppl"))
+      val t = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(ppl, Seq("doc_id"))
+        .withColumn("b", floor(col("ppl")).cast("long"))
+      val wLocal = Window.partitionBy(col("lang"), col("b"))
+        .orderBy(col("ppl"), col("doc_id"))
+      val local = t.withColumn("rl", row_number().over(wLocal))
+      val wB = Window.partitionBy(col("lang")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = t.groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", sum(col("cnt")).over(wB) - col("cnt"))
+        .select(col("lang"), col("b"), col("off"))
+      val totals = t.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      local.join(offsets, Seq("lang", "b"))
+        .join(broadcast(totals), Seq("lang"))
+        .withColumn("i", col("off") + col("rl"))
+        .withColumn("bucket",
+          expr("CAST(((i - 1) * 3) div n AS INT) + 1"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ppl")).as("ppl_min"),
+          max(col("ppl")).as("ppl_max"),
+          sum(col("ppl").cast("decimal(18,6)")).as("psum"))
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          col("ppl_min"), col("ppl_max"),
+          round(col("psum").cast("double") / col("n_docs"), 6).as("ppl_avg"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     // Linear quality-classifier inference (the fastText-shaped corpus
@@ -1345,6 +1394,38 @@ object TextAnalysis {
          |  FROM ag)
          |SELECT doc_id, n_bg, cross_entropy,
          |  round(exp(cross_entropy), 6) AS ppl
-         |FROM ce ORDER BY doc_id""".stripMargin
+         |FROM ce ORDER BY doc_id""".stripMargin,
+    // Same per-doc ppl CTEs as q_lm_perplexity; the bucket formula
+    // 1 + ((rank−1)·3) // n is the exact ntile(3) assignment in pure
+    // integer arithmetic (the Spark side assembles the identical rank
+    // via the q_gini bucket stitch).
+    "q_perplexity_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS cnt FROM bgd GROUP BY bg),
+         |sp AS (SELECT bg, cnt, split_part(bg, ' ', 1) AS w1 FROM bc),
+         |un AS (SELECT w1, sum(cnt) AS cnt1 FROM sp GROUP BY w1),
+         |pr AS (SELECT bg, CAST(cnt AS DOUBLE) / cnt1 AS p
+         |  FROM sp JOIN un USING (w1)),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         |    sum(CAST(ln(p) AS DECIMAL(28,20))) AS term_sum
+         |  FROM bgd JOIN pr USING (bg) GROUP BY doc_id),
+         |ce AS (SELECT doc_id,
+         |    round(-CAST(term_sum AS DOUBLE) / n_bg, 6) AS cross_entropy
+         |  FROM ag),
+         |pp AS (SELECT doc_id, round(exp(cross_entropy), 6) AS ppl FROM ce),
+         |pl AS (SELECT d.lang, p.doc_id, p.ppl
+         |  FROM documents d JOIN pp p USING (doc_id)),
+         |r AS (SELECT lang, doc_id, ppl,
+         |  row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS i,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM pl),
+         |bk AS (SELECT lang, ppl,
+         |  CAST(((i - 1) * 3) // n AS INT) + 1 AS bucket FROM r)
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,
+         |  round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS ppl_avg
+         |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
   )
 }

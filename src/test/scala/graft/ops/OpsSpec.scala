@@ -576,4 +576,88 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val png = Multimodal.pngFor(1L)
     assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
   }
+
+  test("ivf-pq search: results drawn only from the query's probed buckets, ADC-ranked") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.queries("q_ivf_pq_search")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.length <= 10)
+    assert(!got.map(_._1).contains(0L))
+    // distances non-decreasing in output order (the ADC ranking)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // candidate containment: every hit shares a probed fine bucket with
+    // the query vector — the IVF inverted-list guarantee
+    val probed = Similarity.ivfProbed(spark, dir)
+    val qAnchors = probed.where(col("vec_id") === 0)
+      .select(col("anchor_id")).collect().map(_.getLong(0)).toSet
+    val candidates = probed.collect()
+      .filter(r => qAnchors.contains(r.getLong(2))).map(_.getLong(0)).toSet
+    assert(got.map(_._1).forall(candidates.contains))
+    // where a hit also appears in the global q_pq_search top-10, the
+    // ADC distances must agree — same codes, same lookup table
+    val full = Similarity.queries("q_pq_search")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, d) => full.get(id).foreach(fd => assert(fd == d)) }
+  }
+
+  test("dedup-aware split: near-duplicates co-travel; naive split is audited pair-exactly") {
+    // crafted corpus: docs 0/1 identical, 2 near-dup of them, 3 unrelated
+    // -> one 3-doc cluster {0,1,2} plus singleton {3}
+    val dir = docsDir(Seq(
+      0L -> base,
+      1L -> base,
+      2L -> (base + " tonight"),
+      3L -> "completely unrelated text about spark engines and columnar execution at scale with vectorized readers"))
+    val docs = graft.Tables(spark, dir, "documents")
+    val labels = Dedup.connectedComponents(docs,
+      Dedup.sharedJaccardPairs(spark, dir, Prep.JaccardThreshold))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(2L) == 0L && labels(3L) == 3L)
+
+    // the census accounts for every doc, and the 3-doc cluster lands in ONE split
+    val census = Prep.queries("q_dedup_aware_split")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(census.map(_._2).sum == 4L)
+    // the 3-doc cluster lands whole in ONE split: some row carries it
+    // (3 docs, or 4 when the singleton hashed into the same split) —
+    // a naive content-hash split could have scattered it 2/1 or 1/1/1
+    assert(census.exists(r => r._2 == 3L || r._2 == 4L),
+      s"cluster was scattered: ${census.toSeq}")
+    // cluster counts: 2 components total across all splits
+    assert(census.map(_._3).sum == 2L)
+
+    // leakage guard: the confusion matrix covers all 3 near-dup pairs
+    val leak = Prep.queries("q_leakage_guard")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(leak.map(_._3).sum == 3L) // pairs (0,1), (0,2), (1,2)
+    leak.foreach { case (a, b, _, leaky) =>
+      assert(a <= b)
+      assert(leaky == (a != b))
+    }
+  }
+
+  test("perplexity buckets: exact ntile(3) semantics per language, no straddle") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.queries("q_perplexity_buckets")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // tercile sizes differ by at most 1 within a language, larger first
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.sortBy(_._2).map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes: ${sizes.toSeq}")
+      assert(sizes.zip(sizes.tail).forall(p => p._1 >= p._2),
+        s"$lang larger buckets must come first: ${sizes.toSeq}")
+    }
+    // the integer bucket formula IS ntile(3): replay with the window form
+    val ppl = TextAnalysis.queries("q_lm_perplexity")(spark, dir)
+      .select(col("doc_id"), col("ppl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+    val viaNtile = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).join(ppl, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.map(t => (t._1, t._2, t._3)).toSet == viaNtile)
+  }
 }
