@@ -138,7 +138,7 @@ object Bench {
       // late round-5: composed IVF-PQ index query, dedup-aware split +
       // its leakage audit, CCNet perplexity terciles
       "q_ivf_pq_search", "q_dedup_aware_split", "q_leakage_guard",
-      "q_perplexity_buckets")
+      "q_perplexity_buckets", "q_random_projection")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

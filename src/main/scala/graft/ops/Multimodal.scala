@@ -47,6 +47,16 @@ case class VideoFeatures(doc_id: Long, n_frames: Int, fps: Int,
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode and
+  // decode spills through its own temp file, so a media stage doing
+  // tens of thousands of codec calls serializes on file creation (the
+  // q_video_frames bench entry measured 25 s at sf0.1 — ~35k codec
+  // calls — almost all of it cache-file churn). The payloads here are
+  // small in-memory byte arrays; cache in memory. Runs once per JVM at
+  // object init, which happens on every executor that touches a codec
+  // path through this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val BatchSize = 64
 
   /** Documents as binary media payloads (text bytes stand in for

@@ -636,6 +636,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("random projection: local replay matches, 16 dims per vector, map-only shape") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.queries("q_random_projection")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    assert(out.size == n * Similarity.RpDim)
+    // replay the sign fold locally for a few vectors
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .where(col("vec_id") < 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- vecs; j <- 0 until Similarity.RpDim) {
+      var acc = 0.0
+      for (i <- 0 until Similarity.Dim) {
+        val s = if (((i * Similarity.RpDim + j + 1) * 1315423911L) % 1000003 % 2 == 0) 1.0 else -1.0
+        acc += v(i) * s
+      }
+      val exp = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((id, j)) == exp, s"vec $id dim $j: got ${out((id, j))}, want $exp")
+    }
+  }
+
   test("perplexity buckets: exact ntile(3) semantics per language, no straddle") {
     val dir = "/root/testdata/sf0.001"
     val out = TextAnalysis.queries("q_perplexity_buckets")(spark, dir).collect()
