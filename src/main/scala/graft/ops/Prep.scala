@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -158,8 +158,45 @@ object Prep {
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("leaky", col("split_a") =!= col("split_b"))
         .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Strided overlapping chunking (the RAG / context-window shape):
+    // each document becomes ⌈n/S⌉ chunks of up to C = ChunkLen tokens
+    // starting every S = ChunkStride tokens, so consecutive chunks
+    // overlap by C − S tokens and no token-span longer than C − S is
+    // ever split across a chunk boundary. Entirely map-side — the
+    // chunk list is built in-row (sequence → transform → posexplode)
+    // with NO shuffle until the presentation sort, which is the whole
+    // point at 100 TB: chunking is a scan-shaped operator, and the
+    // emitted h60(chunk_text) hash makes the content reconstruction
+    // verifiable (the oracle recomputes it from its own slices).
+    "q_chunk_overlap" -> ((s, dir) => {
+      val n = col("n")
+      val start = (c: Column) => c * ChunkStride
+      val clen = (c: Column) => least(lit(ChunkLen), n - start(c))
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+        .select(col("doc_id"), col("a"), size(col("a")).as("n"))
+        .where(n > 0)
+        .select(col("doc_id"), n.as("n_tok"),
+          posexplode(transform(
+            sequence(lit(0), floor((n - 1).cast("double") / ChunkStride).cast("int")),
+            k => struct(start(k).as("start_tok"), clen(k).as("chunk_len"),
+              h60(concat_ws(" ", slice(col("a"), start(k) + 1, clen(k))))
+                .as("chunk_hash")))).as(Seq("chunk_no", "c")))
+        .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+          col("n_tok"), col("c.start_tok"), col("c.chunk_len"),
+          col("c.chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_no"))
     })
   )
+
+  /** q_chunk_overlap geometry: C-token chunks every S tokens
+    * (overlap C − S). C > S so every boundary is double-covered.
+    */
+  val ChunkLen = 32
+  val ChunkStride = 24
 
   val oracles: Map[String, String] = Map(
     "q_prep_pipeline" ->
@@ -259,6 +296,24 @@ object Prep {
          |  least(a.split, b.split) <> greatest(a.split, b.split) AS leaky
          |FROM jp JOIN spl a ON jp.doc1 = a.doc_id
          |JOIN spl b ON jp.doc2 = b.doc_id
-         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+         |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
+    // DuckDB list slices are 1-based inclusive (a[s:e] = elements
+    // s..e), so a[k·S+1 : k·S+len] is exactly the Spark
+    // slice(a, k·S+1, len). The 512-term series is an oracle-only
+    // bound (12k+ tokens), same convention as sqlShingleCtes.
+    "q_chunk_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |tn AS (SELECT doc_id, a, CAST(len(a) AS INT) AS n FROM tk
+         |  WHERE len(a) > 0),
+         |ch AS (SELECT doc_id, CAST(k AS INT) AS chunk_no, n AS n_tok,
+         |    CAST(k * $ChunkStride AS INT) AS start_tok,
+         |    CAST(least($ChunkLen, n - k * $ChunkStride) AS INT) AS chunk_len,
+         |    ${sqlH60(s"array_to_string(a[k * $ChunkStride + 1 : " +
+           s"k * $ChunkStride + least($ChunkLen, n - k * $ChunkStride)], ' ')")}
+         |      AS chunk_hash
+         |  FROM tn, generate_series(0, 512) g(k)
+         |  WHERE k * $ChunkStride < n)
+         |SELECT doc_id, chunk_no, n_tok, start_tok, chunk_len, chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin
   )
 }

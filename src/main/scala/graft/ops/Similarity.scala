@@ -620,8 +620,103 @@ object Similarity {
         .select(col("vec_id"), (col("pos") + 1).cast("int").as("rn"),
           col("t.doc_id").as("nn_id"), col("t.score").as("cos_sim"))
         .orderBy(col("vec_id"), col("rn"))
+    }),
+
+    // Semi-supervised label propagation over the IVF candidate graph:
+    // a third of the corpus (vec_id % 3 == 0) acts as labeled seeds;
+    // every OTHER vector takes the majority label among its top-3
+    // most-similar seeds, where candidate (vector, seed) pairs come
+    // ONLY from shared IVF fine buckets (the q_sim_ann quantizer) —
+    // never the n·|seeds| product. This is the semi-supervised
+    // quality-labeling pass of a corpus pipeline: a small human-rated
+    // seed set propagated to the whole corpus along the ANN graph. At
+    // 10⁹ rows the shape holds: bucket-bounded candidate join, top-3
+    // per vector, an O(labels)-wide vote per vector. Majority vote
+    // tie-breaks are fully deterministic (more votes, then higher best
+    // cosine, then smaller label), so the oracle replays hash-exactly;
+    // hit = pred == held-out truth makes the row self-auditing.
+    "q_label_propagation" -> ((s, dir) => {
+      CosineSim.register(s)
+      val probed = ivfProbed(s, dir) // shared two-level IVF quantizer
+      val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val unl = probed.where(col("vec_id") % 3 =!= 0)
+        .select(col("anchor_id"), col("vec_id"), col("v").as("v1"))
+      val seeds = probed.where(col("vec_id") % 3 === 0)
+        .select(col("anchor_id"), col("vec_id").as("seed_id"), col("v").as("v2"))
+      // a pair sharing several probed buckets collapses to one row —
+      // cos is rounded BEFORE distinct/ranking (the knn_graph rule)
+      val cand = unl.join(seeds, Seq("anchor_id"))
+        .select(col("vec_id"), col("seed_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+        .distinct()
+      val wTop = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("seed_id"))
+      val top = cand.withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 3)
+        .join(lbl.select(col("vec_id").as("seed_id"),
+          col("label").as("seed_label")), Seq("seed_id"))
+      val votes = top.groupBy(col("vec_id"), col("seed_label"))
+        .agg(count(lit(1)).as("votes"), max(col("cos_sim")).as("best"))
+      val wVote = Window.partitionBy(col("vec_id"))
+        .orderBy(col("votes").desc, col("best").desc, col("seed_label"))
+      votes.withColumn("vr", row_number().over(wVote)).where(col("vr") === 1)
+        .join(lbl, Seq("vec_id"))
+        .select(col("vec_id"), col("seed_label").cast("int").as("pred_label"),
+          col("label").as("true_label"),
+          (col("seed_label") === col("label")).cast("int").as("hit"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Margin-based bitext mining (the CCMatrix/LASER alignment shape):
+    // for every English document's vector, the best German candidate
+    // by cosine among IVF-bucket co-members, scored by the RATIO
+    // margin best/mean(top-k) — the standard filter that rejects hubs
+    // whose neighborhood is uniformly close. Candidates come only
+    // from shared fine buckets (never the |en|·|de| product); language
+    // comes from a doc_id-aligned join with `documents`. The top-k
+    // mean is computed as an exact DECIMAL sum of already-rounded
+    // cosines divided in doubles, so the margin is partition-order
+    // free and the oracle replays it hash-exactly. At 10⁹ docs this
+    // is the mining pass as production runs it: IVF routing + per-src
+    // top-k + one bounded vote, all shuffles on bucket / src keys.
+    "q_bitext_mine" -> ((s, dir) => {
+      CosineSim.register(s)
+      val probed = ivfProbed(s, dir)
+      val lang = Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val withLang = probed.join(lang, Seq("vec_id"))
+      val src = withLang.where(col("lang") === "en")
+        .select(col("anchor_id"), col("vec_id").as("src_id"), col("v").as("v1"))
+      val tgt = withLang.where(col("lang") === "de")
+        .select(col("anchor_id"), col("vec_id").as("tgt_id"), col("v").as("v2"))
+      val cand = src.join(tgt, Seq("anchor_id"))
+        .select(col("src_id"), col("tgt_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+        .distinct()
+      val w = Window.partitionBy(col("src_id"))
+        .orderBy(col("cos_sim").desc, col("tgt_id"))
+      val ranked = cand.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+      ranked.groupBy(col("src_id")).agg(
+          max(when(col("rn") === 1, col("cos_sim"))).as("best_cos"),
+          min_by(col("tgt_id"), col("rn")).as("tgt_id"),
+          sum(col("cos_sim").cast("decimal(18,6)")).as("ssum"),
+          count(lit(1)).as("k"))
+        .select(col("src_id"), col("tgt_id"), col("best_cos"),
+          round(col("best_cos") * col("k") / col("ssum").cast("double"), 6)
+            .as("margin"))
+        .withColumn("mined", (col("margin") >= MineMargin).cast("int"))
+        .orderBy(col("src_id"))
     })
   )
+
+  /** Ratio-margin acceptance threshold for q_bitext_mine: best/mean
+    * of the top-3 bucket candidates must exceed this. 1.02 yields a
+    * real accept/reject split on the near-orthogonal synthetic
+    * vectors; production LASER-style mining runs the same plan at
+    * ~1.06.
+    */
+  val MineMargin = 1.02
 
   private def sqlCos(a: String, b: String): String =
     s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
@@ -658,6 +753,57 @@ object Similarity {
        |    ORDER BY acos DESC, fine_id) AS rn FROM pr0) WHERE rn <= $NProbe)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the IVF routing CTEs, then the exact same candidate →
+    // top-3 → majority-vote chain with identical tie-breaks.
+    "q_label_propagation" ->
+      s"""WITH $sqlIvfProbed,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |unl AS (SELECT anchor_id, vec_id, v FROM probed WHERE vec_id % 3 <> 0),
+         |sd AS (SELECT anchor_id, vec_id AS seed_id, v AS v2 FROM probed
+         |  WHERE vec_id % 3 = 0),
+         |cand AS (SELECT DISTINCT unl.vec_id, sd.seed_id,
+         |    round(${sqlCos("unl.v", "sd.v2")}, 6) AS cos_sim
+         |  FROM unl JOIN sd USING (anchor_id)),
+         |top3 AS (SELECT vec_id, seed_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, seed_id) AS rn FROM cand) WHERE rn <= 3),
+         |vt AS (SELECT t.vec_id, lb.label AS seed_label,
+         |    count(*) AS votes, max(cos_sim) AS best
+         |  FROM top3 t JOIN lb ON t.seed_id = lb.vec_id GROUP BY 1, 2),
+         |w AS (SELECT vec_id, seed_label,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY votes DESC, best DESC, seed_label) AS vr FROM vt)
+         |SELECT w.vec_id, CAST(seed_label AS INT) AS pred_label,
+         |  lb.label AS true_label,
+         |  CAST(seed_label = lb.label AS INT) AS hit
+         |FROM w JOIN lb ON w.vec_id = lb.vec_id
+         |WHERE vr = 1 ORDER BY w.vec_id""".stripMargin,
+    // IVF routing + language join + per-src top-3; the margin divides
+    // an exact DECIMAL sum of rounded cosines, mirroring Spark.
+    "q_bitext_mine" ->
+      s"""WITH $sqlIvfProbed,
+         |lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |src AS (SELECT anchor_id, p.vec_id AS src_id, v AS v1
+         |  FROM probed p JOIN lg USING (vec_id) WHERE lang = 'en'),
+         |tgt AS (SELECT anchor_id, p.vec_id AS tgt_id, v AS v2
+         |  FROM probed p JOIN lg USING (vec_id) WHERE lang = 'de'),
+         |cand AS (SELECT DISTINCT src_id, tgt_id,
+         |    round(${sqlCos("v1", "v2")}, 6) AS cos_sim
+         |  FROM src JOIN tgt USING (anchor_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY cos_sim DESC, tgt_id) AS rn FROM cand),
+         |r3 AS (SELECT * FROM r WHERE rn <= 3),
+         |a AS (SELECT src_id,
+         |    max(CASE WHEN rn = 1 THEN cos_sim END) AS best_cos,
+         |    min(CASE WHEN rn = 1 THEN tgt_id END) AS tgt_id,
+         |    sum(CAST(cos_sim AS DECIMAL(18,6))) AS ssum,
+         |    count(*) AS k
+         |  FROM r3 GROUP BY 1),
+         |m AS (SELECT src_id, tgt_id, best_cos,
+         |    round(best_cos * k / CAST(ssum AS DOUBLE), 6) AS margin FROM a)
+         |SELECT src_id, tgt_id, best_cos, margin,
+         |  CAST(margin >= $MineMargin AS INT) AS mined
+         |FROM m ORDER BY src_id""".stripMargin,
     "q_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT a.vec_id, b.vec_id AS nn_id,

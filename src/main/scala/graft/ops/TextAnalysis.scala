@@ -22,6 +22,12 @@ import TextFns._
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Tokenizer-vocabulary size for q_oov_rate — deliberately SMALLER
+    * than the corpus vocabulary (~31 words at sf0.1) so the OOV mass
+    * is non-trivial at every SF.
+    */
+  val OovVocab = 20
+
   private[ops] val EnPat = "\\b(the|and|of|to|a)\\b"
   private[ops] val DePat = "\\b(der|die|das|und|ist|nicht)\\b"
   private[ops] val FrPat = "\\b(le|les|et|est|une|que)\\b"
@@ -633,6 +639,63 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // Temperature-scaled language sampling (the mT5/XLM-R α-sampling
+    // rule): sampling weight ∝ share^α with α = 0.5, which UP-samples
+    // low-resource languages relative to their natural char share
+    // (boost = weight/share > 1 exactly for below-average languages).
+    // α = 0.5 is deliberately √: sqrt is IEEE-correctly-rounded in
+    // BOTH engines where pow(x, α) is not, and the normalizer sums
+    // DECIMAL-rounded weights so it is partition-order free — the
+    // whole row stays hash-exact. Two |langs|-row aggregates over one
+    // scan; at 100 TB the scan's per-lang char sums are the only real
+    // work and they partial map-side.
+    "q_mix_temperature" -> ((s, dir) => {
+      val per = Tables(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("chars"))
+      val tot = per.agg(sum(col("chars")).as("total"))
+      val sh = per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("chars"),
+          (col("chars").cast("double") / col("total").cast("double"))
+            .as("share"))
+      val wr = sh.withColumn("w_raw",
+        round(sqrt(col("share")), 12).cast("decimal(18,12)"))
+      val z = wr.agg(sum(col("w_raw")).as("z"))
+      wr.crossJoin(broadcast(z))
+        .select(col("lang"), col("chars"), col("share"),
+          (col("w_raw").cast("double") / col("z").cast("double")).as("w"))
+        .select(col("lang"), col("chars"), round(col("share"), 6).as("share"),
+          round(col("w"), 6).as("weight"),
+          round(col("w") / col("share"), 6).as("boost"))
+        .orderBy(col("lang"))
+    }),
+
+    // Vocabulary-coverage / OOV audit: the top-[[OovVocab]] tokens by
+    // global frequency (deterministic tie-break on the token) form the
+    // "tokenizer vocabulary"; per language, the share of token
+    // OCCURRENCES falling outside it. This is the coverage check run
+    // before committing a tokenizer to a corpus — a language with high
+    // OOV rate will fragment into bytes/unknowns at training time.
+    // Plan: one token-count aggregate (map-side partials over the
+    // fan-out scan), top-V via TakeOrderedAndProject (never a global
+    // window sort), then a BROADCAST left join of the V-row vocab
+    // against the token stream — at 100 TB the vocab is O(V) by
+    // construction, so the join never shuffles the corpus.
+    "q_oov_rate" -> ((s, dir) => {
+      val tok = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("lang"), col("text")))
+        .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(OovVocab)
+        .select(col("t"), lit(1).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tok"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tok"), 6).as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
+
     "q_vocab_stats" -> ((s, dir) => {
       val tc = Tables.fanout(Tables(s, dir, "documents")
           .select(col("source"), col("text")))
@@ -1202,6 +1265,34 @@ object TextAnalysis {
         |  CAST(total AS DOUBLE) /
         |    (CAST(n_sources AS DOUBLE) * CAST(chars AS DOUBLE)) AS weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // sqrt (not pow) and an exact DECIMAL normalizer sum — the same
+    // determinism discipline as the Spark side.
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT lang,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM per),
+        |sh AS (SELECT lang, chars,
+        |  CAST(chars AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |  FROM per CROSS JOIN tot),
+        |wr AS (SELECT *, CAST(round(sqrt(share), 12) AS DECIMAL(18,12)) AS w_raw
+        |  FROM sh),
+        |z AS (SELECT sum(w_raw) AS z FROM wr),
+        |j AS (SELECT lang, chars, share,
+        |  CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE) AS w FROM wr CROSS JOIN z)
+        |SELECT lang, chars, round(share, 6) AS share, round(w, 6) AS weight,
+        |  round(w / share, 6) AS boost
+        |FROM j ORDER BY lang""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH tok AS (SELECT lang, unnest(${sqlTokens("text")}) AS t
+         |  FROM documents),
+         |g AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+         |v AS (SELECT t FROM g ORDER BY cnt DESC, t LIMIT $OovVocab)
+         |SELECT lang, count(*) AS n_tok,
+         |  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS oov_rate
+         |FROM tok LEFT JOIN v ON tok.t = v.t
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tc AS (SELECT source, t, count(*) AS cnt
          |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents)

@@ -682,4 +682,79 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(out.map(t => (t._1, t._2, t._3)).toSet == viaNtile)
   }
+
+  test("chunk overlap: strided geometry tiles every token, tail chunk short") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ") // 60 tokens
+    val dir = docsDir(Seq(0L -> text, 1L -> "a b c"))   // 3-token doc: 1 chunk
+    val rows = Prep.queries("q_chunk_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val d0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    // starts every 24, chunk_len = min(32, n - start): (0,32) (24,32) (48,12)
+    assert(d0.map(t => (t._4, t._5)).toSeq == Seq((0, 32), (24, 32), (48, 12)))
+    assert(d0.forall(_._3 == 60))
+    // full coverage: the union of [start, start+len) is [0, n)
+    val covered = d0.flatMap(t => t._4 until (t._4 + t._5)).toSet
+    assert(covered == (0 until 60).toSet)
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(t => (t._2, t._4, t._5)).toSeq == Seq((0, 0, 3)))
+  }
+
+  test("label propagation: only non-seeds predicted, hit audits the vote") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("q_label_propagation")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 3 != 0), "seeds must never be re-predicted")
+    assert(rows.forall(t => t._2 >= 0 && t._2 <= 9))
+    assert(rows.forall(t => t._4 == (if (t._2 == t._3) 1 else 0)))
+  }
+
+  test("bitext mine: en→de only, margin >= 1, mined consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val langs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Similarity.queries("q_bitext_mine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(t => langs(t._1) == "en"), "src side must be en")
+    assert(rows.forall(t => langs(t._2) == "de"), "tgt side must be de")
+    // best is the max of the top-k, so best/mean >= 1 by construction
+    assert(rows.forall(_._4 >= 1.0))
+    assert(rows.forall(t => t._5 == (if (t._4 >= Similarity.MineMargin) 1 else 0)))
+  }
+
+  test("mix temperature: alpha=0.5 up-samples the low-resource language") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs").toString
+    // char mass 100 vs 900 → shares .1/.9; sqrt ratio 1:3 ⇒ weights .25/.75
+    Seq((0L, "x" * 100, "aa"), (1L, "y" * 450, "bb"), (2L, "z" * 450, "bb"))
+      .toDF("doc_id", "text", "lang").withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("q_mix_temperature")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("aa") == ((0.1, 0.25, 2.5)))
+    assert(out("bb") == ((0.9, 0.75, 0.833333)))
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("oov rate: occurrences outside the top-V vocab are counted per lang") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs").toString
+    // 20 common tokens (3 occurrences each) fill the V=20 vocab; 5 rare
+    // singletons are the OOV mass: 65 occurrences, 5 OOV
+    val common = (1 to 20).map(i => f"c$i%02d")
+    val rare = (1 to 5).map(i => s"r$i")
+    val text = (common ++ common ++ common ++ rare).mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("q_oov_rate")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("en", 65L, 5L, 0.076923)))
+  }
 }
