@@ -138,7 +138,12 @@ object Bench {
       // late round-5: composed IVF-PQ index query, dedup-aware split +
       // its leakage audit, CCNet perplexity terciles
       "q_ivf_pq_search", "q_dedup_aware_split", "q_leakage_guard",
-      "q_perplexity_buckets", "q_random_projection")
+      "q_perplexity_buckets", "q_random_projection",
+      // round-5 corpus-pipeline family: IVF-routed label propagation
+      // and bitext mining, map-only strided chunking, vocab-coverage
+      // audit
+      "q_label_propagation", "q_bitext_mine", "q_chunk_overlap",
+      "q_oov_rate", "q_contrastive_pairs", "q_drift_psi")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -247,10 +247,99 @@ object Stats {
             (col("obs").cast("double") - col("expected")) / col("expected"), 6)
             .as("contrib"))
         .orderBy(col("seg"), col("typ"))
+    }),
+
+    // Population Stability Index drift audit — the standard production
+    // check that a feature's distribution hasn't shifted between a
+    // reference window and the current one (PSI < 0.1 stable, > 0.25
+    // drifted). Reference = the stream's first 7 days, current = its
+    // last 7; `value` is binned into 10 fixed-width buckets over the
+    // GLOBAL min/max so both sides share bin edges. Counts are
+    // +1-smoothed (Laplace) so empty bins stay finite, the per-bin ln
+    // term is rounded to 12 digits (absorbing last-ulp libm drift, the
+    // q_tfidf precedent) and summed in DECIMAL — partition-order free,
+    // hash-exact. Plan shape at 100 TB: two scalar aggregates
+    // broadcast back (bounds), one hash agg on the 10-value bin key
+    // with map-side partials, then arithmetic on a 10-row frame. The
+    // 10-row spine join guarantees every bin row exists even when a
+    // bucket is empty on both sides.
+    "q_drift_psi" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(expr("unix_micros(ts)").as("us"), col("value"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("side",
+          when(col("us") < col("lo") + PsiWindowUs, "ref")
+            .when(col("us") >= col("hi") - PsiWindowUs, "cur"))
+        .where(col("side").isNotNull)
+        .withColumn("bin",
+          when(col("mx") > col("mn"),
+            least(lit(9L), floor((col("value") - col("mn")) /
+              (col("mx") - col("mn")) * 10)).cast("int"))
+            .otherwise(lit(0)))
+      val counts = tagged.groupBy(col("bin"))
+        .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val bins = s.range(10).select(col("id").cast("int").as("bin"))
+      val full = bins.join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val tot = full.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      val terms = full.crossJoin(broadcast(tot))
+        .withColumn("p_ref",
+          (col("n_ref") + 1).cast("double") / (col("t_ref") + 10).cast("double"))
+        .withColumn("p_cur",
+          (col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double"))
+        .withColumn("term", round((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref")), 12))
+      val psi = terms.agg(sum(col("term").cast("decimal(24,12)")).as("psi"))
+      terms.crossJoin(broadcast(psi))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+          round(col("term"), 6).as("psi_term"),
+          round(col("psi").cast("double"), 6).as("psi_total"))
+        .orderBy(col("bin"))
     })
   )
 
+  /** PSI reference/current window width: 7 days in microseconds. */
+  val PsiWindowUs = 604800000000L
+
   val oracles: Map[String, String] = Map(
+    // Same bounds→tag→bin→smooth→ln-term chain; DECIMAL term sum.
+    "q_drift_psi" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+         |b AS (SELECT min(us) AS lo, max(us) AS hi,
+         |  min(value) AS mn, max(value) AS mx FROM ev),
+         |tg AS (SELECT CASE WHEN us < lo + $PsiWindowUs THEN 'ref'
+         |    WHEN us >= hi - $PsiWindowUs THEN 'cur' END AS side,
+         |  CASE WHEN mx > mn THEN CAST(least(9,
+         |      CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT)) AS INT)
+         |    ELSE 0 END AS bin
+         |  FROM ev CROSS JOIN b),
+         |cnt AS (SELECT bin,
+         |    CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM tg WHERE side IS NOT NULL GROUP BY bin),
+         |bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+         |f AS (SELECT bins.bin, COALESCE(n_ref, 0) AS n_ref,
+         |    COALESCE(n_cur, 0) AS n_cur
+         |  FROM bins LEFT JOIN cnt ON bins.bin = cnt.bin),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM f),
+         |tm AS (SELECT bin, n_ref, n_cur,
+         |    CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE) AS p_ref,
+         |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE) AS p_cur
+         |  FROM f CROSS JOIN tot),
+         |tm2 AS (SELECT *,
+         |  round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS term FROM tm),
+         |psi AS (SELECT sum(CAST(term AS DECIMAL(24,12))) AS psi FROM tm2)
+         |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref,
+         |  round(p_cur, 6) AS p_cur, round(term, 6) AS psi_term,
+         |  round(CAST(psi AS DOUBLE), 6) AS psi_total
+         |FROM tm2 CROSS JOIN psi ORDER BY bin""".stripMargin,
     // Plain per-group rank formulation — Σ(2i−n−1)x is tie-order
     // invariant, so the bucket-stitched ranks agree exactly.
     "q_gini" ->

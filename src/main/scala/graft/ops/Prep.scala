@@ -189,8 +189,33 @@ object Prep {
           col("n_tok"), col("c.start_tok"), col("c.chunk_len"),
           col("c.chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
+    // k-anonymity audit over the quasi-identifier tuple
+    // (nation, market segment) — the privacy gate run before a
+    // dataset with person-level rows is released for training: every
+    // QI group smaller than K = KanonK re-identifies its members. One
+    // hash aggregate on the QI key (map-side partials — the corpus is
+    // touched once), then a single-row audit over the |groups| frame:
+    // the dataset's k (the smallest group), how many rows/groups sit
+    // below K. All-integer, hash-exact; at 100 TB the only real cost
+    // is the one QI aggregate.
+    "q_kanon" -> ((s, dir) => {
+      val g = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+      g.agg(sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("sz")).as("k_anonymity"),
+        sum(when(col("sz") < KanonK, col("sz")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(when(col("sz") < KanonK, 1L).otherwise(0L))
+          .as("groups_at_risk"))
     })
   )
+
+  /** k-anonymity threshold: QI groups below this size are "at risk". */
+  val KanonK = 5
 
   /** q_chunk_overlap geometry: C-token chunks every S tokens
     * (overlap C − S). C > S so every boundary is double-covered.
@@ -314,6 +339,17 @@ object Prep {
          |  FROM tn, generate_series(0, 512) g(k)
          |  WHERE k * $ChunkStride < n)
          |SELECT doc_id, chunk_no, n_tok, start_tok, chunk_len, chunk_hash
-         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin
+         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_kanon" ->
+      s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(min(sz) AS BIGINT) AS k_anonymity,
+         |  CAST(sum(CASE WHEN sz < $KanonK THEN sz ELSE 0 END) AS BIGINT)
+         |    AS rows_at_risk,
+         |  CAST(sum(CASE WHEN sz < $KanonK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS groups_at_risk
+         |FROM g""".stripMargin
   )
 }

@@ -707,6 +707,57 @@ object Similarity {
             .as("margin"))
         .withColumn("mined", (col("margin") >= MineMargin).cast("int"))
         .orderBy(col("src_id"))
+    }),
+
+    // Contrastive training-pair construction (anchor, positive, hard
+    // negative) — the triplet-mining pass before training an embedding
+    // model. Anchors are a deterministic 1/7 sample; the POSITIVE is
+    // the anchor's nearest same-label vector (label-blocked candidate
+    // join, the q_knn_graph pattern — pair space Σ|block|², never n²);
+    // the HARD NEGATIVE is the most-similar DIFFERENT-label vector
+    // among IVF-bucket co-members (the q_sim_ann quantizer bounds the
+    // candidate set — hard negatives are by definition near the
+    // anchor, which is exactly what bucket co-membership surfaces).
+    // gap = pos_cos − neg_cos is the triplet's difficulty: small or
+    // negative gaps are the pairs worth training on. Deterministic
+    // ranking on rounded cosines ⇒ hash-exact.
+    "q_contrastive_pairs" -> ((s, dir) => {
+      CosineSim.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val anchors = e.where(col("vec_id") % 7 === 0)
+      val posCand = anchors.select(col("label"), col("vec_id"), col("v").as("v1"))
+        .join(e.select(col("label"), col("vec_id").as("pos_id"),
+          col("v").as("v2")), Seq("label"))
+        .where(col("vec_id") =!= col("pos_id"))
+        .select(col("vec_id"), col("pos_id"),
+          round(cosine("v1", "v2"), 6).as("pos_cos"))
+      val wp = Window.partitionBy(col("vec_id"))
+        .orderBy(col("pos_cos").desc, col("pos_id"))
+      val pos = posCand.withColumn("rn", row_number().over(wp))
+        .where(col("rn") === 1).drop("rn")
+      val probed = ivfProbed(s, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val pa = probed.join(lbl, Seq("vec_id"))
+      val negCand = pa.where(col("vec_id") % 7 === 0)
+        .select(col("anchor_id"), col("vec_id"), col("label"),
+          col("v").as("v1"))
+        .join(pa.select(col("anchor_id"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("v").as("v2")), Seq("anchor_id"))
+        .where(col("label") =!= col("neg_label"))
+        .select(col("vec_id"), col("neg_id"),
+          round(cosine("v1", "v2"), 6).as("neg_cos"))
+        .distinct()
+      val wn = Window.partitionBy(col("vec_id"))
+        .orderBy(col("neg_cos").desc, col("neg_id"))
+      val neg = negCand.withColumn("rn", row_number().over(wn))
+        .where(col("rn") === 1).drop("rn")
+      pos.join(neg, Seq("vec_id"))
+        .select(col("vec_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("gap"))
+        .orderBy(col("anchor_id"))
     })
   )
 
@@ -804,6 +855,33 @@ object Similarity {
          |SELECT src_id, tgt_id, best_cos, margin,
          |  CAST(margin >= $MineMargin AS INT) AS mined
          |FROM m ORDER BY src_id""".stripMargin,
+    // Positive: label-blocked top-1; negative: IVF-bucket top-1 with a
+    // different label — both ranked on rounded cosines like Spark.
+    "q_contrastive_pairs" ->
+      s"""WITH $sqlIvfProbed,
+         |el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+         |  FROM embeddings),
+         |pc AS (SELECT a.vec_id, b.vec_id AS pos_id,
+         |    round(${sqlCos("a.vv", "b.vv")}, 6) AS pos_cos
+         |  FROM el a JOIN el b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 7 = 0),
+         |p1 AS (SELECT vec_id, pos_id, pos_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY pos_cos DESC, pos_id) AS rn FROM pc) WHERE rn = 1),
+         |pa AS (SELECT p.anchor_id, p.vec_id, p.v, el.label
+         |  FROM probed p JOIN el ON p.vec_id = el.vec_id),
+         |nc AS (SELECT DISTINCT a.vec_id, b.vec_id AS neg_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS neg_cos
+         |  FROM pa a JOIN pa b ON a.anchor_id = b.anchor_id
+         |    AND a.label <> b.label
+         |  WHERE a.vec_id % 7 = 0),
+         |n1 AS (SELECT vec_id, neg_id, neg_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY neg_cos DESC, neg_id) AS rn FROM nc) WHERE rn = 1)
+         |SELECT p1.vec_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+         |  round(pos_cos - neg_cos, 6) AS gap
+         |FROM p1 JOIN n1 ON p1.vec_id = n1.vec_id
+         |ORDER BY anchor_id""".stripMargin,
     "q_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT a.vec_id, b.vec_id AS nn_id,

@@ -757,4 +757,49 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq(("en", 65L, 5L, 0.076923)))
   }
+
+  test("contrastive pairs: anchors sampled, positive shares the label, negative differs") {
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.queries("q_contrastive_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 % 7 == 0), "anchors are the 1/7 sample")
+    assert(rows.forall(t => labels(t._2) == labels(t._1)),
+      "positive must share the anchor's label")
+    assert(rows.forall(t => labels(t._4) != labels(t._1)),
+      "negative must have a different label")
+    assert(rows.forall(t => math.abs(t._6 - (t._3 - t._5)) < 1e-6))
+  }
+
+  test("drift psi: all 10 bins present, smoothed shares sum to 1, psi constant") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.analytics.Stats.queries("q_drift_psi")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq.sorted == (0 until 10))
+    // Laplace-smoothed shares sum to 1 on each side (up to rounding)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+    assert(rows.map(_._6).distinct.length == 1, "psi_total repeats per row")
+    assert(rows.head._6 >= 0.0, "PSI is a non-negative divergence")
+  }
+
+  test("kanon: audit row is internally consistent with the group census") {
+    val dir = "/root/testdata/sf0.001"
+    val Seq(row) = Prep.queries("q_kanon")(spark, dir).collect().toSeq
+    val (nRows, nGroups, k, rowsAtRisk, groupsAtRisk) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4))
+    val sizes = graft.Tables(spark, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(_.getLong(2))
+    assert(nRows == sizes.sum && nGroups == sizes.length)
+    assert(k == sizes.min)
+    assert(rowsAtRisk == sizes.filter(_ < Prep.KanonK).sum)
+    assert(groupsAtRisk == sizes.count(_ < Prep.KanonK))
+  }
 }
