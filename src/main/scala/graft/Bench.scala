@@ -143,7 +143,8 @@ object Bench {
       // and bitext mining, map-only strided chunking, vocab-coverage
       // audit
       "q_label_propagation", "q_bitext_mine", "q_chunk_overlap",
-      "q_oov_rate", "q_contrastive_pairs", "q_drift_psi")
+      "q_oov_rate", "q_contrastive_pairs", "q_drift_psi",
+      "q_mix_temperature", "q_kanon")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -268,10 +268,16 @@ object Stats {
         .select(expr("unix_micros(ts)").as("us"), col("value"))
       val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
         min(col("value")).as("mn"), max(col("value")).as("mx"))
+      // Window edges are CLAMPED to the stream's midpoint so ref/cur
+      // are disjoint BY CONSTRUCTION even when the stream spans less
+      // than 2×7 days — otherwise rows satisfying both predicates
+      // would silently count as ref-only and skew p_cur. Integer
+      // microsecond arithmetic, replayed verbatim by the oracle.
+      val mid = col("lo") + floor((col("hi") - col("lo")) / 2).cast("long")
       val tagged = ev.crossJoin(broadcast(bounds))
         .withColumn("side",
-          when(col("us") < col("lo") + PsiWindowUs, "ref")
-            .when(col("us") >= col("hi") - PsiWindowUs, "cur"))
+          when(col("us") < least(col("lo") + PsiWindowUs, mid), "ref")
+            .when(col("us") >= greatest(col("hi") - PsiWindowUs, mid), "cur"))
         .where(col("side").isNotNull)
         .withColumn("bin",
           when(col("mx") > col("mn"),
@@ -313,8 +319,10 @@ object Stats {
       s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
          |b AS (SELECT min(us) AS lo, max(us) AS hi,
          |  min(value) AS mn, max(value) AS mx FROM ev),
-         |tg AS (SELECT CASE WHEN us < lo + $PsiWindowUs THEN 'ref'
-         |    WHEN us >= hi - $PsiWindowUs THEN 'cur' END AS side,
+         |tg AS (SELECT CASE
+         |    WHEN us < least(lo + $PsiWindowUs, lo + (hi - lo) // 2) THEN 'ref'
+         |    WHEN us >= greatest(hi - $PsiWindowUs, lo + (hi - lo) // 2)
+         |      THEN 'cur' END AS side,
          |  CASE WHEN mx > mn THEN CAST(least(9,
          |      CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT)) AS INT)
          |    ELSE 0 END AS bin

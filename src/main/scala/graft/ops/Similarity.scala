@@ -671,14 +671,20 @@ object Similarity {
     // for every English document's vector, the best German candidate
     // by cosine among IVF-bucket co-members, scored by the RATIO
     // margin best/mean(top-k) — the standard filter that rejects hubs
-    // whose neighborhood is uniformly close. Candidates come only
-    // from shared fine buckets (never the |en|·|de| product); language
-    // comes from a doc_id-aligned join with `documents`. The top-k
-    // mean is computed as an exact DECIMAL sum of already-rounded
-    // cosines divided in doubles, so the margin is partition-order
-    // free and the oracle replays it hash-exactly. At 10⁹ docs this
-    // is the mining pass as production runs it: IVF routing + per-src
-    // top-k + one bounded vote, all shuffles on bucket / src keys.
+    // whose neighborhood is uniformly close. The ratio is taken in
+    // SHIFTED similarity space (cos + 1 ∈ [0, 2]): raw cosines can be
+    // negative, where a negative top-k sum flips the ratio's sign (a
+    // zero sum divides by zero) — shifting is monotone, keeps
+    // best ≥ mean ⇒ margin ≥ 1 ALWAYS, and keeps the denominator
+    // positive for any non-antipodal candidate set (a CASE guard
+    // covers even that). Candidates come only from shared fine
+    // buckets (never the |en|·|de| product); language comes from a
+    // doc_id-aligned join with `documents`. The top-k mean is an
+    // exact DECIMAL sum of already-rounded cosines divided in
+    // doubles, so the margin is partition-order free and the oracle
+    // replays it hash-exactly. At 10⁹ docs this is the mining pass as
+    // production runs it: IVF routing + per-src top-k + one bounded
+    // vote, all shuffles on bucket / src keys.
     "q_bitext_mine" -> ((s, dir) => {
       CosineSim.register(s)
       val probed = ivfProbed(s, dir)
@@ -703,8 +709,9 @@ object Similarity {
           sum(col("cos_sim").cast("decimal(18,6)")).as("ssum"),
           count(lit(1)).as("k"))
         .select(col("src_id"), col("tgt_id"), col("best_cos"),
-          round(col("best_cos") * col("k") / col("ssum").cast("double"), 6)
-            .as("margin"))
+          when(col("ssum").cast("double") + col("k") > 0,
+            round((col("best_cos") + 1.0) * col("k") /
+              (col("ssum").cast("double") + col("k")), 6)).as("margin"))
         .withColumn("mined", (col("margin") >= MineMargin).cast("int"))
         .orderBy(col("src_id"))
     }),
@@ -727,16 +734,23 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
       val anchors = e.where(col("vec_id") % 7 === 0)
+      // top-1 per anchor via the bounded-heap top_k_by_score aggregate
+      // (the q_knn_graph mechanism): O(1) state, map-side partials, no
+      // per-anchor window sort over the Σ|block|² candidate stream.
+      // Its tie-break (score desc, id asc on the rounded values)
+      // matches the oracle's row_number ordering exactly. Duplicate
+      // candidate rows (a pair sharing several probed buckets) cannot
+      // change a top-1-by-(score, id), so no distinct is needed.
       val posCand = anchors.select(col("label"), col("vec_id"), col("v").as("v1"))
         .join(e.select(col("label"), col("vec_id").as("pos_id"),
           col("v").as("v2")), Seq("label"))
         .where(col("vec_id") =!= col("pos_id"))
         .select(col("vec_id"), col("pos_id"),
           round(cosine("v1", "v2"), 6).as("pos_cos"))
-      val wp = Window.partitionBy(col("vec_id"))
-        .orderBy(col("pos_cos").desc, col("pos_id"))
-      val pos = posCand.withColumn("rn", row_number().over(wp))
-        .where(col("rn") === 1).drop("rn")
+      val pos = posCand.groupBy(col("vec_id"))
+        .agg(element_at(expr("top_k_by_score(pos_cos, pos_id, 1)"), 1).as("t"))
+        .select(col("vec_id"), col("t.doc_id").as("pos_id"),
+          col("t.score").as("pos_cos"))
       val probed = ivfProbed(s, dir)
       val lbl = e.select(col("vec_id"), col("label"))
       val pa = probed.join(lbl, Seq("vec_id"))
@@ -748,11 +762,10 @@ object Similarity {
         .where(col("label") =!= col("neg_label"))
         .select(col("vec_id"), col("neg_id"),
           round(cosine("v1", "v2"), 6).as("neg_cos"))
-        .distinct()
-      val wn = Window.partitionBy(col("vec_id"))
-        .orderBy(col("neg_cos").desc, col("neg_id"))
-      val neg = negCand.withColumn("rn", row_number().over(wn))
-        .where(col("rn") === 1).drop("rn")
+      val neg = negCand.groupBy(col("vec_id"))
+        .agg(element_at(expr("top_k_by_score(neg_cos, neg_id, 1)"), 1).as("t"))
+        .select(col("vec_id"), col("t.doc_id").as("neg_id"),
+          col("t.score").as("neg_cos"))
       pos.join(neg, Seq("vec_id"))
         .select(col("vec_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
           col("neg_id"), col("neg_cos"),
@@ -761,13 +774,12 @@ object Similarity {
     })
   )
 
-  /** Ratio-margin acceptance threshold for q_bitext_mine: best/mean
-    * of the top-3 bucket candidates must exceed this. 1.02 yields a
-    * real accept/reject split on the near-orthogonal synthetic
-    * vectors; production LASER-style mining runs the same plan at
-    * ~1.06.
+  /** Ratio-margin acceptance threshold for q_bitext_mine, in SHIFTED
+    * similarity space ((cos+1): margin ∈ [1, 2)). 1.05 splits the
+    * near-orthogonal synthetic corpus ~40/60 accept/reject; production
+    * LASER-style mining tunes the same knob on held-out alignments.
     */
-  val MineMargin = 1.02
+  val MineMargin = 1.05
 
   private def sqlCos(a: String, b: String): String =
     s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
@@ -851,7 +863,9 @@ object Similarity {
          |    count(*) AS k
          |  FROM r3 GROUP BY 1),
          |m AS (SELECT src_id, tgt_id, best_cos,
-         |    round(best_cos * k / CAST(ssum AS DOUBLE), 6) AS margin FROM a)
+         |    CASE WHEN CAST(ssum AS DOUBLE) + k > 0 THEN
+         |      round((best_cos + 1.0) * k / (CAST(ssum AS DOUBLE) + k), 6)
+         |    END AS margin FROM a)
          |SELECT src_id, tgt_id, best_cos, margin,
          |  CAST(margin >= $MineMargin AS INT) AS mined
          |FROM m ORDER BY src_id""".stripMargin,

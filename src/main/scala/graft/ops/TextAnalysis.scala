@@ -650,8 +650,12 @@ object TextAnalysis {
     // scan; at 100 TB the scan's per-lang char sums are the only real
     // work and they partial map-side.
     "q_mix_temperature" -> ((s, dir) => {
+      // chars = 0 langs are excluded (share 0 ⇒ boost 0/0, where the
+      // engines disagree: Spark NULL vs DuckDB NaN) — a zero-mass
+      // language has no sampling weight by definition
       val per = Tables(s, dir, "documents").groupBy(col("lang"))
         .agg(sum(col("n_chars")).as("chars"))
+        .where(col("chars") > 0)
       val tot = per.agg(sum(col("chars")).as("total"))
       val sh = per.crossJoin(broadcast(tot))
         .select(col("lang"), col("chars"),
@@ -1269,7 +1273,8 @@ object TextAnalysis {
     // determinism discipline as the Spark side.
     "q_mix_temperature" ->
       """WITH per AS (SELECT lang,
-        |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang),
+        |  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang
+        |  HAVING sum(n_chars) > 0),
         |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS total FROM per),
         |sh AS (SELECT lang, chars,
         |  CAST(chars AS DOUBLE) / CAST(total AS DOUBLE) AS share
