@@ -241,6 +241,47 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("plan pins: round-5 corpus ops keep their scale shapes") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dir = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // q_chunk_overlap is a scan-shaped operator: no join, no
+      // aggregate, no window — the only shuffle is the presentation
+      // sort (chunking must never cost more than the scan at 100 TB).
+      val chunk = SparkEntry.queries("q_chunk_overlap")(spark, dir)
+        .queryExecution.executedPlan
+      assert(chunk.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        chunk.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+        chunk.collect { case w: WindowExec => w }.isEmpty,
+        "q_chunk_overlap must stay map-only (scan → explode → sort)")
+      // q_oov_rate joins the corpus against the O(V) vocab — that join
+      // must be a broadcast (an SMJ would shuffle the token stream).
+      val oov = SparkEntry.queries("q_oov_rate")(spark, dir)
+        .queryExecution.executedPlan
+      assert(oov.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "q_oov_rate's vocab join must broadcast, never sort-merge")
+      assert(oov.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "q_oov_rate lost its broadcast vocab join")
+      // q_contrastive_pairs ranks candidates with the bounded-heap
+      // aggregate — a WindowExec ordering on pos_cos/neg_cos would mean
+      // the per-anchor sort over the Σ|block|² pair stream crept back.
+      // (The IVF quantizer's own bounded windows — fcos/ccos/acos over
+      // anchor-sized frames — are the accepted q_sim_ann mechanism.)
+      val cp = SparkEntry.queries("q_contrastive_pairs")(spark, dir)
+        .queryExecution.executedPlan
+      val candSorts = cp.collect {
+        case w: WindowExec if w.orderSpec.exists(
+          _.references.exists(a => a.name == "pos_cos" || a.name == "neg_cos")) => w
+      }
+      assert(candSorts.isEmpty,
+        "q_contrastive_pairs must use top_k_by_score, not a window sort")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("oracle SQL strings are DuckDB-side only (no spark-isms)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.toLowerCase.contains("parquet."), s"$k embeds a path")
