@@ -287,31 +287,82 @@ object Stats {
       val counts = tagged.groupBy(col("bin"))
         .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
-      val bins = s.range(10).select(col("id").cast("int").as("bin"))
-      val full = bins.join(counts, Seq("bin"), "left")
-        .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      val tot = full.agg(sum(col("n_ref")).as("t_ref"),
-        sum(col("n_cur")).as("t_cur"))
-      val terms = full.crossJoin(broadcast(tot))
-        .withColumn("p_ref",
-          (col("n_ref") + 1).cast("double") / (col("t_ref") + 10).cast("double"))
-        .withColumn("p_cur",
-          (col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double"))
-        .withColumn("term", round((col("p_cur") - col("p_ref")) *
-          log(col("p_cur") / col("p_ref")), 12))
-      val psi = terms.agg(sum(col("term").cast("decimal(24,12)")).as("psi"))
-      terms.crossJoin(broadcast(psi))
-        .select(col("bin"), col("n_ref"), col("n_cur"),
-          round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
-          round(col("term"), 6).as("psi_term"),
-          round(col("psi").cast("double"), 6).as("psi_total"))
-        .orderBy(col("bin"))
+      psiFrame(s, counts)
+    }),
+
+    // Streaming deployment of the PSI monitor: micro-batch 1 of the
+    // ts-range-staged event stream FIXES the reference histogram and
+    // its bin edges; every later batch folds its counts into an
+    // O(bins) accumulated state (a 10-row versioned table — this is
+    // the entire streaming state, regardless of stream length). The
+    // drained state yields the same smoothed-PSI frame as the batch
+    // op via the shared [[psiFrame]], and the oracle replays the
+    // ts-split + ref-edge binning in SQL — streaming ≡ batch is
+    // hash-checked, the same pairing discipline as q_stream_mv_merge.
+    "q_stream_drift" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_drift").toString
+      psiFrame(s, graft.streaming.Streams.driftIngest(s, dir, work))
     })
   )
 
+  /** Shared smoothed-PSI output frame over per-bin (n_ref, n_cur)
+    * counts — the single formula both q_drift_psi (batch time-window
+    * counts) and q_stream_drift (accumulated micro-batch counts) emit,
+    * so the pair cannot drift. The 10-row spine guarantees every bin
+    * row exists; counts are +1 (Laplace) smoothed; each ln term is
+    * rounded to 12 digits (absorbing last-ulp libm drift, the q_tfidf
+    * precedent) and summed in DECIMAL — partition-order free.
+    */
+  private[graft] def psiFrame(s: SparkSession, counts: DataFrame): DataFrame = {
+    val bins = s.range(10).select(col("id").cast("int").as("bin"))
+    val full = bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val terms = full.crossJoin(broadcast(tot))
+      .withColumn("p_ref",
+        (col("n_ref") + 1).cast("double") / (col("t_ref") + 10).cast("double"))
+      .withColumn("p_cur",
+        (col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double"))
+      .withColumn("term", round((col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref")), 12))
+    val psi = terms.agg(sum(col("term").cast("decimal(24,12)")).as("psi"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        round(col("term"), 6).as("psi_term"),
+        round(col("psi").cast("double"), 6).as("psi_total"))
+      .orderBy(col("bin"))
+  }
+
   /** PSI reference/current window width: 7 days in microseconds. */
   val PsiWindowUs = 604800000000L
+
+  /** SQL replay of [[psiFrame]]: from a CTE `cnt(bin, n_ref, n_cur)`
+    * to the final ordered select — shared verbatim by the q_drift_psi
+    * and q_stream_drift oracles, exactly as the Spark pair shares
+    * [[psiFrame]].
+    */
+  private def sqlPsiTail: String =
+    """bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+      |f AS (SELECT bins.bin, COALESCE(n_ref, 0) AS n_ref,
+      |    COALESCE(n_cur, 0) AS n_cur
+      |  FROM bins LEFT JOIN cnt ON bins.bin = cnt.bin),
+      |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+      |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM f),
+      |tm AS (SELECT bin, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE) AS p_ref,
+      |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE) AS p_cur
+      |  FROM f CROSS JOIN tot),
+      |tm2 AS (SELECT *,
+      |  round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS term FROM tm),
+      |psi AS (SELECT sum(CAST(term AS DECIMAL(24,12))) AS psi FROM tm2)
+      |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref,
+      |  round(p_cur, 6) AS p_cur, round(term, 6) AS psi_term,
+      |  round(CAST(psi AS DOUBLE), 6) AS psi_total
+      |FROM tm2 CROSS JOIN psi ORDER BY bin""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Same bounds→tag→bin→smooth→ln-term chain; DECIMAL term sum.
@@ -331,23 +382,33 @@ object Stats {
          |    CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
          |    CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
          |  FROM tg WHERE side IS NOT NULL GROUP BY bin),
-         |bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
-         |f AS (SELECT bins.bin, COALESCE(n_ref, 0) AS n_ref,
-         |    COALESCE(n_cur, 0) AS n_cur
-         |  FROM bins LEFT JOIN cnt ON bins.bin = cnt.bin),
-         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
-         |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM f),
-         |tm AS (SELECT bin, n_ref, n_cur,
-         |    CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE) AS p_ref,
-         |    CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE) AS p_cur
-         |  FROM f CROSS JOIN tot),
-         |tm2 AS (SELECT *,
-         |  round((p_cur - p_ref) * ln(p_cur / p_ref), 12) AS term FROM tm),
-         |psi AS (SELECT sum(CAST(term AS DECIMAL(24,12))) AS psi FROM tm2)
-         |SELECT bin, n_ref, n_cur, round(p_ref, 6) AS p_ref,
-         |  round(p_cur, 6) AS p_cur, round(term, 6) AS psi_term,
-         |  round(CAST(psi AS DOUBLE), 6) AS psi_total
-         |FROM tm2 CROSS JOIN psi ORDER BY bin""".stripMargin,
+         |$sqlPsiTail""".stripMargin,
+    // ts-range shard split (shard 0 = reference, integer third) and
+    // reference-fixed bin edges with [0,9] clamping, then the shared
+    // PSI tail — replays the streaming ingest end-state exactly.
+    "q_stream_drift" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+         |b AS (SELECT min(us) AS lo, max(us) + 1 AS hi1 FROM ev),
+         |sp AS (SELECT lo, greatest(1, hi1 - lo) AS span FROM b),
+         |r AS (SELECT value FROM ev CROSS JOIN sp
+         |  WHERE us < lo + span // 3),
+         |c AS (SELECT value FROM ev CROSS JOIN sp
+         |  WHERE us >= lo + span // 3),
+         |e AS (SELECT min(value) AS mn, max(value) AS mx FROM r),
+         |rb AS (SELECT CASE WHEN mx > mn THEN
+         |    CAST(greatest(0, least(9,
+         |      CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT))) AS INT)
+         |  ELSE 0 END AS bin FROM r CROSS JOIN e),
+         |cb AS (SELECT CASE WHEN mx > mn THEN
+         |    CAST(greatest(0, least(9,
+         |      CAST(floor((value - mn) / (mx - mn) * 10) AS BIGINT))) AS INT)
+         |  ELSE 0 END AS bin FROM c CROSS JOIN e),
+         |rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY bin),
+         |cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+         |cnt AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+         |    COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+         |  FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+         |$sqlPsiTail""".stripMargin,
     // Plain per-group rank formulation — Σ(2i−n−1)x is tie-order
     // invariant, so the bucket-stitched ranks agree exactly.
     "q_gini" ->

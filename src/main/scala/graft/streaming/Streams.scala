@@ -644,6 +644,98 @@ object Streams {
     spark.read.parquet(keptDir)
   }
 
+  /** Streaming drift monitor — the foreachBatch deployment of
+    * q_drift_psi (graft.analytics.Stats): events stage as ts-range
+    * shards (shard 0 = the earliest third); micro-batch 1 FIXES the
+    * reference histogram and its bin edges (min/max of the reference
+    * batch — a real monitor pins edges from the baseline, not the
+    * future), every later batch folds its clamped-bin counts into an
+    * accumulated 10-row versioned state. That 10-row table is the
+    * ENTIRE streaming state, regardless of stream length — O(bins),
+    * the PSI analogue of mv_merge's O(groups). Returns the merged
+    * (bin, n_ref, n_cur) counts; Stats.psiFrame turns them into the
+    * audited output, and the oracle replays the ts split + ref-edge
+    * binning in SQL, so streaming ≡ batch is hash-checked. State
+    * derivation follows the [[latestVersioned]] restart/retry
+    * discipline (previous version from DISK, strictly below the
+    * current bid).
+    */
+  def driftIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = withStatePartitions(spark) {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(expr("unix_micros(ts)").as("us"), col("value"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi")).head()
+    require(!bounds.isNullAt(0), "events table is empty — nothing to monitor")
+    val (lo, hi1) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val span = math.max(1L, hi1 - lo)
+    val srcDir = java.nio.file.Paths.get(workDir, "stream")
+    val t0 = System.currentTimeMillis() - 600000
+    for (i <- 0 until shards) {
+      val a = lo + i * span / shards
+      val z = if (i == shards - 1) hi1 else lo + (i + 1) * span / shards
+      stageFile(ev.where(col("us") >= a && col("us") < z), srcDir,
+        s"e$i", t0 + i * 10000L)
+    }
+    val edgeDir = s"$workDir/ref_edges" // 1 row: the fixed bin edges
+    val refDir = s"$workDir/ref_hist"   // ≤10 rows: reference histogram
+    // bins clamped to [0, 9]: CURRENT values may fall outside the
+    // reference-fixed edge range
+    def binCol(mn: Double, mx: Double): org.apache.spark.sql.Column =
+      if (mx > mn)
+        greatest(lit(0L), least(lit(9L),
+          floor((col("value") - mn) / (mx - mn) * 10))).cast("int")
+      else lit(0)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // the reference branch keys on the BATCH ID (deterministic and
+        // stable across restart/retry), not on refDir's existence — a
+        // retried batch 0 just overwrites its own idempotent output
+        // instead of double-counting itself into the current state
+        if (bid == 0L) {
+          val e = batch.agg(min(col("value")).as("mn"),
+            max(col("value")).as("mx")).head()
+          require(!e.isNullAt(0),
+            "reference micro-batch is empty — no baseline to fix edges from")
+          val (mn, mx) = (e.getDouble(0), e.getDouble(1))
+          spark.range(1).select(lit(mn).as("mn"), lit(mx).as("mx"))
+            .write.mode("overwrite").parquet(edgeDir)
+          batch.select(binCol(mn, mx).as("bin"))
+            .groupBy("bin").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(refDir)
+        } else {
+          val edge = spark.read.parquet(edgeDir).head()
+          val (mn, mx) = (edge.getDouble(0), edge.getDouble(1))
+          val batchCounts = batch.select(binCol(mn, mx).as("bin"))
+            .groupBy("bin").agg(count(lit(1)).as("n"))
+          val merged = latestVersioned(workDir, "cur_v", Some(bid)) match {
+            case Some(prev) => spark.read.parquet(prev)
+              .unionByName(batchCounts)
+              .groupBy("bin").agg(sum(col("n")).as("n"))
+            case None => batchCounts
+          }
+          merged.write.mode("overwrite").parquet(s"$workDir/cur_v$bid")
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ref = spark.read.parquet(refDir)
+      .select(col("bin"), col("n").as("n_ref"))
+    val cur = latestVersioned(workDir, "cur_v") match {
+      case Some(p) => spark.read.parquet(p)
+        .select(col("bin"), col("n").as("n_cur"))
+      case None => spark.emptyDataFrame
+        .select(lit(0).as("bin"), lit(0L).as("n_cur")).limit(0)
+    }
+    ref.join(cur, Seq("bin"), "full")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
   /** Write `df` as ONE parquet file named `name.parquet` under `dir`
     * with the given mtime — the staging ritual every finite-drain
     * harness here shares (the file source orders batches by mtime).

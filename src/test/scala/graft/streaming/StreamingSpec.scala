@@ -311,4 +311,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // the index holds one hash per distinct text
     assert(spark.read.parquet(s"$root/work/hash_index").distinct().count() == 3)
   }
+
+  test("foreachBatch drift monitor: streamed counts == ts-split batch replay, O(bins) state") {
+    val work = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
+    val counts = Streams.driftIngest(spark, dir, work)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // batch replay of the same ts-range split + reference-fixed edges
+    val ev = graft.Tables(spark, dir, "events")
+      .select(expr("unix_micros(ts)").as("us"), col("value"))
+    val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi")).head()
+    val (lo, hi1) = (b.getLong(0), b.getLong(1) + 1)
+    val cut = lo + math.max(1L, hi1 - lo) / 3
+    val ref = ev.where(col("us") < cut)
+    val e = ref.agg(min(col("value")), max(col("value"))).head()
+    val (mn, mx) = (e.getDouble(0), e.getDouble(1))
+    def bin(c: org.apache.spark.sql.Column) =
+      greatest(lit(0L), least(lit(9L), floor((c - mn) / (mx - mn) * 10))).cast("int")
+    val refC = ref.groupBy(bin(col("value")).as("bin")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val curC = ev.where(col("us") >= cut)
+      .groupBy(bin(col("value")).as("bin")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.nonEmpty)
+    counts.foreach { case (k, (nr, nc)) =>
+      assert(nr == refC.getOrElse(k, 0L), s"ref bin $k")
+      assert(nc == curC.getOrElse(k, 0L), s"cur bin $k")
+    }
+    // the accumulated state really is O(bins): every version <= 10 rows
+    val versions = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cur_v"))
+    assert(versions.nonEmpty)
+    versions.foreach { v =>
+      assert(spark.read.parquet(v.getPath).count() <= 10, s"${v.getName}")
+    }
+  }
 }
