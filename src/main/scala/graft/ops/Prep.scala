@@ -211,8 +211,58 @@ object Prep {
           .as("rows_at_risk"),
         sum(when(col("sz") < KanonK, 1L).otherwise(0L))
           .as("groups_at_risk"))
+    }),
+
+    // Right-to-be-forgotten deletion-propagation audit: given a
+    // deletion list of customers (modeled as the deterministic
+    // key-mod-[[ForgetMod]] sample — real deletion lists are
+    // regulatory requests, small by nature, hence the broadcast),
+    // report per table how many rows the cascade purges and an
+    // order-free bit_xor checksum of the KEPT rows' primary-key
+    // hashes — the receipt a governance pipeline stores to prove the
+    // purge (re-running the audit after the physical delete must
+    // reproduce the checksum with n_purged = 0). The cascade reaches
+    // lineitem THROUGH orders (lineitem has no customer key): one
+    // orderkey join, co-partitioned at scale. Each table is one scan
+    // + one broadcast probe + a single-row aggregate; bit_xor is
+    // associative/commutative, so the checksum is partition-order
+    // free with no decimal machinery.
+    "q_forget" -> ((s, dir) => {
+      val del = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k")).where(col("k") % ForgetMod === 0)
+        .withColumn("hit", lit(1))
+      def audit(table: String, keyed: DataFrame): DataFrame =
+        keyed.join(broadcast(del), Seq("k"), "left")
+          .agg(sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_purged"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+            expr("bit_xor(CASE WHEN hit IS NULL THEN h ELSE CAST(0 AS BIGINT) END)")
+              .as("kept_checksum"))
+          .select(lit(table).as("tbl"), col("n_purged"), col("n_kept"),
+            col("kept_checksum"))
+      val cust = audit("customer", Tables(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          h60(concat(lit("c:"), col("c_custkey").cast("string"))).as("h")))
+      val ord = audit("orders", Tables(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          h60(concat(lit("o:"), col("o_orderkey").cast("string"))).as("h")))
+      val li = audit("lineitem", Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+          Seq("l_orderkey"))
+        .select(col("o_custkey").as("k"),
+          h60(concat(lit("l:"), col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))).as("h")))
+      val ev = audit("events", Tables(s, dir, "events")
+        .select(col("user_id").as("k"),
+          h60(concat(lit("e:"), col("event_id").cast("string"))).as("h")))
+      cust.unionByName(ord).unionByName(li).unionByName(ev)
+        .orderBy(col("tbl"))
     })
   )
+
+  /** q_forget deletion-list sampler: customers with key ≡ 0 (mod 97). */
+  val ForgetMod = 97
 
   /** k-anonymity threshold: QI groups below this size are "at risk". */
   val KanonK = 5
@@ -340,6 +390,46 @@ object Prep {
          |  WHERE k * $ChunkStride < n)
          |SELECT doc_id, chunk_no, n_tok, start_tok, chunk_len, chunk_hash
          |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+    // Each table audited with the same LEFT JOIN + conditional bit_xor;
+    // bit_xor is order-free on both engines, so no decimal machinery.
+    "q_forget" ->
+      s"""WITH del AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey % $ForgetMod = 0),
+         |c AS (SELECT 'customer' AS tbl,
+         |    CAST(sum(CASE WHEN del.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_purged,
+         |    CAST(sum(CASE WHEN del.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept,
+         |    bit_xor(CASE WHEN del.k IS NULL
+         |      THEN ${sqlH60("'c:' || CAST(c_custkey AS VARCHAR)")}
+         |      ELSE 0 END) AS kept_checksum
+         |  FROM customer LEFT JOIN del ON c_custkey = del.k),
+         |o AS (SELECT 'orders' AS tbl,
+         |    CAST(sum(CASE WHEN del.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN del.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    bit_xor(CASE WHEN del.k IS NULL
+         |      THEN ${sqlH60("'o:' || CAST(o_orderkey AS VARCHAR)")}
+         |      ELSE 0 END)
+         |  FROM orders LEFT JOIN del ON o_custkey = del.k),
+         |l AS (SELECT 'lineitem' AS tbl,
+         |    CAST(sum(CASE WHEN del.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN del.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    bit_xor(CASE WHEN del.k IS NULL
+         |      THEN ${sqlH60("'l:' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+             "CAST(l_linenumber AS VARCHAR)")}
+         |      ELSE 0 END)
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  LEFT JOIN del ON o_custkey = del.k),
+         |e AS (SELECT 'events' AS tbl,
+         |    CAST(sum(CASE WHEN del.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN del.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    bit_xor(CASE WHEN del.k IS NULL
+         |      THEN ${sqlH60("'e:' || CAST(event_id AS VARCHAR)")}
+         |      ELSE 0 END)
+         |  FROM events LEFT JOIN del ON user_id = del.k)
+         |SELECT * FROM c UNION ALL SELECT * FROM o
+         |UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+         |ORDER BY tbl""".stripMargin,
     "q_kanon" ->
       s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
          |  FROM customer GROUP BY 1, 2)

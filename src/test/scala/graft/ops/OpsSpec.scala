@@ -788,6 +788,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head._6 >= 0.0, "PSI is a non-negative divergence")
   }
 
+  test("forget: cascade counts match direct computation, receipt re-verifies") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Prep.queries("q_forget")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set("customer", "orders", "lineitem", "events"))
+    // direct recomputation of the customer + cascade counts
+    val custs = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val delSet = custs.filter(_ % Prep.ForgetMod == 0).toSet
+    assert(delSet.nonEmpty, "fixture must contain deletable customers")
+    assert(out("customer")._1 == delSet.size)
+    assert(out("customer")._2 == custs.length - delSet.size)
+    val ordPurged = graft.Tables(spark, dir, "orders")
+      .where(col("o_custkey").isin(delSet.toSeq: _*)).count()
+    assert(out("orders")._1 == ordPurged)
+    // the receipt property: recomputing the checksum over the kept
+    // rows alone reproduces the audit's checksum exactly
+    val keptXor = graft.Tables(spark, dir, "customer")
+      .where(col("c_custkey") % Prep.ForgetMod =!= 0)
+      .select(expr(
+        "bit_xor(h60(concat('c:', CAST(c_custkey AS STRING)))) AS x"))
+      .head().getLong(0)
+    assert(out("customer")._3 == keptXor)
+  }
+
   test("kanon: audit row is internally consistent with the group census") {
     val dir = "/root/testdata/sf0.001"
     val Seq(row) = Prep.queries("q_kanon")(spark, dir).collect().toSeq
