@@ -658,7 +658,11 @@ object Streams {
     * binning in SQL, so streaming ≡ batch is hash-checked. State
     * derivation follows the [[latestVersioned]] restart/retry
     * discipline (previous version from DISK, strictly below the
-    * current bid).
+    * current bid). Degenerate streams (timestamp span < shards µs, so
+    * the first ts-range shard stages empty) fail LOUDLY at the
+    * reference require below rather than monitoring drift against a
+    * smoothing-only baseline — the sessionizeTimeoutToTable
+    * empty-input convention.
     */
   def driftIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = withStatePartitions(spark) {
