@@ -133,7 +133,14 @@ object Similarity {
     * anchor (its own) — full coverage holds. Returns
     * (vec_id, v, anchor_id), NProbe rows per vector.
     */
-  private[ops] def ivfProbed(s: SparkSession, dir: String): DataFrame = {
+  /** The offline-trained two-level quantizer: (coarse anchor table,
+    * fine→coarse routing table). Separated from [[ivfAssign]] so the
+    * batch path (ivfProbed) and the streaming index ingest
+    * (q_stream_ivf / Streams.ivfIngest) share the SAME tables and the
+    * SAME assignment code — the minhashSignatures discipline: shared
+    * code means the pair cannot drift.
+    */
+  private[graft] def ivfQuantizer(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = embeddings(s, dir)
     // anchor counts from a direct parquet count (metadata-cheap) —
     // caching emb for this would pin it in executor storage for the
@@ -154,10 +161,19 @@ object Similarity {
         cosine("fv", "cv").as("fcos"))
       .withColumn("frn", row_number().over(wf)).where(col("frn") === 1)
       .select(col("coarse_id"), col("fine_id"), col("fv"))
+    (coarse, fineBucket)
+  }
+
+  /** Two-level multi-probe assignment of `vecs` (vec_id, v) against a
+    * fixed quantizer — per-vector independent, so assigning a
+    * micro-batch and assigning the full table yield identical rows.
+    */
+  private[graft] def ivfAssign(vecs: DataFrame, coarse: DataFrame,
+      fineBucket: DataFrame): DataFrame = {
     // level 2: vector → top-NProbe coarse buckets (n·c evals)
     val wc = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("coarse_id"))
-    val vecCoarse = emb.crossJoin(coarse)
+    val vecCoarse = vecs.crossJoin(coarse)
       .select(col("vec_id"), col("v"), col("coarse_id"),
         cosine("v", "cv").as("ccos"))
       .withColumn("crn", row_number().over(wc)).where(col("crn") <= NProbe)
@@ -172,6 +188,11 @@ object Similarity {
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") <= NProbe)
       .select(col("vec_id"), col("v"), col("fine_id").as("anchor_id"))
+  }
+
+  private[ops] def ivfProbed(s: SparkSession, dir: String): DataFrame = {
+    val (coarse, fineBucket) = ivfQuantizer(s, dir)
+    ivfAssign(embeddings(s, dir), coarse, fineBucket)
   }
 
   /** Exact all-pairs near-dup is the AUDIT role only — it bounds the
@@ -771,6 +792,21 @@ object Similarity {
           col("neg_id"), col("neg_cos"),
           round(col("pos_cos") - col("neg_cos"), 6).as("gap"))
         .orderBy(col("anchor_id"))
+    }),
+
+    // EXECUTES on the streaming engine: vector-index ingest — the
+    // offline-trained two-level quantizer assigns each arriving
+    // micro-batch of vectors with the SAME ivfAssign code the batch
+    // path uses, appending postings to the index store. The drained
+    // per-anchor census (member count + order-free bit_xor of member
+    // ids) equals the batch ivfProbed assignment exactly, and the
+    // oracle replays the batch CTE chain ⇒ streaming ≡ batch is
+    // hash-checked. See Streams.ivfIngest for the state story.
+    "q_stream_ivf" -> ((s, dir) => {
+      CosineSim.register(s)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_ivf").toString
+      graft.streaming.Streams.ivfIngest(s, dir, work)
     })
   )
 
@@ -869,6 +905,13 @@ object Similarity {
          |SELECT src_id, tgt_id, best_cos, margin,
          |  CAST(margin >= $MineMargin AS INT) AS mined
          |FROM m ORDER BY src_id""".stripMargin,
+    // The streamed index census replayed from the batch assignment
+    // CTEs — per-vector-independent routing makes them equal.
+    "q_stream_ivf" ->
+      s"""WITH $sqlIvfProbed
+         |SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  bit_xor(vec_id) AS member_xor
+         |FROM probed GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
     // Positive: label-blocked top-1; negative: IVF-bucket top-1 with a
     // different label — both ranked on rounded cosines like Spark.
     "q_contrastive_pairs" ->

@@ -740,6 +740,62 @@ object Streams {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
+  /** Streaming vector-index ingest — the foreachBatch deployment of
+    * the two-level IVF quantizer: the quantizer is trained OFFLINE
+    * (graft.ops.Similarity.ivfQuantizer — anchors fixed before the
+    * stream starts, exactly how production vector stores run), then
+    * each micro-batch of arriving vectors routes coarse→fine with the
+    * SAME [[graft.ops.Similarity.ivfAssign]] code the batch path uses
+    * and appends its (vec_id, anchor_id) postings to the index store.
+    * Assignment is per-vector independent, so the drained store equals
+    * the batch ivfProbed assignment row-for-row — the returned
+    * per-anchor census (member count + order-free bit_xor of member
+    * ids) is replayed by the oracle from the batch CTE chain, making
+    * streaming ≡ batch hash-checked. Per batch the work is
+    * |batch|·(c + p·m/c) cosines against broadcast anchor tables;
+    * state is the append-only postings store (the index itself), never
+    * rescanned during ingest.
+    */
+  def ivfIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = withStatePartitions(spark) {
+    import graft.ops.Similarity
+    val emb = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bounds = emb.agg(min(col("vec_id")).as("lo"),
+      max(col("vec_id")).as("hi")).head()
+    require(!bounds.isNullAt(0), "embeddings table is empty — nothing to index")
+    val (lo, hi1) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val span = math.max(1L, hi1 - lo)
+    val srcDir = java.nio.file.Paths.get(workDir, "stream")
+    val t0 = System.currentTimeMillis() - 600000
+    for (i <- 0 until shards) {
+      val a = lo + i * span / shards
+      val z = if (i == shards - 1) hi1 else lo + (i + 1) * span / shards
+      stageFile(emb.where(col("vec_id") >= a && col("vec_id") < z), srcDir,
+        s"v$i", t0 + i * 10000L)
+    }
+    val (coarse, fineBucket) = Similarity.ivfQuantizer(spark, dir)
+    val storeDir = s"$workDir/postings"
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        Similarity.ivfAssign(batch.toDF(), coarse, fineBucket)
+          .select(col("vec_id"), col("anchor_id"))
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(storeDir)
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("member_xor"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** Write `df` as ONE parquet file named `name.parquet` under `dir`
     * with the given mtime — the staging ritual every finite-drain
     * harness here shares (the file source orders batches by mtime).

@@ -312,6 +312,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$root/work/hash_index").distinct().count() == 3)
   }
 
+  test("foreachBatch ivf ingest: streamed postings == batch assignment row-for-row") {
+    graft.functions.CosineSim.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_sivf_spec").toString
+    val census = Streams.ivfIngest(spark, dir, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the drained store itself must equal the batch two-level
+    // assignment as a SET of (vec_id, anchor_id) postings
+    val streamed = spark.read.parquet(s"$work/postings")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = {
+      import graft.ops.Similarity
+      val (c, fb) = Similarity.ivfQuantizer(spark, dir)
+      Similarity.ivfAssign(graft.Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        c, fb)
+        .select("vec_id", "anchor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(streamed == probed, "streamed postings diverge from batch assignment")
+    assert(census.nonEmpty && census.toSeq.map(_._2).sum == streamed.size)
+  }
+
   test("foreachBatch drift monitor: streamed counts == ts-split batch replay, O(bins) state") {
     val work = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
     val counts = Streams.driftIngest(spark, dir, work)
