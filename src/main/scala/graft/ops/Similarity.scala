@@ -85,7 +85,11 @@ object Similarity {
   private def cosine(a: String, b: String): Column =
     call_function("cosine_sim", col(a), col(b))
 
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  /** The canonical (vec_id, v: array&lt;double&gt;) projection — shared
+    * with the streaming ingest and specs (private[graft]) so the
+    * batch and stream sides can never drift on the input frame.
+    */
+  private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -123,16 +127,6 @@ object Similarity {
     */
   val DupThreshold = 0.40
 
-  /** The IVF multi-probe assignment shared by q_sim_ann /
-    * q_dedup_embedding_ivf (and replayed in SQL by [[sqlIvfProbed]]):
-    * two-level coarse quantizer — √m coarse anchors route each vector
-    * to a subset of the m = √n fine anchors, so assignment scans
-    * c + p·m/c anchors per vector (O(n^1.25) cosine evals total)
-    * instead of the flat quantizer's m (O(n^1.5)). Every coarse anchor
-    * id is also a fine anchor id, so each coarse bucket owns ≥ 1 fine
-    * anchor (its own) — full coverage holds. Returns
-    * (vec_id, v, anchor_id), NProbe rows per vector.
-    */
   /** The offline-trained two-level quantizer: (coarse anchor table,
     * fine→coarse routing table). Separated from [[ivfAssign]] so the
     * batch path (ivfProbed) and the streaming index ingest
@@ -190,6 +184,16 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("fine_id").as("anchor_id"))
   }
 
+  /** The IVF multi-probe assignment shared by q_sim_ann /
+    * q_dedup_embedding_ivf (and replayed in SQL by [[sqlIvfProbed]]):
+    * two-level coarse quantizer — √m coarse anchors route each vector
+    * to a subset of the m = √n fine anchors, so assignment scans
+    * c + p·m/c anchors per vector (O(n^1.25) cosine evals total)
+    * instead of the flat quantizer's m (O(n^1.5)). Every coarse anchor
+    * id is also a fine anchor id, so each coarse bucket owns ≥ 1 fine
+    * anchor (its own) — full coverage holds. Returns
+    * (vec_id, v, anchor_id), NProbe rows per vector.
+    */
   private[ops] def ivfProbed(s: SparkSession, dir: String): DataFrame = {
     val (coarse, fineBucket) = ivfQuantizer(s, dir)
     ivfAssign(embeddings(s, dir), coarse, fineBucket)

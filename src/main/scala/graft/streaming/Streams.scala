@@ -759,37 +759,42 @@ object Streams {
   def ivfIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = withStatePartitions(spark) {
     import graft.ops.Similarity
-    val emb = graft.Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bounds = emb.agg(min(col("vec_id")).as("lo"),
-      max(col("vec_id")).as("hi")).head()
-    require(!bounds.isNullAt(0), "embeddings table is empty — nothing to index")
-    val (lo, hi1) = (bounds.getLong(0), bounds.getLong(1) + 1)
-    val span = math.max(1L, hi1 - lo)
-    val srcDir = java.nio.file.Paths.get(workDir, "stream")
-    val t0 = System.currentTimeMillis() - 600000
-    for (i <- 0 until shards) {
-      val a = lo + i * span / shards
-      val z = if (i == shards - 1) hi1 else lo + (i + 1) * span / shards
-      stageFile(emb.where(col("vec_id") >= a && col("vec_id") < z), srcDir,
-        s"v$i", t0 + i * 10000L)
-    }
-    val (coarse, fineBucket) = Similarity.ivfQuantizer(spark, dir)
-    val storeDir = s"$workDir/postings"
-    val schema = spark.read.parquet(srcDir.toString).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val q = stream.writeStream
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        Similarity.ivfAssign(batch.toDF(), coarse, fineBucket)
-          .select(col("vec_id"), col("anchor_id"))
-          .write.mode("append").parquet(storeDir)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(storeDir)
+    // the canonical batch-side projection — shared, so the input frame
+    // cannot drift between the pair
+    val emb = Similarity.embeddings(spark, dir)
+    require(emb.limit(1).count() > 0,
+      "embeddings table is empty — nothing to index")
+    val srcDir = stageShards(emb, workDir, shards, keyCol = "vec_id")
+    // train the quantizer ONCE, before the stream starts — cache +
+    // materialize both tiny (≤√n-row) tables so the per-batch
+    // foreachBatch plans reuse them instead of re-running the
+    // training scans and the m×c routing crossJoin every batch
+    val (coarse0, fineBucket0) = Similarity.ivfQuantizer(spark, dir)
+    val coarse = coarse0.cache()
+    val fineBucket = fineBucket0.cache()
+    try {
+      coarse.count(); fineBucket.count()
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          // one OVERWRITTEN directory per batch id: foreachBatch is
+          // at-least-once, so a blind append would double-write a
+          // retried/replayed batch and silently break the
+          // streaming ≡ batch row-for-row claim — the per-bid
+          // overwrite makes the retry idempotent (the driftIngest
+          // versioned-state discipline)
+          Similarity.ivfAssign(batch.toDF(), coarse, fineBucket)
+            .select(col("vec_id"), col("anchor_id"))
+            .write.mode("overwrite").parquet(s"$workDir/postings_b$bid")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally { coarse.unpersist(); fineBucket.unpersist(); () }
+    spark.read.parquet(s"$workDir/postings_b*")
       .groupBy(col("anchor_id"))
       .agg(count(lit(1)).as("n_members"),
         expr("bit_xor(vec_id)").as("member_xor"))
@@ -825,13 +830,13 @@ object Streams {
     * the rest and resumes from the same checkpoint.
     */
   private[streaming] def stageShards(df: DataFrame, workDir: String, n: Int,
-      upTo: Option[Int] = None): String = {
+      upTo: Option[Int] = None, keyCol: String = "event_id"): String = {
     val srcDir = java.nio.file.Paths.get(workDir, "stream")
     // staging is deterministic, so shards already on disk (a prior
     // prefix-stage before a simulated crash) are simply kept
     for (i <- 0 until math.min(n, upTo.getOrElse(n))
          if !java.nio.file.Files.exists(srcDir.resolve(s"shard_$i.parquet")))
-      stageFile(df.where(col("event_id") % n === i), srcDir, s"shard_$i")
+      stageFile(df.where(col(keyCol) % n === i), srcDir, s"shard_$i")
     srcDir.toString
   }
 

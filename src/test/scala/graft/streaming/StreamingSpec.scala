@@ -319,14 +319,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // the drained store itself must equal the batch two-level
     // assignment as a SET of (vec_id, anchor_id) postings
-    val streamed = spark.read.parquet(s"$work/postings")
+    val streamed = spark.read.parquet(s"$work/postings_b*")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val probed = {
       import graft.ops.Similarity
       val (c, fb) = Similarity.ivfQuantizer(spark, dir)
-      Similarity.ivfAssign(graft.Tables(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        c, fb)
+      Similarity.ivfAssign(Similarity.embeddings(spark, dir), c, fb)
         .select("vec_id", "anchor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
