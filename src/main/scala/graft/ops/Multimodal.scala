@@ -29,6 +29,12 @@ case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
 case class VideoFeatures(doc_id: Long, n_frames: Int, fps: Int,
     n_sampled: Int, width: Int, height: Int, sum_lum: Long, mean_lum: Double)
 
+/** 64-bit perceptual average-hash of a decoded image, split in two
+  * non-negative 32-bit halves so BIGINT arithmetic never touches the
+  * sign bit in either engine.
+  */
+case class PhashRecord(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
 /** Multimodal-column operators: opaque binary payloads with typed
   * metadata, a batched decode/feature-extract stage, and the
   * documents⋈embeddings "text + vector" join.
@@ -342,6 +348,78 @@ object Multimodal {
     }
   }
 
+  /** How many differing phash bits still count as "perceptually
+    * near-duplicate". With the hash split into 4 16-bit bands, any
+    * pair at hamming ≤ 3 shares at least one whole band (pigeonhole),
+    * so band-bucket candidate generation is EXACT for this threshold —
+    * the q_dedup_simhash discipline applied to pixels.
+    */
+  val PhashHammingMax = 3
+
+  /** 64-bit average-hash over the REAL decoded image: the 8×8 block
+    * grid's mean luminance vs the global mean, bit i set when block i
+    * is strictly brighter. The comparison is the integer cross-product
+    * `block_sum · total_pixels > total_sum · block_pixels` — no
+    * division, so the bits are exactly replayable from the closed-form
+    * pixels by the oracle. aHash is shift-invariant in the useful
+    * sense: adding a constant to every pixel leaves every bit
+    * unchanged, which is exactly what makes it a perceptual (not
+    * cryptographic) fingerprint.
+    */
+  def decodePhash(bytes: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"undecodable image payload (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](64)
+    val n = new Array[Long](64)
+    var ts = 0L
+    var y = 0
+    while (y < h) {
+      val rowBase = y * 8 / h * 8
+      var x = 0
+      while (x < w) {
+        val v = (img.getRGB(x, y) & 0xff).toLong
+        val idx = rowBase + x * 8 / w
+        s(idx) += v; n(idx) += 1; ts += v
+        x += 1
+      }
+      y += 1
+    }
+    val tn = w.toLong * h
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (s(i) * tn > ts * n(i)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Batched perceptual-hash stage — same per-partition batch shape as
+    * [[extractFeatures]]; one real decode per payload, 16 bytes out.
+    */
+  def extractPhash(media: Dataset[MediaRecord]): Dataset[PhashRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { m =>
+          val (hi, lo) = try decodePhash(m.bytes) catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s"doc_id=${m.doc_id}: ${e.getMessage}", e)
+          }
+          PhashRecord(m.doc_id, hi, lo)
+        }
+      }
+    }
+  }
+
   /** Batched per-partition feature extraction over the binary column —
     * the Scala/Tungsten analog of a pandas_udf/mapInPandas stage:
     * fixed-size batches inside each partition, no shuffle, output is a
@@ -433,6 +511,53 @@ object Multimodal {
     // running-cumsum shape as q_pack_sequences: one window per
     // source partition over byte lengths — the payload itself never
     // moves, only (id, length).
+    // Perceptual image near-dup: aHash every REAL decoded PNG, band
+    // the 64-bit hash into 4×16 bits, candidates ONLY from shared
+    // band buckets (exact for hamming ≤ PhashHammingMax by
+    // pigeonhole — never the n² image-pair space), verify by exact
+    // hamming distance on the two 32-bit halves. The per-doc hash is
+    // 16 bytes, so at 100 TB of images the pair search shuffles a
+    // hash table, never pixels; the decode is the map-only stage.
+    // OUTPUT is the per-doc census (neighbor count + canonical = the
+    // smallest near-dup id), NOT the pair list: the closed-form
+    // gradient corpus is pathologically self-similar (aHash bits are
+    // shift-invariant, and the generator shifts pixels by constants
+    // between docs), so the verified pair SET is quadratic in this
+    // data — the per-doc aggregate keeps the output linear while the
+    // banded join still does the real work (same lesson as the
+    // shingle-saturation note in BENCH_SCALING.md: a data property,
+    // not a plan property).
+    "q_image_phash" -> ((s, dir) => {
+      // 3 consumers (band self-join ×2 + the spine) — cache the
+      // 16-byte-per-doc hash table so the corpus decodes exactly once
+      val ph = extractPhash(asPngMedia(s, dir)).toDF().cache()
+      val bands = ph.select(col("doc_id"),
+        col("phash_hi").as("h1x"), col("phash_lo").as("l1x"),
+        posexplode(array(
+          col("phash_lo").bitwiseAND(65535),
+          shiftright(col("phash_lo"), 16).bitwiseAND(65535),
+          col("phash_hi").bitwiseAND(65535),
+          shiftright(col("phash_hi"), 16).bitwiseAND(65535)))
+          .as(Seq("band", "bv")))
+      val pairs = bands
+        .select(col("band"), col("bv"), col("doc_id").as("doc1"),
+          col("h1x").as("h1"), col("l1x").as("l1"))
+        .join(bands.select(col("band"), col("bv"), col("doc_id").as("doc2"),
+          col("h1x").as("h2"), col("l1x").as("l2")), Seq("band", "bv"))
+        .where(col("doc1") =!= col("doc2") &&
+          expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)") <= PhashHammingMax)
+        .select(col("doc1").as("doc_id"), col("doc2").as("nb"))
+        .distinct()
+      val census = pairs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("nb")).as("mn"))
+      ph.select(col("doc_id")).join(census, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+            .as("canon"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_multimodal_pack" -> ((s, dir) => {
       val budget = 8192L
       val w = org.apache.spark.sql.expressions.Window
@@ -472,6 +597,52 @@ object Multimodal {
         |  CAST(sum(v) AS BIGINT) AS sum_lum,
         |  round(CAST(sum(v) AS DOUBLE) / (w * h), 6) AS mean_lum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // Replays the aHash from the closed-form pixels: same integer
+    // block indices ((x·8)//w), same cross-product bit rule, same
+    // hi/lo split (bits 0–31 / 32–63 — never the sign bit), same
+    // 4×16-bit banding and hamming verify. PNG is lossless, so the
+    // real-decode bits equal the closed-form bits exactly.
+    "q_image_phash" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+         |  FROM documents),
+         |px AS (SELECT doc_id, w, h, x, y,
+         |    (doc_id * 31 + x * 7 + y) % 256 AS v
+         |  FROM d,
+         |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+         |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+         |bl AS (SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
+         |    sum(v) AS s, count(*) AS n
+         |  FROM px GROUP BY 1, 2),
+         |tt AS (SELECT doc_id, sum(s) AS ts, sum(n) AS tn FROM bl GROUP BY 1),
+         |bits AS (SELECT bl.doc_id, idx,
+         |    CASE WHEN s * tn > ts * n THEN 1 ELSE 0 END AS b
+         |  FROM bl JOIN tt ON bl.doc_id = tt.doc_id),
+         |ph AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN idx >= 32
+         |      THEN b * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT)
+         |      AS hi,
+         |    CAST(sum(CASE WHEN idx < 32
+         |      THEN b * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, lo & 65535 AS bv FROM ph
+         |  UNION ALL SELECT doc_id, 1, (lo >> 16) & 65535 FROM ph
+         |  UNION ALL SELECT doc_id, 2, hi & 65535 FROM ph
+         |  UNION ALL SELECT doc_id, 3, (hi >> 16) & 65535 FROM ph),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+         |  JOIN ph x ON a.doc_id = x.doc_id
+         |  JOIN ph y ON b.doc_id = y.doc_id
+         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+         |    <= $PhashHammingMax),
+         |census AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+         |    min(nb) AS mn
+         |  FROM pairs GROUP BY doc_id)
+         |SELECT ph.doc_id, COALESCE(n_near, 0) AS n_near,
+         |  least(ph.doc_id, COALESCE(mn, ph.doc_id)) AS canon
+         |FROM ph LEFT JOIN census ON ph.doc_id = census.doc_id
+         |ORDER BY ph.doc_id""".stripMargin,
     // Closed-form replay of the decoded WAV: sample i of doc d is
     // (d·131 + i·17) mod 4096 − 2048 at rate 8000 + (d mod 4)·4000 —
     // lossless PCM ⇒ equality with the real decode is exact.

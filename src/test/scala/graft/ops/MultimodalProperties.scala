@@ -43,4 +43,46 @@ object MultimodalProperties extends Properties("ops.multimodal") {
       m == em && fps == (id % 3 + 1) * 5 && sampled == frames.size &&
         w == ew && h == eh && sum == expSum
     }
+
+  /** Encode an explicit pixel grid as a PNG (for phash invariants). */
+  private def pngOf(px: Array[Array[Int]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y)(x) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val genGrid: Gen[Array[Array[Int]]] = for {
+    w <- Gen.chooseNum(8, 32)
+    h <- Gen.chooseNum(8, 24)
+    rows <- Gen.listOfN(h, Gen.listOfN(w, Gen.chooseNum(0, 255)))
+  } yield rows.map(_.toArray).toArray
+
+  property("aHash is invariant under a uniform brightness shift (no wrap)") =
+    forAll(genGrid, Gen.chooseNum(1, 40)) { (px, shift) =>
+      // clamp so the shift cannot wrap mod 256 — aHash compares each
+      // block to the global mean, so adding a constant moves both
+      // sides equally and no bit may flip
+      val base = px.map(_.map(v => v / 2))            // 0..127
+      val shifted = base.map(_.map(_ + shift))        // ≤ 167
+      Multimodal.decodePhash(pngOf(base)) ==
+        Multimodal.decodePhash(pngOf(shifted))
+    }
+
+  property("aHash separates a bright-half image from its inverse") =
+    forAll(Gen.chooseNum(8, 24)) { n =>
+      val a = Array.tabulate(n, n)((_, x) => if (x < n / 2) 200 else 20)
+      val b = Array.tabulate(n, n)((_, x) => if (x < n / 2) 20 else 200)
+      val (ha, la) = Multimodal.decodePhash(pngOf(a))
+      val (hb, lb) = Multimodal.decodePhash(pngOf(b))
+      val hamming = java.lang.Long.bitCount(ha ^ hb) +
+        java.lang.Long.bitCount(la ^ lb)
+      hamming > Multimodal.PhashHammingMax
+    }
 }
