@@ -356,6 +356,22 @@ object Multimodal {
     */
   val PhashHammingMax = 3
 
+  /** Stop-band damping cap: band buckets holding more than this many
+    * images are SKIPPED during candidate generation. On a corpus
+    * whose perceptual-hash space saturates (the closed-form gradients
+    * here: ~200 distinct band values at every SF, so Σ\|bucket\|² grows
+    * quadratically — measured 22× for 10× rows uncapped), a band value
+    * shared by a large fraction of the corpus carries no
+    * discriminative information; dropping it bounds the candidate
+    * product while pairs keep every chance via their other 3 bands.
+    * This is the stop-shingle / cooccur-DfCap discipline applied to
+    * pixels; only pairs whose EVERY shared band is saturated are
+    * missed, which on a non-degenerate corpus is the noise floor. The
+    * cap is mirrored verbatim in the oracle, so the contract stays
+    * hash-exact.
+    */
+  val PhashBucketCap = 64
+
   /** 64-bit average-hash over the REAL decoded image: the 8×8 block
     * grid's mean luminance vs the global mean, bit i set when block i
     * is strictly brighter. The comparison is the integer cross-product
@@ -513,9 +529,11 @@ object Multimodal {
     // moves, only (id, length).
     // Perceptual image near-dup: aHash every REAL decoded PNG, band
     // the 64-bit hash into 4×16 bits, candidates ONLY from shared
-    // band buckets (exact for hamming ≤ PhashHammingMax by
-    // pigeonhole — never the n² image-pair space), verify by exact
-    // hamming distance on the two 32-bit halves. The per-doc hash is
+    // NON-SATURATED band buckets (pigeonhole gives hamming ≤
+    // PhashHammingMax pairs at least one shared band; stop-band
+    // damping — PhashBucketCap — then bounds the candidate product,
+    // never the n² image-pair space), verify by exact hamming
+    // distance on the two 32-bit halves. The per-doc hash is
     // 16 bytes, so at 100 TB of images the pair search shuffles a
     // hash table, never pixels; the decode is the map-only stage.
     // OUTPUT is the per-doc census (neighbor count + canonical = the
@@ -539,10 +557,17 @@ object Multimodal {
           col("phash_hi").bitwiseAND(65535),
           shiftright(col("phash_hi"), 16).bitwiseAND(65535)))
           .as(Seq("band", "bv")))
-      val pairs = bands
+      // stop-band damping (see PhashBucketCap): saturated buckets are
+      // dropped from BOTH join sides before the candidate product
+      val keep = bands.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") <= PhashBucketCap)
+        .select(col("band"), col("bv"))
+      val live = bands.join(keep, Seq("band", "bv"))
+      val pairs = live
         .select(col("band"), col("bv"), col("doc_id").as("doc1"),
           col("h1x").as("h1"), col("l1x").as("l1"))
-        .join(bands.select(col("band"), col("bv"), col("doc_id").as("doc2"),
+        .join(live.select(col("band"), col("bv"), col("doc_id").as("doc2"),
           col("h1x").as("h2"), col("l1x").as("l2")), Seq("band", "bv"))
         .where(col("doc1") =!= col("doc2") &&
           expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)") <= PhashHammingMax)
@@ -629,8 +654,11 @@ object Multimodal {
          |  UNION ALL SELECT doc_id, 1, (lo >> 16) & 65535 FROM ph
          |  UNION ALL SELECT doc_id, 2, hi & 65535 FROM ph
          |  UNION ALL SELECT doc_id, 3, (hi >> 16) & 65535 FROM ph),
+         |keep AS (SELECT band, bv FROM bands GROUP BY band, bv
+         |  HAVING count(*) <= $PhashBucketCap),
+         |live AS (SELECT bands.* FROM bands JOIN keep USING (band, bv)),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nb
-         |  FROM bands a JOIN bands b
+         |  FROM live a JOIN live b
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
          |  JOIN ph x ON a.doc_id = x.doc_id
          |  JOIN ph y ON b.doc_id = y.doc_id
