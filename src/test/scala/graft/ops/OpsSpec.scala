@@ -699,6 +699,65 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(d1.map(t => (t._2, t._4, t._5)).toSeq == Seq((0, 0, 3)))
   }
 
+  test("chunk overlap: tiling invariants hold across boundary token counts") {
+    val C = Prep.ChunkLen; val S = Prep.ChunkStride
+    // every stride/length boundary: 1 token, exactly one stride, one
+    // past it, exactly one chunk, one past it, multiples, and a tail
+    val sizes = Seq(1, 2, S - 1, S, S + 1, C - 1, C, C + 1,
+      2 * S - 1, 2 * S, 2 * S + 1, 3 * S, 100, 119)
+    val dir = docsDir(sizes.zipWithIndex.map { case (n, i) =>
+      i.toLong -> (1 to n).map(t => s"t$t").mkString(" ")
+    })
+    val rows = Prep.queries("q_chunk_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .groupBy(_._1)
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val cs = rows(i.toLong).sortBy(_._2)
+      val expStarts = (0 until n by S).toSeq
+      assert(cs.map(_._4).toSeq == expStarts, s"n=$n starts")
+      cs.foreach { c =>
+        assert(c._3 == n)
+        assert(c._5 == math.min(C, n - c._4), s"n=$n start=${c._4} len")
+        assert(c._5 >= 1)
+      }
+      // tiling: union of [start, start+len) covers exactly [0, n)
+      val covered = cs.flatMap(c => c._4 until (c._4 + c._5)).toSet
+      assert(covered == (0 until n).toSet, s"n=$n coverage")
+      // consecutive chunks overlap by len − S (= C − S for full
+      // chunks), and always by at least one token — no gap, no abut
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          val overlap = (a._4 + a._5) - b._4
+          assert(overlap == a._5 - S && overlap >= 1,
+            s"n=$n start=${a._4}: overlap $overlap")
+        case _ =>
+      }
+    }
+  }
+
+  test("psiFrame: Gibbs non-negativity — per-bin terms and total >= 0") {
+    import spark.implicits._
+    // three shapes: identical, disjoint extremes, skewed-vs-uniform
+    val frames = Seq(
+      Seq((0, 10L, 10L), (5, 20L, 20L)),
+      Seq((0, 100L, 0L), (9, 0L, 100L)),
+      Seq((1, 50L, 5L), (2, 30L, 30L), (3, 5L, 80L)))
+    frames.foreach { counts =>
+      val df = counts.toDF("bin", "n_ref", "n_cur")
+      val out = graft.analytics.Stats.psiFrame(spark, df).collect()
+      assert(out.length == 10)
+      // every (p−q)·ln(p/q) term is individually non-negative (up to
+      // the 6-digit rounding the frame applies)
+      out.foreach(r => assert(r.getDouble(5) >= -1e-6,
+        s"bin ${r.getInt(0)} term ${r.getDouble(5)}"))
+      assert(out.head.getDouble(6) >= -1e-6)
+    }
+    // identical distributions ⇒ PSI exactly zero
+    val same = Seq((0, 7L, 7L), (4, 3L, 3L)).toDF("bin", "n_ref", "n_cur")
+    val z = graft.analytics.Stats.psiFrame(spark, same).collect()
+    assert(z.forall(_.getDouble(6) == 0.0))
+  }
+
   test("label propagation: only non-seeds predicted, hit audits the vote") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.queries("q_label_propagation")(spark, dir).collect()
