@@ -145,7 +145,7 @@ object Bench {
       "q_label_propagation", "q_bitext_mine", "q_chunk_overlap",
       "q_oov_rate", "q_contrastive_pairs", "q_drift_psi",
       "q_mix_temperature", "q_kanon", "q_stream_drift", "q_forget",
-      "q_stream_ivf", "q_image_phash")
+      "q_stream_ivf", "q_image_phash", "q_stream_contamination")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

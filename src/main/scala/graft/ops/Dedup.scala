@@ -114,12 +114,19 @@ object Dedup {
     */
   @volatile var lastJaccardStrategy: String = ""
 
+  /** Distinct (doc_id, 60-bit shingle hash) rows — THE canonical
+    * shingle-index projection, shared by the batch postings paths and
+    * the streaming contamination ingest so the sides cannot drift.
+    */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    docShingles(docs)
+      .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+
   /** Distinct (doc_id, 60-bit shingle hash) postings, cached — feeds
     * sizes plus both sides of whichever candidate join runs.
     */
   private def shinglePostings(docs: DataFrame): DataFrame =
-    docShingles(docs)
-      .select(col("doc_id"), h60(col("s")).as("h")).distinct().cache()
+    shingleHashes(docs).cache()
 
   /** PPJoin prefix-filtered candidates: only each doc's
     * ⌊(1−t)·|d|⌋+1 rarest shingles (global (df, h) order) generate
@@ -946,6 +953,17 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // EXECUTES on the streaming engine: the contamination scan as an
+    // ingest-time guard — static broadcast eval index, per-micro-batch
+    // probe, per-bid idempotent flag writes. Shares the shingle
+    // projection AND the oracle with q_contamination (docs never
+    // straddle batches, so the drained union equals the batch query).
+    "q_stream_contamination" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_contam").toString
+      graft.streaming.Streams.contaminationIngest(s, dir, work)
+    }),
+
     // Incremental (cross-snapshot) exact dedup: a new crawl batch
     // lands against an existing corpus and only unseen content
     // survives. Anti-join on the content hash, never the text — the
@@ -1148,6 +1166,20 @@ object Dedup {
        |SELECT d.doc_id FROM documents d LEFT JOIN dropped USING (doc_id)
        |WHERE dropped.doc_id IS NULL ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Shared by q_contamination and q_stream_contamination — the
+    * streamed union equals the batch scan (id-sharded micro-batches
+    * never split a doc), so the pair is gated by one SQL text.
+    */
+  private def contaminationOracle: String =
+    s"""WITH ${sqlShingleCtes("documents")},
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |ev AS (SELECT doc_id AS eval_id, h FROM shh WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id, h FROM shh WHERE doc_id % 50 <> 0)
+       |SELECT tr.doc_id, CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared,
+       |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+       |FROM tr JOIN ev USING (h)
+       |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> minhashErrorOracle,
@@ -1354,15 +1386,11 @@ object Dedup {
          |  UNION ALL SELECT doc2, doc1, CAST(i AS DOUBLE) / sz2 FROM j)
          |SELECT src, dst, containment FROM b
          |WHERE containment >= 0.7 ORDER BY src, dst""".stripMargin,
-    "q_contamination" ->
-      s"""WITH ${sqlShingleCtes("documents")},
-         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
-         |ev AS (SELECT doc_id AS eval_id, h FROM shh WHERE doc_id % 50 = 0),
-         |tr AS (SELECT doc_id, h FROM shh WHERE doc_id % 50 <> 0)
-         |SELECT tr.doc_id, CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared,
-         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
-         |FROM tr JOIN ev USING (h)
-         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "q_contamination" -> contaminationOracle,
+    // ONE oracle for the batch/stream contamination pair — id-sharded
+    // batches cannot split a doc, so the drained union is the batch
+    // query (the q_stream_minhash shared-oracle discipline).
+    "q_stream_contamination" -> contaminationOracle,
     "q_dedup_incremental" ->
       s"""WITH corpus AS (SELECT md5(text) AS content_md5 FROM documents
          |  WHERE doc_id % 4 <> 0),

@@ -801,6 +801,52 @@ object Streams {
       .orderBy(col("anchor_id"))
   }
 
+  /** Streaming benchmark-contamination guard — the foreachBatch
+    * deployment of q_contamination: the EVAL shingle index is fixed
+    * before the stream starts (the benchmark suite is a static
+    * artifact; cached + materialized, ~corpus/50 rows), then every
+    * arriving micro-batch of training docs shingles itself with the
+    * SAME Dedup.shingleHashes projection the batch path uses, probes
+    * the broadcast index, and writes its flagged docs to one
+    * overwritten per-batch-id directory (the at-least-once retry
+    * discipline of ivfIngest). Docs never straddle micro-batches
+    * (id-sharded staging), so the per-batch per-doc aggregate equals
+    * the batch query's — the drained union is replayed verbatim by
+    * q_contamination's own oracle, streaming ≡ batch hash-checked.
+    * At 100 TB the corpus-side shingle stream never shuffles: the
+    * only joins are against the broadcast eval index.
+    */
+  def contaminationIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = withStatePartitions(spark) {
+    import graft.ops.Dedup
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val evalIx = Dedup.shingleHashes(docs.where(col("doc_id") % 50 === 0))
+      .select(col("doc_id").as("eval_id"), col("h")).cache()
+    try {
+      evalIx.count() // materialize the static index once, pre-stream
+      val srcDir = stageShards(docs.where(col("doc_id") % 50 =!= 0),
+        workDir, shards, keyCol = "doc_id")
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          Dedup.shingleHashes(batch.toDF())
+            .join(broadcast(evalIx), Seq("h"))
+            .groupBy(col("doc_id"))
+            .agg(countDistinct(col("h")).as("n_shared"),
+              countDistinct(col("eval_id")).as("n_eval_docs"))
+            .write.mode("overwrite").parquet(s"$workDir/flag_b$bid")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally { evalIx.unpersist(); () }
+    spark.read.parquet(s"$workDir/flag_b*").orderBy(col("doc_id"))
+  }
+
   /** Write `df` as ONE parquet file named `name.parquet` under `dir`
     * with the given mtime — the staging ritual every finite-drain
     * harness here shares (the file source orders batches by mtime).

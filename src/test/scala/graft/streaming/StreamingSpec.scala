@@ -332,6 +332,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(census.nonEmpty && census.toSeq.map(_._2).sum == streamed.size)
   }
 
+  test("foreachBatch contamination guard: streamed flags == batch scan") {
+    val work = java.nio.file.Files.createTempDirectory("graft_contam_spec").toString
+    val streamed = Streams.contaminationIngest(spark, dir, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Dedup.queries("q_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every micro-batch wrote its own idempotent flag directory
+    val dirs = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("flag_b"))
+    assert(dirs.length == 3)
+  }
+
   test("foreachBatch drift monitor: streamed counts == ts-split batch replay, O(bins) state") {
     val work = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
     val counts = Streams.driftIngest(spark, dir, work)
