@@ -58,8 +58,7 @@ object Dedup {
     * signatures cannot drift.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hm = docShingles(docs)
-      .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+    val hm = shingleHashes(docs)
       .select(col("doc_id"), (col("h") % P).as("hm"))
     val mhAggs = (0 until K).map(i =>
       min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
@@ -287,8 +286,7 @@ object Dedup {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val p = scratchRoot.resolve(
         s"postings_${s.sparkContext.applicationId}_$dirTag").toString
-      docShingles(Tables(s, dir, "documents"))
-        .select(col("doc_id"), h60(col("s")).as("h")).distinct()
+      shingleHashes(Tables(s, dir, "documents"))
         .write.mode("overwrite").parquet(p)
       p
     })

@@ -519,14 +519,6 @@ object Multimodal {
         .orderBy(col("content_md5"))
     }),
 
-    // Decode-batch packing: group media into fixed byte-budget
-    // batches (8 KB) per source so downstream decode workers get
-    // even-sized units of work — the scheduling pass that runs BEFORE
-    // extractFeatures at scale (decode cost tracks bytes, not rows,
-    // so row-count batches starve or blow up workers). Same exact
-    // running-cumsum shape as q_pack_sequences: one window per
-    // source partition over byte lengths — the payload itself never
-    // moves, only (id, length).
     // Perceptual image near-dup: aHash every REAL decoded PNG, band
     // the 64-bit hash into 4×16 bits, candidates ONLY from shared
     // NON-SATURATED band buckets (pigeonhole gives hamming ≤
@@ -583,6 +575,14 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Decode-batch packing: group media into fixed byte-budget
+    // batches (8 KB) per source so downstream decode workers get
+    // even-sized units of work — the scheduling pass that runs BEFORE
+    // extractFeatures at scale (decode cost tracks bytes, not rows,
+    // so row-count batches starve or blow up workers). Same exact
+    // running-cumsum shape as q_pack_sequences: one window per
+    // source partition over byte lengths — the payload itself never
+    // moves, only (id, length).
     "q_multimodal_pack" -> ((s, dir) => {
       val budget = 8192L
       val w = org.apache.spark.sql.expressions.Window

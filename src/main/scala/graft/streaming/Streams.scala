@@ -813,8 +813,10 @@ object Streams {
     * (id-sharded staging), so the per-batch per-doc aggregate equals
     * the batch query's — the drained union is replayed verbatim by
     * q_contamination's own oracle, streaming ≡ batch hash-checked.
-    * At 100 TB the corpus-side shingle stream never shuffles: the
-    * only joins are against the broadcast eval index.
+    * At 100 TB no JOIN ever shuffles the corpus side — the probe is
+    * against the broadcast eval index; the per-batch exchanges are the
+    * shingle distinct and the final per-doc count-distinct, both over
+    * the batch's own rows only.
     */
   def contaminationIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = withStatePartitions(spark) {
