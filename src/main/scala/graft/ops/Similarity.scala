@@ -744,12 +744,17 @@ object Similarity {
     // Contrastive training-pair construction (anchor, positive, hard
     // negative) — the triplet-mining pass before training an embedding
     // model. Anchors are a deterministic 1/7 sample; the POSITIVE is
-    // the anchor's nearest same-label vector (label-blocked candidate
-    // join, the q_knn_graph pattern — pair space Σ|block|², never n²);
-    // the HARD NEGATIVE is the most-similar DIFFERENT-label vector
-    // among IVF-bucket co-members (the q_sim_ann quantizer bounds the
-    // candidate set — hard negatives are by definition near the
-    // anchor, which is exactly what bucket co-membership surfaces).
+    // the anchor's nearest same-label vector among IVF-bucket
+    // co-members — the candidate join key is (anchor_id, label), so
+    // the pair space is Σ over (cell, label) blocks, NOT Σ|label|²:
+    // with a fixed label alphabet a plain label block grows linearly
+    // with n (measured 5.0× for 10× rows in round 5), while the
+    // (cell, label) composition inherits the quantizer's bucket bound.
+    // The HARD NEGATIVE is the most-similar DIFFERENT-label vector
+    // among the same IVF-bucket co-members (hard negatives are by
+    // definition near the anchor, which is exactly what bucket
+    // co-membership surfaces) — both sides now ride the same probed
+    // frame, differing only in the label predicate (= vs ≠).
     // gap = pos_cos − neg_cos is the triplet's difficulty: small or
     // negative gaps are the pairs worth training on. Deterministic
     // ranking on rounded cosines ⇒ hash-exact.
@@ -758,17 +763,21 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val anchors = e.where(col("vec_id") % 7 === 0)
+      val probed = ivfProbed(s, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val pa = probed.join(lbl, Seq("vec_id"))
       // top-1 per anchor via the bounded-heap top_k_by_score aggregate
       // (the q_knn_graph mechanism): O(1) state, map-side partials, no
-      // per-anchor window sort over the Σ|block|² candidate stream.
-      // Its tie-break (score desc, id asc on the rounded values)
-      // matches the oracle's row_number ordering exactly. Duplicate
-      // candidate rows (a pair sharing several probed buckets) cannot
-      // change a top-1-by-(score, id), so no distinct is needed.
-      val posCand = anchors.select(col("label"), col("vec_id"), col("v").as("v1"))
-        .join(e.select(col("label"), col("vec_id").as("pos_id"),
-          col("v").as("v2")), Seq("label"))
+      // per-anchor window sort over the candidate stream. Its
+      // tie-break (score desc, id asc on the rounded values) matches
+      // the oracle's row_number ordering exactly. Duplicate candidate
+      // rows (a pair sharing several probed buckets) cannot change a
+      // top-1-by-(score, id), so no distinct is needed.
+      val posCand = pa.where(col("vec_id") % 7 === 0)
+        .select(col("anchor_id"), col("vec_id"), col("label"),
+          col("v").as("v1"))
+        .join(pa.select(col("anchor_id"), col("vec_id").as("pos_id"),
+          col("label"), col("v").as("v2")), Seq("anchor_id", "label"))
         .where(col("vec_id") =!= col("pos_id"))
         .select(col("vec_id"), col("pos_id"),
           round(cosine("v1", "v2"), 6).as("pos_cos"))
@@ -776,9 +785,6 @@ object Similarity {
         .agg(element_at(expr("top_k_by_score(pos_cos, pos_id, 1)"), 1).as("t"))
         .select(col("vec_id"), col("t.doc_id").as("pos_id"),
           col("t.score").as("pos_cos"))
-      val probed = ivfProbed(s, dir)
-      val lbl = e.select(col("vec_id"), col("label"))
-      val pa = probed.join(lbl, Seq("vec_id"))
       val negCand = pa.where(col("vec_id") % 7 === 0)
         .select(col("anchor_id"), col("vec_id"), col("label"),
           col("v").as("v1"))
@@ -916,21 +922,24 @@ object Similarity {
          |SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_members,
          |  bit_xor(vec_id) AS member_xor
          |FROM probed GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
-    // Positive: label-blocked top-1; negative: IVF-bucket top-1 with a
-    // different label — both ranked on rounded cosines like Spark.
+    // Positive: (IVF cell, label)-blocked top-1; negative: IVF-bucket
+    // top-1 with a different label — the SAME pa frame feeds both
+    // sides (only the label predicate differs), both ranked on rounded
+    // cosines like Spark.
     "q_contrastive_pairs" ->
       s"""WITH $sqlIvfProbed,
          |el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
          |  FROM embeddings),
-         |pc AS (SELECT a.vec_id, b.vec_id AS pos_id,
-         |    round(${sqlCos("a.vv", "b.vv")}, 6) AS pos_cos
-         |  FROM el a JOIN el b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |pa AS (SELECT p.anchor_id, p.vec_id, p.v, el.label
+         |  FROM probed p JOIN el ON p.vec_id = el.vec_id),
+         |pc AS (SELECT DISTINCT a.vec_id, b.vec_id AS pos_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS pos_cos
+         |  FROM pa a JOIN pa b ON a.anchor_id = b.anchor_id
+         |    AND a.label = b.label AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id % 7 = 0),
          |p1 AS (SELECT vec_id, pos_id, pos_cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY pos_cos DESC, pos_id) AS rn FROM pc) WHERE rn = 1),
-         |pa AS (SELECT p.anchor_id, p.vec_id, p.v, el.label
-         |  FROM probed p JOIN el ON p.vec_id = el.vec_id),
          |nc AS (SELECT DISTINCT a.vec_id, b.vec_id AS neg_id,
          |    round(${sqlCos("a.v", "b.v")}, 6) AS neg_cos
          |  FROM pa a JOIN pa b ON a.anchor_id = b.anchor_id

@@ -279,6 +279,24 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
       }
       assert(candSorts.isEmpty,
         "q_contrastive_pairs must use top_k_by_score, not a window sort")
+      // Round-5 weak flag, fixed in round 6: the POSITIVE side must
+      // block on (anchor_id, label), never the bare label — with a
+      // fixed label alphabet a label-only block grows linearly with n
+      // (Σ|block|² measured 5.0× for 10× rows), while the (cell,
+      // label) composition inherits the quantizer's bucket bound. Any
+      // equi-join keyed on label without anchor_id is that regression.
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val labelOnlyJoins = cp.collect {
+        case j: BaseJoinExec =>
+          val keys = j.leftKeys.flatMap(_.references.map(_.name)).toSet
+          (j, keys)
+      }.filter { case (_, keys) =>
+        keys.contains("label") && !keys.contains("anchor_id")
+      }
+      assert(labelOnlyJoins.isEmpty,
+        "q_contrastive_pairs' positive side must join on (anchor_id, " +
+          "label) — a label-only join key is the unbounded Σ|label|² " +
+          s"block: ${labelOnlyJoins.map(_._1.simpleString(80)).mkString("; ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
