@@ -196,17 +196,34 @@ object TextAnalysis {
   /** Per-document bigram-LM perplexity (unordered) — the shared body
     * of q_lm_perplexity and q_perplexity_buckets; see the
     * q_lm_perplexity commentary for the model and determinism notes.
-    * The exploded bigram stream feeds BOTH the LM build and the
-    * scoring join — cached so tokenize+shingle runs once (was the
-    * whole-query cost, ~2× the explode at sf0.1). Returns
+    * Materialized ONCE per session via [[Scratch.materialize]] (the
+    * shared_jaccard_pairs discipline) — before round 6 each consumer
+    * re-ran the whole tokenize → shingle → LM-train chain, making
+    * q_perplexity_buckets the slowest bench entry for work
+    * q_lm_perplexity had already done. Billed as `shared_perplexity`
+    * in Bench so both consumers measure incremental cost. Returns
     * (doc_id, n_bg, cross_entropy, ppl).
     */
-  private def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val bgDoc = Tables.fanout(Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 2)).as("bg"))
-      .cache()
+  private[graft] def sharedPerplexity(s: SparkSession, dir: String): DataFrame = {
+    // the explode feeds BOTH the LM build and the scoring join inside
+    // the one materializing write — cache it for the build, unpersist
+    // right after (memoized later calls never evaluate the block, so
+    // nothing stays pinned across the session)
+    var pinned: DataFrame = null
+    val out = Scratch.materialize(s, s"perplexity_$dir") {
+      val bgDoc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(shingles(tokens(col("text")), 2)).as("bg"))
+        .cache()
+      pinned = bgDoc
+      perplexityFromBigrams(bgDoc)
+    }
+    if (pinned != null) { pinned.unpersist(); () }
+    out
+  }
+
+  private def perplexityFromBigrams(bgDoc: DataFrame): DataFrame = {
     val lm = bgDoc.groupBy("bg").agg(count(lit(1)).as("cnt"))
       .select(col("bg"), col("cnt"),
         substring_index(col("bg"), " ", 1).as("w1"))
@@ -1002,7 +1019,7 @@ object TextAnalysis {
     // score join keys on the bigram string — partial aggs + one hash
     // join, nothing quadratic in documents.
     "q_lm_perplexity" -> ((s, dir) =>
-      perplexityPerDoc(s, dir).orderBy(col("doc_id"))),
+      sharedPerplexity(s, dir).orderBy(col("doc_id"))),
 
     // CCNet-style perplexity bucketing: rank every document within its
     // language by LM perplexity and cut into terciles (head = looks
@@ -1016,7 +1033,7 @@ object TextAnalysis {
     // holds a language's whole corpus; per-bucket means sum ppl as
     // DECIMAL so merge order can't drift the rounded average.
     "q_perplexity_buckets" -> ((s, dir) => {
-      val ppl = perplexityPerDoc(s, dir).select(col("doc_id"), col("ppl"))
+      val ppl = sharedPerplexity(s, dir).select(col("doc_id"), col("ppl"))
       val t = Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
         .join(ppl, Seq("doc_id"))
         .withColumn("b", floor(col("ppl")).cast("long"))
