@@ -417,6 +417,16 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** The per-doc 64-bit aHash table (doc_id, phash_hi, phash_lo),
+    * decoded from the real PNGs ONCE per session and parked in
+    * [[Scratch]] — every consumer (q_image_phash's three subtrees,
+    * q_crossmodal_dedup) scans the 16-byte-per-doc parquet instead of
+    * re-decoding or pinning executor storage.
+    */
+  private[graft] def sharedPhash(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"phash_$dir")(
+      extractPhash(asPngMedia(s, dir)).toDF())
+
   /** Batched perceptual-hash stage — same per-partition batch shape as
     * [[extractFeatures]]; one real decode per payload, 16 bytes out.
     */
@@ -538,9 +548,13 @@ object Multimodal {
     // shingle-saturation note in BENCH_SCALING.md: a data property,
     // not a plan property).
     "q_image_phash" -> ((s, dir) => {
-      // 3 consumers (band self-join ×2 + the spine) — cache the
-      // 16-byte-per-doc hash table so the corpus decodes exactly once
-      val ph = extractPhash(asPngMedia(s, dir)).toDF().cache()
+      // 3 consumers (band self-join ×2 + the spine) — materialize the
+      // 16-byte-per-doc hash table to session scratch so the corpus
+      // decodes exactly once; a .cache() here pinned executor storage
+      // for the rest of the ~70-query Verify/Bench session (round-5
+      // ADVICE), while the parquet round-trip is durable, unpinned,
+      // and free for later consumers (q_crossmodal_dedup)
+      val ph = sharedPhash(s, dir)
       val bands = ph.select(col("doc_id"),
         col("phash_hi").as("h1x"), col("phash_lo").as("l1x"),
         posexplode(array(

@@ -374,20 +374,24 @@ object Prep {
          |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     // DuckDB list slices are 1-based inclusive (a[s:e] = elements
     // s..e), so a[k·S+1 : k·S+len] is exactly the Spark
-    // slice(a, k·S+1, len). The 512-term series is an oracle-only
-    // bound (12k+ tokens), same convention as sqlShingleCtes.
+    // slice(a, k·S+1, len). The chunk index k is a per-row
+    // unnest(generate_series(0, (n−1)//S)) — the SAME closed-form
+    // bound as Spark's sequence(0, floor((n−1)/S)), so the contract
+    // holds at ANY document length (round-5 ADVICE: a fixed 512-term
+    // series would have silently truncated docs past ~12.3k tokens).
     "q_chunk_overlap" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |tn AS (SELECT doc_id, a, CAST(len(a) AS INT) AS n FROM tk
          |  WHERE len(a) > 0),
+         |ks AS (SELECT doc_id, a, n,
+         |    unnest(generate_series(0, (n - 1) // $ChunkStride)) AS k FROM tn),
          |ch AS (SELECT doc_id, CAST(k AS INT) AS chunk_no, n AS n_tok,
          |    CAST(k * $ChunkStride AS INT) AS start_tok,
          |    CAST(least($ChunkLen, n - k * $ChunkStride) AS INT) AS chunk_len,
          |    ${sqlH60(s"array_to_string(a[k * $ChunkStride + 1 : " +
            s"k * $ChunkStride + least($ChunkLen, n - k * $ChunkStride)], ' ')")}
          |      AS chunk_hash
-         |  FROM tn, generate_series(0, 512) g(k)
-         |  WHERE k * $ChunkStride < n)
+         |  FROM ks)
          |SELECT doc_id, chunk_no, n_tok, start_tok, chunk_len, chunk_hash
          |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
     // Each table audited with the same LEFT JOIN + conditional bit_xor;
