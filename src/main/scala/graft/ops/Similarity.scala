@@ -199,6 +199,47 @@ object Similarity {
     ivfAssign(embeddings(s, dir), coarse, fineBucket)
   }
 
+  /** Posting-list saturation factor: a fine bucket is "saturated" when
+    * it exceeds IvfSaturationFactor × the expected bucket size
+    * (NProbe·n/m). On the driver corpora the largest bucket measures
+    * ~2.3× expected at every SF, so the guard never fires there; on a
+    * degenerate self-similar corpus (all vectors in one bucket) it
+    * caps the bucket self-join at Σ nShards·cap² ≈ n·cap instead of
+    * n² — the PhashBucketCap / cooccur-DfCap lesson applied to the
+    * vector index itself (round-5 verdict item #5).
+    */
+  val IvfSaturationFactor = 4L
+
+  /** Deterministic sub-shard split of saturated posting lists: every
+    * bucket gets nShards = ⌈bn / cap⌉ shards (1 for healthy buckets,
+    * so shard = 0 everywhere on the driver corpora and the guard is a
+    * no-op there); members route by the [[probeSampled]] integer mix
+    * of vec_id, which both engines replay exactly. Consumers that
+    * SELF-JOIN the posting lists key on (anchor_id, shard) — pairs
+    * across shards of a saturated bucket are deliberately forfeited
+    * (bounded work beats exhaustive pairs on a degenerate corpus, the
+    * stop-band-damping trade) — while census/probe consumers ignore
+    * the column. The bucket count is a window count, not a groupBy +
+    * re-join, so the assignment chain stays one pass per join side
+    * (exchange-reusable).
+    */
+  private[graft] def shardProbed(probed: DataFrame, n: Long): DataFrame = {
+    val m = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val cap = IvfSaturationFactor * NProbe * ((n + m - 1L) / m)
+    val bn = count(lit(1)).over(Window.partitionBy(col("anchor_id")))
+    val nShards = floor((bn + lit(cap - 1L)) / lit(cap)).cast("long")
+    probed.withColumn("shard",
+      ((col("vec_id") * lit(1315423911L)) % lit(1000003L)) % nShards)
+  }
+
+  /** [[ivfProbed]] + the saturation shard column — the frame every
+    * bucket-self-join consumer (q_sim_ann, q_dedup_embedding_ivf,
+    * q_label_propagation, q_bitext_mine, q_contrastive_pairs) starts
+    * from.
+    */
+  private[ops] def ivfShardedProbed(s: SparkSession, dir: String): DataFrame =
+    shardProbed(ivfProbed(s, dir), Tables(s, dir, "embeddings").count())
+
   /** Exact all-pairs near-dup is the AUDIT role only — it bounds the
     * executed IVF scale path (q_dedup_embedding_ivf) from above. Above
     * `maxRows` the n² pair space and the full-table broadcast are both
@@ -530,10 +571,14 @@ object Similarity {
     // bucket owns ≥ 1 fine anchor (its own) — full coverage holds.
     "q_sim_ann" -> ((s, dir) => {
       CosineSim.register(s)
-      val probed = ivfProbed(s, dir) // the shared two-level quantizer
-      val cand = probed.select(col("anchor_id"), col("vec_id"), col("v").as("v1"))
-        .join(probed.select(col("anchor_id"), col("vec_id").as("nn_id"), col("v").as("v2")),
-          Seq("anchor_id"))
+      // the shared two-level quantizer + saturation shard (no-op on
+      // healthy corpora — see shardProbed)
+      val probed = ivfShardedProbed(s, dir)
+      val cand = probed.select(col("anchor_id"), col("shard"),
+          col("vec_id"), col("v").as("v1"))
+        .join(probed.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("nn_id"), col("v").as("v2")),
+          Seq("anchor_id", "shard"))
         .where(col("vec_id") =!= col("nn_id"))
         .select(col("vec_id"), col("nn_id"),
           round(cosine("v1", "v2"), 6).as("cos_sim"))
@@ -558,10 +603,12 @@ object Similarity {
     // verify bounded by bucket products, broadcast only anchors.
     "q_dedup_embedding_ivf" -> ((s, dir) => {
       CosineSim.register(s)
-      val probed = ivfProbed(s, dir)
-      probed.select(col("anchor_id"), col("vec_id").as("doc1"), col("v").as("v1"))
-        .join(probed.select(col("anchor_id"), col("vec_id").as("doc2"),
-          col("v").as("v2")), Seq("anchor_id"))
+      val probed = ivfShardedProbed(s, dir)
+      probed.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("doc1"), col("v").as("v1"))
+        .join(probed.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("doc2"),
+          col("v").as("v2")), Seq("anchor_id", "shard"))
         .where(col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2"), cosine("v1", "v2").as("c"))
         .where(col("c") >= DupThreshold)
@@ -662,15 +709,17 @@ object Similarity {
     // hit = pred == held-out truth makes the row self-auditing.
     "q_label_propagation" -> ((s, dir) => {
       CosineSim.register(s)
-      val probed = ivfProbed(s, dir) // shared two-level IVF quantizer
+      // shared two-level IVF quantizer + saturation shard
+      val probed = ivfShardedProbed(s, dir)
       val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
       val unl = probed.where(col("vec_id") % 3 =!= 0)
-        .select(col("anchor_id"), col("vec_id"), col("v").as("v1"))
+        .select(col("anchor_id"), col("shard"), col("vec_id"), col("v").as("v1"))
       val seeds = probed.where(col("vec_id") % 3 === 0)
-        .select(col("anchor_id"), col("vec_id").as("seed_id"), col("v").as("v2"))
+        .select(col("anchor_id"), col("shard"),
+          col("vec_id").as("seed_id"), col("v").as("v2"))
       // a pair sharing several probed buckets collapses to one row —
       // cos is rounded BEFORE distinct/ranking (the knn_graph rule)
-      val cand = unl.join(seeds, Seq("anchor_id"))
+      val cand = unl.join(seeds, Seq("anchor_id", "shard"))
         .select(col("vec_id"), col("seed_id"),
           round(cosine("v1", "v2"), 6).as("cos_sim"))
         .distinct()
@@ -712,15 +761,17 @@ object Similarity {
     // vote, all shuffles on bucket / src keys.
     "q_bitext_mine" -> ((s, dir) => {
       CosineSim.register(s)
-      val probed = ivfProbed(s, dir)
+      val probed = ivfShardedProbed(s, dir)
       val lang = Tables(s, dir, "documents")
         .select(col("doc_id").as("vec_id"), col("lang"))
       val withLang = probed.join(lang, Seq("vec_id"))
       val src = withLang.where(col("lang") === "en")
-        .select(col("anchor_id"), col("vec_id").as("src_id"), col("v").as("v1"))
+        .select(col("anchor_id"), col("shard"),
+          col("vec_id").as("src_id"), col("v").as("v1"))
       val tgt = withLang.where(col("lang") === "de")
-        .select(col("anchor_id"), col("vec_id").as("tgt_id"), col("v").as("v2"))
-      val cand = src.join(tgt, Seq("anchor_id"))
+        .select(col("anchor_id"), col("shard"),
+          col("vec_id").as("tgt_id"), col("v").as("v2"))
+      val cand = src.join(tgt, Seq("anchor_id", "shard"))
         .select(col("src_id"), col("tgt_id"),
           round(cosine("v1", "v2"), 6).as("cos_sim"))
         .distinct()
@@ -763,7 +814,7 @@ object Similarity {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val probed = ivfProbed(s, dir)
+      val probed = ivfShardedProbed(s, dir)
       val lbl = e.select(col("vec_id"), col("label"))
       val pa = probed.join(lbl, Seq("vec_id"))
       // top-1 per anchor via the bounded-heap top_k_by_score aggregate
@@ -774,10 +825,11 @@ object Similarity {
       // rows (a pair sharing several probed buckets) cannot change a
       // top-1-by-(score, id), so no distinct is needed.
       val posCand = pa.where(col("vec_id") % 7 === 0)
-        .select(col("anchor_id"), col("vec_id"), col("label"),
+        .select(col("anchor_id"), col("shard"), col("vec_id"), col("label"),
           col("v").as("v1"))
-        .join(pa.select(col("anchor_id"), col("vec_id").as("pos_id"),
-          col("label"), col("v").as("v2")), Seq("anchor_id", "label"))
+        .join(pa.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("pos_id"),
+          col("label"), col("v").as("v2")), Seq("anchor_id", "shard", "label"))
         .where(col("vec_id") =!= col("pos_id"))
         .select(col("vec_id"), col("pos_id"),
           round(cosine("v1", "v2"), 6).as("pos_cos"))
@@ -786,10 +838,12 @@ object Similarity {
         .select(col("vec_id"), col("t.doc_id").as("pos_id"),
           col("t.score").as("pos_cos"))
       val negCand = pa.where(col("vec_id") % 7 === 0)
-        .select(col("anchor_id"), col("vec_id"), col("label"),
+        .select(col("anchor_id"), col("shard"), col("vec_id"), col("label"),
           col("v").as("v1"))
-        .join(pa.select(col("anchor_id"), col("vec_id").as("neg_id"),
-          col("label").as("neg_label"), col("v").as("v2")), Seq("anchor_id"))
+        .join(pa.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("v").as("v2")),
+          Seq("anchor_id", "shard"))
         .where(col("label") =!= col("neg_label"))
         .select(col("vec_id"), col("neg_id"),
           round(cosine("v1", "v2"), 6).as("neg_cos"))
@@ -832,15 +886,20 @@ object Similarity {
        |  (sqrt(list_sum(list_transform(range($Dim), i -> $a[i+1] * $a[i+1]))) *
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
-  /** SQL replay of [[ivfProbed]] — CTE chain ending in
-    * `probed(vec_id, v, anchor_id)`; prefix for the q_ann_recall and
-    * q_dedup_embedding_ivf oracles.
+  /** SQL replay of [[ivfProbed]] + [[shardProbed]] — CTE chain ending
+    * in `probed(vec_id, v, anchor_id, shard)`; prefix for the
+    * q_ann_recall / q_dedup_embedding_ivf / corpus-pipeline oracles.
+    * Self-join consumers add `shard` to their join keys; census/probe
+    * consumers ignore the column. cap/nShards arithmetic is all
+    * integer, so the shard assignment replays Spark's exactly.
     */
   private def sqlIvfProbed: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |prm AS (SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM e),
-       |prm2 AS (SELECT m,
-       |    greatest(2, CAST(ceil(sqrt(CAST(m AS DOUBLE))) AS BIGINT)) AS c FROM prm),
+       |prm AS (SELECT count(*) AS n,
+       |    greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m FROM e),
+       |prm2 AS (SELECT n, m,
+       |    greatest(2, CAST(ceil(sqrt(CAST(m AS DOUBLE))) AS BIGINT)) AS c,
+       |    $IvfSaturationFactor * $NProbe * ((n + m - 1) // m) AS cap FROM prm),
        |fine AS (SELECT vec_id AS fine_id, v AS fv FROM e
        |  WHERE vec_id < (SELECT m FROM prm2)),
        |coarse AS (SELECT vec_id AS coarse_id, v AS cv FROM e
@@ -857,9 +916,14 @@ object Similarity {
        |    ORDER BY ccos DESC, coarse_id) AS rn FROM vc0) WHERE rn <= $NProbe),
        |pr0 AS (SELECT vc.vec_id, vc.v, fb.fine_id, ${sqlCos("vc.v", "fb.fv")} AS acos
        |  FROM vc JOIN fb USING (coarse_id)),
-       |probed AS (SELECT vec_id, v, fine_id AS anchor_id FROM (
+       |pr AS (SELECT vec_id, v, fine_id AS anchor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY acos DESC, fine_id) AS rn FROM pr0) WHERE rn <= $NProbe)""".stripMargin
+       |    ORDER BY acos DESC, fine_id) AS rn FROM pr0) WHERE rn <= $NProbe),
+       |bsz AS (SELECT *, count(*) OVER (PARTITION BY anchor_id) AS bn FROM pr),
+       |probed AS (SELECT vec_id, v, anchor_id,
+       |  ((vec_id * 1315423911) % 1000003) %
+       |    ((bn + (SELECT cap FROM prm2) - 1) // (SELECT cap FROM prm2))
+       |    AS shard FROM bsz)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Replays the IVF routing CTEs, then the exact same candidate →
@@ -867,12 +931,13 @@ object Similarity {
     "q_label_propagation" ->
       s"""WITH $sqlIvfProbed,
          |lb AS (SELECT vec_id, label FROM embeddings),
-         |unl AS (SELECT anchor_id, vec_id, v FROM probed WHERE vec_id % 3 <> 0),
-         |sd AS (SELECT anchor_id, vec_id AS seed_id, v AS v2 FROM probed
+         |unl AS (SELECT anchor_id, shard, vec_id, v FROM probed
+         |  WHERE vec_id % 3 <> 0),
+         |sd AS (SELECT anchor_id, shard, vec_id AS seed_id, v AS v2 FROM probed
          |  WHERE vec_id % 3 = 0),
          |cand AS (SELECT DISTINCT unl.vec_id, sd.seed_id,
          |    round(${sqlCos("unl.v", "sd.v2")}, 6) AS cos_sim
-         |  FROM unl JOIN sd USING (anchor_id)),
+         |  FROM unl JOIN sd USING (anchor_id, shard)),
          |top3 AS (SELECT vec_id, seed_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos_sim DESC, seed_id) AS rn FROM cand) WHERE rn <= 3),
@@ -892,13 +957,13 @@ object Similarity {
     "q_bitext_mine" ->
       s"""WITH $sqlIvfProbed,
          |lg AS (SELECT doc_id AS vec_id, lang FROM documents),
-         |src AS (SELECT anchor_id, p.vec_id AS src_id, v AS v1
+         |src AS (SELECT anchor_id, shard, p.vec_id AS src_id, v AS v1
          |  FROM probed p JOIN lg USING (vec_id) WHERE lang = 'en'),
-         |tgt AS (SELECT anchor_id, p.vec_id AS tgt_id, v AS v2
+         |tgt AS (SELECT anchor_id, shard, p.vec_id AS tgt_id, v AS v2
          |  FROM probed p JOIN lg USING (vec_id) WHERE lang = 'de'),
          |cand AS (SELECT DISTINCT src_id, tgt_id,
          |    round(${sqlCos("v1", "v2")}, 6) AS cos_sim
-         |  FROM src JOIN tgt USING (anchor_id)),
+         |  FROM src JOIN tgt USING (anchor_id, shard)),
          |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
          |    ORDER BY cos_sim DESC, tgt_id) AS rn FROM cand),
          |r3 AS (SELECT * FROM r WHERE rn <= 3),
@@ -930,11 +995,12 @@ object Similarity {
       s"""WITH $sqlIvfProbed,
          |el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
          |  FROM embeddings),
-         |pa AS (SELECT p.anchor_id, p.vec_id, p.v, el.label
+         |pa AS (SELECT p.anchor_id, p.shard, p.vec_id, p.v, el.label
          |  FROM probed p JOIN el ON p.vec_id = el.vec_id),
          |pc AS (SELECT DISTINCT a.vec_id, b.vec_id AS pos_id,
          |    round(${sqlCos("a.v", "b.v")}, 6) AS pos_cos
          |  FROM pa a JOIN pa b ON a.anchor_id = b.anchor_id
+         |    AND a.shard = b.shard
          |    AND a.label = b.label AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id % 7 = 0),
          |p1 AS (SELECT vec_id, pos_id, pos_cos FROM (
@@ -943,6 +1009,7 @@ object Similarity {
          |nc AS (SELECT DISTINCT a.vec_id, b.vec_id AS neg_id,
          |    round(${sqlCos("a.v", "b.v")}, 6) AS neg_cos
          |  FROM pa a JOIN pa b ON a.anchor_id = b.anchor_id
+         |    AND a.shard = b.shard
          |    AND a.label <> b.label
          |  WHERE a.vec_id % 7 = 0),
          |n1 AS (SELECT vec_id, neg_id, neg_cos FROM (
@@ -1138,7 +1205,8 @@ object Similarity {
          |cp AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2,
          |    ${sqlCos("a.v", "b.v")} AS c
          |  FROM probed a JOIN probed b
-         |    ON a.anchor_id = b.anchor_id AND a.vec_id < b.vec_id)
+         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+         |    AND a.vec_id < b.vec_id)
          |SELECT DISTINCT doc1, doc2, round(c, 6) AS cos_sim FROM cp
          |WHERE c >= $DupThreshold ORDER BY doc1, doc2""".stripMargin,
     "q_ann_recall" ->
@@ -1146,7 +1214,8 @@ object Similarity {
          |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
          |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
          |  FROM probed a JOIN probed b
-         |    ON a.anchor_id = b.anchor_id AND a.vec_id <> b.vec_id),
+         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+         |    AND a.vec_id <> b.vec_id),
          |ann AS (SELECT vec_id, cos_sim AS ann_cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand) WHERE rn = 1),

@@ -297,6 +297,23 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
         "q_contrastive_pairs' positive side must join on (anchor_id, " +
           "label) — a label-only join key is the unbounded Σ|label|² " +
           s"block: ${labelOnlyJoins.map(_._1.simpleString(80)).mkString("; ")}")
+      // Round-6 saturation guard: every IVF bucket SELF-join must key
+      // on (anchor_id, shard) — an anchor-only key regresses to the
+      // unbounded Σ|bucket|² product on a degenerate corpus (the
+      // phash stop-band / cooccur df-cap lesson applied to the index).
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      for (q <- Seq("q_sim_ann", "q_dedup_embedding_ivf",
+          "q_label_propagation", "q_bitext_mine", "q_contrastive_pairs")) {
+        val plan = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan
+        val anchorOnly = plan.collect {
+          case j: BaseJoinExec =>
+            j.leftKeys.flatMap(_.references.map(_.name)).toSet
+        }.filter(k => k.contains("anchor_id") && !k.contains("shard"))
+        assert(anchorOnly.isEmpty,
+          s"$q self-joins posting lists on anchor_id without the " +
+            s"saturation shard: $anchorOnly")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

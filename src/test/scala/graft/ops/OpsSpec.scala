@@ -170,6 +170,41 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"IVF recall ${ivf.size}/${exact.size} below floor")
   }
 
+  test("shardProbed: degenerate one-bucket corpus splits to ~n·cap pair work, not n²") {
+    // a pathologically self-similar corpus routes EVERY vector into
+    // one fine bucket — before round 6 the bucket self-join was n².
+    // shardProbed must split it into ⌈bn/cap⌉ shards whose Σ|shard|²
+    // is ~n·cap (the phash stop-band lesson applied to the index).
+    val n = 3000L
+    val probed = spark.range(n)
+      .select(col("id").as("vec_id"), lit(7L).as("anchor_id"))
+    val sizes = Similarity.shardProbed(probed, n)
+      .groupBy("anchor_id", "shard").count()
+      .collect().map(_.getLong(2))
+    val m = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val cap = Similarity.IvfSaturationFactor * Similarity.NProbe *
+      ((n + m - 1) / m)
+    val nShards = (n + cap - 1) / cap
+    assert(nShards > 1, "fixture must actually saturate the bucket")
+    assert(sizes.length == nShards,
+      s"expected $nShards shards, got ${sizes.length}")
+    // the integer mix spreads members evenly enough that no shard
+    // holds more than 2× the target, so pair work is Θ(n·cap)
+    assert(sizes.max <= 2 * cap, s"skewed shard: max ${sizes.max} vs cap $cap")
+    val pairs = sizes.map(s => s * s).sum
+    assert(pairs <= 2 * n * cap && pairs * 4 < n * n,
+      s"pair bound broken: $pairs vs n·cap=${n * cap}")
+  }
+
+  test("shard guard is a no-op on the driver corpus (every bucket under cap)") {
+    // documents the round-6 claim that existing IVF results are
+    // unchanged: the largest real bucket is ~2.3× expected, the cap
+    // is 4× — so every nShards == 1 and every shard == 0
+    graft.functions.CosineSim.register(spark)
+    val sharded = Similarity.ivfShardedProbed(spark, "/root/testdata/sf0.001")
+    assert(sharded.agg(max(col("shard"))).head().getLong(0) == 0L)
+  }
+
   test("exact embedding dedup refuses above the row cap, naming the IVF scale path") {
     val dir = "/root/testdata/sf0.001" // 500 rows > lowered cap of 10
     val ex = intercept[IllegalStateException] {
