@@ -665,7 +665,19 @@ object Streams {
     * empty-input convention.
     */
   def driftIngest(spark: SparkSession, dir: String, workDir: String,
-      shards: Int = 3): DataFrame = withStatePartitions(spark) {
+      shards: Int = 3): DataFrame = {
+    driftStage(spark, dir, workDir, shards)
+    driftRun(spark, workDir)
+  }
+
+  /** Stage the events table as `shards` ts-range shards (shard 0 = the
+    * earliest third — the reference period). `upTo` stages only a
+    * prefix; shards already on disk are kept (deterministic staging,
+    * the [[stageShards]] crash-resume convention), so the restart test
+    * can stage 2, drain, "crash", stage the third, and resume.
+    */
+  private[streaming] def driftStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
     val ev = graft.Tables(spark, dir, "events")
       .select(expr("unix_micros(ts)").as("us"), col("value"))
     val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi")).head()
@@ -674,12 +686,24 @@ object Streams {
     val span = math.max(1L, hi1 - lo)
     val srcDir = java.nio.file.Paths.get(workDir, "stream")
     val t0 = System.currentTimeMillis() - 600000
-    for (i <- 0 until shards) {
+    for (i <- 0 until math.min(shards, upTo.getOrElse(shards))
+         if !java.nio.file.Files.exists(srcDir.resolve(s"e$i.parquet"))) {
       val a = lo + i * span / shards
       val z = if (i == shards - 1) hi1 else lo + (i + 1) * span / shards
       stageFile(ev.where(col("us") >= a && col("us") < z), srcDir,
         s"e$i", t0 + i * 10000L)
     }
+  }
+
+  /** Drain whatever drift shards are staged under `workDir/stream` —
+    * separated from [[driftStage]] so the checkpoint-restart test can
+    * resume mid-stream; the reference edges/histogram and the
+    * versioned current state all live on DISK, so a resumed run
+    * continues the fold exactly where the committed batches left it.
+    */
+  private[streaming] def driftRun(spark: SparkSession,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    val srcDir = java.nio.file.Paths.get(workDir, "stream")
     val edgeDir = s"$workDir/ref_edges" // 1 row: the fixed bin edges
     val refDir = s"$workDir/ref_hist"   // ≤10 rows: reference histogram
     // bins clamped to [0, 9]: CURRENT values may fall outside the
@@ -757,14 +781,29 @@ object Streams {
     * rescanned during ingest.
     */
   def ivfIngest(spark: SparkSession, dir: String, workDir: String,
-      shards: Int = 3): DataFrame = withStatePartitions(spark) {
+      shards: Int = 3): DataFrame = {
     import graft.ops.Similarity
     // the canonical batch-side projection — shared, so the input frame
     // cannot drift between the pair
     val emb = Similarity.embeddings(spark, dir)
     require(emb.limit(1).count() > 0,
       "embeddings table is empty — nothing to index")
-    val srcDir = stageShards(emb, workDir, shards, keyCol = "vec_id")
+    stageShards(emb, workDir, shards, keyCol = "vec_id")
+    ivfRun(spark, dir, workDir)
+  }
+
+  /** Drain whatever vector shards are staged under `workDir/stream`
+    * into the postings store — separated from the staging so the
+    * checkpoint-restart test can drain a prefix, "crash", stage the
+    * rest, and resume. The quantizer is retrained here on restart, but
+    * training is deterministic (fixed anchors by vec_id + cosine
+    * tie-breaks), so a resumed run assigns against the IDENTICAL index
+    * the committed batches used.
+    */
+  private[streaming] def ivfRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.Similarity
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
     // train the quantizer ONCE, before the stream starts — cache +
     // materialize both tiny (≤√n-row) tables so the per-batch
     // foreachBatch plans reuse them instead of re-running the
@@ -819,7 +858,32 @@ object Streams {
     * the batch's own rows only.
     */
   def contaminationIngest(spark: SparkSession, dir: String, workDir: String,
-      shards: Int = 3): DataFrame = withStatePartitions(spark) {
+      shards: Int = 3): DataFrame = {
+    contaminationStage(spark, dir, workDir, shards)
+    contaminationRun(spark, dir, workDir)
+  }
+
+  /** Stage the TRAINING side (docs outside the eval sample) as id
+    * shards; `upTo` stages a prefix for the checkpoint-restart test.
+    */
+  private[streaming] def contaminationStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    stageShards(docs.where(col("doc_id") % 50 =!= 0),
+      workDir, shards, upTo, keyCol = "doc_id")
+    ()
+  }
+
+  /** Drain whatever doc shards are staged under `workDir/stream` past
+    * the eval-shingle index — separated from [[contaminationStage]] so
+    * the checkpoint-restart test can resume mid-stream; the eval index
+    * is rebuilt on restart, but it derives deterministically from the
+    * static eval sample, so a resumed run probes the IDENTICAL index
+    * the committed batches did.
+    */
+  private[streaming] def contaminationRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
     import graft.ops.Dedup
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -827,8 +891,7 @@ object Streams {
       .select(col("doc_id").as("eval_id"), col("h")).cache()
     try {
       evalIx.count() // materialize the static index once, pre-stream
-      val srcDir = stageShards(docs.where(col("doc_id") % 50 =!= 0),
-        workDir, shards, keyCol = "doc_id")
+      val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)

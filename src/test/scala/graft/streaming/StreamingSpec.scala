@@ -345,6 +345,70 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(dirs.length == 3)
   }
 
+  test("foreachBatch ivf ingest: kill after 2 of 3 batches, restart == batch assignment") {
+    // the round-5 trio's restart gap (round-5 verdict item #4): the
+    // bid-keyed idempotent postings must survive a checkpoint resume —
+    // drain a 2-shard prefix, "crash", stage the third, resume, and
+    // the drained store must STILL equal the batch assignment.
+    graft.functions.CosineSim.register(spark)
+    import graft.ops.Similarity
+    val work = java.nio.file.Files.createTempDirectory("graft_sivf_resume").toString
+    val emb = Similarity.embeddings(spark, dir)
+    Streams.stageShards(emb, work, 3, upTo = Some(2), keyCol = "vec_id")
+    Streams.ivfRun(spark, dir, work)             // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/postings_b1").exists())
+    Streams.stageShards(emb, work, 3, keyCol = "vec_id") // shard 2 appears
+    val census = Streams.ivfRun(spark, dir, work) // run 2: resumes, only batch 2
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(new java.io.File(s"$work/postings_b2").exists())
+    assert(!new java.io.File(s"$work/postings_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val streamed = spark.read.parquet(s"$work/postings_b*")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = {
+      val (c, fb) = Similarity.ivfQuantizer(spark, dir)
+      Similarity.ivfAssign(emb, c, fb)
+        .select("vec_id", "anchor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(streamed == probed, "resumed postings diverge from batch assignment")
+    assert(census.nonEmpty && census.toSeq.map(_._2).sum == streamed.size)
+  }
+
+  test("foreachBatch contamination guard: kill after 2 of 3 batches, restart == batch scan") {
+    val work = java.nio.file.Files.createTempDirectory("graft_contam_resume").toString
+    Streams.contaminationStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.contaminationRun(spark, dir, work)   // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/flag_b1").exists())
+    Streams.contaminationStage(spark, dir, work, 3)
+    val streamed = Streams.contaminationRun(spark, dir, work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(new java.io.File(s"$work/flag_b2").exists())
+    assert(!new java.io.File(s"$work/flag_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.Dedup.queries("q_contamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("foreachBatch drift monitor: kill after 2 of 3 batches, restart == full replay") {
+    val work = java.nio.file.Files.createTempDirectory("graft_drift_resume").toString
+    Streams.driftStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.driftRun(spark, work)                // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/cur_v1").exists())
+    Streams.driftStage(spark, dir, work, 3)
+    val resumed = Streams.driftRun(spark, work)  // run 2: resumes, only batch 2
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(new java.io.File(s"$work/cur_v2").exists())
+    assert(!new java.io.File(s"$work/cur_v3").exists(),
+      "resumed run must process ONLY the new shard")
+    // the resumed fold must equal an unbroken one-session drain
+    val oneShot = Streams.driftIngest(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft_drift_oneshot").toString)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(resumed.nonEmpty && resumed == oneShot)
+  }
+
   test("foreachBatch drift monitor: streamed counts == ts-split batch replay, O(bins) state") {
     val work = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
     val counts = Streams.driftIngest(spark, dir, work)
