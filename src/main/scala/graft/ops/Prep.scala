@@ -264,6 +264,45 @@ object Prep {
   /** q_forget deletion-list sampler: customers with key ≡ 0 (mod 97). */
   val ForgetMod = 97
 
+  /** EXECUTE the right-to-be-forgotten cascade q_forget audits: rewrite
+    * customer → orders → lineitem → events under `outDir` with the
+    * deletion list's rows physically removed. Each table is one scan +
+    * one broadcast ANTI-join probe (the deletion list is a regulatory
+    * request — small by nature), i.e. the same partition-rewrite shape
+    * a production purge runs at 100 TB: no shuffle of the fact tables,
+    * the anti-join rides the scan. lineitem has no customer key, so
+    * its purge routes THROUGH the deleted customers' order keys (a
+    * second broadcast, |orders of deleted customers|-sized — bounded
+    * by the deletion list's activity, not the table).
+    *
+    * The audit claim is closed by OpsSpec: re-running q_forget on
+    * `outDir` must report n_purged = 0 per table with kept_checksum
+    * identical to the pre-delete audit's — the bit_xor receipt proves
+    * the purge removed exactly the predicted rows and nothing else —
+    * and re-applying the delete to the purged copy is a no-op
+    * (idempotent re-ingest). NOTE (round-5 advice): the events cascade
+    * keys events.user_id against c_custkey — valid because the fixture
+    * draws user_id from the customer key domain, asserted in OpsSpec
+    * so a corpus change fails loudly rather than purging garbage.
+    */
+  def forgetApply(s: SparkSession, dir: String, outDir: String): Unit = {
+    val del = broadcast(Tables(s, dir, "customer")
+      .select(col("c_custkey").as("k")).where(col("k") % ForgetMod === 0))
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    write("customer", Tables(s, dir, "customer")
+      .join(del, col("c_custkey") === col("k"), "left_anti"))
+    write("orders", Tables(s, dir, "orders")
+      .join(del, col("o_custkey") === col("k"), "left_anti"))
+    val deletedOrders = broadcast(Tables(s, dir, "orders")
+      .join(del, col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("l_orderkey")))
+    write("lineitem", Tables(s, dir, "lineitem")
+      .join(deletedOrders, Seq("l_orderkey"), "left_anti"))
+    write("events", Tables(s, dir, "events")
+      .join(del, col("user_id") === col("k"), "left_anti"))
+  }
+
   /** k-anonymity threshold: QI groups below this size are "at risk". */
   val KanonK = 5
 

@@ -205,6 +205,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(sharded.agg(max(col("shard"))).head().getLong(0) == 0L)
   }
 
+  test("q_forget executed: purge reproduces kept checksums, idempotent re-apply") {
+    val dir = "/root/testdata/sf0.001"
+    // fixture invariant backing the events cascade (round-5 advice):
+    // events.user_id is drawn from the customer key domain — if a
+    // future corpus breaks this, the purge counts would be
+    // semantically meaningless, so fail loudly here
+    val custKeys = graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val userIds = graft.Tables(spark, dir, "events")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(userIds.subsetOf(custKeys),
+      "events.user_id must be keyed to c_custkey for the cascade to be real")
+    def auditMap(d: String) = Prep.queries("q_forget")(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val pre = auditMap(dir)
+    assert(pre.values.exists(_._1 > 0), "fixture must have rows to purge")
+    // delete → the audit's receipt must reproduce exactly
+    val out = Files.createTempDirectory("forget_out").toString
+    Prep.forgetApply(spark, dir, out)
+    val post = auditMap(out)
+    for ((tbl, (_, keptPre, ckPre)) <- pre) {
+      val (purged, kept, ck) = post(tbl)
+      assert(purged == 0L, s"$tbl: purge left deletable rows behind")
+      assert(kept == keptPre, s"$tbl: kept-count drift after purge")
+      assert(ck == ckPre, s"$tbl: kept-checksum receipt mismatch")
+    }
+    // re-ingest idempotence: applying the delete to the purged copy
+    // is a no-op (the governance pipeline can re-run safely)
+    val out2 = Files.createTempDirectory("forget_out2").toString
+    Prep.forgetApply(spark, out, out2)
+    assert(auditMap(out2) == post)
+  }
+
   test("exact embedding dedup refuses above the row cap, naming the IVF scale path") {
     val dir = "/root/testdata/sf0.001" // 500 rows > lowered cap of 10
     val ex = intercept[IllegalStateException] {
