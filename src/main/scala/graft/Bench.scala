@@ -145,7 +145,9 @@ object Bench {
       "q_label_propagation", "q_bitext_mine", "q_chunk_overlap",
       "q_oov_rate", "q_contrastive_pairs", "q_drift_psi",
       "q_mix_temperature", "q_kanon", "q_stream_drift", "q_forget",
-      "q_stream_ivf", "q_image_phash", "q_stream_contamination")
+      "q_stream_ivf", "q_image_phash", "q_stream_contamination",
+      // round-6: cross-modal pair dedup over the two shared hash layers
+      "q_crossmodal_dedup")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -161,7 +163,7 @@ object Bench {
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
-      "q_dedup_aware_split", "q_leakage_guard")
+      "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
@@ -188,7 +190,20 @@ object Bench {
         System.err.println(f"[bench] shared_perplexity        $t%9.3f s")
         Seq("shared_perplexity" -> t)
       } else Seq.empty
-    val shared: Seq[(String, Double)] = sharedPostings ++ sharedPerplexity ++ (
+    // the 16-byte-per-doc image hash table: one real-decode pass
+    // shared by q_image_phash and q_crossmodal_dedup
+    val phashFamily = Set("q_image_phash", "q_crossmodal_dedup")
+    val sharedPhash: Seq[(String, Double)] =
+      if (names.exists(phashFamily.contains)) {
+        val t = timed("shared_phash") {
+          graft.ops.Multimodal.sharedPhash(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_phash             $t%9.3f s")
+        Seq("shared_phash" -> t)
+      } else Seq.empty
+    val shared: Seq[(String, Double)] =
+      sharedPostings ++ sharedPerplexity ++ sharedPhash ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

@@ -356,6 +356,15 @@ object Multimodal {
     */
   val PhashHammingMax = 3
 
+  /** q_crossmodal_dedup's image bit budget. Looser than
+    * [[PhashHammingMax]] because the text pair list already vouches
+    * for the pair (two independent weak signals compose into a strong
+    * one — the LAION-dedup calibration), and because the pair-list
+    * probe is exact: no banding, so no pigeonhole bound ties the
+    * budget to band count.
+    */
+  val CrossmodalHammingMax = 8
+
   /** Stop-band damping cap: band buckets holding more than this many
     * images are SKIPPED during candidate generation. On a corpus
     * whose perceptual-hash space saturates (the closed-form gradients
@@ -426,6 +435,42 @@ object Multimodal {
   private[graft] def sharedPhash(s: SparkSession, dir: String): DataFrame =
     Scratch.materialize(s, s"phash_$dir")(
       extractPhash(asPngMedia(s, dir)).toDF())
+
+  /** SYMMETRIC image near-dup pairs (doc_id, nb): band the 64-bit
+    * aHash into 4×16 bits, candidates only from shared NON-SATURATED
+    * band buckets (stop-band damping via [[PhashBucketCap]] drops
+    * saturated buckets from BOTH join sides before the candidate
+    * product — never the n² image-pair space), verified by exact
+    * hamming ≤ [[PhashHammingMax]] on the two 32-bit halves. Shared by
+    * q_image_phash's census and q_crossmodal_dedup's intersection; the
+    * hash table itself comes from [[sharedPhash]], so the corpus
+    * decodes once per session however many consumers run.
+    */
+  private[ops] def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ph = sharedPhash(s, dir)
+    val bands = ph.select(col("doc_id"),
+      col("phash_hi").as("h1x"), col("phash_lo").as("l1x"),
+      posexplode(array(
+        col("phash_lo").bitwiseAND(65535),
+        shiftright(col("phash_lo"), 16).bitwiseAND(65535),
+        col("phash_hi").bitwiseAND(65535),
+        shiftright(col("phash_hi"), 16).bitwiseAND(65535)))
+        .as(Seq("band", "bv")))
+    val keep = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") <= PhashBucketCap)
+      .select(col("band"), col("bv"))
+    val live = bands.join(keep, Seq("band", "bv"))
+    live
+      .select(col("band"), col("bv"), col("doc_id").as("doc1"),
+        col("h1x").as("h1"), col("l1x").as("l1"))
+      .join(live.select(col("band"), col("bv"), col("doc_id").as("doc2"),
+        col("h1x").as("h2"), col("l1x").as("l2")), Seq("band", "bv"))
+      .where(col("doc1") =!= col("doc2") &&
+        expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)") <= PhashHammingMax)
+      .select(col("doc1").as("doc_id"), col("doc2").as("nb"))
+      .distinct()
+  }
 
   /** Batched perceptual-hash stage — same per-partition batch shape as
     * [[extractFeatures]]; one real decode per payload, 16 bytes out.
@@ -548,44 +593,56 @@ object Multimodal {
     // shingle-saturation note in BENCH_SCALING.md: a data property,
     // not a plan property).
     "q_image_phash" -> ((s, dir) => {
-      // 3 consumers (band self-join ×2 + the spine) — materialize the
-      // 16-byte-per-doc hash table to session scratch so the corpus
-      // decodes exactly once; a .cache() here pinned executor storage
-      // for the rest of the ~70-query Verify/Bench session (round-5
-      // ADVICE), while the parquet round-trip is durable, unpinned,
-      // and free for later consumers (q_crossmodal_dedup)
-      val ph = sharedPhash(s, dir)
-      val bands = ph.select(col("doc_id"),
-        col("phash_hi").as("h1x"), col("phash_lo").as("l1x"),
-        posexplode(array(
-          col("phash_lo").bitwiseAND(65535),
-          shiftright(col("phash_lo"), 16).bitwiseAND(65535),
-          col("phash_hi").bitwiseAND(65535),
-          shiftright(col("phash_hi"), 16).bitwiseAND(65535)))
-          .as(Seq("band", "bv")))
-      // stop-band damping (see PhashBucketCap): saturated buckets are
-      // dropped from BOTH join sides before the candidate product
-      val keep = bands.groupBy(col("band"), col("bv"))
-        .agg(count(lit(1)).as("c"))
-        .where(col("c") <= PhashBucketCap)
-        .select(col("band"), col("bv"))
-      val live = bands.join(keep, Seq("band", "bv"))
-      val pairs = live
-        .select(col("band"), col("bv"), col("doc_id").as("doc1"),
-          col("h1x").as("h1"), col("l1x").as("l1"))
-        .join(live.select(col("band"), col("bv"), col("doc_id").as("doc2"),
-          col("h1x").as("h2"), col("l1x").as("l2")), Seq("band", "bv"))
-        .where(col("doc1") =!= col("doc2") &&
-          expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)") <= PhashHammingMax)
-        .select(col("doc1").as("doc_id"), col("doc2").as("nb"))
-        .distinct()
-      val census = pairs.groupBy(col("doc_id"))
+      val census = phashPairs(s, dir).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_near"), min(col("nb")).as("mn"))
-      ph.select(col("doc_id")).join(census, Seq("doc_id"), "left")
+      sharedPhash(s, dir).select(col("doc_id"))
+        .join(census, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_near"), lit(0L)).as("n_near"),
           least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
             .as("canon"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-modal (caption, image) pair dedup — the LAION-style pass:
+    // a record pair is a crossmodal duplicate only when BOTH
+    // modalities collide — captions n-gram-Jaccard ≥ 0.6 (the shared
+    // text pair list) AND images within CrossmodalHammingMax aHash
+    // bits, verified by EXACT hamming against the shared 16-byte hash
+    // table. Text-only matches (same boilerplate caption, different
+    // product photos) and image-only matches (same stock photo,
+    // different captions) survive; only genuine repeated
+    // (caption, image) records drop — keep = the smallest doc_id of
+    // each crossmodal neighborhood. The text pair list is the bounded
+    // CANDIDATE GENERATOR, so the image leg needs neither banding nor
+    // stop-band damping and misses nothing up to the bit budget (the
+    // banded q_image_phash path must forfeit saturated buckets; a
+    // pair-list probe doesn't). At 100 TB the plan joins a near-dup
+    // pair table (≪ corpus) twice against a 16-byte-per-doc hash
+    // table — media bytes and shingles never move.
+    "q_crossmodal_dedup" -> ((s, dir) => {
+      val txt = Dedup.sharedJaccardPairs(s, dir, 0.6)
+        .select(col("doc1"), col("doc2"))
+      val ph = sharedPhash(s, dir)
+      val cross = txt
+        .join(ph.select(col("doc_id").as("doc1"),
+          col("phash_hi").as("h1"), col("phash_lo").as("l1")), Seq("doc1"))
+        .join(ph.select(col("doc_id").as("doc2"),
+          col("phash_hi").as("h2"), col("phash_lo").as("l2")), Seq("doc2"))
+        .where(expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)")
+          <= CrossmodalHammingMax)
+        .select(col("doc1"), col("doc2"))
+      val sym = cross.select(col("doc1").as("doc_id"), col("doc2").as("nb"))
+        .unionByName(cross.select(col("doc2").as("doc_id"), col("doc1").as("nb")))
+      val census = sym.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cross"), min(col("nb")).as("mn"))
+      ph.select(col("doc_id"))
+        .join(census, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+          least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+            .as("canon"))
+        .withColumn("drop_doc", (col("canon") < col("doc_id")).cast("int"))
         .orderBy(col("doc_id"))
     }),
 
@@ -611,6 +668,48 @@ object Multimodal {
         .orderBy(col("source"), col("batch"))
     })
   )
+
+  /** Shared SQL replay of [[sharedPhash]] + [[phashPairs]]: CTE chain
+    * ending in `ph(doc_id, hi, lo)` and symmetric `pairs(doc_id, nb)`
+    * — prefix for the q_image_phash / q_crossmodal_dedup oracles.
+    */
+  private def sqlPhashCtes: String =
+    s"""d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
+       |  FROM documents),
+       |px AS (SELECT doc_id, w, h, x, y,
+       |    (doc_id * 31 + x * 7 + y) % 256 AS v
+       |  FROM d,
+       |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+       |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+       |bl AS (SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
+       |    sum(v) AS s, count(*) AS n
+       |  FROM px GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, sum(s) AS ts, sum(n) AS tn FROM bl GROUP BY 1),
+       |bits AS (SELECT bl.doc_id, idx,
+       |    CASE WHEN s * tn > ts * n THEN 1 ELSE 0 END AS b
+       |  FROM bl JOIN tt ON bl.doc_id = tt.doc_id),
+       |ph AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN idx >= 32
+       |      THEN b * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT)
+       |      AS hi,
+       |    CAST(sum(CASE WHEN idx < 32
+       |      THEN b * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, lo & 65535 AS bv FROM ph
+       |  UNION ALL SELECT doc_id, 1, (lo >> 16) & 65535 FROM ph
+       |  UNION ALL SELECT doc_id, 2, hi & 65535 FROM ph
+       |  UNION ALL SELECT doc_id, 3, (hi >> 16) & 65535 FROM ph),
+       |keep AS (SELECT band, bv FROM bands GROUP BY band, bv
+       |  HAVING count(*) <= $PhashBucketCap),
+       |live AS (SELECT bands.* FROM bands JOIN keep USING (band, bv)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nb
+       |  FROM live a JOIN live b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
+       |  JOIN ph x ON a.doc_id = x.doc_id
+       |  JOIN ph y ON b.doc_id = y.doc_id
+       |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+       |    <= $PhashHammingMax)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_join" ->
@@ -642,47 +741,46 @@ object Multimodal {
     // 4×16-bit banding and hamming verify. PNG is lossless, so the
     // real-decode bits equal the closed-form bits exactly.
     "q_image_phash" ->
-      s"""WITH d AS (SELECT doc_id, doc_id % 24 + 8 AS w, doc_id % 16 + 8 AS h
-         |  FROM documents),
-         |px AS (SELECT doc_id, w, h, x, y,
-         |    (doc_id * 31 + x * 7 + y) % 256 AS v
-         |  FROM d,
-         |    LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
-         |    LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
-         |bl AS (SELECT doc_id, (y * 8) // h * 8 + (x * 8) // w AS idx,
-         |    sum(v) AS s, count(*) AS n
-         |  FROM px GROUP BY 1, 2),
-         |tt AS (SELECT doc_id, sum(s) AS ts, sum(n) AS tn FROM bl GROUP BY 1),
-         |bits AS (SELECT bl.doc_id, idx,
-         |    CASE WHEN s * tn > ts * n THEN 1 ELSE 0 END AS b
-         |  FROM bl JOIN tt ON bl.doc_id = tt.doc_id),
-         |ph AS (SELECT doc_id,
-         |    CAST(sum(CASE WHEN idx >= 32
-         |      THEN b * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END) AS BIGINT)
-         |      AS hi,
-         |    CAST(sum(CASE WHEN idx < 32
-         |      THEN b * (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, lo & 65535 AS bv FROM ph
-         |  UNION ALL SELECT doc_id, 1, (lo >> 16) & 65535 FROM ph
-         |  UNION ALL SELECT doc_id, 2, hi & 65535 FROM ph
-         |  UNION ALL SELECT doc_id, 3, (hi >> 16) & 65535 FROM ph),
-         |keep AS (SELECT band, bv FROM bands GROUP BY band, bv
-         |  HAVING count(*) <= $PhashBucketCap),
-         |live AS (SELECT bands.* FROM bands JOIN keep USING (band, bv)),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nb
-         |  FROM live a JOIN live b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id
-         |  JOIN ph x ON a.doc_id = x.doc_id
-         |  JOIN ph y ON b.doc_id = y.doc_id
-         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
-         |    <= $PhashHammingMax),
+      s"""WITH $sqlPhashCtes,
          |census AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
          |    min(nb) AS mn
          |  FROM pairs GROUP BY doc_id)
          |SELECT ph.doc_id, COALESCE(n_near, 0) AS n_near,
          |  least(ph.doc_id, COALESCE(mn, ph.doc_id)) AS canon
+         |FROM ph LEFT JOIN census ON ph.doc_id = census.doc_id
+         |ORDER BY ph.doc_id""".stripMargin,
+    // The exact text near-dup pair list (the q_ngram_jaccard CTEs)
+    // probed against the closed-form phash table with exact hamming —
+    // both modalities replayed from first principles, then the same
+    // census/keep rule as Spark. (Only the `ph` CTE of the phash
+    // prefix is referenced; DuckDB inlines CTEs, so the unused banded
+    // chain is never evaluated.)
+    "q_crossmodal_dedup" ->
+      s"""WITH $sqlPhashCtes,
+         |${graft.ops.TextFns.sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${graft.ops.TextFns.sqlH60("s")} AS h
+         |  FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tp AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |cp AS (SELECT tp.doc1, tp.doc2 FROM tp
+         |  JOIN ph x ON tp.doc1 = x.doc_id
+         |  JOIN ph y ON tp.doc2 = y.doc_id
+         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+         |    <= $CrossmodalHammingMax),
+         |sym AS (SELECT doc1 AS doc_id, doc2 AS nb FROM cp
+         |  UNION ALL SELECT doc2, doc1 FROM cp),
+         |census AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cross,
+         |    min(nb) AS mn
+         |  FROM sym GROUP BY doc_id)
+         |SELECT ph.doc_id, COALESCE(n_cross, 0) AS n_cross,
+         |  least(ph.doc_id, COALESCE(mn, ph.doc_id)) AS canon,
+         |  CAST(least(ph.doc_id, COALESCE(mn, ph.doc_id)) < ph.doc_id AS INT)
+         |    AS drop_doc
          |FROM ph LEFT JOIN census ON ph.doc_id = census.doc_id
          |ORDER BY ph.doc_id""".stripMargin,
     // Closed-form replay of the decoded WAV: sample i of doc d is
