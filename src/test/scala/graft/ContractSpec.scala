@@ -303,7 +303,8 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
       // phash stop-band / cooccur df-cap lesson applied to the index).
       import org.apache.spark.sql.execution.joins.BaseJoinExec
       for (q <- Seq("q_sim_ann", "q_dedup_embedding_ivf",
-          "q_label_propagation", "q_bitext_mine", "q_contrastive_pairs")) {
+          "q_label_propagation", "q_bitext_mine", "q_contrastive_pairs",
+          "q_knn_graph")) {
         val plan = SparkEntry.queries(q)(spark, dir)
           .queryExecution.executedPlan
         val anchorOnly = plan.collect {
