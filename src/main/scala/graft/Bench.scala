@@ -190,6 +190,21 @@ object Bench {
         System.err.println(f"[bench] shared_perplexity        $t%9.3f s")
         Seq("shared_perplexity" -> t)
       } else Seq.empty
+    // the IVF probed-assignment table (the vector index): one
+    // quantizer-train + assign pass shared by the whole IVF family
+    val ivfFamily = Set("q_sim_ann", "q_ann_recall", "q_dedup_embedding_ivf",
+      "q_ivf_pq_search", "q_label_propagation", "q_bitext_mine",
+      "q_contrastive_pairs", "q_knn_graph")
+    val sharedIvf: Seq[(String, Double)] =
+      if (names.exists(ivfFamily.contains)) {
+        val t = timed("shared_ivf_probed") {
+          graft.functions.CosineSim.register(spark)
+          graft.ops.Similarity.sharedIvfProbed(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_ivf_probed        $t%9.3f s")
+        Seq("shared_ivf_probed" -> t)
+      } else Seq.empty
     // the 16-byte-per-doc image hash table: one real-decode pass
     // shared by q_image_phash and q_crossmodal_dedup
     val phashFamily = Set("q_image_phash", "q_crossmodal_dedup")
@@ -203,7 +218,7 @@ object Bench {
         Seq("shared_phash" -> t)
       } else Seq.empty
     val shared: Seq[(String, Double)] =
-      sharedPostings ++ sharedPerplexity ++ sharedPhash ++ (
+      sharedPostings ++ sharedPerplexity ++ sharedIvf ++ sharedPhash ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

@@ -194,10 +194,19 @@ object Similarity {
     * anchor (its own) — full coverage holds. Returns
     * (vec_id, v, anchor_id), NProbe rows per vector.
     */
-  private[ops] def ivfProbed(s: SparkSession, dir: String): DataFrame = {
-    val (coarse, fineBucket) = ivfQuantizer(s, dir)
-    ivfAssign(embeddings(s, dir), coarse, fineBucket)
-  }
+  private[ops] def ivfProbed(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"ivf_probed_$dir") {
+      val (coarse, fineBucket) = ivfQuantizer(s, dir)
+      ivfAssign(embeddings(s, dir), coarse, fineBucket)
+    }
+  // ^ materialized ONCE per session (round 6): eight consumers
+  // (q_sim_ann, q_ann_recall, q_dedup_embedding_ivf, q_ivf_pq_search,
+  // q_label_propagation, q_bitext_mine, q_contrastive_pairs,
+  // q_knn_graph) each re-ran the quantizer crossJoins + three ranking
+  // windows; now they scan an (n·NProbe)-row parquet — which is also
+  // what production does: a vector store's index IS the materialized
+  // assignment, built once at ingest (q_stream_ivf is exactly that
+  // build, incremental). Billed as shared_ivf_probed in Bench.
 
   /** Posting-list saturation factor: a fine bucket is "saturated" when
     * it exceeds IvfSaturationFactor × the expected bucket size
@@ -234,11 +243,17 @@ object Similarity {
 
   /** [[ivfProbed]] + the saturation shard column — the frame every
     * bucket-self-join consumer (q_sim_ann, q_dedup_embedding_ivf,
-    * q_label_propagation, q_bitext_mine, q_contrastive_pairs) starts
-    * from.
+    * q_label_propagation, q_bitext_mine, q_contrastive_pairs,
+    * q_knn_graph) starts from.
     */
   private[ops] def ivfShardedProbed(s: SparkSession, dir: String): DataFrame =
     shardProbed(ivfProbed(s, dir), Tables(s, dir, "embeddings").count())
+
+  /** Package handle for Bench's shared-entry billing of the
+    * materialized assignment.
+    */
+  private[graft] def sharedIvfProbed(s: SparkSession, dir: String): DataFrame =
+    ivfProbed(s, dir)
 
   /** Exact all-pairs near-dup is the AUDIT role only — it bounds the
     * executed IVF scale path (q_dedup_embedding_ivf) from above. Above
