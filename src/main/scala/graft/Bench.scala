@@ -205,6 +205,18 @@ object Bench {
         System.err.println(f"[bench] shared_ivf_probed        $t%9.3f s")
         Seq("shared_ivf_probed" -> t)
       } else Seq.empty
+    // the full-corpus PQ code table (the stored PQ index): one
+    // quantize+encode pass shared by the PQ query family
+    val pqFamily = Set("q_pq_encode", "q_pq_search", "q_ivf_pq_search")
+    val sharedPq: Seq[(String, Double)] =
+      if (names.exists(pqFamily.contains)) {
+        val t = timed("shared_pq_codes") {
+          graft.ops.Similarity.sharedPqCodes(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_pq_codes          $t%9.3f s")
+        Seq("shared_pq_codes" -> t)
+      } else Seq.empty
     // the 16-byte-per-doc image hash table: one real-decode pass
     // shared by q_image_phash and q_crossmodal_dedup
     val phashFamily = Set("q_image_phash", "q_crossmodal_dedup")
@@ -218,7 +230,8 @@ object Bench {
         Seq("shared_phash" -> t)
       } else Seq.empty
     val shared: Seq[(String, Double)] =
-      sharedPostings ++ sharedPerplexity ++ sharedIvf ++ sharedPhash ++ (
+      sharedPostings ++ sharedPerplexity ++ sharedIvf ++ sharedPq ++
+        sharedPhash ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

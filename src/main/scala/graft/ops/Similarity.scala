@@ -44,19 +44,37 @@ object Similarity {
     * (cid, pos, cq) — the PqK lowest vec_ids' sub-vectors).
     */
   private def pqQuantizedCells(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val emb = embeddings(s, dir)
-    val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-    val stats = cells.groupBy("pos")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val qc = cells.join(broadcast(stats), Seq("pos"))
-      .select(col("vec_id"), col("pos"),
-        when(col("mx") > col("mn"),
-          round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
-          .otherwise(lit(0.0)).cast("long").as("q"))
+    // the quantized cells are session-materialized (round 6): three
+    // consumers (encode, ADC search, IVF-PQ) each re-ran the
+    // posexplode + per-dim stats pass, and the ADC LUT paths re-ran it
+    // again for the query row; all now scan one (n·Dim)-row parquet
+    // with pushed-down vec_id filters
+    val qc = Scratch.materialize(s, s"pq_cells_$dir") {
+      val emb = embeddings(s, dir)
+      val cells = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      val stats = cells.groupBy("pos")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      cells.join(broadcast(stats), Seq("pos"))
+        .select(col("vec_id"), col("pos"),
+          when(col("mx") > col("mn"),
+            round((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(127.0), 0))
+            .otherwise(lit(0.0)).cast("long").as("q"))
+    }
     val cb = qc.where(col("vec_id") < PqK)
       .select(col("vec_id").as("cid"), col("pos"), col("q").as("cq"))
     (qc, cb)
   }
+
+  /** The full-corpus PQ code table (vec_id, sub, mc) — the stored
+    * index every PQ consumer shares, materialized once per session
+    * (the ivfProbed discipline: a production PQ index is encoded at
+    * ingest, queries read codes). Billed as shared_pq_codes in Bench.
+    */
+  private[graft] def sharedPqCodes(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"pq_codes_$dir") {
+      val (qc, cb) = pqQuantizedCells(s, dir)
+      pqWinners(pqSubDists(qc, cb))
+    }
 
   /** Integer L2² of every (vector, subspace, codebook entry) triple. */
   private def pqSubDists(qc: DataFrame, cb: DataFrame): DataFrame =
@@ -411,8 +429,7 @@ object Similarity {
     // (dist·K + cid) composite is the argmin-with-tiebreak in ONE
     // bigint min.
     "q_pq_encode" -> ((s, dir) => {
-      val (qc, cb) = pqQuantizedCells(s, dir)
-      pqWinners(pqSubDists(qc, cb))
+      sharedPqCodes(s, dir)
         .select(col("vec_id"), col("sub"),
           (col("mc") % PqK).as("code"), expr(s"mc div $PqK").as("dist"))
         .orderBy(col("vec_id"), col("sub"))
@@ -431,8 +448,8 @@ object Similarity {
     // hash-exact. Query = vec_id 0, excluded from results.
     "q_pq_search" -> ((s, dir) => {
       val (qc, cb) = pqQuantizedCells(s, dir)
-      // codes for the whole corpus (the stored index)
-      val codes = pqWinners(pqSubDists(qc, cb))
+      // codes for the whole corpus (the stored index, shared)
+      val codes = sharedPqCodes(s, dir)
         .select(col("vec_id"), col("sub"), (col("mc") % PqK).as("code"))
       // per-subspace ADC lookup table for the query vector (vec_id 0)
       val lut = pqSubDists(qc.where(col("vec_id") === 0), cb)
@@ -470,7 +487,7 @@ object Similarity {
         .where(col("vec_id") =!= 0)
         .select(col("vec_id")).distinct()
       val (qc, cb) = pqQuantizedCells(s, dir)
-      val codes = pqWinners(pqSubDists(qc, cb))
+      val codes = sharedPqCodes(s, dir)
         .select(col("vec_id"), col("sub"), (col("mc") % PqK).as("code"))
       val lut = pqSubDists(qc.where(col("vec_id") === 0), cb)
         .select(col("sub"), col("cid").as("code"), col("dist").as("d"))
