@@ -110,9 +110,18 @@ object Multimodal {
     // the id list comes from ONE small parquet file (1-2 scan splits);
     // repartition it so the embarrassingly-parallel codec work uses
     // every core — the shuffle moves only 8-byte ids
-    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
-      .mapPartitions(_.map(id => MediaRecord(id, pngFor(id), "image/png")))
+    asPngMediaOf(Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism))
+  }
+
+  /** [[asPngMedia]] for an arbitrary id frame — the streaming ingest
+    * (Streams.crossmodalIngest) synthesizes each micro-batch's
+    * payloads with the SAME generator the batch path uses, so the two
+    * sides cannot drift on the image bytes.
+    */
+  def asPngMediaOf(ids: Dataset[Long]): Dataset[MediaRecord] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map(id => MediaRecord(id, pngFor(id), "image/png")))
   }
 
   /** Real decode: ImageIO PNG read → dimensions + luminance sum (the
@@ -646,6 +655,21 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // EXECUTES on the streaming engine: the crossmodal guard as an
+    // ingest-time pass — arriving micro-batches compute their own
+    // shingle postings + image hashes with the SAME shared projections
+    // the batch path uses, probe the accumulated feature stores for
+    // pairs colliding in BOTH modalities, and the drained symmetric
+    // census equals the batch query exactly (an unordered pair is
+    // found when its later member arrives). Shares q_crossmodal_dedup's
+    // oracle verbatim ⇒ streaming ≡ batch is hash-checked. See
+    // Streams.crossmodalIngest for the state story.
+    "q_stream_crossmodal" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_xm").toString
+      graft.streaming.Streams.crossmodalIngest(s, dir, work)
+    }),
+
     // Decode-batch packing: group media into fixed byte-budget
     // batches (8 KB) per source so downstream decode workers get
     // even-sized units of work — the scheduling pass that runs BEFORE
@@ -711,6 +735,35 @@ object Multimodal {
        |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
        |    <= $PhashHammingMax)""".stripMargin
 
+  private def crossmodalOracle: String =
+    s"""WITH $sqlPhashCtes,
+         |${graft.ops.TextFns.sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${graft.ops.TextFns.sqlH60("s")} AS h
+         |  FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tp AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |cp AS (SELECT tp.doc1, tp.doc2 FROM tp
+         |  JOIN ph x ON tp.doc1 = x.doc_id
+         |  JOIN ph y ON tp.doc2 = y.doc_id
+         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+         |    <= $CrossmodalHammingMax),
+         |sym AS (SELECT doc1 AS doc_id, doc2 AS nb FROM cp
+         |  UNION ALL SELECT doc2, doc1 FROM cp),
+         |census AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cross,
+         |    min(nb) AS mn
+         |  FROM sym GROUP BY doc_id)
+         |SELECT ph.doc_id, COALESCE(n_cross, 0) AS n_cross,
+         |  least(ph.doc_id, COALESCE(mn, ph.doc_id)) AS canon,
+         |  CAST(least(ph.doc_id, COALESCE(mn, ph.doc_id)) < ph.doc_id AS INT)
+         |    AS drop_doc
+         |FROM ph LEFT JOIN census ON ph.doc_id = census.doc_id
+         |ORDER BY ph.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label,
@@ -755,34 +808,10 @@ object Multimodal {
     // census/keep rule as Spark. (Only the `ph` CTE of the phash
     // prefix is referenced; DuckDB inlines CTEs, so the unused banded
     // chain is never evaluated.)
-    "q_crossmodal_dedup" ->
-      s"""WITH $sqlPhashCtes,
-         |${graft.ops.TextFns.sqlShingleCtes("documents")},
-         |shh AS (SELECT DISTINCT doc_id, ${graft.ops.TextFns.sqlH60("s")} AS h
-         |  FROM sh),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
-         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |tp AS (SELECT doc1, doc2
-         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
-         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
-         |cp AS (SELECT tp.doc1, tp.doc2 FROM tp
-         |  JOIN ph x ON tp.doc1 = x.doc_id
-         |  JOIN ph y ON tp.doc2 = y.doc_id
-         |  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
-         |    <= $CrossmodalHammingMax),
-         |sym AS (SELECT doc1 AS doc_id, doc2 AS nb FROM cp
-         |  UNION ALL SELECT doc2, doc1 FROM cp),
-         |census AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cross,
-         |    min(nb) AS mn
-         |  FROM sym GROUP BY doc_id)
-         |SELECT ph.doc_id, COALESCE(n_cross, 0) AS n_cross,
-         |  least(ph.doc_id, COALESCE(mn, ph.doc_id)) AS canon,
-         |  CAST(least(ph.doc_id, COALESCE(mn, ph.doc_id)) < ph.doc_id AS INT)
-         |    AS drop_doc
-         |FROM ph LEFT JOIN census ON ph.doc_id = census.doc_id
-         |ORDER BY ph.doc_id""".stripMargin,
+    "q_crossmodal_dedup" -> crossmodalOracle,
+    // Streaming ≡ batch by the arrival-order argument on
+    // Streams.crossmodalIngest — the SAME oracle, verbatim.
+    "q_stream_crossmodal" -> crossmodalOracle,
     // Closed-form replay of the decoded WAV: sample i of doc d is
     // (d·131 + i·17) mod 4096 − 2048 at rate 8000 + (d mod 4)·4000 —
     // lossless PCM ⇒ equality with the real decode is exact.

@@ -912,6 +912,158 @@ object Streams {
     spark.read.parquet(s"$workDir/flag_b*").orderBy(col("doc_id"))
   }
 
+  /** Streaming cross-modal dedup guard — the foreachBatch deployment
+    * of q_crossmodal_dedup (the LAION ingest shape): documents stream
+    * as id shards; each micro-batch computes its own text postings
+    * (the SAME [[graft.ops.Dedup.shingleHashes]] projection as batch)
+    * and image hashes (the SAME [[graft.ops.Multimodal.extractPhash]]
+    * decode over [[graft.ops.Multimodal.asPngMediaOf]] payloads),
+    * probes the accumulated feature stores ∪ itself for pairs that
+    * collide in BOTH modalities (text Jaccard ≥ 0.6 verified against
+    * exact sizes, image hamming ≤ CrossmodalHammingMax), and writes
+    * pairs + its feature additions to per-bid overwritten directories
+    * (the driftIngest versioned-state discipline: a retried batch
+    * re-reads only stores STRICTLY below its bid and rewrites its own
+    * idempotent outputs). An unordered qualifying pair is found when
+    * its later member arrives — postings share ≥ 1 hash whenever
+    * Jaccard > 0, so the probe can't miss — and the drained symmetric
+    * census therefore equals the batch query exactly: q_stream_crossmodal
+    * SHARES q_crossmodal_dedup's oracle verbatim. State is the feature
+    * store (60-bit shingle hashes + 16-byte phash + one size per doc);
+    * per batch no join ever shuffles the accumulated store on content —
+    * at production scale the postings store is bucketed on h so the
+    * batch-side probe prunes to matching buckets.
+    */
+  def crossmodalIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    crossmodalStage(spark, dir, workDir, shards)
+    crossmodalRun(spark, dir, workDir)
+  }
+
+  /** Stage the documents as id shards; `upTo` stages a prefix for the
+    * checkpoint-restart test.
+    */
+  private[streaming] def crossmodalStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id")
+    ()
+  }
+
+  /** Drain whatever doc shards are staged under `workDir/stream` past
+    * the crossmodal guard — separated from [[crossmodalStage]] so the
+    * checkpoint-restart test can resume mid-stream; all state is
+    * per-bid on disk.
+    */
+  private[streaming] def crossmodalRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.{Dedup, Multimodal}
+    // every versioned `prefix<v>` store directory with v < belowBid.
+    // The store schemas are supplied, not inferred — a footer-sniffing
+    // read is one extra Spark JOB per store per batch, and the whole
+    // ingest is driver-job-bound (measured 26 jobs/micro-batch before
+    // this pass slimmed it)
+    def storesBelow(prefix: String, belowBid: Long,
+        schema: String): Option[DataFrame] = {
+      val dirs = Option(new java.io.File(workDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory)
+        .flatMap { f =>
+          scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
+            .filter(v => f.getName.startsWith(prefix) && v < belowBid)
+            .map(_ => f.getPath)
+        }
+      if (dirs.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(dirs.toSeq: _*))
+    }
+    val postSchema = "doc_id BIGINT, h BIGINT"
+    val metaSchema = "doc_id BIGINT, sz BIGINT, phash_hi BIGINT, phash_lo BIGINT"
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        import spark.implicits._
+        // a micro-batch arrives as ONE staged file = one partition —
+        // spread it so the shingle explode and the image decode use
+        // every core (the shuffle moves only the batch's own rows)
+        val bdf = batch.toDF()
+          .repartition(spark.sparkContext.defaultParallelism)
+        // cached: postings feed the doc metadata + the probe + the
+        // store append; meta (size + phash, ONE row per doc) feeds
+        // both pair predicates and its own store append
+        val post = Dedup.shingleHashes(bdf).cache()
+        val meta = post.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+          .join(Multimodal.extractPhash(Multimodal.asPngMediaOf(
+            bdf.select(col("doc_id")).as[Long])).toDF(), Seq("doc_id"))
+          .cache()
+        try {
+          val allPost = storesBelow("post_b", bid, postSchema)
+            .map(_.unionByName(post)).getOrElse(post)
+          val allMeta = storesBelow("meta_b", bid, metaSchema)
+            .map(_.unionByName(meta)).getOrElse(meta)
+          // text candidates: batch postings probe the accumulated
+          // postings (∪ batch, for within-batch pairs) on the hash.
+          // The BATCH side broadcasts (small by construction, the
+          // minhashDedupIngest discipline) — the accumulated store is
+          // only scanned and probed, never shuffled. Both verify
+          // predicates (exact Jaccard from sizes, exact hamming from
+          // the 16-byte hashes) apply in ONE pass over the candidate
+          // pairs via the fused per-doc metadata row.
+          val inter = broadcast(post.select(col("doc_id").as("doc1"), col("h")))
+            .join(allPost.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
+            .where(col("doc1") =!= col("doc2"))
+            .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("i"))
+          val pairs = inter
+            .join(broadcast(meta.select(col("doc_id").as("doc1"),
+              col("sz").as("sz1"), col("phash_hi").as("h1"),
+              col("phash_lo").as("l1"))), Seq("doc1"))
+            .join(allMeta.select(col("doc_id").as("doc2"),
+              col("sz").as("sz2"), col("phash_hi").as("h2"),
+              col("phash_lo").as("l2")), Seq("doc2"))
+            .where(col("i").cast("double") /
+              (col("sz1") + col("sz2") - col("i")) >= 0.6 &&
+              expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)")
+                <= Multimodal.CrossmodalHammingMax)
+            .select(col("doc1"), col("doc2"))
+          // per-bid stores are batch-sized (hashes + sizes, no text) —
+          // coalesce so the writes don't pay 32 task launches each; at
+          // production scale these are bucketed table appends
+          pairs.coalesce(4).write.mode("overwrite")
+            .parquet(s"$workDir/pairs_b$bid")
+          post.coalesce(4).write.mode("overwrite")
+            .parquet(s"$workDir/post_b$bid")
+          meta.coalesce(1).write.mode("overwrite")
+            .parquet(s"$workDir/meta_b$bid")
+        } finally { post.unpersist(); meta.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // drain: symmetric per-doc census over the full spine — the exact
+    // output shape (and oracle) of the batch q_crossmodal_dedup
+    val pairs = storesBelow("pairs_b", Long.MaxValue,
+        "doc1 BIGINT, doc2 BIGINT")
+      .map(_.distinct())
+      .getOrElse(spark.range(0)
+        .select(col("id").as("doc1"), col("id").as("doc2")))
+    val sym = pairs.select(col("doc1").as("doc_id"), col("doc2").as("nb"))
+      .unionByName(pairs.select(col("doc2").as("doc_id"), col("doc1").as("nb")))
+      .distinct()
+    val census = sym.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cross"), min(col("nb")).as("mn"))
+    graft.Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(census, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("canon"))
+      .withColumn("drop_doc", (col("canon") < col("doc_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Write `df` as ONE parquet file named `name.parquet` under `dir`
     * with the given mtime — the staging ritual every finite-drain
     * harness here shares (the file source orders batches by mtime).

@@ -391,6 +391,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch crossmodal guard: streamed census == batch, restart-safe") {
+    // drain == batch on a fresh stream, then the checkpoint-restart
+    // form: 2-shard prefix, "crash", stage the third, resume — the
+    // per-bid pair/feature stores must give the same census
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    val batch = graft.ops.Multimodal.queries("q_crossmodal_dedup")(spark, dir)
+      .collect().map(key).toSeq
+    val work = java.nio.file.Files.createTempDirectory("graft_xm_spec").toString
+    val streamed = Streams.crossmodalIngest(spark, dir, work)
+      .collect().map(key).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    val work2 = java.nio.file.Files.createTempDirectory("graft_xm_resume").toString
+    Streams.crossmodalStage(spark, dir, work2, 3, upTo = Some(2))
+    Streams.crossmodalRun(spark, dir, work2)     // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work2/pairs_b1").exists())
+    Streams.crossmodalStage(spark, dir, work2, 3)
+    val resumed = Streams.crossmodalRun(spark, dir, work2)
+      .collect().map(key).toSeq
+    assert(new java.io.File(s"$work2/pairs_b2").exists())
+    assert(!new java.io.File(s"$work2/pairs_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    assert(resumed == batch)
+  }
+
   test("foreachBatch drift monitor: kill after 2 of 3 batches, restart == full replay") {
     val work = java.nio.file.Files.createTempDirectory("graft_drift_resume").toString
     Streams.driftStage(spark, dir, work, 3, upTo = Some(2))
