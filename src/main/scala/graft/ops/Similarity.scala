@@ -91,6 +91,13 @@ object Similarity {
       .agg(min(col("dist") * PqK + col("cid")).as("mc"))
   val NProbe = 2
 
+  /** Reciprocal-rank-fusion constant (k=60, the value from Cormack,
+    * Clarke & Buettcher's original RRF paper — robust across IR
+    * collections) and the per-leg candidate depth for q_rrf_fusion.
+    */
+  val RrfK = 60
+  val FusionTopK = 50
+
   /** Lloyd iterations for the full q_kmeans loop (unrolled verbatim in
     * its oracle — keep the two in sync through this constant).
     */
@@ -590,6 +597,46 @@ object Similarity {
         .select(col("vec_id"), round(cosine("v", "p"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Hybrid retrieval fusion (RRF, k=60 — Cormack/Clarke/Buettcher):
+    // the serving-side composition of the engine's two retrieval
+    // families — the BM25 lexical chain (shared with q_bm25 through
+    // TextAnalysis.bm25Scores, so the two surfaces cannot drift) and
+    // the dense cosine probe (q_sim_search's plan, doc 0's embedding
+    // as the query vector; doc 0 is excluded from both legs as the
+    // query itself). Both legs reduce to top-K=50 via
+    // TakeOrderedAndProject BEFORE ranking, so the rank windows run
+    // over ≤K rows (bounded global window — see ContractSpec) and the
+    // fusion full-outer join is K×K-bounded: at corpus scale each leg
+    // is its already-audited retrieval scan and the fusion cost stays
+    // O(K) regardless of n. Ranks are integer row_numbers over scores
+    // rounded to 6 with doc_id tie-breaks, so the fused
+    // 1/(60+r_lex) + 1/(60+r_vec) is a fixed-order 2-term double sum
+    // — deterministic and oracle hash-exact.
+    "q_rrf_fusion" -> ((s, dir) => {
+      CosineSim.register(s)
+      val lexTop = TextAnalysis.bm25Scores(s, dir)
+        .where(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(FusionTopK)
+      val lex = lexTop.withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = embeddings(s, dir)
+      val probe = broadcast(emb.where(col("vec_id") === 0).select(col("v").as("p")))
+      val vecTop = emb.where(col("vec_id") =!= 0).crossJoin(probe)
+        .select(col("vec_id").as("doc_id"),
+          round(cosine("v", "p"), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(FusionTopK)
+      val vec = vecTop.withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+        .select(col("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }),
 
     // IVF-bucketed approximate nearest neighbor per vector, with a
@@ -1244,6 +1291,26 @@ object Similarity {
          |   sqrt(list_sum(list_transform(range($Dim), i -> pv[i+1] * pv[i+1])))), 6) AS cos_sim
          |FROM e, p WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // RRF replay: both legs' top-K + ranks as on the Spark side; the
+    // fused score repeats the fixed-order 2-term double sum.
+    "q_rrf_fusion" ->
+      s"""WITH ${TextAnalysis.sqlBm25Ctes},
+         |lt AS (SELECT doc_id, bm25 FROM bm WHERE doc_id <> 0
+         |  ORDER BY bm25 DESC, doc_id LIMIT $FusionTopK),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM lt),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |vt AS (SELECT vec_id AS doc_id, round(${sqlCos("v", "pv")}, 6) AS cos_sim
+         |  FROM e, p WHERE vec_id <> 0
+         |  ORDER BY cos_sim DESC, doc_id LIMIT $FusionTopK),
+         |vec AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY cos_sim DESC, doc_id) AS INT) AS vec_rank FROM vt)
+         |SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + lex_rank), 0.0) +
+         |        coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + vec_rank), 0.0), 6) AS rrf
+         |FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // Full SQL replay of the deterministic IVF pipeline (two-level
     // quantizer, multi-probe 2, bucket self-join, rn=1 re-rank) plus
     // the exact brute force — recall is therefore hash-checked.

@@ -28,6 +28,77 @@ object TextAnalysis {
     */
   val OovVocab = 20
 
+  /** The fixed 3-term retrieval query shared by q_bm25 and the hybrid
+    * fusion surface (Similarity.q_rrf_fusion) — one constant so the
+    * lexical leg of the fusion can never drift from the BM25 query.
+    */
+  private[graft] val RetrievalTerms = Seq("spark", "table", "hash")
+
+  /** BM25 scores (k1=1.2, b=0.75) of [[RetrievalTerms]] over the
+    * documents table — (doc_id, bm25 rounded to 6), one row per doc
+    * containing ≥1 query term. Shared by q_bm25 (top-20 presentation)
+    * and Similarity's q_rrf_fusion lexical leg. The per-term partial
+    * scores are summed as THREE conditional aggregates added in fixed
+    * term order — not sum() over an unordered term stream — so the
+    * double addition order is partition-independent and matches the
+    * oracle bit-wise (each conditional sum folds ≤1 value). avgdl is
+    * an exact integer-sum / count division, not avg(). ln() rounds to
+    * 6 before ranking (libm last-ulp). The tf frame is term-filtered
+    * BEFORE any shuffle, so at corpus scale the chain moves only the
+    * query's posting lists, never the corpus.
+    */
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val terms = RetrievalTerms
+    val docs = Tables.fanout(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("t"))
+      .where(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("t")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val termSums = terms.map(t =>
+      coalesce(sum(when(col("t") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
+    scored.groupBy(col("doc_id"))
+      .agg(termSums.head, termSums.tail: _*)
+      .select(col("doc_id"),
+        round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
+  }
+
+  /** DuckDB replay of [[bm25Scores]] — CTE chain ending in
+    * `bm(doc_id, bm25)`; shared by the q_bm25 and q_rrf_fusion
+    * oracles.
+    */
+  private[graft] def sqlBm25Ctes: String =
+    s"""docs AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM docs),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
+       |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
+       |  WHERE t IN (${RetrievalTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |sc AS (SELECT doc_id, t,
+       |  ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+       |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))) AS sc
+       |  FROM tf JOIN df USING (t) CROSS JOIN stats),
+       |bm AS (SELECT doc_id, round(
+       |${RetrievalTerms.map(t =>
+          s"  coalesce(sum(CASE WHEN t = '$t' THEN sc END), 0.0)")
+          .mkString(" +\n")}, 6) AS bm25
+       |FROM sc GROUP BY doc_id)""".stripMargin
+
   private[ops] val EnPat = "\\b(the|and|of|to|a)\\b"
   private[ops] val DePat = "\\b(der|die|das|und|ist|nicht)\\b"
   private[ops] val FrPat = "\\b(le|les|et|est|une|que)\\b"
@@ -446,43 +517,12 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
     }),
 
-    // BM25 retrieval scoring for a fixed 3-term query (k1=1.2,
-    // b=0.75), top 20 docs. The per-term partial scores are summed as
-    // THREE conditional aggregates added in fixed term order — not
-    // sum() over an unordered term stream — so the double addition
-    // order is partition-independent and matches the oracle bit-wise
-    // (each conditional sum folds ≤1 value). avgdl is an exact
-    // integer-sum / count division, not avg(). ln() rounds to 6 before
-    // ranking (libm last-ulp); top-20 runs as TakeOrderedAndProject.
-    "q_bm25" -> ((s, dir) => {
-      val terms = Seq("spark", "table", "hash")
-      val docs = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-      val stats = docs.agg(count(lit(1)).as("n"),
-        sum(col("dl")).as("sum_dl"))
-      val tf = docs.select(col("doc_id"), col("dl"),
-          explode(col("toks")).as("t"))
-        .where(col("t").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("t"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), Seq("t")).crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-        .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
-        .withColumn("sc",
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      val termSums = terms.map(t =>
-        coalesce(sum(when(col("t") === t, col("sc"))), lit(0.0)).as(s"s_$t"))
-      scored.groupBy(col("doc_id"))
-        .agg(termSums.head, termSums.tail: _*)
-        .select(col("doc_id"),
-          round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-    }),
+    // BM25 retrieval scoring for the fixed 3-term query (k1=1.2,
+    // b=0.75), top 20 docs — the presentation view over the shared
+    // [[bm25Scores]] chain; top-20 runs as TakeOrderedAndProject.
+    "q_bm25" -> ((s, dir) =>
+      bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)),
 
     // Deterministic train/val/test split + per-(split, lang) counts:
     // the bucket is a content hash mod 100 (80/10/10), so assignment
@@ -1193,22 +1233,9 @@ object TextAnalysis {
          |FROM sp JOIN un USING (w1)
          |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_bm25" ->
-      s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
-         |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl, toks FROM docs),
-         |stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM d),
-         |tf AS (SELECT doc_id, dl, t, count(*) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d)
-         |  WHERE t IN ('spark', 'table', 'hash') GROUP BY 1, 2, 3),
-         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
-         |sc AS (SELECT doc_id, t,
-         |  ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-         |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))) AS sc
-         |  FROM tf JOIN df USING (t) CROSS JOIN stats)
-         |SELECT doc_id, round(
-         |  coalesce(sum(CASE WHEN t = 'spark' THEN sc END), 0.0) +
-         |  coalesce(sum(CASE WHEN t = 'table' THEN sc END), 0.0) +
-         |  coalesce(sum(CASE WHEN t = 'hash' THEN sc END), 0.0), 6) AS bm25
-         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $sqlBm25Ctes
+         |SELECT doc_id, bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q_split_assign" ->
       s"""SELECT CASE WHEN h % 100 < 80 THEN 'train'
          |  WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split,

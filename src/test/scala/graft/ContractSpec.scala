@@ -48,8 +48,11 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // vocabulary or the corpus.
     // q_cooccur's global window is the df-cap cumsum over the df-value
     // HISTOGRAM (≤ max-df rows, a summary frame) — see cooccurCapPlan.
+    // q_rrf_fusion ranks two TakeOrdered top-K=50 frames — each window
+    // input is ≤ FusionTopK rows by construction.
     val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
-      "q_sequence_gaps", "q_mannwhitney", "q_zipf", "q_cooccur")
+      "q_sequence_gaps", "q_mannwhitney", "q_zipf", "q_cooccur",
+      "q_rrf_fusion")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)

@@ -170,6 +170,40 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"IVF recall ${ivf.size}/${exact.size} below floor")
   }
 
+  test("rrf fusion: ranks bounded by K, probe excluded, fused score consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("q_rrf_fusion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val fused = rows.map { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      (r.getLong(0), lex, vec, r.getDouble(3))
+    }
+    // the probe document is the query — never a result
+    assert(fused.forall(_._1 != 0L))
+    // ranks are 1..K and every row is in at least one leg
+    assert(fused.forall { case (_, l, v, _) =>
+      (l.nonEmpty || v.nonEmpty) &&
+        l.forall(r => r >= 1 && r <= Similarity.FusionTopK) &&
+        v.forall(r => r >= 1 && r <= Similarity.FusionTopK)
+    })
+    // the fused score IS the fixed-order 2-term reciprocal sum
+    fused.foreach { case (id, l, v, rrf) =>
+      val expect = l.map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+        v.map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"doc $id rrf $rrf != $expect")
+    }
+    // presentation order is (rrf DESC, doc_id)
+    assert(fused.sliding(2).forall {
+      case Array((i1, _, _, s1), (i2, _, _, s2)) =>
+        s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+    // both retrieval families contribute: some doc carries both ranks
+    assert(fused.exists(r => r._2.nonEmpty && r._3.nonEmpty),
+      "no document was retrieved by both legs — fusion is vacuous")
+  }
+
   test("shardProbed: degenerate one-bucket corpus splits to ~n·cap pair work, not n²") {
     // a pathologically self-similar corpus routes EVERY vector into
     // one fine bucket — before round 6 the bucket self-join was n².
