@@ -147,9 +147,11 @@ object Bench {
       "q_mix_temperature", "q_kanon", "q_stream_drift", "q_forget",
       "q_stream_ivf", "q_image_phash", "q_stream_contamination",
       // round-6: cross-modal pair dedup over the two shared hash
-      // layers, plus its ingest-time streaming twin, and the hybrid
-      // BM25+dense RRF retrieval surface
-      "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion")
+      // layers, plus its ingest-time streaming twin, the hybrid
+      // BM25+dense RRF retrieval surface, and the RTBF purge
+      // executing at ingest
+      "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
+      "q_stream_forget")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -258,6 +258,20 @@ object Prep {
           h60(concat(lit("e:"), col("event_id").cast("string"))).as("h")))
       cust.unionByName(ord).unionByName(li).unionByName(ev)
         .orderBy(col("tbl"))
+    }),
+
+    // EXECUTES on the streaming engine: the RTBF purge as an
+    // ingest-time guard — arriving event micro-batches probe the
+    // static broadcast deletion list, drop purged rows, and fold
+    // per-batch (count, count, bit_xor) partials whose drained
+    // combination equals q_forget's events audit row exactly (all
+    // three folds are associative/commutative with identity 0).
+    // Checked by the events slice of q_forget's oracle; restart
+    // safety is per-bid idempotent partials (StreamingSpec).
+    "q_stream_forget" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_forget").toString
+      graft.streaming.Streams.forgetIngest(s, dir, work)
     })
   )
 
@@ -473,6 +487,20 @@ object Prep {
          |SELECT * FROM c UNION ALL SELECT * FROM o
          |UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
          |ORDER BY tbl""".stripMargin,
+    // The events slice of the q_forget audit — the streaming guard's
+    // drained partial-fold must land on exactly this row.
+    "q_stream_forget" ->
+      s"""WITH del AS (SELECT c_custkey AS k FROM customer
+         |  WHERE c_custkey % $ForgetMod = 0)
+         |SELECT 'events' AS tbl,
+         |  CAST(sum(CASE WHEN del.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_purged,
+         |  CAST(sum(CASE WHEN del.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  bit_xor(CASE WHEN del.k IS NULL
+         |    THEN ${sqlH60("'e:' || CAST(event_id AS VARCHAR)")}
+         |    ELSE 0 END) AS kept_checksum
+         |FROM events LEFT JOIN del ON user_id = del.k""".stripMargin,
     "q_kanon" ->
       s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
          |  FROM customer GROUP BY 1, 2)

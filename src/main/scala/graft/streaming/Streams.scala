@@ -912,6 +912,85 @@ object Streams {
     spark.read.parquet(s"$workDir/flag_b*").orderBy(col("doc_id"))
   }
 
+  /** Streaming right-to-be-forgotten guard — the foreachBatch
+    * deployment of q_forget's events leg (purge-at-ingest): the
+    * deletion list is fixed before the stream starts (a regulatory
+    * request — small by nature, hence static + broadcast), then every
+    * arriving micro-batch of events probes it AT INGEST — purged rows
+    * are counted and dropped, kept rows fold their key hash into a
+    * per-batch bit_xor partial — and writes its 1-row
+    * (n_purged, n_kept, kept_xor) partial to one overwritten per-bid
+    * directory (the at-least-once retry discipline: a replayed batch
+    * rewrites its own partial, never double-counts). Counts and
+    * bit_xor are associative/commutative with identity 0, so the
+    * drained fold of partials equals the batch audit EXACTLY —
+    * q_stream_forget's single row is checked by the events slice of
+    * q_forget's own oracle. At 100 TB this is the production
+    * purge-at-ingest shape: the deletion probe is a broadcast hash
+    * join riding the arriving batch (no shuffle, no accumulated
+    * state beyond three longs per batch).
+    */
+  def forgetIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    forgetStage(spark, dir, workDir, shards)
+    forgetRun(spark, dir, workDir)
+  }
+
+  /** Stage the events stream as id shards; `upTo` stages a prefix for
+    * the checkpoint-restart test.
+    */
+  private[streaming] def forgetStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    stageShards(ev, workDir, shards, upTo)
+    ()
+  }
+
+  /** Drain whatever event shards are staged under `workDir/stream`
+    * past the RTBF guard — separated from [[forgetStage]] so the
+    * checkpoint-restart test can resume mid-stream; the deletion list
+    * derives deterministically from the static customer table, so a
+    * resumed run probes the IDENTICAL list the committed batches did.
+    */
+  private[streaming] def forgetRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.TextFns.h60
+    val del = broadcast(graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("k"))
+      .where(col("k") % graft.ops.Prep.ForgetMod === 0)
+      .withColumn("hit", lit(1)))
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        batch.toDF()
+          .select(col("user_id").as("k"),
+            h60(concat(lit("e:"), col("event_id").cast("string"))).as("h"))
+          .join(del, Seq("k"), "left")
+          .agg(
+            coalesce(sum(when(col("hit") === 1, 1L).otherwise(0L)), lit(0L))
+              .as("n_purged"),
+            coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_kept"),
+            coalesce(expr("bit_xor(CASE WHEN hit IS NULL THEN h " +
+              "ELSE CAST(0 AS BIGINT) END)"), lit(0L)).as("kept_xor"))
+          .write.mode("overwrite").parquet(s"$workDir/audit_b$bid")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$workDir/audit_b*")
+      .agg(coalesce(sum(col("n_purged")), lit(0L)).as("n_purged"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("n_kept"),
+        coalesce(expr("bit_xor(kept_xor)"), lit(0L)).as("kept_checksum"))
+      .select(lit("events").as("tbl"), col("n_purged"), col("n_kept"),
+        col("kept_checksum"))
+  }
+
   /** Streaming cross-modal dedup guard — the foreachBatch deployment
     * of q_crossmodal_dedup (the LAION ingest shape): documents stream
     * as id shards; each micro-batch computes its own text postings

@@ -391,6 +391,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch RTBF guard: streamed audit == batch events leg, restart-safe") {
+    // the drained partial-fold must equal q_forget's events row; then
+    // the checkpoint-restart form: 2-shard prefix, "crash", stage the
+    // third, resume — per-bid partials make the fold exact anyway
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val batchEvents = graft.ops.Prep.queries("q_forget")(spark, dir)
+      .where(org.apache.spark.sql.functions.col("tbl") === "events")
+      .collect().map(key).toSeq
+    val work = java.nio.file.Files.createTempDirectory("graft_sfg_spec").toString
+    val streamed = Streams.forgetIngest(spark, dir, work)
+      .collect().map(key).toSeq
+    assert(streamed == batchEvents && streamed.head._3 > 0)
+    assert(streamed.head._2 > 0, "deletion list hit no events — guard vacuous")
+    val work2 = java.nio.file.Files.createTempDirectory("graft_sfg_resume").toString
+    Streams.forgetStage(spark, dir, work2, 3, upTo = Some(2))
+    Streams.forgetRun(spark, dir, work2)         // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work2/audit_b1").exists())
+    Streams.forgetStage(spark, dir, work2, 3)
+    val resumed = Streams.forgetRun(spark, dir, work2)
+      .collect().map(key).toSeq
+    assert(new java.io.File(s"$work2/audit_b2").exists())
+    assert(!new java.io.File(s"$work2/audit_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    assert(resumed == batchEvents)
+  }
+
   test("foreachBatch crossmodal guard: streamed census == batch, restart-safe") {
     // drain == batch on a fresh stream, then the checkpoint-restart
     // form: 2-shard prefix, "crash", stage the third, resume — the
