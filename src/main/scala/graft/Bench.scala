@@ -194,6 +194,18 @@ object Bench {
         System.err.println(f"[bench] shared_perplexity        $t%9.3f s")
         Seq("shared_perplexity" -> t)
       } else Seq.empty
+    // the BM25 score table for the fixed retrieval query: one
+    // tokenize+explode pass shared by q_bm25 and q_rrf_fusion
+    val bm25Family = Set("q_bm25", "q_rrf_fusion")
+    val sharedBm25: Seq[(String, Double)] =
+      if (names.exists(bm25Family.contains)) {
+        val t = timed("shared_bm25") {
+          graft.ops.TextAnalysis.bm25Scores(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_bm25              $t%9.3f s")
+        Seq("shared_bm25" -> t)
+      } else Seq.empty
     // the IVF probed-assignment table (the vector index): one
     // quantizer-train + assign pass shared by the whole IVF family
     val ivfFamily = Set("q_sim_ann", "q_ann_recall", "q_dedup_embedding_ivf",
@@ -234,7 +246,7 @@ object Bench {
         Seq("shared_phash" -> t)
       } else Seq.empty
     val shared: Seq[(String, Double)] =
-      sharedPostings ++ sharedPerplexity ++ sharedIvf ++ sharedPq ++
+      sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
         sharedPhash ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {

@@ -45,9 +45,15 @@ object TextAnalysis {
     * an exact integer-sum / count division, not avg(). ln() rounds to
     * 6 before ranking (libm last-ulp). The tf frame is term-filtered
     * BEFORE any shuffle, so at corpus scale the chain moves only the
-    * query's posting lists, never the corpus.
+    * query's posting lists, never the corpus. Session-materialized
+    * (Scratch): two consumers would otherwise each re-run the
+    * tokenize+explode pass; the stored table is query-posting-sized
+    * (docs containing ≥1 term × 2 columns), billed as shared_bm25.
     */
-  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"bm25_$dir")(bm25ScoresBuild(s, dir))
+
+  private def bm25ScoresBuild(s: SparkSession, dir: String): DataFrame = {
     val terms = RetrievalTerms
     val docs = Tables.fanout(Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")))
