@@ -98,6 +98,17 @@ object Similarity {
   val RrfK = 60
   val FusionTopK = 50
 
+  /** q_semantic_outliers flag threshold: a vector whose best assigned
+    * anchor sits below this cosine is "poorly covered" by the index —
+    * an off-distribution / noise candidate. On the near-orthogonal
+    * synthetic corpus best-anchor cosines cluster well under the
+    * near-dup band (median best-cos ≈ 0.22, p10 ≈ 0.12 at sf0.01), so
+    * the value sits near the 10-20% tail to split the corpus
+    * non-vacuously at every SF (production tunes it on the corpus'
+    * own best-cos histogram).
+    */
+  val OutlierCos = 0.15
+
   /** Lloyd iterations for the full q_kmeans loop (unrolled verbatim in
     * its oracle — keep the two in sync through this constant).
     */
@@ -597,6 +608,37 @@ object Similarity {
         .select(col("vec_id"), round(cosine("v", "p"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Semantic outlier mining: per-vector quality audit of the IVF
+    // index — how well does the best ASSIGNED anchor cover each
+    // vector? Rides the session-materialized assignment (ivfProbed)
+    // plus one broadcast join against the √n anchor vectors, so the
+    // cost is n·NProbe codegen cosines — linear at any corpus size,
+    // no self-join. Vectors whose best-anchor cosine falls below
+    // OutlierCos are flagged: at 100 TB this is the standing corpus
+    // hygiene scan (mislabeled / off-distribution / noise samples
+    // surface here first, and a rising outlier rate is the signal to
+    // re-train the quantizer). Cosines round to 6 before the argmax
+    // rank (anchor_id tiebreak) — deterministic, oracle hash-exact.
+    "q_semantic_outliers" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      val n = Tables(s, dir, "embeddings").count()
+      val mFine = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val anchors = broadcast(emb.where(col("vec_id") < mFine)
+        .select(col("vec_id").as("anchor_id"), col("v").as("av")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("acos").desc, col("anchor_id"))
+      ivfProbed(s, dir)
+        .join(anchors, Seq("anchor_id"))
+        .select(col("vec_id"), col("anchor_id"),
+          round(cosine("v", "av"), 6).as("acos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("anchor_id").as("best_anchor"),
+          col("acos").as("best_cos"),
+          (col("acos") < OutlierCos).as("is_outlier"))
+        .orderBy(col("vec_id"))
     }),
 
     // Hybrid retrieval fusion (RRF, k=60 — Cormack/Clarke/Buettcher):
@@ -1311,6 +1353,19 @@ object Similarity {
          |        coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + vec_rank), 0.0), 6) AS rrf
          |FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // Index-coverage audit replay: the deterministic assignment CTEs,
+    // then re-rank the assigned anchors by rounded cosine.
+    "q_semantic_outliers" ->
+      s"""WITH $sqlIvfProbed,
+         |ac AS (SELECT p.vec_id, f.fine_id AS anchor_id,
+         |    round(${sqlCos("p.v", "f.fv")}, 6) AS acos
+         |  FROM probed p JOIN fine f ON p.anchor_id = f.fine_id),
+         |best AS (SELECT vec_id, anchor_id, acos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY acos DESC, anchor_id) AS rn FROM ac) WHERE rn = 1)
+         |SELECT vec_id, anchor_id AS best_anchor, acos AS best_cos,
+         |  acos < $OutlierCos AS is_outlier
+         |FROM best ORDER BY vec_id""".stripMargin,
     // Full SQL replay of the deterministic IVF pipeline (two-level
     // quantizer, multi-probe 2, bucket self-join, rn=1 re-rank) plus
     // the exact brute force — recall is therefore hash-checked.

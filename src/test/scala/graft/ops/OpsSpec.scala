@@ -170,6 +170,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       s"IVF recall ${ivf.size}/${exact.size} below floor")
   }
 
+  test("semantic outliers: one row per vector, anchors self-cover, flag consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val mFine = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val rows = Similarity.queries("q_semantic_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // the audit is a census: exactly one verdict per vector
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    // a fine anchor's best anchor is itself at cosine 1 — coverage
+    // of the anchor set itself is exact by construction
+    rows.filter(_._1 < mFine).foreach { case (id, best, cos, out) =>
+      assert(best == id && cos == 1.0 && !out, s"anchor $id: ($best, $cos)")
+    }
+    // the flag IS the threshold predicate
+    rows.foreach { case (id, _, cos, out) =>
+      assert(out == (cos < Similarity.OutlierCos), s"vec $id flag drift")
+    }
+    // non-vacuous at the spec SF: both classes present
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("rrf fusion: ranks bounded by K, probe excluded, fused score consistent") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.queries("q_rrf_fusion")(spark, dir).collect()
