@@ -151,7 +151,7 @@ object Bench {
       // BM25+dense RRF retrieval surface, and the RTBF purge
       // executing at ingest
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
-      "q_stream_forget", "q_semantic_outliers")
+      "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

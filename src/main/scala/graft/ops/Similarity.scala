@@ -98,6 +98,18 @@ object Similarity {
   val RrfK = 60
   val FusionTopK = 50
 
+  /** q_mmr_diversify parameters: relevance weight λ and its
+    * complement are SEPARATE literals (not 1−λ computed at runtime —
+    * 1.0−0.7 is 0.30000000000000004 in IEEE doubles and the oracle
+    * writes 0.3, so the complement must be the literal both engines
+    * parse); pool = dense top-[[MmrPoolK]] for the probe, [[MmrK]]
+    * greedy selections.
+    */
+  val MmrLam = 0.7
+  val MmrLamC = 0.3
+  val MmrPoolK = 20
+  val MmrK = 10
+
   /** q_semantic_outliers flag threshold: a vector whose best assigned
     * anchor sits below this cosine is "poorly covered" by the index —
     * an off-distribution / noise candidate. On the near-orthogonal
@@ -608,6 +620,67 @@ object Similarity {
         .select(col("vec_id"), round(cosine("v", "p"), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // MMR diversification (Carbonell & Goldstein): greedy re-rank of
+    // the dense top-K pool — each round selects argmax of
+    // λ·cos(query,d) − (1−λ)·max_{s∈selected} cos(d,s), the canonical
+    // serving-side result diversifier and, equally, the
+    // diversity-aware sample selector a curation pipeline runs over a
+    // candidate pool. The pool (top-MmrPoolK via TakeOrdered) and its
+    // K×K cosine matrix are broadcast constant-size frames, so the
+    // MmrK-round greedy unroll — inherently sequential, like the BPE
+    // merge loop — composes bounded joins only: corpus cost is ONE
+    // top-K scan regardless of n; the rest is O(K²) work on ≤400
+    // rows. Every score rounds to 6 with vec_id tiebreaks before each
+    // argmax, and the oracle unrolls the identical MmrK rounds, so
+    // the full greedy trajectory is hash-exact.
+    "q_mmr_diversify" -> ((s, dir) => {
+      CosineSim.register(s)
+      // pool + K×K sims are session-materialized (one corpus top-K
+      // scan ever; ≤ MmrPoolK² rows of scratch)
+      val pool = Scratch.materialize(s, s"mmr_pool_$dir") {
+        val emb = embeddings(s, dir)
+        val probe = broadcast(emb.where(col("vec_id") === 0)
+          .select(col("v").as("p")))
+        emb.where(col("vec_id") =!= 0).crossJoin(probe)
+          .select(col("vec_id"), col("v"),
+            round(cosine("v", "p"), 6).as("relq"))
+          .orderBy(col("relq").desc, col("vec_id")).limit(MmrPoolK)
+      }
+      val sims = Scratch.materialize(s, s"mmr_sims_$dir") {
+        pool.select(col("vec_id").as("a"), col("v").as("va"))
+          .crossJoin(broadcast(pool.select(col("vec_id").as("b"), col("v").as("vb"))))
+          .where(col("a") =!= col("b"))
+          .select(col("a"), col("b"), round(cosine("va", "vb"), 6).as("sim"))
+      }
+      val cand = pool.select(col("vec_id"), col("relq"))
+      // Greedy rounds: each pick is a 1-ROW collect (the bounded-
+      // collect discipline of the k-means cells — MmrK × 1 row of
+      // driver traffic, constants by construction). The scoring
+      // arithmetic stays INSIDE Spark expressions, so engine parity
+      // with the oracle's unrolled rounds is by the same round()/
+      // literal conventions as everywhere else.
+      def mmrExpr(ms: Column): Column =
+        round(lit(MmrLam) * col("relq") - lit(MmrLamC) * ms, 6)
+      val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
+      for (r <- 1 to MmrK) {
+        val selIds = picks.map(_._2).toSeq
+        val base = if (selIds.isEmpty) cand else
+          cand.where(!col("vec_id").isin(selIds.map(Long.box): _*))
+        val ms = if (selIds.isEmpty) lit(0.0) else coalesce(col("ms"), lit(0.0))
+        val scored = if (selIds.isEmpty) base else
+          base.join(sims.where(col("b").isin(selIds.map(Long.box): _*))
+              .groupBy(col("a")).agg(max(col("sim")).as("ms")),
+            col("vec_id") === col("a"), "left")
+        val row = scored
+          .select(col("vec_id"), col("relq"), mmrExpr(ms).as("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .collect().head
+        picks += ((r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+      }
+      import s.implicits._
+      picks.toSeq.toDF("rank", "doc_id", "relq", "mmr").orderBy(col("rank"))
     }),
 
     // Semantic outlier mining: per-vector quality audit of the IVF
@@ -1353,6 +1426,37 @@ object Similarity {
          |        coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + vec_rank), 0.0), 6) AS rrf
          |FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // MMR replay: the identical MmrK-round greedy unrolled as CTEs —
+    // s1..sK are the 1-row picks, each scoring the remaining pool
+    // against the union of earlier picks via a correlated max(sim).
+    "q_mmr_diversify" -> {
+      val rounds = (2 to MmrK).map { r =>
+        val prev = (1 until r).map(j => s"SELECT vec_id FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""s$r AS MATERIALIZED (SELECT vec_id, relq, round(CAST($MmrLam AS DOUBLE) * relq -
+           |  CAST($MmrLamC AS DOUBLE) * coalesce((SELECT max(sim) FROM sims
+           |    WHERE sims.a = pool.vec_id AND sims.b IN ($prev)), 0.0), 6) AS mmr
+           |  FROM pool WHERE vec_id NOT IN ($prev)
+           |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val finalSel = (1 to MmrK).map(r =>
+        s"SELECT CAST($r AS INT) AS rank, vec_id AS doc_id, relq, mmr FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |pool AS MATERIALIZED (SELECT vec_id, v, round(${sqlCos("v", "pv")}, 6) AS relq
+         |  FROM e, p WHERE vec_id <> 0
+         |  ORDER BY relq DESC, vec_id LIMIT $MmrPoolK),
+         |sims AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS sim
+         |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |s1 AS MATERIALIZED (SELECT vec_id, relq, round(CAST($MmrLam AS DOUBLE) * relq -
+         |  CAST($MmrLamC AS DOUBLE) * CAST(0.0 AS DOUBLE), 6) AS mmr
+         |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+         |$rounds
+         |$finalSel
+         |ORDER BY rank""".stripMargin
+    },
     // Index-coverage audit replay: the deterministic assignment CTEs,
     // then re-rank the assigned anchors by rounded cosine.
     "q_semantic_outliers" ->

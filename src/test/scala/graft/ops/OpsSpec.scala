@@ -191,6 +191,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("mmr diversify: greedy invariants — relevance first, diversity traded after") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("q_mmr_diversify")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == Similarity.MmrK)
+    assert(rows.map(_._1).toSeq == (1 to Similarity.MmrK))
+    // no repeats; probe never selected
+    assert(rows.map(_._2).distinct.length == rows.length)
+    assert(rows.forall(_._2 != 0L))
+    // round 1 is pure relevance: its mmr is exactly λ·relq (rounded)
+    val r1 = rows.head
+    assert(math.abs(r1._4 - BigDecimal(Similarity.MmrLam * r1._3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // λ-dominance: no later pick has strictly higher relevance AND
+    // higher mmr than an earlier one missed at its own round — weak
+    // but sufficient greedy sanity: relevance of round 1 is the max
+    assert(rows.tail.forall(_._3 <= r1._3))
+    // diversity actually traded: some pick's mmr < λ·relq (a nonzero
+    // max-sim penalty was applied)
+    assert(rows.tail.exists(p => p._4 < Similarity.MmrLam * p._3 - 1e-9))
+  }
+
   test("rrf fusion: ranks bounded by K, probe excluded, fused score consistent") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.queries("q_rrf_fusion")(spark, dir).collect()
