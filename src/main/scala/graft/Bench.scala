@@ -151,7 +151,8 @@ object Bench {
       // BM25+dense RRF retrieval surface, and the RTBF purge
       // executing at ingest
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
-      "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify")
+      "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
+      "q_cluster_balance")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -210,7 +211,8 @@ object Bench {
     // quantizer-train + assign pass shared by the whole IVF family
     val ivfFamily = Set("q_sim_ann", "q_ann_recall", "q_dedup_embedding_ivf",
       "q_ivf_pq_search", "q_label_propagation", "q_bitext_mine",
-      "q_contrastive_pairs", "q_knn_graph", "q_semantic_outliers")
+      "q_contrastive_pairs", "q_knn_graph", "q_semantic_outliers",
+      "q_cluster_balance")
     val sharedIvf: Seq[(String, Double)] =
       if (names.exists(ivfFamily.contains)) {
         val t = timed("shared_ivf_probed") {

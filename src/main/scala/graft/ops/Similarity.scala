@@ -683,6 +683,41 @@ object Similarity {
       picks.toSeq.toDF("rank", "doc_id", "relq", "mmr").orderBy(col("rank"))
     }),
 
+    // IVF bucket-balance census — the bucket-side complement of
+    // q_semantic_outliers' vector-side coverage audit: posting-list
+    // size extrema, the Gini coefficient of bucket sizes (the sorted-
+    // cumulative form — all-integer Σi·bᵢ sums, ONE double division
+    // rounded at the end), and how many buckets exceed the saturation
+    // cap the shard guard splits at. This is the standing index-health
+    // dashboard row: rising Gini/saturation tells an operator the
+    // quantizer no longer fits the corpus BEFORE query latency does.
+    // The only exchange is the bucket-size aggregate; the rank window
+    // runs over the B=√n bucket SUMMARY (never the postings), the
+    // q_sequence_gaps bounded-summary-window contract.
+    "q_cluster_balance" -> ((s, dir) => {
+      CosineSim.register(s)
+      val n = Tables(s, dir, "embeddings").count()
+      val m = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val cap = IvfSaturationFactor * NProbe * ((n + m - 1L) / m)
+      val sizes = ivfProbed(s, dir)
+        .groupBy(col("anchor_id")).agg(count(lit(1)).as("bn"))
+      val ranked = sizes.withColumn("i",
+        row_number().over(Window.orderBy(col("bn"), col("anchor_id"))))
+      ranked.agg(
+          sum(col("bn")).as("s0"), sum(col("i") * col("bn")).as("s1"),
+          count(lit(1)).as("b"), min(col("bn")).as("min_sz"),
+          max(col("bn")).as("max_sz"),
+          sum(when(col("bn") > cap, 1L).otherwise(0L)).as("n_saturated"))
+        .select(col("s0").as("n_postings"), col("b").as("n_buckets"),
+          col("min_sz"), col("max_sz"),
+          round(col("max_sz") * col("b").cast("double") / col("s0"), 6)
+            .as("imbalance"),
+          round((lit(2L) * col("s1") - (col("b") + lit(1L)) * col("s0"))
+            .cast("double") / (col("b") * col("s0")).cast("double"), 6)
+            .as("gini"),
+          col("n_saturated"))
+    }),
+
     // Semantic outlier mining: per-vector quality audit of the IVF
     // index — how well does the best ASSIGNED anchor cover each
     // vector? Rides the session-materialized assignment (ivfProbed)
@@ -1457,6 +1492,24 @@ object Similarity {
          |$finalSel
          |ORDER BY rank""".stripMargin
     },
+    // Bucket-balance replay: the assignment CTEs, the bucket-size
+    // aggregate, and the same all-integer Gini sums.
+    "q_cluster_balance" ->
+      s"""WITH $sqlIvfProbed,
+         |sz AS (SELECT anchor_id, count(*) AS bn FROM probed GROUP BY anchor_id),
+         |rk AS (SELECT bn, row_number() OVER (ORDER BY bn, anchor_id) AS i FROM sz),
+         |a AS (SELECT sum(bn) AS s0, sum(i * bn) AS s1, count(*) AS b,
+         |    min(bn) AS min_sz, max(bn) AS max_sz,
+         |    sum(CASE WHEN bn > (SELECT cap FROM prm2) THEN 1 ELSE 0 END)
+         |      AS n_saturated
+         |  FROM rk)
+         |SELECT CAST(s0 AS BIGINT) AS n_postings, CAST(b AS BIGINT) AS n_buckets,
+         |  CAST(min_sz AS BIGINT) AS min_sz, CAST(max_sz AS BIGINT) AS max_sz,
+         |  round(max_sz * CAST(b AS DOUBLE) / s0, 6) AS imbalance,
+         |  round(CAST(2 * s1 - (b + 1) * s0 AS DOUBLE)
+         |    / CAST(b * s0 AS DOUBLE), 6) AS gini,
+         |  CAST(n_saturated AS BIGINT) AS n_saturated
+         |FROM a""".stripMargin,
     // Index-coverage audit replay: the deterministic assignment CTEs,
     // then re-rank the assigned anchors by rounded cosine.
     "q_semantic_outliers" ->

@@ -50,9 +50,11 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // HISTOGRAM (≤ max-df rows, a summary frame) — see cooccurCapPlan.
     // q_rrf_fusion ranks two TakeOrdered top-K=50 frames — each window
     // input is ≤ FusionTopK rows by construction.
+    // q_cluster_balance ranks the bucket-size SUMMARY (B=√n rows, the
+    // q_sequence_gaps bounded-summary contract), never the postings.
     val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
       "q_sequence_gaps", "q_mannwhitney", "q_zipf", "q_cooccur",
-      "q_rrf_fusion")
+      "q_rrf_fusion", "q_cluster_balance")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)

@@ -191,6 +191,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("cluster balance: census identities hold on the live index") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val r = Similarity.queries("q_cluster_balance")(spark, dir).collect().head
+    val (post, b, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (imb, gini, sat) = (r.getDouble(4), r.getDouble(5), r.getLong(6))
+    assert(post == n * Similarity.NProbe)       // every vector posts NProbe times
+    assert(b >= 2 && mn >= 1 && mx >= mn && mx <= post)
+    assert(imb >= 1.0 - 1e-9)                   // max/avg is at least 1
+    assert(gini >= 0.0 && gini < 1.0)           // Gini of positive sizes
+    assert(sat == 0, "driver corpus must not saturate the healthy index")
+  }
+
   test("mmr diversify: greedy invariants — relevance first, diversity traded after") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.queries("q_mmr_diversify")(spark, dir)
