@@ -152,7 +152,7 @@ object Bench {
       // executing at ingest
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
-      "q_cluster_balance")
+      "q_cluster_balance", "q_query_expansion")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -197,7 +197,7 @@ object Bench {
       } else Seq.empty
     // the BM25 score table for the fixed retrieval query: one
     // tokenize+explode pass shared by q_bm25 and q_rrf_fusion
-    val bm25Family = Set("q_bm25", "q_rrf_fusion")
+    val bm25Family = Set("q_bm25", "q_rrf_fusion", "q_query_expansion")
     val sharedBm25: Seq[(String, Double)] =
       if (names.exists(bm25Family.contains)) {
         val t = timed("shared_bm25") {

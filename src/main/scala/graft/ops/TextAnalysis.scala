@@ -82,6 +82,14 @@ object TextAnalysis {
         round(terms.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"))
   }
 
+  /** q_query_expansion (RM3-lite) parameters: size of the
+    * pseudo-relevance feedback set, expansion terms added, and their
+    * interpolation weight (seed terms keep weight 1.0).
+    */
+  val FbDocs = 10
+  val FbTerms = 5
+  val ExpWeight = 0.5
+
   /** DuckDB replay of [[bm25Scores]] — CTE chain ending in
     * `bm(doc_id, bm25)`; shared by the q_bm25 and q_rrf_fusion
     * oracles.
@@ -529,6 +537,59 @@ object TextAnalysis {
     "q_bm25" -> ((s, dir) =>
       bm25Scores(s, dir)
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)),
+
+    // Pseudo-relevance feedback (RM3-lite query expansion): the first
+    // BM25 pass's top-FbDocs docs act as the feedback set, the
+    // FbTerms most frequent terms inside it (seed terms excluded;
+    // production adds an RM3 prior/stoplist — deterministic tf with
+    // term tiebreak here) join the query at ExpWeight, and the corpus
+    // re-scores against the EXPANDED term set. A dynamic term set
+    // breaks q_bm25's fixed-order conditional-sum trick, so the
+    // per-(doc, term) weighted partials round to 6 and sum in
+    // DECIMAL(28,6) — the util.Exact order-free discipline — before
+    // one cast back to double. At corpus scale both passes move only
+    // posting lists (term filter BEFORE any shuffle; feedback set and
+    // term-weight table are broadcast constants).
+    "q_query_expansion" -> ((s, dir) => {
+      val docs = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val fb = broadcast(bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(FbDocs)
+        .select(col("doc_id")))
+      val expTerms = docs.join(fb, Seq("doc_id"))
+        .select(explode(col("toks")).as("t"))
+        .where(!col("t").isin(RetrievalTerms: _*))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(FbTerms)
+        .select(col("t"), lit(ExpWeight).as("w"))
+      val seed = {
+        import s.implicits._
+        RetrievalTerms.map(t => (t, 1.0)).toDF("t", "w")
+      }
+      val tw = broadcast(seed.unionByName(expTerms))
+      val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val tf = docs.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("t"))
+        .join(tw, Seq("t"))
+        .groupBy(col("doc_id"), col("dl"), col("t"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("t")).crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+        .withColumn("sc",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .select(col("doc_id"),
+          round(col("w") * col("sc"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("p")).cast("double").as("exp_score"))
+        .orderBy(col("exp_score").desc, col("doc_id")).limit(20)
+    }),
 
     // Deterministic train/val/test split + per-(split, lang) counts:
     // the bucket is a content hash mod 100 (80/10/10), so assignment
@@ -1242,6 +1303,32 @@ object TextAnalysis {
       s"""WITH $sqlBm25Ctes
          |SELECT doc_id, bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // RM3-lite replay: feedback top-FbDocs from the shared bm chain,
+    // expansion-term selection, then the weighted re-score with the
+    // same order-free DECIMAL(28,6) partial sum.
+    "q_query_expansion" ->
+      s"""WITH $sqlBm25Ctes,
+         |fb AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT $FbDocs),
+         |ex AS (SELECT t, CAST($ExpWeight AS DOUBLE) AS w FROM (
+         |  SELECT t, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS t FROM d JOIN fb USING (doc_id))
+         |  WHERE t NOT IN (${RetrievalTerms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY t ORDER BY cnt DESC, t LIMIT $FbTerms)),
+         |tw AS (${RetrievalTerms.map(t =>
+            s"SELECT '$t' AS t, CAST(1.0 AS DOUBLE) AS w").mkString(" UNION ALL ")}
+         |  UNION ALL SELECT t, w FROM ex),
+         |tf2 AS (SELECT doc_id, dl, t, w, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM d) JOIN tw USING (t)
+         |  GROUP BY 1, 2, 3, 4),
+         |df2 AS (SELECT t, count(*) AS df FROM tf2 GROUP BY t),
+         |sc2 AS (SELECT doc_id, w,
+         |  ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+         |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))) AS sc
+         |  FROM tf2 JOIN df2 USING (t) CROSS JOIN stats)
+         |SELECT doc_id,
+         |  CAST(sum(CAST(round(w * sc, 6) AS DECIMAL(28,6))) AS DOUBLE) AS exp_score
+         |FROM sc2 GROUP BY doc_id
+         |ORDER BY exp_score DESC, doc_id LIMIT 20""".stripMargin,
     "q_split_assign" ->
       s"""SELECT CASE WHEN h % 100 < 80 THEN 'train'
          |  WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split,

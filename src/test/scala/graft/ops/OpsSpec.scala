@@ -191,6 +191,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("query expansion: recruits beyond the seed result and stays deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.queries("q_query_expansion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.nonEmpty && out.length <= 20)
+    // presentation order is (score DESC, doc_id)
+    assert(out.sliding(2).forall {
+      case Array((i1, s1), (i2, s2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+    // the expansion adds mass: every returned doc that also carries a
+    // seed score must score STRICTLY higher expanded (the feedback
+    // terms are the corpus' most common words, so every doc matches
+    // at least one) — and the resulting top-20 ordering must differ
+    // from the pure-seed ranking, or the feedback contributed nothing
+    val seedScore = TextAnalysis.bm25Scores(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (d, s) =>
+      seedScore.get(d).foreach(b =>
+        assert(s > b, s"doc $d: expanded $s did not exceed seed $b"))
+    }
+    val seedTop = TextAnalysis.queries("q_bm25")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.map(_._1).toSeq != seedTop,
+      "expanded ranking identical to the seed ranking — vacuous feedback")
+    // deterministic under rerun
+    val again = TextAnalysis.queries("q_query_expansion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("cluster balance: census identities hold on the live index") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "embeddings").count()
