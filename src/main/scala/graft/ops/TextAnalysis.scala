@@ -261,6 +261,25 @@ object TextAnalysis {
         col("ok_len") && col("ok_wordlen") && col("ok_sym") && col("ok_stop"))
   }
 
+  /** DuckDB replay of [[gopherFlags]] — CTE chain ending in
+    * `gf(doc_id, n_tok, ok_len, ok_wordlen, ok_sym, ok_stop)`; shared
+    * by the q_gopher_quality and q_filter_funnel oracles.
+    */
+  private[ops] def sqlGopherFlags: String =
+    s"""m AS (SELECT doc_id,
+       |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+       |  CAST(length(array_to_string(${sqlTokens("text")}, '')) AS INT) AS n_tok_chars,
+       |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+       |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS INT) AS n_sym
+       |FROM documents),
+       |gf AS (SELECT doc_id, n_tok,
+       |  n_tok >= 25 AND n_tok <= 75 AS ok_len,
+       |  CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) >= 3.0
+       |    AND CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) <= 10.0 AS ok_wordlen,
+       |  CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1 AS ok_sym,
+       |  CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06 AS ok_stop
+       |FROM m)""".stripMargin
+
   private[ops] val sqlLangCase: String =
     s"""CASE WHEN len(regexp_extract_all(text, '$ZhPat')) > 0 THEN 'zh'
        |    WHEN len(regexp_extract_all(lower(text), '$DePat')) > len(regexp_extract_all(lower(text), '$EnPat'))
@@ -852,6 +871,40 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tok"), col("ok_len"), col("ok_wordlen"),
           col("ok_sym"), col("ok_stop"), col("keep"))
         .orderBy(col("doc_id"))),
+
+    // Filter-funnel attrition census: the curation-dashboard view of
+    // the Gopher cascade — per stage (fixed rule order), how many
+    // docs entered, how many THIS rule killed among prior survivors,
+    // how many exit, and each rule's sole-kill count (docs only it
+    // rejects — the marginal-value signal that tells an operator
+    // which rule to retune). One gopherFlags map pass + ONE wide
+    // conditional aggregate (9 counts), exploded to 4 stage rows —
+    // map-only then a single-row reduce at any corpus size.
+    "q_filter_funnel" -> ((s, dir) => {
+      val f = gopherFlags(Tables.fanout(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val s1 = col("ok_len")
+      val s2 = s1 && col("ok_wordlen")
+      val s3 = s2 && col("ok_sym")
+      val s4 = s3 && col("ok_stop")
+      def sole(not: String) = cnt(
+        Seq("ok_len", "ok_wordlen", "ok_sym", "ok_stop")
+          .map(c => if (c == not) !col(c) else col(c)).reduce(_ && _))
+      val a = f.agg(count(lit(1)).as("n0"),
+        cnt(s1).as("n1"), cnt(s2).as("n2"), cnt(s3).as("n3"), cnt(s4).as("n4"),
+        sole("ok_len").as("k1"), sole("ok_wordlen").as("k2"),
+        sole("ok_sym").as("k3"), sole("ok_stop").as("k4"))
+      val stages = Seq((1, "len", "n0", "n1", "k1"),
+        (2, "wordlen", "n1", "n2", "k2"), (3, "sym", "n2", "n3", "k3"),
+        (4, "stop", "n3", "n4", "k4"))
+      a.select(explode(array(stages.map { case (i, r, nin, nout, k) =>
+          struct(lit(i).as("stage"), lit(r).as("rule"),
+            col(nin).as("n_in"), (col(nin) - col(nout)).as("n_killed"),
+            col(nout).as("n_out"), col(k).as("sole_kill"))
+        }: _*)).as("r"))
+        .select(col("r.*")).orderBy(col("stage"))
+    }),
 
     // Within-doc repetition ratio (Gopher-style quality rule): the
     // fraction of 3-gram shingles that are repeats of an earlier
@@ -1447,24 +1500,43 @@ object TextAnalysis {
          |SELECT source, n_docs, vocab, hapax, n_tokens
          |FROM st JOIN nd USING (source) ORDER BY source""".stripMargin,
     "q_gopher_quality" ->
-      s"""WITH m AS (SELECT doc_id,
-         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
-         |  CAST(length(array_to_string(${sqlTokens("text")}, '')) AS INT) AS n_tok_chars,
-         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
-         |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS INT) AS n_sym
-         |FROM documents)
-         |SELECT doc_id, n_tok,
-         |  n_tok >= 25 AND n_tok <= 75 AS ok_len,
-         |  CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) >= 3.0
-         |    AND CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) <= 10.0 AS ok_wordlen,
-         |  CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1 AS ok_sym,
-         |  CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06 AS ok_stop,
-         |  (n_tok >= 25 AND n_tok <= 75)
-         |    AND (CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) >= 3.0
-         |      AND CAST(n_tok_chars AS DOUBLE) / greatest(n_tok, 1) <= 10.0)
-         |    AND (CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1)
-         |    AND (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $sqlGopherFlags
+         |SELECT doc_id, n_tok, ok_len, ok_wordlen, ok_sym, ok_stop,
+         |  ok_len AND ok_wordlen AND ok_sym AND ok_stop AS keep
+         |FROM gf ORDER BY doc_id""".stripMargin,
+    // Funnel replay: the shared flag CTE, one wide conditional
+    // aggregate, four stage rows.
+    "q_filter_funnel" -> {
+      val stages = Seq(
+        (1, "len", "n0", "n1", "k1"), (2, "wordlen", "n1", "n2", "k2"),
+        (3, "sym", "n2", "n3", "k3"), (4, "stop", "n3", "n4", "k4"))
+      val rows = stages.map { case (i, r, nin, nout, k) =>
+        s"""SELECT CAST($i AS INT) AS stage, '$r' AS rule,
+           |  CAST($nin AS BIGINT) AS n_in,
+           |  CAST($nin - $nout AS BIGINT) AS n_killed,
+           |  CAST($nout AS BIGINT) AS n_out,
+           |  CAST($k AS BIGINT) AS sole_kill FROM a""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $sqlGopherFlags,
+         |a AS MATERIALIZED (SELECT count(*) AS n0,
+         |  sum(CASE WHEN ok_len THEN 1 ELSE 0 END) AS n1,
+         |  sum(CASE WHEN ok_len AND ok_wordlen THEN 1 ELSE 0 END) AS n2,
+         |  sum(CASE WHEN ok_len AND ok_wordlen AND ok_sym
+         |    THEN 1 ELSE 0 END) AS n3,
+         |  sum(CASE WHEN ok_len AND ok_wordlen AND ok_sym AND ok_stop
+         |    THEN 1 ELSE 0 END) AS n4,
+         |  sum(CASE WHEN NOT ok_len AND ok_wordlen AND ok_sym AND ok_stop
+         |    THEN 1 ELSE 0 END) AS k1,
+         |  sum(CASE WHEN ok_len AND NOT ok_wordlen AND ok_sym AND ok_stop
+         |    THEN 1 ELSE 0 END) AS k2,
+         |  sum(CASE WHEN ok_len AND ok_wordlen AND NOT ok_sym AND ok_stop
+         |    THEN 1 ELSE 0 END) AS k3,
+         |  sum(CASE WHEN ok_len AND ok_wordlen AND ok_sym AND NOT ok_stop
+         |    THEN 1 ELSE 0 END) AS k4
+         |  FROM gf)
+         |$rows
+         |ORDER BY stage""".stripMargin
+    },
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |s AS (SELECT doc_id, list_transform(range(greatest(len(a) - 2, 0)),

@@ -191,6 +191,29 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("filter funnel: conservation identities tie the stages to the keep flag") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "documents").count()
+    val rows = TextAnalysis.queries("q_filter_funnel")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(rows.head._3 == n)                       // stage 1 sees the corpus
+    rows.foreach { case (_, rule, nin, killed, nout, sole) =>
+      assert(nin - killed == nout, s"$rule: $nin - $killed != $nout")
+      assert(sole >= 0 && sole <= n)
+    }
+    // adjacent stages chain: out(k) == in(k+1)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._5 == b._3
+      case _ => true
+    })
+    // the funnel's final survivors == the keep flag census
+    val kept = TextAnalysis.queries("q_gopher_quality")(spark, dir)
+      .where(org.apache.spark.sql.functions.col("keep")).count()
+    assert(rows.last._5 == kept)
+  }
+
   test("query expansion: recruits beyond the seed result and stays deterministic") {
     val dir = "/root/testdata/sf0.001"
     val out = TextAnalysis.queries("q_query_expansion")(spark, dir)
