@@ -152,7 +152,8 @@ object Bench {
       // executing at ingest
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
-      "q_cluster_balance", "q_query_expansion", "q_filter_funnel")
+      "q_cluster_balance", "q_query_expansion", "q_filter_funnel",
+      "q_snapshot_diff")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -200,6 +200,37 @@ object Prep {
     // the dataset's k (the smallest group), how many rows/groups sit
     // below K. All-integer, hash-exact; at 100 TB the only real cost
     // is the one QI aggregate.
+    // Corpus snapshot-diff census — the versioning view a curation
+    // pipeline publishes between releases: two deterministic snapshot
+    // projections of the documents table (old = ids ∉ 0 mod 5 with
+    // original text; new = ids ∉ 0 mod 11, ids ≡ 0 mod 7 re-crawled
+    // with edited text) full-outer-join on doc_id and compare 16-byte
+    // content hashes → added / removed / changed / unchanged counts
+    // per language. The join ships only (doc_id, lang, md5) — never
+    // text — and co-partitions on doc_id at scale; the census is one
+    // small aggregate. The mod-sampled snapshots stand in for two
+    // real releases the way q_dedup_incremental's crawl-batch split
+    // does.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val old = d.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h_old"))
+      val neu = d.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      old.join(neu, Seq("doc_id", "lang"), "full_outer")
+        .select(col("lang"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status"), col("lang"))
+    }),
+
     "q_kanon" -> ((s, dir) => {
       val g = Tables(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
@@ -501,6 +532,21 @@ object Prep {
          |    THEN ${sqlH60("'e:' || CAST(event_id AS VARCHAR)")}
          |    ELSE 0 END) AS kept_checksum
          |FROM events LEFT JOIN del ON user_id = del.k""".stripMargin,
+    "q_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, lang, md5(text) AS h_old
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |n AS (SELECT doc_id, lang,
+         |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+         |      AS h_new
+         |  FROM documents WHERE doc_id % 11 <> 0),
+         |j AS (SELECT coalesce(o.lang, n.lang) AS lang,
+         |    CASE WHEN h_old IS NULL THEN 'added'
+         |      WHEN h_new IS NULL THEN 'removed'
+         |      WHEN h_old <> h_new THEN 'changed'
+         |      ELSE 'unchanged' END AS status
+         |  FROM o FULL JOIN n ON o.doc_id = n.doc_id AND o.lang = n.lang)
+         |SELECT status, lang, CAST(count(*) AS BIGINT) AS n
+         |FROM j GROUP BY status, lang ORDER BY status, lang""".stripMargin,
     "q_kanon" ->
       s"""WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
          |  FROM customer GROUP BY 1, 2)

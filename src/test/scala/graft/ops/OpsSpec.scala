@@ -191,6 +191,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("snapshot diff: statuses partition both snapshots exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "documents").count()
+    val byStatus = Prep.queries("q_snapshot_diff")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ids = 0L until n
+    val old = ids.filter(_ % 5 != 0).toSet
+    val neu = ids.filter(_ % 11 != 0).toSet
+    assert(byStatus.getOrElse("added", 0L) == (neu -- old).size)
+    assert(byStatus.getOrElse("removed", 0L) == (old -- neu).size)
+    val common = (old & neu)
+    assert(byStatus.getOrElse("changed", 0L) == common.count(_ % 7 == 0))
+    assert(byStatus.getOrElse("unchanged", 0L) == common.count(_ % 7 != 0))
+  }
+
   test("filter funnel: conservation identities tie the stages to the keep flag") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "documents").count()
