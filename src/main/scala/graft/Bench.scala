@@ -153,7 +153,7 @@ object Bench {
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
       "q_cluster_balance", "q_query_expansion", "q_filter_funnel",
-      "q_snapshot_diff")
+      "q_snapshot_diff", "q_dup_rate_by_source")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -169,7 +169,8 @@ object Bench {
     val family = Set("q_ngram_jaccard", "q_dedup_components", "q_cc_sizes",
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
-      "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup")
+      "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup",
+      "q_dup_rate_by_source")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

@@ -477,6 +477,36 @@ object Dedup {
         .orderBy(col("cl_size"))
     }),
 
+    // Near-dup rate per crawl SOURCE — the curation-prioritization
+    // census: which sources feed the duplicate graph (a source with a
+    // high dup rate or a fat share of pair endpoints is boilerplate-
+    // heavy and worth a source-specific filter before it taxes every
+    // downstream dedup pass). Rides the session-shared pair list;
+    // beyond it the cost is one metadata join on doc_id and two small
+    // per-source aggregates — text never moves.
+    "q_dup_rate_by_source" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = sharedJaccardPairs(s, dir, 0.6)
+      val dup = pairs.select(col("doc1").as("doc_id"))
+        .unionByName(pairs.select(col("doc2").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(true))
+      val pairEnds = pairs.select(col("doc1").as("doc_id"))
+        .unionByName(pairs.select(col("doc2").as("doc_id")))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_pair_ends"))
+      docs.select(col("doc_id"), col("source"))
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        .join(pairEnds, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+            .as("dup_rate"),
+          coalesce(col("n_pair_ends"), lit(0L)).as("n_pair_ends"))
+        .orderBy(col("source"))
+    }),
+
     // Canonical-copy selection per near-dup cluster — dedup that keeps
     // the BEST copy, not the lexicographically first: join the
     // component labels with the per-doc quality score (same formula as
@@ -1286,6 +1316,32 @@ object Dedup {
          |csz AS (SELECT component, count(*) AS cl_size FROM labels GROUP BY 1)
          |SELECT cl_size, count(*) AS n_components
          |FROM csz GROUP BY cl_size ORDER BY cl_size""".stripMargin,
+    // Same jpairs replay, then doc-level dup membership + endpoint
+    // counts folded into one per-source census.
+    "q_dup_rate_by_source" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc1 AS doc_id FROM jpairs
+         |  UNION ALL SELECT doc2 FROM jpairs)),
+         |pe AS (SELECT source, count(*) AS n_pair_ends FROM (
+         |    SELECT doc1 AS doc_id FROM jpairs
+         |    UNION ALL SELECT doc2 FROM jpairs) e
+         |  JOIN documents USING (doc_id) GROUP BY source),
+         |cen AS (SELECT source, count(*) AS n_docs,
+         |    sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+         |  FROM documents LEFT JOIN dup USING (doc_id) GROUP BY source)
+         |SELECT cen.source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_dup AS BIGINT) AS n_dup_docs,
+         |  round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_rate,
+         |  CAST(coalesce(n_pair_ends, 0) AS BIGINT) AS n_pair_ends
+         |FROM cen LEFT JOIN pe USING (source) ORDER BY source""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies

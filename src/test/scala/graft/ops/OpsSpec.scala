@@ -191,6 +191,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("dup rate by source: census ties to the shared pair list") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.queries("q_dup_rate_by_source")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val n = graft.Tables(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == n)                 // sources partition the corpus
+    val pairs = Dedup.sharedJaccardPairs(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupDocs = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(rows.map(_._3).sum == dupDocs)           // dup membership conserved
+    assert(rows.map(_._5).sum == 2L * pairs.length) // every pair has two ends
+    rows.foreach { case (src, nd, ndup, rate, _) =>
+      assert(ndup <= nd && rate >= 0.0 && rate <= 1.0, src)
+    }
+  }
+
   test("snapshot diff: statuses partition both snapshots exactly") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "documents").count()
