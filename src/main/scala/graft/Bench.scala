@@ -153,7 +153,7 @@ object Bench {
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
       "q_cluster_balance", "q_query_expansion", "q_filter_funnel",
-      "q_snapshot_diff", "q_dup_rate_by_source")
+      "q_snapshot_diff", "q_dup_rate_by_source", "q_embedding_drift")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -214,7 +214,7 @@ object Bench {
     val ivfFamily = Set("q_sim_ann", "q_ann_recall", "q_dedup_embedding_ivf",
       "q_ivf_pq_search", "q_label_propagation", "q_bitext_mine",
       "q_contrastive_pairs", "q_knn_graph", "q_semantic_outliers",
-      "q_cluster_balance")
+      "q_cluster_balance", "q_embedding_drift")
     val sharedIvf: Seq[(String, Double)] =
       if (names.exists(ivfFamily.contains)) {
         val t = timed("shared_ivf_probed") {

@@ -345,7 +345,7 @@ object Stats {
     * and q_stream_drift oracles, exactly as the Spark pair shares
     * [[psiFrame]].
     */
-  private def sqlPsiTail: String =
+  private[graft] def sqlPsiTail: String =
     """bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
       |f AS (SELECT bins.bin, COALESCE(n_ref, 0) AS n_ref,
       |    COALESCE(n_cur, 0) AS n_cur

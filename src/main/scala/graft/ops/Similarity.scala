@@ -683,6 +683,30 @@ object Similarity {
       picks.toSeq.toDF("rank", "doc_id", "relq", "mmr").orderBy(col("rank"))
     }),
 
+    // Embedding-distribution drift: PSI over IVF cell-GROUP occupancy
+    // between two deterministic corpus halves (vec_id parity stands in
+    // for two time windows the way q_drift_psi's week windows do).
+    // Anchors fold to 10 fixed cell-groups (anchor_id mod 10), so the
+    // monitor's state is 10 rows at ANY corpus size and the PSI
+    // numbers stay comparable across scales — and the entire
+    // smooth→ln-term→decimal-sum chain is graft.analytics.Stats
+    // .psiFrame, shared verbatim with q_drift_psi/q_stream_drift so
+    // the three monitors cannot drift on the formula. Cost beyond the
+    // materialized assignment: one 10-group aggregate. This is the
+    // ML-ops companion to the value-space PSI: embedding-space shift
+    // (new topic mix, encoder change) moves cell occupancy before any
+    // scalar column moves.
+    "q_embedding_drift" -> ((s, dir) => {
+      CosineSim.register(s)
+      val counts = ivfProbed(s, dir)
+        .select((col("anchor_id") % 10).cast("int").as("bin"),
+          col("vec_id"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+      graft.analytics.Stats.psiFrame(s, counts)
+    }),
+
     // IVF bucket-balance census — the bucket-side complement of
     // q_semantic_outliers' vector-side coverage audit: posting-list
     // size extrema, the Gini coefficient of bucket sizes (the sorted-
@@ -1492,6 +1516,17 @@ object Similarity {
          |$finalSel
          |ORDER BY rank""".stripMargin
     },
+    // Embedding-drift replay: the assignment CTEs, the 10-group
+    // parity counts, then the SAME shared PSI tail as q_drift_psi.
+    "q_embedding_drift" ->
+      s"""WITH $sqlIvfProbed,
+         |cnt AS (SELECT CAST(anchor_id % 10 AS INT) AS bin,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_ref,
+         |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cur
+         |  FROM probed GROUP BY 1),
+         |${graft.analytics.Stats.sqlPsiTail}""".stripMargin,
     // Bucket-balance replay: the assignment CTEs, the bucket-size
     // aggregate, and the same all-integer Gini sums.
     "q_cluster_balance" ->

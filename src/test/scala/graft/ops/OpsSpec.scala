@@ -191,6 +191,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("embedding drift: PSI bins conserve the posting census and near-zero on parity halves") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Tables(spark, dir, "embeddings").count()
+    val rows = Similarity.queries("q_embedding_drift")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(6)))
+    assert(rows.length == 10 && rows.map(_._1).toSeq == (0 until 10))
+    // every posting lands in exactly one bin and one parity class
+    assert(rows.map(r => r._2 + r._3).sum == n * Similarity.NProbe)
+    // one psi_total, non-negative (Gibbs), and SMALL: vec_id parity is
+    // independent of embedding content, so the halves share a
+    // distribution and the monitor must read ~no drift
+    val psi = rows.map(_._4).distinct
+    assert(psi.length == 1 && psi.head >= 0.0 && psi.head < 0.25,
+      s"parity halves showed implausible drift: ${psi.head}")
+  }
+
   test("dup rate by source: census ties to the shared pair list") {
     val dir = "/root/testdata/sf0.001"
     val rows = Dedup.queries("q_dup_rate_by_source")(spark, dir)
