@@ -153,7 +153,8 @@ object Bench {
       "q_crossmodal_dedup", "q_stream_crossmodal", "q_rrf_fusion",
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
       "q_cluster_balance", "q_query_expansion", "q_filter_funnel",
-      "q_snapshot_diff", "q_dup_rate_by_source", "q_embedding_drift")
+      "q_snapshot_diff", "q_dup_rate_by_source", "q_embedding_drift",
+      "q_pack_efficiency")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

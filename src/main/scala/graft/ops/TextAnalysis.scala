@@ -532,6 +532,38 @@ object TextAnalysis {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Packing-efficiency audit — the training-throughput counterpart
+    // of q_pack_sequences: per language, how many 1024-token chunks
+    // the packed stream needs, the fill rate (tokens / chunk budget —
+    // 1 − fill is the padding the trainer burns), and how many docs
+    // straddle a chunk boundary (fragmented attention / split-doc
+    // loss masking). Same window-cumsum chain as the packer, one
+    // extra per-lang aggregate; rates are single rounded divisions.
+    "q_pack_efficiency" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("sc", floor((col("cum") - col("n_tok")) / lit(1024L)))
+        .withColumn("ec", floor((col("cum") - lit(1L)) / lit(1024L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          (max(col("ec")) + lit(1L)).as("n_chunks"),
+          sum(when(col("n_tok") > 0 && col("sc") =!= col("ec"), 1L)
+            .otherwise(0L)).as("n_straddled"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chunks"),
+          round(col("n_tokens").cast("double") / (col("n_chunks") * lit(1024L)), 6)
+            .as("fill_rate"),
+          col("n_straddled"),
+          round(col("n_straddled").cast("double") / col("n_docs"), 6)
+            .as("straddle_rate"))
+        .orderBy(col("lang"))
+    }),
+
     // Bigram language-model statistics: conditional probability
     // p(w2|w1) = count(w1 w2) / count(w1 ·), top 20 bigrams. The
     // count(w1) marginal is derived FROM the bigram counts (one
@@ -1277,6 +1309,27 @@ object TextAnalysis {
          |SELECT lang, doc_id, CAST(n_tok AS INT) AS n_tok,
          |  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok) / 1024) AS INT) AS chunk
          |FROM t ORDER BY lang, doc_id""".stripMargin,
+    // Efficiency replay: same cumsum, per-lang fold.
+    "q_pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT lang, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t),
+         |e AS (SELECT lang, n_tok,
+         |  floor((cum - n_tok) / 1024) AS sc, floor((cum - 1) / 1024) AS ec
+         |  FROM c),
+         |a AS (SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+         |    max(ec) + 1 AS n_chunks,
+         |    sum(CASE WHEN n_tok > 0 AND sc <> ec THEN 1 ELSE 0 END)
+         |      AS n_straddled
+         |  FROM e GROUP BY lang)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  round(CAST(n_tokens AS DOUBLE) / (n_chunks * 1024), 6) AS fill_rate,
+         |  CAST(n_straddled AS BIGINT) AS n_straddled,
+         |  round(CAST(n_straddled AS DOUBLE) / n_docs, 6) AS straddle_rate
+         |FROM a ORDER BY lang""".stripMargin,
     "q_normalize_text" ->
       s"""SELECT doc_id,
          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),

@@ -191,6 +191,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("pack efficiency: chunk accounting agrees with the packer's assignment") {
+    val dir = "/root/testdata/sf0.001"
+    val eff = TextAnalysis.queries("q_pack_efficiency")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val packed = TextAnalysis.queries("q_pack_sequences")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    packed.groupBy(_._1).foreach { case (lang, rows) =>
+      val (nDocs, nTok, nChunks, fill, _) = eff(lang)
+      assert(nDocs == rows.length)
+      assert(nTok == rows.map(_._3.toLong).sum)
+      // the packer's highest START chunk never exceeds the audit's
+      // chunk count (a doc can only straddle INTO the last chunk)
+      assert(rows.map(_._4).max < nChunks)
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
   test("embedding drift: PSI bins conserve the posting census and near-zero on parity halves") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "embeddings").count()
