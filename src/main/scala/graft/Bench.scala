@@ -154,7 +154,7 @@ object Bench {
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
       "q_cluster_balance", "q_query_expansion", "q_filter_funnel",
       "q_snapshot_diff", "q_dup_rate_by_source", "q_embedding_drift",
-      "q_pack_efficiency")
+      "q_pack_efficiency", "q_stream_outliers")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

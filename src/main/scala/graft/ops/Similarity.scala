@@ -110,6 +110,36 @@ object Similarity {
   val MmrPoolK = 20
   val MmrK = 10
 
+  /** Broadcast table of the √n fine-anchor vectors — the scoring side
+    * of the coverage audit, shared by batch and streaming forms.
+    */
+  private[graft] def anchorTable(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "embeddings").count()
+    val mFine = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    broadcast(embeddings(s, dir).where(col("vec_id") < mFine)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av")))
+  }
+
+  /** Best-assigned-anchor scoring shared by q_semantic_outliers and
+    * the streaming ingest guard (q_stream_outliers): from assignment
+    * rows (vec_id, v, anchor_id) and the broadcast anchor table, the
+    * rank-1 rounded cosine per vector plus the OutlierCos flag.
+    * Per-vector independent, so scoring a micro-batch and scoring the
+    * full table yield identical rows — the ivfAssign property that
+    * makes the streaming twin's drained union equal the batch query.
+    */
+  private[graft] def outlierScore(probed: DataFrame, anchors: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("anchor_id"))
+    probed.join(anchors, Seq("anchor_id"))
+      .select(col("vec_id"), col("anchor_id"),
+        round(cosine("v", "av"), 6).as("acos"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("anchor_id").as("best_anchor"),
+        col("acos").as("best_cos"),
+        (col("acos") < OutlierCos).as("is_outlier"))
+  }
+
   /** q_semantic_outliers flag threshold: a vector whose best assigned
     * anchor sits below this cosine is "poorly covered" by the index —
     * an off-distribution / noise candidate. On the near-orthogonal
@@ -755,22 +785,22 @@ object Similarity {
     // rank (anchor_id tiebreak) — deterministic, oracle hash-exact.
     "q_semantic_outliers" -> ((s, dir) => {
       CosineSim.register(s)
-      val emb = embeddings(s, dir)
-      val n = Tables(s, dir, "embeddings").count()
-      val mFine = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val anchors = broadcast(emb.where(col("vec_id") < mFine)
-        .select(col("vec_id").as("anchor_id"), col("v").as("av")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("acos").desc, col("anchor_id"))
-      ivfProbed(s, dir)
-        .join(anchors, Seq("anchor_id"))
-        .select(col("vec_id"), col("anchor_id"),
-          round(cosine("v", "av"), 6).as("acos"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("vec_id"), col("anchor_id").as("best_anchor"),
-          col("acos").as("best_cos"),
-          (col("acos") < OutlierCos).as("is_outlier"))
+      outlierScore(ivfProbed(s, dir), anchorTable(s, dir))
         .orderBy(col("vec_id"))
+    }),
+
+    // EXECUTES on the streaming engine: the coverage audit as an
+    // ingest-time guard — arriving vector micro-batches assign
+    // against the offline-trained quantizer (the q_stream_ivf
+    // machinery) and score their own best-anchor cosine with the
+    // SAME outlierScore projection as batch, so the drained flags
+    // equal q_semantic_outliers row-for-row and SHARE its oracle.
+    // Per-bid idempotent flag writes; restart tested.
+    "q_stream_outliers" -> ((s, dir) => {
+      CosineSim.register(s)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_outliers").toString
+      graft.streaming.Streams.outliersIngest(s, dir, work)
     }),
 
     // Hybrid retrieval fusion (RRF, k=60 — Cormack/Clarke/Buettcher):
@@ -1145,6 +1175,19 @@ object Similarity {
     * LASER-style mining tunes the same knob on held-out alignments.
     */
   val MineMargin = 1.05
+
+  /** The coverage-audit SQL — one definition for the batch/stream pair. */
+  private def semanticOutliersOracle: String =
+    s"""WITH $sqlIvfProbed,
+       |ac AS (SELECT p.vec_id, f.fine_id AS anchor_id,
+       |    round(${sqlCos("p.v", "f.fv")}, 6) AS acos
+       |  FROM probed p JOIN fine f ON p.anchor_id = f.fine_id),
+       |best AS (SELECT vec_id, anchor_id, acos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY acos DESC, anchor_id) AS rn FROM ac) WHERE rn = 1)
+       |SELECT vec_id, anchor_id AS best_anchor, acos AS best_cos,
+       |  acos < $OutlierCos AS is_outlier
+       |FROM best ORDER BY vec_id""".stripMargin
 
   private def sqlCos(a: String, b: String): String =
     s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
@@ -1546,18 +1589,11 @@ object Similarity {
          |  CAST(n_saturated AS BIGINT) AS n_saturated
          |FROM a""".stripMargin,
     // Index-coverage audit replay: the deterministic assignment CTEs,
-    // then re-rank the assigned anchors by rounded cosine.
-    "q_semantic_outliers" ->
-      s"""WITH $sqlIvfProbed,
-         |ac AS (SELECT p.vec_id, f.fine_id AS anchor_id,
-         |    round(${sqlCos("p.v", "f.fv")}, 6) AS acos
-         |  FROM probed p JOIN fine f ON p.anchor_id = f.fine_id),
-         |best AS (SELECT vec_id, anchor_id, acos FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY acos DESC, anchor_id) AS rn FROM ac) WHERE rn = 1)
-         |SELECT vec_id, anchor_id AS best_anchor, acos AS best_cos,
-         |  acos < $OutlierCos AS is_outlier
-         |FROM best ORDER BY vec_id""".stripMargin,
+    // then re-rank the assigned anchors by rounded cosine. The
+    // streaming twin's drained union equals the batch query
+    // row-for-row, so it shares this oracle VERBATIM.
+    "q_semantic_outliers" -> semanticOutliersOracle,
+    "q_stream_outliers" -> semanticOutliersOracle,
     // Full SQL replay of the deterministic IVF pipeline (two-level
     // quantizer, multi-probe 2, bucket self-join, rn=1 re-rank) plus
     // the exact brute force — recall is therefore hash-checked.

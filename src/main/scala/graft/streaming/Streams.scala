@@ -840,6 +840,74 @@ object Streams {
       .orderBy(col("anchor_id"))
   }
 
+  /** Streaming coverage-audit guard — the foreachBatch deployment of
+    * q_semantic_outliers: the quantizer and the √n anchor table are
+    * fixed before the stream starts (trained offline, broadcast);
+    * every arriving vector micro-batch assigns itself with the SAME
+    * Similarity.ivfAssign the batch path uses and scores its own
+    * best-anchor cosine with the SAME Similarity.outlierScore
+    * projection, writing flags to one overwritten per-bid directory
+    * (the ivfIngest retry discipline). Assignment and scoring are
+    * per-vector independent, so the drained union equals the batch
+    * query row-for-row — q_stream_outliers SHARES its oracle
+    * verbatim. At 100 TB the probe is broadcast-only; per batch the
+    * only exchange is the batch-local rank-1 window.
+    */
+  def outliersIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    outliersStage(spark, dir, workDir, shards)
+    outliersRun(spark, dir, workDir)
+  }
+
+  /** Stage the embeddings as id shards; `upTo` stages a prefix for
+    * the checkpoint-restart test.
+    */
+  private[streaming] def outliersStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    val emb = graft.ops.Similarity.embeddings(spark, dir)
+    stageShards(emb, workDir, shards, upTo, keyCol = "vec_id")
+    ()
+  }
+
+  /** Drain whatever vector shards are staged under `workDir/stream`
+    * past the coverage guard — separated from [[outliersStage]] so
+    * the checkpoint-restart test can resume mid-stream; quantizer and
+    * anchors derive deterministically from the static table, so a
+    * resumed run scores against the IDENTICAL index.
+    */
+  private[streaming] def outliersRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.Similarity
+    graft.functions.CosineSim.register(spark)
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val (coarse0, fineBucket0) = Similarity.ivfQuantizer(spark, dir)
+    val coarse = coarse0.cache()
+    val fineBucket = fineBucket0.cache()
+    val anchors = Similarity.anchorTable(spark, dir).cache()
+    try {
+      coarse.count(); fineBucket.count(); anchors.count()
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          // a micro-batch arrives as ONE staged file = one partition —
+          // spread it so the assignment cosines use every core (the
+          // crossmodalRun lesson; the shuffle moves only the batch)
+          val bdf = batch.toDF()
+            .repartition(spark.sparkContext.defaultParallelism)
+          Similarity.outlierScore(
+              Similarity.ivfAssign(bdf, coarse, fineBucket), anchors)
+            .write.mode("overwrite").parquet(s"$workDir/flags_b$bid")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally { coarse.unpersist(); fineBucket.unpersist(); anchors.unpersist(); () }
+    spark.read.parquet(s"$workDir/flags_b*").orderBy(col("vec_id"))
+  }
+
   /** Streaming benchmark-contamination guard — the foreachBatch
     * deployment of q_contamination: the EVAL shingle index is fixed
     * before the stream starts (the benchmark suite is a static

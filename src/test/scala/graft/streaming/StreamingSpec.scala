@@ -418,6 +418,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(resumed == batchEvents)
   }
 
+  test("foreachBatch coverage guard: streamed outlier flags == batch, restart-safe") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val batch = graft.ops.Similarity.queries("q_semantic_outliers")(spark, dir)
+      .collect().map(key).toSeq
+    val work = java.nio.file.Files.createTempDirectory("graft_sso_spec").toString
+    val streamed = Streams.outliersIngest(spark, dir, work)
+      .collect().map(key).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    val work2 = java.nio.file.Files.createTempDirectory("graft_sso_resume").toString
+    Streams.outliersStage(spark, dir, work2, 3, upTo = Some(2))
+    Streams.outliersRun(spark, dir, work2)       // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work2/flags_b1").exists())
+    Streams.outliersStage(spark, dir, work2, 3)
+    val resumed = Streams.outliersRun(spark, dir, work2)
+      .collect().map(key).toSeq
+    assert(new java.io.File(s"$work2/flags_b2").exists())
+    assert(!new java.io.File(s"$work2/flags_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    assert(resumed == batch)
+  }
+
   test("foreachBatch crossmodal guard: streamed census == batch, restart-safe") {
     // drain == batch on a fresh stream, then the checkpoint-restart
     // form: 2-shard prefix, "crash", stage the third, resume — the
