@@ -199,7 +199,8 @@ object Bench {
         Seq("shared_perplexity" -> t)
       } else Seq.empty
     // the BM25 score table for the fixed retrieval query: one
-    // tokenize+explode pass shared by q_bm25 and q_rrf_fusion
+    // tokenize+explode pass shared by q_bm25, q_rrf_fusion, and
+    // q_query_expansion (whose feedback set is its top-FbDocs)
     val bm25Family = Set("q_bm25", "q_rrf_fusion", "q_query_expansion")
     val sharedBm25: Seq[(String, Double)] =
       if (names.exists(bm25Family.contains)) {

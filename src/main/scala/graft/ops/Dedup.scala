@@ -487,11 +487,10 @@ object Dedup {
     "q_dup_rate_by_source" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val pairs = sharedJaccardPairs(s, dir, 0.6)
-      val dup = pairs.select(col("doc1").as("doc_id"))
-        .unionByName(pairs.select(col("doc2").as("doc_id"))).distinct()
-        .withColumn("is_dup", lit(true))
-      val pairEnds = pairs.select(col("doc1").as("doc_id"))
+      val ends = pairs.select(col("doc1").as("doc_id"))
         .unionByName(pairs.select(col("doc2").as("doc_id")))
+      val dup = ends.distinct().withColumn("is_dup", lit(true))
+      val pairEnds = ends
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_pair_ends"))
       docs.select(col("doc_id"), col("source"))

@@ -191,15 +191,6 @@ object Prep {
         .orderBy(col("doc_id"), col("chunk_no"))
     }),
 
-    // k-anonymity audit over the quasi-identifier tuple
-    // (nation, market segment) — the privacy gate run before a
-    // dataset with person-level rows is released for training: every
-    // QI group smaller than K = KanonK re-identifies its members. One
-    // hash aggregate on the QI key (map-side partials — the corpus is
-    // touched once), then a single-row audit over the |groups| frame:
-    // the dataset's k (the smallest group), how many rows/groups sit
-    // below K. All-integer, hash-exact; at 100 TB the only real cost
-    // is the one QI aggregate.
     // Corpus snapshot-diff census — the versioning view a curation
     // pipeline publishes between releases: two deterministic snapshot
     // projections of the documents table (old = ids ∉ 0 mod 5 with
@@ -231,6 +222,15 @@ object Prep {
         .orderBy(col("status"), col("lang"))
     }),
 
+    // k-anonymity audit over the quasi-identifier tuple
+    // (nation, market segment) — the privacy gate run before a
+    // dataset with person-level rows is released for training: every
+    // QI group smaller than K = KanonK re-identifies its members. One
+    // hash aggregate on the QI key (map-side partials — the corpus is
+    // touched once), then a single-row audit over the |groups| frame:
+    // the dataset's k (the smallest group), how many rows/groups sit
+    // below K. All-integer, hash-exact; at 100 TB the only real cost
+    // is the one QI aggregate.
     "q_kanon" -> ((s, dir) => {
       val g = Tables(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
@@ -259,9 +259,7 @@ object Prep {
     // associative/commutative, so the checksum is partition-order
     // free with no decimal machinery.
     "q_forget" -> ((s, dir) => {
-      val del = Tables(s, dir, "customer")
-        .select(col("c_custkey").as("k")).where(col("k") % ForgetMod === 0)
-        .withColumn("hit", lit(1))
+      val del = deletionList(s, dir).withColumn("hit", lit(1))
       def audit(table: String, keyed: DataFrame): DataFrame =
         keyed.join(broadcast(del), Seq("k"), "left")
           .agg(sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_purged"),
@@ -309,6 +307,16 @@ object Prep {
   /** q_forget deletion-list sampler: customers with key ≡ 0 (mod 97). */
   val ForgetMod = 97
 
+  /** THE deletion list (`k` = sampled customer key) — single
+    * definition of the RTBF sampling predicate shared by the audit
+    * (q_forget), the physical delete ([[forgetApply]]), and the
+    * streaming ingest guard (Streams.forgetRun), so the three
+    * surfaces cannot drift on who is being forgotten.
+    */
+  private[graft] def deletionList(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey").as("k")).where(col("k") % ForgetMod === 0)
+
   /** EXECUTE the right-to-be-forgotten cascade q_forget audits: rewrite
     * customer → orders → lineitem → events under `outDir` with the
     * deletion list's rows physically removed. Each table is one scan +
@@ -331,8 +339,7 @@ object Prep {
     * so a corpus change fails loudly rather than purging garbage.
     */
   def forgetApply(s: SparkSession, dir: String, outDir: String): Unit = {
-    val del = broadcast(Tables(s, dir, "customer")
-      .select(col("c_custkey").as("k")).where(col("k") % ForgetMod === 0))
+    val del = broadcast(deletionList(s, dir))
     def write(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     write("customer", Tables(s, dir, "customer")

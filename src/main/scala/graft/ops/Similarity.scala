@@ -110,12 +110,18 @@ object Similarity {
   val MmrPoolK = 20
   val MmrK = 10
 
+  /** THE fine-anchor-count rule (m = max(4, ⌈√n⌉)) — one definition
+    * for the quantizer, the anchor table, the saturation cap, and the
+    * balance census, so the anchor set cannot drift between them.
+    */
+  private[graft] def fineCount(n: Long): Long =
+    math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
   /** Broadcast table of the √n fine-anchor vectors — the scoring side
     * of the coverage audit, shared by batch and streaming forms.
     */
   private[graft] def anchorTable(s: SparkSession, dir: String): DataFrame = {
-    val n = Tables(s, dir, "embeddings").count()
-    val mFine = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val mFine = fineCount(Tables(s, dir, "embeddings").count())
     broadcast(embeddings(s, dir).where(col("vec_id") < mFine)
       .select(col("vec_id").as("anchor_id"), col("v").as("av")))
   }
@@ -217,8 +223,7 @@ object Similarity {
     // anchor counts from a direct parquet count (metadata-cheap) —
     // caching emb for this would pin it in executor storage for the
     // whole session (Verify/Bench run ~70 queries in one session)
-    val nVec = Tables(s, dir, "embeddings").count().toDouble
-    val mFine = math.max(4, math.ceil(math.sqrt(nVec)).toInt)
+    val mFine = fineCount(Tables(s, dir, "embeddings").count())
     val nCoarse = math.max(2, math.ceil(math.sqrt(mFine.toDouble)).toInt)
     val fine = broadcast(emb.where(col("vec_id") < mFine)
       .select(col("vec_id").as("fine_id"), col("v").as("fv")))
@@ -311,7 +316,7 @@ object Similarity {
     * (exchange-reusable).
     */
   private[graft] def shardProbed(probed: DataFrame, n: Long): DataFrame = {
-    val m = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val m = fineCount(n)
     val cap = IvfSaturationFactor * NProbe * ((n + m - 1L) / m)
     val bn = count(lit(1)).over(Window.partitionBy(col("anchor_id")))
     val nShards = floor((bn + lit(cap - 1L)) / lit(cap)).cast("long")
@@ -751,7 +756,7 @@ object Similarity {
     "q_cluster_balance" -> ((s, dir) => {
       CosineSim.register(s)
       val n = Tables(s, dir, "embeddings").count()
-      val m = math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val m = fineCount(n)
       val cap = IvfSaturationFactor * NProbe * ((n + m - 1L) / m)
       val sizes = ivfProbed(s, dir)
         .groupBy(col("anchor_id")).agg(count(lit(1)).as("bn"))

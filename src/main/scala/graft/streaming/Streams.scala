@@ -883,9 +883,13 @@ object Streams {
     val (coarse0, fineBucket0) = Similarity.ivfQuantizer(spark, dir)
     val coarse = coarse0.cache()
     val fineBucket = fineBucket0.cache()
-    val anchors = Similarity.anchorTable(spark, dir).cache()
+    // the anchor vectors ARE the fine rows the quantizer already
+    // holds — reuse the cached table instead of a second embeddings
+    // count + broadcast build (one definition of the anchor set)
+    val anchors = broadcast(fineBucket
+      .select(col("fine_id").as("anchor_id"), col("fv").as("av")))
     try {
-      coarse.count(); fineBucket.count(); anchors.count()
+      coarse.count(); fineBucket.count()
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -904,7 +908,7 @@ object Streams {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally { coarse.unpersist(); fineBucket.unpersist(); anchors.unpersist(); () }
+    } finally { coarse.unpersist(); fineBucket.unpersist(); () }
     spark.read.parquet(s"$workDir/flags_b*").orderBy(col("vec_id"))
   }
 
@@ -1024,9 +1028,9 @@ object Streams {
   private[streaming] def forgetRun(spark: SparkSession, dir: String,
       workDir: String): DataFrame = withStatePartitions(spark) {
     import graft.ops.TextFns.h60
-    val del = broadcast(graft.Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("k"))
-      .where(col("k") % graft.ops.Prep.ForgetMod === 0)
+    // the ONE deletion-list definition, shared with the batch audit
+    // and the physical delete
+    val del = broadcast(graft.ops.Prep.deletionList(spark, dir)
       .withColumn("hit", lit(1)))
     val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
     val schema = spark.read.parquet(srcDir).schema
