@@ -699,7 +699,11 @@ object Similarity {
       def mmrExpr(ms: Column): Column =
         round(lit(MmrLam) * col("relq") - lit(MmrLamC) * ms, 6)
       val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
-      for (r <- 1 to MmrK) {
+      // a corpus with fewer than MmrK pool vectors simply yields a
+      // shorter ranking — stop when a round finds no candidate rather
+      // than throwing from a bare collect().head
+      var exhausted = false
+      for (r <- 1 to MmrK if !exhausted) {
         val selIds = picks.map(_._2).toSeq
         val base = if (selIds.isEmpty) cand else
           cand.where(!col("vec_id").isin(selIds.map(Long.box): _*))
@@ -708,11 +712,14 @@ object Similarity {
           base.join(sims.where(col("b").isin(selIds.map(Long.box): _*))
               .groupBy(col("a")).agg(max(col("sim")).as("ms")),
             col("vec_id") === col("a"), "left")
-        val row = scored
+        scored
           .select(col("vec_id"), col("relq"), mmrExpr(ms).as("mmr"))
           .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-          .collect().head
-        picks += ((r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+          .collect().headOption match {
+          case Some(row) =>
+            picks += ((r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+          case None => exhausted = true
+        }
       }
       import s.implicits._
       picks.toSeq.toDF("rank", "doc_id", "relq", "mmr").orderBy(col("rank"))

@@ -67,6 +67,13 @@ object Streams {
     * the FIRST start of a stateful query by the checkpoint anyway).
     */
   private val StatePartitions = 4
+
+  /** Largest micro-batch shingle-posting table (rows, two BIGINTs
+    * each) the crossmodal ingest guard will broadcast as the probe
+    * side; larger batches fall back to a shuffle hash join so a big
+    * ingest burst can never blow the driver/executor broadcast limit.
+    */
+  private val CrossmodalBroadcastMaxRows = 2000000L
   private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -1158,13 +1165,21 @@ object Streams {
             .map(_.unionByName(meta)).getOrElse(meta)
           // text candidates: batch postings probe the accumulated
           // postings (∪ batch, for within-batch pairs) on the hash.
-          // The BATCH side broadcasts (small by construction, the
-          // minhashDedupIngest discipline) — the accumulated store is
-          // only scanned and probed, never shuffled. Both verify
-          // predicates (exact Jaccard from sizes, exact hamming from
-          // the 16-byte hashes) apply in ONE pass over the candidate
-          // pairs via the fused per-doc metadata row.
-          val inter = broadcast(post.select(col("doc_id").as("doc1"), col("h")))
+          // The BATCH side broadcasts — but measured, not assumed: in
+          // this harness a batch is a third of the corpus, so the
+          // posting table is only "small by construction" up to a
+          // point. post is already cached (meta forced it), so the
+          // count is a cache scan; above the cap (2M × 16-byte rows
+          // ≈ 32 MB, safely under executor broadcast budgets) the
+          // probe falls back to the ordinary shuffle hash join — same
+          // rows, one extra exchange on h.
+          val batchPost = post.select(col("doc_id").as("doc1"), col("h"))
+          val probe = if (post.count() <= CrossmodalBroadcastMaxRows)
+            broadcast(batchPost) else batchPost
+          // Both verify predicates (exact Jaccard from sizes, exact
+          // hamming from the 16-byte hashes) apply in ONE pass over
+          // the candidate pairs via the fused per-doc metadata row.
+          val inter = probe
             .join(allPost.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
             .where(col("doc1") =!= col("doc2"))
             .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("i"))
@@ -1267,13 +1282,26 @@ object Streams {
       java.nio.file.Files.createDirectories(srcDir)
       val t0 = System.currentTimeMillis() - 600000
       for (i <- missing) {
-        val parts = new java.io.File(s"$tmp/__shard=$i").listFiles()
+        val parts = Option(new java.io.File(s"$tmp/__shard=$i").listFiles())
+          .getOrElse(Array.empty[java.io.File])
           .filter(_.getName.endsWith(".parquet"))
-        require(parts.length == 1,
+        require(parts.length <= 1,
           s"shard $i staged as ${parts.length} files — mtime ordering " +
             "needs exactly one")
+        val part = parts.headOption.getOrElse {
+          // no rows landed in this residue class (small/filtered
+          // corpus) — partitionBy never created the directory, so
+          // stage an empty single-file shard instead (the old
+          // per-shard stageFile behavior): the stream must still see
+          // exactly n micro-batches. partitionBy strips __shard from
+          // the data files, so the empty file's schema is df's own.
+          val emptyDir = s"$tmp/__empty_$i"
+          df.limit(0).coalesce(1).write.mode("overwrite").parquet(emptyDir)
+          new java.io.File(emptyDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+        }
         val dst = srcDir.resolve(s"shard_$i.parquet")
-        java.nio.file.Files.move(parts.head.toPath, dst)
+        java.nio.file.Files.move(part.toPath, dst)
         // the file source orders micro-batches by mtime (see stageFile)
         require(dst.toFile.setLastModified(t0 + i * 10000L),
           s"could not set mtime on $dst — batch ordering would be undefined")

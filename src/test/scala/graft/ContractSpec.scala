@@ -306,7 +306,6 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
       // on (anchor_id, shard) — an anchor-only key regresses to the
       // unbounded Σ|bucket|² product on a degenerate corpus (the
       // phash stop-band / cooccur df-cap lesson applied to the index).
-      import org.apache.spark.sql.execution.joins.BaseJoinExec
       for (q <- Seq("q_sim_ann", "q_dedup_embedding_ivf",
           "q_label_propagation", "q_bitext_mine", "q_contrastive_pairs",
           "q_knn_graph")) {
