@@ -154,7 +154,12 @@ object Bench {
       "q_stream_forget", "q_semantic_outliers", "q_mmr_diversify",
       "q_cluster_balance", "q_query_expansion", "q_filter_funnel",
       "q_snapshot_diff", "q_dup_rate_by_source", "q_embedding_drift",
-      "q_pack_efficiency", "q_stream_outliers")
+      "q_pack_efficiency", "q_stream_outliers",
+      // round-7: the executable decontamination drop, the SimHash
+      // candidate audit, retrieval-quality eval (MRR/recall@10),
+      // Matryoshka prefix-dim recall, classifier calibration
+      "q_decontaminate", "q_simhash_recall", "q_retrieval_eval",
+      "q_matryoshka_trunc", "q_calibration")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -293,6 +293,60 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** 60-bit SimHash signatures with their 4×15-bit band keys —
+    * (doc_id, simhash, band, key), one definition shared by
+    * q_dedup_simhash (the dedup) and q_simhash_recall (its candidate
+    * audit) so the sketch and its audit cannot drift. Token-count
+    * explode + one per-doc 60-column conditional aggregate; the band
+    * explode is 4 rows/doc.
+    */
+  private def simhashBandTable(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.fanout(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h60(col("t")))
+    val contribs = (0 until 60).map(j =>
+      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"c_$j"))
+    val sums = tc.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
+    val sim = sums.select(col("doc_id"),
+      (0 until 60).map(j =>
+        when(col(s"c_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("key")))
+    sim.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** THE contaminated-doc set (train docs sharing ≥ 1 shingle hash
+    * with the doc_id % 50 = 0 eval slice) — single definition of the
+    * decontamination predicate shared by the census (q_decontaminate)
+    * and the physical drop ([[decontaminateApply]]), the
+    * Prep.deletionList discipline applied to eval leakage.
+    */
+  private[graft] def contaminatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShinglePostings(s, dir)
+    val ev = sh.where(col("doc_id") % 50 === 0).select(col("h")).distinct()
+    sh.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(ev), Seq("h"))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** EXECUTE the decontamination q_decontaminate censuses: write the
+    * training corpus under `outDir` with every contaminated doc
+    * physically removed — one scan + one anti-join probe on doc_id
+    * (the forgetApply partition-rewrite shape; the flagged set is the
+    * similarity join's bounded OUTPUT, not the corpus).
+    */
+  def decontaminateApply(s: SparkSession, dir: String, outDir: String): Unit = {
+    Tables(s, dir, "documents").where(col("doc_id") % 50 =!= 0)
+      .join(contaminatedDocs(s, dir), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   /** Connected components over an undirected pair list: every doc's
     * label converges to the smallest doc_id reachable through near-dup
     * edges. Two structural choices carry the 100 TB story:
@@ -586,24 +640,7 @@ object Dedup {
 
     // SimHash: 60-bit signature, banded self-join, hamming ≤ 3.
     "q_dedup_simhash" -> ((s, dir) => {
-      val tc = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", h60(col("t")))
-      val contribs = (0 until 60).map(j =>
-        sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"c_$j"))
-      val sums = tc.groupBy("doc_id").agg(contribs.head, contribs.tail: _*)
-      val sim = sums.select(col("doc_id"),
-        (0 until 60).map(j =>
-          when(col(s"c_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
-      val bandStructs = (0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("key")))
-      val bt = sim.select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
+      val bt = simhashBandTable(s, dir)
       bt.select(col("band"), col("key"), col("doc_id").as("doc1"), col("simhash").as("sh1"))
         .join(bt.select(col("band"), col("key"), col("doc_id").as("doc2"), col("simhash").as("sh2")),
           Seq("band", "key"))
@@ -613,6 +650,34 @@ object Dedup {
         .distinct()
         .where(col("hamming") <= 3)
         .orderBy(col("doc1"), col("doc2"))
+    }),
+
+    // Empirical candidate-quality audit of the SimHash bands — the
+    // q_lsh_recall twin for the OTHER sketch: banded-SimHash candidate
+    // pairs scored against the exact shingle-Jaccard ≥ 0.6 truth (the
+    // shared pair list). SimHash sketches token-multiset cosine, not
+    // shingle Jaccard, so unlike MinHash its recall on this truth is
+    // NOT a banding theorem — the measured number quantifies the
+    // sketch-mismatch penalty, which is exactly the datum an operator
+    // needs when choosing between the two sketches for a corpus. Same
+    // bounded shape as q_lsh_recall: band self-join + one semi-join +
+    // three 1-row aggregates.
+    "q_simhash_recall" -> ((s, dir) => {
+      val bt = simhashBandTable(s, dir)
+      val cand = bt.select(col("band"), col("key"), col("doc_id").as("doc1"))
+        .join(bt.select(col("band"), col("key"), col("doc_id").as("doc2")),
+          Seq("band", "key"))
+        .where(col("doc1") < col("doc2"))
+        .select("doc1", "doc2").distinct()
+      val exact = sharedJaccardPairs(s, dir, 0.6).select(col("doc1"), col("doc2"))
+      val hits = exact.join(cand, Seq("doc1", "doc2"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+          round(col("n_hit").cast("double") / col("n_cand"), 6)
+            .as("candidate_precision"))
     }),
 
     // Exact n-gram Jaccard similarity join via inverted shingle index.
@@ -991,6 +1056,30 @@ object Dedup {
       graft.streaming.Streams.contaminationIngest(s, dir, work)
     }),
 
+    // EXECUTABLE decontamination: the q_contamination scan turned into
+    // the censused DROP it exists to drive — per-source counts of
+    // trained/dropped/kept plus a bit_xor receipt over the kept docs'
+    // content keys (the q_forget purge-receipt discipline), so the
+    // physical pass ([[decontaminateApply]], OpsSpec-tested against
+    // this census) is verifiable after the fact. The flagged set comes
+    // from ONE shared predicate ([[contaminatedDocs]]); the census is
+    // a broadcast-eval probe + one per-source aggregate.
+    "q_decontaminate" -> ((s, dir) => {
+      val flagged = contaminatedDocs(s, dir).withColumn("hit", lit(1))
+      Tables(s, dir, "documents")
+        .where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("source"),
+          h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+          expr("bit_xor(CASE WHEN hit IS NULL THEN h ELSE CAST(0 AS BIGINT) END)")
+            .as("kept_checksum"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental (cross-snapshot) exact dedup: a new crawl batch
     // lands against an existing corpus and only unseen content
     // survives. Anti-join on the content hash, never the text — the
@@ -1097,6 +1186,69 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY doc1, doc2""".stripMargin
   }
+
+  /** Replays the banded SimHash candidate set (the simhashOracle CTE
+    * chain, signatures renamed `sg` to dodge sqlShingleCtes' `sh`) and
+    * the exact Jaccard-≥0.6 pair list, then counts the overlap — the
+    * lshRecallOracle shape for the other sketch.
+    */
+  private def simhashRecallOracle: String = {
+    val sums = (0 until 60).map(j =>
+      s"sum(cnt * (2*((h >> $j) & 1) - 1)) AS c_$j").mkString(",\n  ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN c_$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END").mkString(" + ")
+    val bandSel = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM sg")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+       |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |hh AS (SELECT doc_id, cnt, ${sqlH60("t")} AS h FROM tc),
+       |cs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       |sg AS (SELECT doc_id, ($bits) AS simhash FROM cs),
+       |bands AS ($bandSel),
+       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+       |  FROM bands b1 JOIN bands b2
+       |    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id),
+       |${sqlShingleCtes("documents")},
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+       |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp AS (SELECT doc1, doc2
+       |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+       |hits AS (SELECT doc1, doc2 FROM jp INTERSECT SELECT doc1, doc2 FROM cand)
+       |SELECT CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_exact,
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       |  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hit,
+       |  round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |    / (SELECT count(*) FROM jp), 6) AS recall,
+       |  round(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+       |    / (SELECT count(*) FROM cand), 6) AS candidate_precision""".stripMargin
+  }
+
+  /** Census replay of [[contaminatedDocs]] + the per-source drop
+    * audit; the kept-side bit_xor receipt is what decontaminateApply's
+    * output is checked against.
+    */
+  private def decontaminateOracle: String =
+    s"""WITH ${sqlShingleCtes("documents")},
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0),
+       |fl AS (SELECT DISTINCT t.doc_id FROM shh t JOIN ev USING (h)
+       |  WHERE t.doc_id % 50 <> 0)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  bit_xor(CASE WHEN fl.doc_id IS NULL
+       |    THEN ${sqlH60("'d:' || CAST(d.doc_id AS VARCHAR)")}
+       |    ELSE 0 END) AS kept_checksum
+       |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+       |WHERE d.doc_id % 50 <> 0
+       |GROUP BY source ORDER BY source""".stripMargin
 
   private def minhashErrorOracle: String = {
     val mhCols = (0 until K).map(i =>
@@ -1211,6 +1363,8 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_minhash_error" -> minhashErrorOracle,
     "q_lsh_recall" -> lshRecallOracle,
+    "q_simhash_recall" -> simhashRecallOracle,
+    "q_decontaminate" -> decontaminateOracle,
     "q_stream_minhash" -> streamMinhashOracle,
     // 3 peel rounds unrolled verbatim (k=2): v_r = vertices with
     // degree ≥ 2 in e_{r-1}, e_r = the induced subgraph.

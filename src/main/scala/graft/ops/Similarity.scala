@@ -36,6 +36,7 @@ object Similarity {
   val PqM = 4   // product-quantization subspaces
   val PqK = 16  // codebook entries per subspace (4-bit codes)
   val RpDim = 16 // Johnson–Lindenstrauss target dims (q_random_projection)
+  val TruncDim = 16 // Matryoshka prefix dims audited by q_matryoshka_trunc
 
   /** Single source of the PQ quantize→codebook pipeline, shared by
     * q_pq_encode and q_pq_search — the encode/search pair must agree
@@ -202,6 +203,25 @@ object Similarity {
   private def sqlProbeSampled(c: String): String =
     s"(($c * 1315423911) % 1000003) % " +
       s"(SELECT greatest(4, count(*) // $SampleTarget) FROM e) = 0"
+
+  /** Single-integer encoding of the (cos desc, id asc) candidate
+    * order: `(10⁶ − round(cos·10⁶)) · 10¹¹ + id`. cos arrives already
+    * rounded to 6 decimals, so cos·10⁶ is integer-valued up to one
+    * ulp and the inner round snaps it exactly (same double → same
+    * snap in DuckDB); ids stay below 10¹¹ and the product below 2·10¹⁷
+    * < 2⁶³. min(key) IS the argmin under the total order, so
+    * "rank of the best relevant" = 1 + |{k < best}| — two plain
+    * aggregates replace the per-probe window a rank() would need
+    * (corpus-sized window partitions, the lint's exact target), and
+    * the id recovers as key % 10¹¹.
+    */
+  private val OrderKeyIdSpan = 100000000000L
+  private def orderKey(cos: Column, id: Column): Column =
+    (lit(1000000L) - round(cos * lit(1000000.0), 0).cast("long")) *
+      lit(OrderKeyIdSpan) + id
+  private def sqlOrderKey(cos: String, id: String): String =
+    s"(1000000 - CAST(round(($cos) * 1000000) AS BIGINT)) " +
+      s"* $OrderKeyIdSpan + $id"
 
   /** Near-dup cosine threshold for q_dedup_embedding: the synthetic
     * vectors are near-orthogonal (max pairwise cos ≈ 0.5-0.6), so a
@@ -958,6 +978,81 @@ object Similarity {
             count(lit(1)), 6).as("recall_at_1"))
     }),
 
+    // Retrieval-quality evaluation of the dense retriever: MRR and
+    // recall@10 over the scale-invariant probe sample, with same-label
+    // vectors as the relevance ground truth (the standard proxy when
+    // no click log exists). The rank of the first relevant result is
+    // computed WITHOUT any per-probe ranking window: candidates fold
+    // to the [[orderKey]] integer, min(key) over the relevant subset
+    // is the best relevant, and rank = 1 + count(k < best) — one
+    // broadcast crossJoin (probes are the build side, the corpus only
+    // streams) and two aggregates, linear in n at any scale. 1/rank
+    // sums in DECIMAL(28,20) (util.Exact discipline) so MRR is
+    // order-independent and hash-exact.
+    "q_retrieval_eval" -> ((s, dir) => {
+      CosineSim.register(s)
+      val n = Tables(s, dir, "embeddings").count()
+      val el = embeddings(s, dir)
+        .join(Tables(s, dir, "embeddings").select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+      val probes = el.where(probeSampled(col("vec_id"), n))
+        .select(col("vec_id").as("qid"), col("v").as("vq"),
+          col("label").as("ql"))
+      val scored = el
+        .select(col("vec_id").as("nn_id"), col("v").as("vn"),
+          col("label").as("nl"))
+        .crossJoin(broadcast(probes))
+        .where(col("nn_id") =!= col("qid"))
+        .select(col("qid"),
+          orderKey(round(cosine("vq", "vn"), 6), col("nn_id")).as("k"),
+          (col("nl") === col("ql")).as("rel"))
+      val best = scored.where(col("rel"))
+        .groupBy(col("qid")).agg(min(col("k")).as("bk"))
+      scored.join(broadcast(best), Seq("qid"))
+        .groupBy(col("qid"))
+        .agg((sum(when(col("k") < col("bk"), 1L).otherwise(0L)) + 1L).as("rnk"))
+        .agg(count(lit(1)).as("n_probes"),
+          round(sum((lit(1.0) / col("rnk")).cast("decimal(28,20)"))
+            .cast("double") / count(lit(1)), 6).as("mrr"),
+          round(sum(when(col("rnk") <= 10, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("recall_at_10"))
+    }),
+
+    // Matryoshka (prefix-dimension) retrieval audit: recall@1 of
+    // brute-force search over only the FIRST TruncDim=16 of 64
+    // dimensions against the full-dimension truth, over the same
+    // scale-invariant probe sample. This is the sizing datum for
+    // MRL-style embedding truncation — how much index (and ANN
+    // compute) the corpus can shed before top-1 quality moves. Both
+    // argmaxes fold through the [[orderKey]] integer (min = argmin,
+    // id = key % 10¹¹), so the whole audit is one broadcast crossJoin
+    // + one per-probe aggregate + one 1-row reduce; the truncated
+    // cosine runs on array slices inside the same codegen expression.
+    "q_matryoshka_trunc" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      val n = Tables(s, dir, "embeddings").count()
+      val probes = emb.where(probeSampled(col("vec_id"), n))
+        .select(col("vec_id").as("qid"), col("v").as("vq"),
+          slice(col("v"), 1, TruncDim).as("tq"))
+      val scored = emb
+        .select(col("vec_id").as("nn_id"), col("v").as("vn"),
+          slice(col("v"), 1, TruncDim).as("tn"))
+        .crossJoin(broadcast(probes))
+        .where(col("nn_id") =!= col("qid"))
+        .select(col("qid"),
+          orderKey(round(cosine("vq", "vn"), 6), col("nn_id")).as("kf"),
+          orderKey(round(cosine("tq", "tn"), 6), col("nn_id")).as("kt"))
+      scored.groupBy(col("qid"))
+        .agg(min(col("kf")).as("bf"), min(col("kt")).as("bt"))
+        .select(((col("bf") % lit(OrderKeyIdSpan)) ===
+          (col("bt") % lit(OrderKeyIdSpan))).cast("int").as("hit"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("hit")).cast("long").as("n_match"),
+          round(sum(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("recall_at_1"))
+    }),
+
     // Same-label KNN-graph construction over IVF candidate blocks:
     // each vector's top-3 same-label neighbors are searched ONLY among
     // (IVF cell, label) co-members — the join shuffles on
@@ -1205,6 +1300,15 @@ object Similarity {
     s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
        |  (sqrt(list_sum(list_transform(range($Dim), i -> $a[i+1] * $a[i+1]))) *
        |   sqrt(list_sum(list_transform(range($Dim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
+
+  /** [[sqlCos]] over only the first [[TruncDim]] dimensions — the
+    * Matryoshka prefix metric; indices 1..TruncDim on the FULL arrays
+    * equal Spark's slice-then-cosine exactly (same sequential fold).
+    */
+  private def sqlCosTrunc(a: String, b: String): String =
+    s"""list_sum(list_transform(range($TruncDim), i -> $a[i+1] * $b[i+1])) /
+       |  (sqrt(list_sum(list_transform(range($TruncDim), i -> $a[i+1] * $a[i+1]))) *
+       |   sqrt(list_sum(list_transform(range($TruncDim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
   /** SQL replay of [[ivfProbed]] + [[shardProbed]] — CTE chain ending
     * in `probed(vec_id, v, anchor_id, shard)`; prefix for the
@@ -1638,7 +1742,42 @@ object Similarity {
          |    AS n_hits,
          |  round(CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS recall_at_1
-         |FROM truth LEFT JOIN ann USING (vec_id)""".stripMargin
+         |FROM truth LEFT JOIN ann USING (vec_id)""".stripMargin,
+
+    "q_retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |el AS (SELECT e.vec_id, e.v, x.label FROM e JOIN embeddings x USING (vec_id)),
+         |p AS (SELECT vec_id AS qid, v AS vq, label AS ql FROM el
+         |  WHERE ${sqlProbeSampled("vec_id")}),
+         |sc AS (SELECT qid,
+         |    ${sqlOrderKey(s"round(${sqlCos("el.v", "vq")}, 6)", "el.vec_id")} AS k,
+         |    el.label = ql AS rel
+         |  FROM el CROSS JOIN p WHERE el.vec_id <> qid),
+         |b AS (SELECT qid, min(k) AS bk FROM sc WHERE rel GROUP BY qid),
+         |r AS (SELECT qid, 1 + sum(CASE WHEN k < bk THEN 1 ELSE 0 END) AS rnk
+         |  FROM sc JOIN b USING (qid) GROUP BY qid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  round(CAST(sum(CAST(1.0 / rnk AS DECIMAL(28,20))) AS DOUBLE)
+         |    / count(*), 6) AS mrr,
+         |  round(CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall_at_10
+         |FROM r""".stripMargin,
+
+    "q_matryoshka_trunc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id AS qid, v AS vq FROM e
+         |  WHERE ${sqlProbeSampled("vec_id")}),
+         |sc AS (SELECT qid,
+         |    ${sqlOrderKey(s"round(${sqlCos("e.v", "vq")}, 6)", "e.vec_id")} AS kf,
+         |    ${sqlOrderKey(s"round(${sqlCosTrunc("e.v", "vq")}, 6)", "e.vec_id")} AS kt
+         |  FROM e CROSS JOIN p WHERE e.vec_id <> qid),
+         |a AS (SELECT qid, min(kf) AS bf, min(kt) AS bt FROM sc GROUP BY qid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN bf % $OrderKeyIdSpan = bt % $OrderKeyIdSpan
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  round(CAST(sum(CASE WHEN bf % $OrderKeyIdSpan = bt % $OrderKeyIdSpan
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_at_1
+         |FROM a""".stripMargin
     // q_sim_ann: intentionally no oracle — approximate op, verified by
     // recall-vs-brute-force in OpsSpec and quantified by q_ann_recall.
   )

@@ -1284,6 +1284,34 @@ object TextAnalysis {
             .as("score"))
         .withColumn("keep", col("score") > 0)
         .orderBy(col("doc_id"))
+    }),
+
+    // Classifier calibration (reliability diagram): the cheap linear
+    // quality score binned into 10 equal-width buckets over its [-1,1]
+    // range, each bin reporting its size, DECIMAL-exact mean score,
+    // and the empirical rate at which the rule-based Gopher cascade
+    // agrees (keep=true as the observed label). This is the standing
+    // ML-ops check that a learned/linear quality filter still TRACKS
+    // the auditable rules before anyone moves its threshold — a
+    // monotone pos_rate profile means the score ranks quality, a flat
+    // one means it stopped. One score pass + one map-only flag pass +
+    // a 10-group aggregate; nothing here outgrows the corpus scan.
+    "q_calibration" -> ((s, dir) => {
+      val sc = queries("q_classifier_score")(s, dir)
+        .select(col("doc_id"), col("score"))
+      val gf = gopherFlags(Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("keep").cast("int").as("y"))
+      sc.join(gf, Seq("doc_id"))
+        .withColumn("bin",
+          least(floor((col("score") + lit(1.0)) * lit(5.0)), lit(9L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("score").cast("decimal(28,20)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"),
+          sum(col("y")).cast("long").as("n_pos"),
+          round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -1299,6 +1327,28 @@ object TextAnalysis {
          |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) AS score,
          |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) > 0 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // The classifier CTEs (tok/df/vocab/sc) + the shared Gopher flag
+    // CTEs (m/gf) joined per doc, then the 10-bin reliability fold.
+    "q_calibration" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, CAST(${sqlH60("tok")} % 2001 - 1000 AS BIGINT) AS w
+         |  FROM df ORDER BY df DESC, tok LIMIT 300),
+         |sc AS (SELECT t.doc_id, count(*) AS n_tok, sum(COALESCE(v.w, 0)) AS s
+         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id),
+         |$sqlGopherFlags,
+         |j AS (SELECT sc.doc_id,
+         |    round(CAST(sc.s AS DOUBLE) / 1000.0 / sc.n_tok, 6) AS score,
+         |    CASE WHEN gf.ok_len AND gf.ok_wordlen AND gf.ok_sym AND gf.ok_stop
+         |      THEN 1 ELSE 0 END AS y
+         |  FROM sc JOIN gf ON sc.doc_id = gf.doc_id)
+         |SELECT CAST(least(floor((score + 1.0) * 5.0), 9) AS INT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(score AS DECIMAL(28,20))) AS DOUBLE)
+         |    / count(*), 6) AS mean_score,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${sqlH60("text")} % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 50 END

@@ -1171,4 +1171,50 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rowsAtRisk == sizes.filter(_ < Prep.KanonK).sum)
     assert(groupsAtRisk == sizes.count(_ < Prep.KanonK))
   }
+
+  test("decontaminate: census is the receipt of the physical drop, re-run is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def censusMap(d: String) = Dedup.queries("q_decontaminate")(spark, d)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val pre = censusMap(dir)
+    assert(pre.values.exists(_._2 > 0), "fixture must have contaminated docs")
+    // drop → re-censusing the clean copy finds nothing left to drop
+    // (its eval slice is absent by construction), and the kept counts
+    // and bit_xor receipts must reproduce exactly
+    val out = Files.createTempDirectory("decontam_out").toString
+    Dedup.decontaminateApply(spark, dir, out)
+    val post = censusMap(out)
+    for ((src, (_, _, keptPre, ckPre)) <- pre) {
+      if (keptPre == 0L) assert(!post.contains(src),
+        s"$src: fully-dropped source must vanish from the clean corpus")
+      else {
+        val (nTrain, dropped, kept, ck) = post(src)
+        assert(dropped == 0L, s"$src: drop left contaminated docs behind")
+        assert(nTrain == keptPre && kept == keptPre,
+          s"$src: kept-count drift after the drop")
+        assert(ck == ckPre, s"$src: kept-checksum receipt mismatch")
+      }
+    }
+    // re-ingest idempotence: decontaminating the clean copy is a no-op
+    val out2 = Files.createTempDirectory("decontam_out2").toString
+    Dedup.decontaminateApply(spark, out, out2)
+    assert(censusMap(out2) == post)
+  }
+
+  test("matryoshka/retrieval eval: sane bounds and probe counts agree") {
+    val dir = "/root/testdata/sf0.001"
+    val Seq(mt) = Similarity.queries("q_matryoshka_trunc")(spark, dir)
+      .collect().toSeq
+    assert(mt.getLong(0) > 0 && mt.getLong(1) <= mt.getLong(0))
+    assert(mt.getDouble(2) >= 0.0 && mt.getDouble(2) <= 1.0)
+    val Seq(re) = Similarity.queries("q_retrieval_eval")(spark, dir)
+      .collect().toSeq
+    // same scale-invariant probe predicate ⇒ same probe count
+    assert(re.getLong(0) == mt.getLong(0))
+    assert(re.getDouble(1) > 0.0 && re.getDouble(1) <= 1.0, "MRR in (0,1]")
+    assert(re.getDouble(2) >= 0.0 && re.getDouble(2) <= 1.0)
+  }
 }
