@@ -159,7 +159,7 @@ object Bench {
       // candidate audit, retrieval-quality eval (MRR/recall@10),
       // Matryoshka prefix-dim recall, classifier calibration
       "q_decontaminate", "q_simhash_recall", "q_retrieval_eval",
-      "q_matryoshka_trunc", "q_calibration")
+      "q_matryoshka_trunc", "q_calibration", "q_doremi_step")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -193,7 +193,8 @@ object Bench {
     // per-doc bigram-LM perplexity: one tokenize+shingle+LM-train
     // chain shared by q_lm_perplexity and q_perplexity_buckets (was
     // re-derived per consumer — the slowest bench entry twice over)
-    val perplexityFamily = Set("q_lm_perplexity", "q_perplexity_buckets")
+    val perplexityFamily =
+      Set("q_lm_perplexity", "q_perplexity_buckets", "q_doremi_step")
     val sharedPerplexity: Seq[(String, Double)] =
       if (names.exists(perplexityFamily.contains)) {
         val t = timed("shared_perplexity") {

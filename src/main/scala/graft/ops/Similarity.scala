@@ -998,6 +998,9 @@ object Similarity {
       val probes = el.where(probeSampled(col("vec_id"), n))
         .select(col("vec_id").as("qid"), col("v").as("vq"),
           col("label").as("ql"))
+      // consumed twice (best-relevant aggregate + the rank pass) —
+      // cache so the n·|probes| cosine scan runs once (the proven
+      // shared-subplan rule, cf. semdedup/pagerank chains)
       val scored = el
         .select(col("vec_id").as("nn_id"), col("v").as("vn"),
           col("label").as("nl"))
@@ -1006,6 +1009,7 @@ object Similarity {
         .select(col("qid"),
           orderKey(round(cosine("vq", "vn"), 6), col("nn_id")).as("k"),
           (col("nl") === col("ql")).as("rel"))
+        .cache()
       val best = scored.where(col("rel"))
         .groupBy(col("qid")).agg(min(col("k")).as("bk"))
       scored.join(broadcast(best), Seq("qid"))

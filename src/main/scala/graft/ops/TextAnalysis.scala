@@ -1286,6 +1286,42 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // One Group-DRO multiplicative-weights step over domain mixture
+    // (the DoReMi shape, Xie et al. 2023, arXiv:2305.10429): per-source
+    // token-weighted cross-entropy under the corpus bigram LM (the
+    // shared_perplexity table — no new corpus pass), excess loss vs
+    // the easiest domain, and the re-normalized mixture weight
+    // baseline_share·exp(η·excess). Domains with high excess loss are
+    // up-weighted — the data-mixture knob a training pipeline retunes
+    // every refresh. All sums fold in DECIMAL(28,20); the softmax is a
+    // 2-pass broadcast fold over ≤|sources| rows, so beyond the shared
+    // table the query costs one per-source aggregate at any scale.
+    "q_doremi_step" -> ((s, dir) => {
+      val eta = 1.0
+      val per = sharedPerplexity(s, dir)
+        .select(col("doc_id"), col("n_bg"), col("cross_entropy"))
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bg")).as("n_bg"),
+          sum((col("cross_entropy") * col("n_bg")).cast("decimal(28,20)"))
+            .as("ces"))
+        .select(col("source"), col("n_docs"), col("n_bg"),
+          round(col("ces").cast("double") / col("n_bg"), 6).as("ce"))
+      val ref = per.agg(min(col("ce")).as("ref"))
+      val unn = per.crossJoin(broadcast(ref))
+        .select(col("source"), col("n_docs"), col("n_bg"), col("ce"),
+          round(col("ce") - col("ref"), 6).as("excess"))
+        .withColumn("u",
+          round(col("n_bg").cast("double") * exp(lit(eta) * col("excess")), 6))
+      val tot = unn.agg(sum(col("u").cast("decimal(28,20)")).as("tu"))
+      unn.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_bg"), col("ce"),
+          col("excess"), round(col("u") / col("tu").cast("double"), 6).as("weight"))
+        .orderBy(col("source"))
+    }),
+
     // Classifier calibration (reliability diagram): the cheap linear
     // quality score binned into 10 equal-width buckets over its [-1,1]
     // range, each bin reporting its size, DECIMAL-exact mean score,
@@ -1327,6 +1363,37 @@ object TextAnalysis {
          |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) AS score,
          |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) > 0 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // The q_lm_perplexity CTE chain per doc, folded per source, then
+    // the excess-loss softmax over the handful of source rows.
+    "q_doremi_step" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS cnt FROM bgd GROUP BY bg),
+         |sp AS (SELECT bg, cnt, split_part(bg, ' ', 1) AS w1 FROM bc),
+         |un AS (SELECT w1, sum(cnt) AS cnt1 FROM sp GROUP BY w1),
+         |pr AS (SELECT bg, CAST(cnt AS DOUBLE) / cnt1 AS p
+         |  FROM sp JOIN un USING (w1)),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         |    sum(CAST(ln(p) AS DECIMAL(28,20))) AS term_sum
+         |  FROM bgd JOIN pr USING (bg) GROUP BY doc_id),
+         |ce AS (SELECT doc_id, n_bg,
+         |    round(-CAST(term_sum AS DOUBLE) / n_bg, 6) AS cross_entropy
+         |  FROM ag),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_bg) AS BIGINT) AS n_bg,
+         |    round(CAST(sum(CAST(cross_entropy * n_bg AS DECIMAL(28,20)))
+         |      AS DOUBLE) / sum(n_bg), 6) AS ce
+         |  FROM ce JOIN documents USING (doc_id) GROUP BY source),
+         |rf AS (SELECT min(ce) AS ref FROM per),
+         |ex AS (SELECT source, n_docs, n_bg, ce,
+         |    round(ce - ref, 6) AS excess FROM per CROSS JOIN rf),
+         |u2 AS (SELECT *, round(CAST(n_bg AS DOUBLE) * exp(1.0 * excess), 6)
+         |    AS u FROM ex),
+         |tu AS (SELECT sum(CAST(u AS DECIMAL(28,20))) AS t FROM u2)
+         |SELECT source, n_docs, n_bg, ce, excess,
+         |  round(u / CAST(t AS DOUBLE), 6) AS weight
+         |FROM u2 CROSS JOIN tu ORDER BY source""".stripMargin,
     // The classifier CTEs (tok/df/vocab/sc) + the shared Gopher flag
     // CTEs (m/gf) joined per doc, then the 10-bin reliability fold.
     "q_calibration" ->
