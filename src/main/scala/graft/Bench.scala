@@ -176,7 +176,7 @@ object Bench {
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
       "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup",
-      "q_dup_rate_by_source")
+      "q_dup_rate_by_source", "q_simhash_recall")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

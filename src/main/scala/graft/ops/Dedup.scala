@@ -675,8 +675,15 @@ object Dedup {
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
         .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
         .select(col("n_exact"), col("n_cand"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
-          round(col("n_hit").cast("double") / col("n_cand"), 6)
+          // a corpus where a stage finds NOTHING (zero exact pairs or
+          // zero banded candidates — the sf1 SimHash corpus does this)
+          // must yield NULL, not an ANSI divide-by-zero: DuckDB's x/0
+          // is NULL, so the guard IS the oracle's semantics
+          when(col("n_exact") > 0,
+            round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"),
+          when(col("n_cand") > 0,
+            round(col("n_hit").cast("double") / col("n_cand"), 6))
             .as("candidate_precision"))
     }),
 
@@ -856,8 +863,15 @@ object Dedup {
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
         .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
         .select(col("n_exact"), col("n_cand"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
-          round(col("n_hit").cast("double") / col("n_cand"), 6)
+          // a corpus where a stage finds NOTHING (zero exact pairs or
+          // zero banded candidates — the sf1 SimHash corpus does this)
+          // must yield NULL, not an ANSI divide-by-zero: DuckDB's x/0
+          // is NULL, so the guard IS the oracle's semantics
+          when(col("n_exact") > 0,
+            round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"),
+          when(col("n_cand") > 0,
+            round(col("n_hit").cast("double") / col("n_cand"), 6))
             .as("candidate_precision"))
     }),
 

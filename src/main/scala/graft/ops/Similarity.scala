@@ -205,11 +205,15 @@ object Similarity {
       s"(SELECT greatest(4, count(*) // $SampleTarget) FROM e) = 0"
 
   /** Single-integer encoding of the (cos desc, id asc) candidate
-    * order: `(10⁶ − round(cos·10⁶)) · 10¹¹ + id`. cos arrives already
-    * rounded to 6 decimals, so cos·10⁶ is integer-valued up to one
-    * ulp and the inner round snaps it exactly (same double → same
-    * snap in DuckDB); ids stay below 10¹¹ and the product below 2·10¹⁷
-    * < 2⁶³. min(key) IS the argmin under the total order, so
+    * order: `(10⁶ − ⌊cos·10⁶ + 0.5⌋) · 10¹¹ + id` over the RAW
+    * cosine. The key quantizes at the usual 6th decimal, but through
+    * `floor` — a pure-IEEE codegen op both engines evaluate on the
+    * same double, so the key path carries NO per-pair BigDecimal
+    * round (round(x, 6) costs a Decimal conversion per row; with up
+    * to 4 of them per candidate pair the first cut of these audits
+    * measured 5.5–5.9× at sf1 — floor brings the pair stream back to
+    * plain arithmetic). Ids stay below 10¹¹ and the product below
+    * 2·10¹⁷ < 2⁶³. min(key) IS the argmin under the total order, so
     * "rank of the best relevant" = 1 + |{k < best}| — two plain
     * aggregates replace the per-probe window a rank() would need
     * (corpus-sized window partitions, the lint's exact target), and
@@ -217,10 +221,10 @@ object Similarity {
     */
   private val OrderKeyIdSpan = 100000000000L
   private def orderKey(cos: Column, id: Column): Column =
-    (lit(1000000L) - round(cos * lit(1000000.0), 0).cast("long")) *
+    (lit(1000000L) - floor(cos * lit(1000000.0) + lit(0.5)).cast("long")) *
       lit(OrderKeyIdSpan) + id
   private def sqlOrderKey(cos: String, id: String): String =
-    s"(1000000 - CAST(round(($cos) * 1000000) AS BIGINT)) " +
+    s"(1000000 - CAST(floor(($cos) * 1000000 + 0.5) AS BIGINT)) " +
       s"* $OrderKeyIdSpan + $id"
 
   /** Near-dup cosine threshold for q_dedup_embedding: the synthetic
@@ -992,27 +996,33 @@ object Similarity {
     "q_retrieval_eval" -> ((s, dir) => {
       CosineSim.register(s)
       val n = Tables(s, dir, "embeddings").count()
-      val el = embeddings(s, dir)
-        .join(Tables(s, dir, "embeddings").select(col("vec_id"), col("label")),
-          Seq("vec_id"))
+      // one projection, not embeddings() ⋈ labels — the label lives in
+      // the same row, and a join below the crossJoin would put an
+      // exchange under the hot cosine loop for nothing
+      val el = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
       val probes = el.where(probeSampled(col("vec_id"), n))
         .select(col("vec_id").as("qid"), col("v").as("vq"),
           col("label").as("ql"))
-      // consumed twice (best-relevant aggregate + the rank pass) —
-      // cache so the n·|probes| cosine scan runs once (the proven
-      // shared-subplan rule, cf. semdedup/pagerank chains)
-      val scored = el
+      // Two passes, neither cached: the best-relevant pass only needs
+      // SAME-LABEL pairs, and label equality is an equi-join key — so
+      // it runs as a broadcast HASH join emitting ~n·|probes|/|labels|
+      // rows (never the full nested-loop pair scan); only the rank
+      // pass pays the full n·|probes| stream, once.
+      val best = el
         .select(col("vec_id").as("nn_id"), col("v").as("vn"),
-          col("label").as("nl"))
-        .crossJoin(broadcast(probes))
+          col("label").as("ql"))
+        .join(broadcast(probes), Seq("ql"))
         .where(col("nn_id") =!= col("qid"))
-        .select(col("qid"),
-          orderKey(round(cosine("vq", "vn"), 6), col("nn_id")).as("k"),
-          (col("nl") === col("ql")).as("rel"))
-        .cache()
-      val best = scored.where(col("rel"))
+        .select(col("qid"), orderKey(cosine("vq", "vn"), col("nn_id")).as("k"))
         .groupBy(col("qid")).agg(min(col("k")).as("bk"))
-      scored.join(broadcast(best), Seq("qid"))
+      el
+        .select(col("vec_id").as("nn_id"), col("v").as("vn"))
+        .crossJoin(broadcast(probes.select(col("qid"), col("vq"))))
+        .where(col("nn_id") =!= col("qid"))
+        .select(col("qid"), orderKey(cosine("vq", "vn"), col("nn_id")).as("k"))
+        .join(broadcast(best), Seq("qid"))
         .groupBy(col("qid"))
         .agg((sum(when(col("k") < col("bk"), 1L).otherwise(0L)) + 1L).as("rnk"))
         .agg(count(lit(1)).as("n_probes"),
@@ -1045,8 +1055,8 @@ object Similarity {
         .crossJoin(broadcast(probes))
         .where(col("nn_id") =!= col("qid"))
         .select(col("qid"),
-          orderKey(round(cosine("vq", "vn"), 6), col("nn_id")).as("kf"),
-          orderKey(round(cosine("tq", "tn"), 6), col("nn_id")).as("kt"))
+          orderKey(cosine("vq", "vn"), col("nn_id")).as("kf"),
+          orderKey(cosine("tq", "tn"), col("nn_id")).as("kt"))
       scored.groupBy(col("qid"))
         .agg(min(col("kf")).as("bf"), min(col("kt")).as("bt"))
         .select(((col("bf") % lit(OrderKeyIdSpan)) ===
@@ -1750,11 +1760,11 @@ object Similarity {
 
     "q_retrieval_eval" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |el AS (SELECT e.vec_id, e.v, x.label FROM e JOIN embeddings x USING (vec_id)),
+         |el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
          |p AS (SELECT vec_id AS qid, v AS vq, label AS ql FROM el
          |  WHERE ${sqlProbeSampled("vec_id")}),
          |sc AS (SELECT qid,
-         |    ${sqlOrderKey(s"round(${sqlCos("el.v", "vq")}, 6)", "el.vec_id")} AS k,
+         |    ${sqlOrderKey(sqlCos("el.v", "vq"), "el.vec_id")} AS k,
          |    el.label = ql AS rel
          |  FROM el CROSS JOIN p WHERE el.vec_id <> qid),
          |b AS (SELECT qid, min(k) AS bk FROM sc WHERE rel GROUP BY qid),
@@ -1772,8 +1782,8 @@ object Similarity {
          |p AS (SELECT vec_id AS qid, v AS vq FROM e
          |  WHERE ${sqlProbeSampled("vec_id")}),
          |sc AS (SELECT qid,
-         |    ${sqlOrderKey(s"round(${sqlCos("e.v", "vq")}, 6)", "e.vec_id")} AS kf,
-         |    ${sqlOrderKey(s"round(${sqlCosTrunc("e.v", "vq")}, 6)", "e.vec_id")} AS kt
+         |    ${sqlOrderKey(sqlCos("e.v", "vq"), "e.vec_id")} AS kf,
+         |    ${sqlOrderKey(sqlCosTrunc("e.v", "vq"), "e.vec_id")} AS kt
          |  FROM e CROSS JOIN p WHERE e.vec_id <> qid),
          |a AS (SELECT qid, min(kf) AS bf, min(kt) AS bt FROM sc GROUP BY qid)
          |SELECT CAST(count(*) AS BIGINT) AS n_probes,
