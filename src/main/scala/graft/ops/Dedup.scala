@@ -321,6 +321,36 @@ object Dedup {
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Stop-band cap for the SimHash band self-join (the PhashBucketCap
+    * lesson applied to the third sketch): a band key shared by more
+    * than this many docs is a population pattern, not a near-dup
+    * signal, and its c² candidate product is what quadratices on a
+    * self-similar corpus — measured 12.9M candidates for 50k sf1 docs
+    * with ZERO exact pairs among them, and 62% of the sf0.1 pair
+    * product coming from buckets over this cap. At the oracle-gated
+    * SFs the cap drops nothing (max bucket 27), so the hash-exact gate
+    * pins the capped pipeline itself. Recall tradeoff (same as phash):
+    * a hamming-≤3 pair whose every shared band is saturated is lost —
+    * acceptable because a saturated band is exactly where hamming
+    * verification was about to do c² work for population-level
+    * collisions.
+    */
+  val SimhashBandCap = 64
+
+  /** [[simhashBandTable]] restricted to non-saturated band buckets —
+    * the candidate-generation side shared by q_dedup_simhash and
+    * q_simhash_recall (cap applied to BOTH join sides before the
+    * product, the phashPairs shape).
+    */
+  private def simhashLiveBands(s: SparkSession, dir: String): DataFrame = {
+    val bt = simhashBandTable(s, dir)
+    val keep = bt.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") <= SimhashBandCap)
+      .select(col("band"), col("key"))
+    bt.join(keep, Seq("band", "key"))
+  }
+
   /** THE contaminated-doc set (train docs sharing ≥ 1 shingle hash
     * with the doc_id % 50 = 0 eval slice) — single definition of the
     * decontamination predicate shared by the census (q_decontaminate)
@@ -640,7 +670,7 @@ object Dedup {
 
     // SimHash: 60-bit signature, banded self-join, hamming ≤ 3.
     "q_dedup_simhash" -> ((s, dir) => {
-      val bt = simhashBandTable(s, dir)
+      val bt = simhashLiveBands(s, dir)
       bt.select(col("band"), col("key"), col("doc_id").as("doc1"), col("simhash").as("sh1"))
         .join(bt.select(col("band"), col("key"), col("doc_id").as("doc2"), col("simhash").as("sh2")),
           Seq("band", "key"))
@@ -663,7 +693,7 @@ object Dedup {
     // bounded shape as q_lsh_recall: band self-join + one semi-join +
     // three 1-row aggregates.
     "q_simhash_recall" -> ((s, dir) => {
-      val bt = simhashBandTable(s, dir)
+      val bt = simhashLiveBands(s, dir)
       val cand = bt.select(col("band"), col("key"), col("doc_id").as("doc1"))
         .join(bt.select(col("band"), col("key"), col("doc_id").as("doc2")),
           Seq("band", "key"))
@@ -1184,29 +1214,16 @@ object Dedup {
        |ORDER BY doc1, doc2""".stripMargin
   }
 
-  private def simhashOracle: String = {
-    val sums = (0 until 60).map(j =>
-      s"sum(cnt * (2*((h >> $j) & 1) - 1)) AS c_$j").mkString(",\n  ")
-    val bits = (0 until 60).map(j =>
-      s"CASE WHEN c_$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END").mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
-       |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
-       |hh AS (SELECT doc_id, cnt, ${sqlH60("t")} AS h FROM tc),
-       |cs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
-       |sh AS (SELECT doc_id, ($bits) AS simhash FROM cs)
-       |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-       |ORDER BY doc1, doc2""".stripMargin
-  }
-
-  /** Replays the banded SimHash candidate set (the simhashOracle CTE
-    * chain, signatures renamed `sg` to dodge sqlShingleCtes' `sh`) and
-    * the exact Jaccard-≥0.6 pair list, then counts the overlap — the
-    * lshRecallOracle shape for the other sketch.
+  /** Shared CTE chain for the SimHash oracles: signatures (`sg`), the
+    * 4×15-bit band table, the ≤[[SimhashBandCap]] keep list, and the
+    * capped candidate set (`cand`) — replaying
+    * [[simhashLiveBands]] exactly. Before the cap the oracle could
+    * take the n² shortcut (banding is recall-exact for hamming ≤ 3 by
+    * pigeonhole); with the stop-band it must replay the bands, since
+    * pairs alive ONLY through saturated buckets are now dropped by
+    * design.
     */
-  private def simhashRecallOracle: String = {
+  private def sqlSimhashCandCtes: String = {
     val sums = (0 until 60).map(j =>
       s"sum(cnt * (2*((h >> $j) & 1) - 1)) AS c_$j").mkString(",\n  ")
     val bits = (0 until 60).map(j =>
@@ -1214,15 +1231,37 @@ object Dedup {
     val bandSel = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM sg")
       .mkString("\nUNION ALL\n")
-    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
        |tc AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
        |hh AS (SELECT doc_id, cnt, ${sqlH60("t")} AS h FROM tc),
        |cs AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
        |sg AS (SELECT doc_id, ($bits) AS simhash FROM cs),
        |bands AS ($bandSel),
-       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM bands b1 JOIN bands b2
-       |    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id),
+       |bk AS (SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $SimhashBandCap),
+       |live AS (SELECT b.doc_id, b.band, b.key FROM bands b
+       |  JOIN bk USING (band, key)),
+       |cand AS (SELECT DISTINCT l1.doc_id AS doc1, l2.doc_id AS doc2
+       |  FROM live l1 JOIN live l2
+       |    ON l1.band = l2.band AND l1.key = l2.key
+       |    AND l1.doc_id < l2.doc_id)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $sqlSimhashCandCtes
+       |SELECT doc1, doc2,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM cand JOIN sg x ON doc1 = x.doc_id JOIN sg y ON doc2 = y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY doc1, doc2""".stripMargin
+
+  /** Replays the banded SimHash candidate set (the simhashOracle CTE
+    * chain, signatures renamed `sg` to dodge sqlShingleCtes' `sh`) and
+    * the exact Jaccard-≥0.6 pair list, then counts the overlap — the
+    * lshRecallOracle shape for the other sketch.
+    */
+  private def simhashRecallOracle: String = {
+    s"""WITH $sqlSimhashCandCtes,
        |${sqlShingleCtes("documents")},
        |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
        |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
