@@ -47,6 +47,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(sh.contains((0L, 1L, 0))) // identical text -> identical signature
   }
 
+  test("simhash stop-band: saturated band buckets stop generating candidates") {
+    // below the cap the clique is found in full...
+    val small = docsDir((0L until 30L).map(i => i -> base))
+    val found = Dedup.queries("q_dedup_simhash")(spark, small).count()
+    assert(found == 30L * 29 / 2, s"sub-cap clique must be complete: $found")
+    // ...above it every band bucket saturates and the stop-band drops
+    // the candidate product entirely — the documented damping
+    // semantics (exact copies are q_dedup_exact's job; a c > cap
+    // band bucket is population structure, and c² candidate pairs
+    // from it are exactly what quadratices on a degenerate corpus)
+    val big = docsDir((0L until (Dedup.SimhashBandCap + 10L)).map(i => i -> base))
+    assert(Dedup.queries("q_dedup_simhash")(spark, big).count() == 0L,
+      "saturated buckets must be damped, not expanded into c² pairs")
+  }
+
   test("connected components: local union-find and distributed loop agree") {
     import spark.implicits._
     // chain 1-2-3-4 (transitive merge), pair 10-11, isolates 20, 21
