@@ -159,7 +159,8 @@ object Bench {
       // candidate audit, retrieval-quality eval (MRR/recall@10),
       // Matryoshka prefix-dim recall, classifier calibration
       "q_decontaminate", "q_simhash_recall", "q_retrieval_eval",
-      "q_matryoshka_trunc", "q_calibration", "q_doremi_step")
+      "q_matryoshka_trunc", "q_calibration", "q_doremi_step",
+      "q_dedup_apply")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -176,7 +177,7 @@ object Bench {
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
       "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup",
-      "q_dup_rate_by_source", "q_simhash_recall")
+      "q_dup_rate_by_source", "q_simhash_recall", "q_dedup_apply")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

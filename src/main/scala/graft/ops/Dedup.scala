@@ -365,6 +365,31 @@ object Dedup {
       .select(col("doc_id")).distinct()
   }
 
+  /** THE near-dup drop set (docs that are NOT their component's
+    * min-id representative) — single predicate shared by the census
+    * (q_dedup_apply) and the physical drop ([[dedupApply]]), the
+    * deletionList discipline applied to near-dup collapse.
+    */
+  private[graft] def nearDupDrops(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(Tables(s, dir, "documents"),
+      sharedJaccardPairs(s, dir, 0.6))
+      .where(col("component") =!= col("doc_id"))
+      .select(col("doc_id"))
+
+  /** EXECUTE the near-dup collapse q_dedup_apply censuses: write the
+    * corpus under `outDir` keeping exactly one representative (the
+    * component's min doc_id) per near-dup cluster — one scan + one
+    * anti-join probe on doc_id (the drop set is the similarity join's
+    * bounded output). Idempotent by construction: survivors of
+    * different components are never near-dups of each other (they
+    * would have been one component), so re-running finds nothing.
+    */
+  def dedupApply(s: SparkSession, dir: String, outDir: String): Unit = {
+    Tables(s, dir, "documents")
+      .join(nearDupDrops(s, dir), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   /** EXECUTE the decontamination q_decontaminate censuses: write the
     * training corpus under `outDir` with every contaminated doc
     * physically removed — one scan + one anti-join probe on doc_id
@@ -620,6 +645,30 @@ object Dedup {
           (-col("best.nid")).as("best_doc"),
           round(col("best.s"), 6).as("best_score"))
         .orderBy(col("component"))
+    }),
+
+    // EXECUTABLE near-dup collapse: the components computation turned
+    // into the censused DROP the whole dedup family exists to drive —
+    // per-source counts of docs/dropped/kept plus the bit_xor receipt
+    // over kept content keys (the q_forget / q_decontaminate receipt
+    // discipline — this completes the executable-removal trio: RTBF,
+    // eval decontamination, near-dup collapse). ONE shared drop
+    // predicate ([[nearDupDrops]]: not the component's min-id rep)
+    // drives both the census and the physical anti-join rewrite
+    // ([[dedupApply]], OpsSpec proves receipt equality + idempotence).
+    "q_dedup_apply" -> ((s, dir) => {
+      val drops = nearDupDrops(s, dir).withColumn("hit", lit(1))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"))
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+          expr("bit_xor(CASE WHEN hit IS NULL THEN h ELSE CAST(0 AS BIGINT) END)")
+            .as("kept_checksum"))
+        .orderBy(col("source"))
     }),
 
     // Exact dedup: keep the smallest doc_id per identical text.
@@ -1418,6 +1467,35 @@ object Dedup {
     "q_lsh_recall" -> lshRecallOracle,
     "q_simhash_recall" -> simhashRecallOracle,
     "q_decontaminate" -> decontaminateOracle,
+    // The components recursive-CTE chain folded per source with the
+    // keeper predicate (component = doc_id) and the kept-side receipt.
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |comp AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN c.component <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  bit_xor(CASE WHEN c.component = d.doc_id
+         |    THEN ${sqlH60("'d:' || CAST(d.doc_id AS VARCHAR)")}
+         |    ELSE 0 END) AS kept_checksum
+         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q_stream_minhash" -> streamMinhashOracle,
     // 3 peel rounds unrolled verbatim (k=2): v_r = vertices with
     // degree ≥ 2 in e_{r-1}, e_r = the induced subgraph.

@@ -1219,6 +1219,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(censusMap(out2) == post)
   }
 
+  test("dedup apply: census is the receipt of the physical collapse, re-run is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def censusMap(d: String) = Dedup.queries("q_dedup_apply")(spark, d)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val pre = censusMap(dir)
+    assert(pre.values.exists(_._2 > 0), "fixture must have near-dup clusters")
+    // collapse → the clean corpus has one representative per cluster,
+    // so re-censusing finds NOTHING to drop (survivors of different
+    // components are never near-dups — they'd have been one component)
+    val out = Files.createTempDirectory("dedup_out").toString
+    Dedup.dedupApply(spark, dir, out)
+    val post = censusMap(out)
+    for ((src, (_, _, keptPre, ckPre)) <- pre) {
+      if (keptPre == 0L) assert(!post.contains(src))
+      else {
+        val (nDocs, dropped, kept, ck) = post(src)
+        assert(dropped == 0L, s"$src: collapse left droppable members behind")
+        assert(nDocs == keptPre && kept == keptPre, s"$src: kept-count drift")
+        assert(ck == ckPre, s"$src: kept-checksum receipt mismatch")
+      }
+    }
+    val out2 = Files.createTempDirectory("dedup_out2").toString
+    Dedup.dedupApply(spark, out, out2)
+    assert(censusMap(out2) == post)
+  }
+
   test("matryoshka/retrieval eval: sane bounds and probe counts agree") {
     val dir = "/root/testdata/sf0.001"
     val Seq(mt) = Similarity.queries("q_matryoshka_trunc")(spark, dir)
