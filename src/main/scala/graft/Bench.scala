@@ -160,7 +160,7 @@ object Bench {
       // Matryoshka prefix-dim recall, classifier calibration
       "q_decontaminate", "q_simhash_recall", "q_retrieval_eval",
       "q_matryoshka_trunc", "q_calibration", "q_doremi_step",
-      "q_dedup_apply")
+      "q_dedup_apply", "q_stream_doremi")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -315,11 +315,7 @@ object TextAnalysis {
     // nothing stays pinned across the session)
     var pinned: DataFrame = null
     val out = Scratch.materialize(s, s"perplexity_$dir") {
-      val bgDoc = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"),
-          explode(shingles(tokens(col("text")), 2)).as("bg"))
-        .cache()
+      val bgDoc = docBigrams(Tables(s, dir, "documents")).cache()
       pinned = bgDoc
       perplexityFromBigrams(bgDoc)
     }
@@ -327,16 +323,36 @@ object TextAnalysis {
     out
   }
 
-  private def perplexityFromBigrams(bgDoc: DataFrame): DataFrame = {
+  /** The (doc_id, bg) bigram occurrence stream of a documents frame —
+    * the shared front of the LM train and score paths.
+    */
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
+    Tables.fanout(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+
+  /** Bigram-LM conditional probabilities (bg, p) trained from an
+    * occurrence stream — the vocab²-bounded, broadcastable model
+    * table. Factored from the scorer so the streaming mixture monitor
+    * can train OFFLINE on the corpus and score arriving micro-batches
+    * with the SAME code (the ivfQuantizer offline-train discipline).
+    */
+  private[graft] def lmProbs(bgDoc: DataFrame): DataFrame = {
     val lm = bgDoc.groupBy("bg").agg(count(lit(1)).as("cnt"))
       .select(col("bg"), col("cnt"),
         substring_index(col("bg"), " ", 1).as("w1"))
     val uni = lm.groupBy("w1").agg(sum(col("cnt")).as("cnt1"))
-    val probs = lm.join(uni, Seq("w1"))
+    lm.join(uni, Seq("w1"))
       .select(col("bg"),
         (col("cnt").cast("double") / col("cnt1")).as("p"))
-    // the trained LM is vocab²-bounded — broadcast it so the
-    // corpus-sized occurrence stream never shuffles on string keys
+  }
+
+  /** Per-doc (n_bg, cross_entropy, ppl) from an occurrence stream
+    * scored against a prob table. The trained LM is vocab²-bounded —
+    * broadcast it so the corpus-sized occurrence stream never shuffles
+    * on string keys.
+    */
+  private[graft] def scoreBigrams(bgDoc: DataFrame, probs: DataFrame): DataFrame =
     bgDoc.join(broadcast(probs), Seq("bg"))
       .select(col("doc_id"),
         log(col("p")).cast("decimal(28,20)").as("term"))
@@ -347,6 +363,31 @@ object TextAnalysis {
           .as("cross_entropy"))
       .select(col("doc_id"), col("n_bg"), col("cross_entropy"),
         round(exp(col("cross_entropy")), 6).as("ppl"))
+
+  private def perplexityFromBigrams(bgDoc: DataFrame): DataFrame =
+    scoreBigrams(bgDoc, lmProbs(bgDoc))
+
+  /** The DoReMi fold shared by q_doremi_step and its streaming twin:
+    * per-source (n_docs, n_bg, ces = Σ ce·n_bg in DECIMAL) → excess
+    * loss vs the easiest domain → renormalized multiplicative
+    * weights. ONE definition so batch and drained-stream weights
+    * cannot drift on the formula.
+    */
+  private[graft] def doremiWeights(per0: DataFrame): DataFrame = {
+    val eta = 1.0
+    val per = per0.select(col("source"), col("n_docs"), col("n_bg"),
+      round(col("ces").cast("double") / col("n_bg"), 6).as("ce"))
+    val ref = per.agg(min(col("ce")).as("ref"))
+    val unn = per.crossJoin(broadcast(ref))
+      .select(col("source"), col("n_docs"), col("n_bg"), col("ce"),
+        round(col("ce") - col("ref"), 6).as("excess"))
+      .withColumn("u",
+        round(col("n_bg").cast("double") * exp(lit(eta) * col("excess")), 6))
+    val tot = unn.agg(sum(col("u").cast("decimal(28,20)")).as("tu"))
+    unn.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_bg"), col("ce"),
+        col("excess"), round(col("u") / col("tu").cast("double"), 6).as("weight"))
+      .orderBy(col("source"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1297,7 +1338,6 @@ object TextAnalysis {
     // 2-pass broadcast fold over ≤|sources| rows, so beyond the shared
     // table the query costs one per-source aggregate at any scale.
     "q_doremi_step" -> ((s, dir) => {
-      val eta = 1.0
       val per = sharedPerplexity(s, dir)
         .select(col("doc_id"), col("n_bg"), col("cross_entropy"))
         .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
@@ -1307,19 +1347,24 @@ object TextAnalysis {
           sum(col("n_bg")).as("n_bg"),
           sum((col("cross_entropy") * col("n_bg")).cast("decimal(28,20)"))
             .as("ces"))
-        .select(col("source"), col("n_docs"), col("n_bg"),
-          round(col("ces").cast("double") / col("n_bg"), 6).as("ce"))
-      val ref = per.agg(min(col("ce")).as("ref"))
-      val unn = per.crossJoin(broadcast(ref))
-        .select(col("source"), col("n_docs"), col("n_bg"), col("ce"),
-          round(col("ce") - col("ref"), 6).as("excess"))
-        .withColumn("u",
-          round(col("n_bg").cast("double") * exp(lit(eta) * col("excess")), 6))
-      val tot = unn.agg(sum(col("u").cast("decimal(28,20)")).as("tu"))
-      unn.crossJoin(broadcast(tot))
-        .select(col("source"), col("n_docs"), col("n_bg"), col("ce"),
-          col("excess"), round(col("u") / col("tu").cast("double"), 6).as("weight"))
-        .orderBy(col("source"))
+      doremiWeights(per)
+    }),
+
+    // EXECUTES on the streaming engine: the domain-mixture monitor at
+    // ingest — the bigram LM is trained OFFLINE on the corpus (the
+    // ivfQuantizer offline-train discipline), arriving doc
+    // micro-batches score per-doc cross-entropy against the broadcast
+    // model with the SAME scoreBigrams code the batch path uses, and
+    // fold per-source (n_docs, Σn_bg, Σce·n_bg) DECIMAL partials whose
+    // drained combination feeds the SAME doremiWeights fold — so the
+    // ingest-time mixture weights equal q_doremi_step exactly and the
+    // pair is gated by ONE oracle. State is one ≤|sources|-row partial
+    // per bid; restart safety is per-bid idempotent overwrites
+    // (StreamingSpec kill/restart test).
+    "q_stream_doremi" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_doremi").toString
+      graft.streaming.Streams.doremiIngest(s, dir, work)
     }),
 
     // Classifier calibration (reliability diagram): the cheap linear
@@ -1351,22 +1396,9 @@ object TextAnalysis {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_classifier_score" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
-         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
-         |vocab AS (SELECT tok, CAST(${sqlH60("tok")} % 2001 - 1000 AS BIGINT) AS w
-         |  FROM df ORDER BY df DESC, tok LIMIT 300),
-         |sc AS (SELECT t.doc_id, count(*) AS n_tok, sum(COALESCE(v.w, 0)) AS s
-         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
-         |SELECT doc_id, n_tok,
-         |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) AS score,
-         |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) > 0 AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin,
-    // The q_lm_perplexity CTE chain per doc, folded per source, then
-    // the excess-loss softmax over the handful of source rows.
-    "q_doremi_step" ->
-      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+  /** One SQL text for the batch DoReMi step AND its streaming twin. */
+  private def doremiOracle: String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
          |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
          |bc AS (SELECT bg, count(*) AS cnt FROM bgd GROUP BY bg),
@@ -1393,7 +1425,27 @@ object TextAnalysis {
          |tu AS (SELECT sum(CAST(u AS DECIMAL(28,20))) AS t FROM u2)
          |SELECT source, n_docs, n_bg, ce, excess,
          |  round(u / CAST(t AS DOUBLE), 6) AS weight
-         |FROM u2 CROSS JOIN tu ORDER BY source""".stripMargin,
+         |FROM u2 CROSS JOIN tu ORDER BY source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_classifier_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+         |vocab AS (SELECT tok, CAST(${sqlH60("tok")} % 2001 - 1000 AS BIGINT) AS w
+         |  FROM df ORDER BY df DESC, tok LIMIT 300),
+         |sc AS (SELECT t.doc_id, count(*) AS n_tok, sum(COALESCE(v.w, 0)) AS s
+         |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY t.doc_id)
+         |SELECT doc_id, n_tok,
+         |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) AS score,
+         |  round(CAST(s AS DOUBLE) / 1000.0 / n_tok, 6) > 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // The q_lm_perplexity CTE chain per doc, folded per source, then
+    // the excess-loss softmax over the handful of source rows. Shared
+    // verbatim by q_stream_doremi — docs never straddle micro-batches
+    // and the partials fold associatively, so the drained stream
+    // equals the batch step and ONE SQL text gates both.
+    "q_doremi_step" -> doremiOracle,
+    "q_stream_doremi" -> doremiOracle,
     // The classifier CTEs (tok/df/vocab/sc) + the shared Gopher flag
     // CTEs (m/gf) joined per doc, then the 10-bin reliability fold.
     "q_calibration" ->

@@ -771,6 +771,88 @@ object Streams {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
   }
 
+  /** Stage the domain-mixture monitor: train the bigram LM OFFLINE on
+    * the full corpus (the ivfQuantizer offline-train discipline — the
+    * model is fixed before the stream starts, exactly how a production
+    * mixture monitor deploys) and stage the documents as id shards.
+    * `upTo` stages a prefix for the checkpoint-restart test; the LM
+    * table is written once and kept (deterministic).
+    */
+  private[streaming] def doremiStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    val lmDir = s"$workDir/lm"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(lmDir))) {
+      graft.ops.TextAnalysis.lmProbs(graft.ops.TextAnalysis.docBigrams(
+          graft.Tables(spark, dir, "documents")))
+        .write.mode("overwrite").parquet(lmDir)
+    }
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id")
+    ()
+  }
+
+  /** Drain whatever doc shards are staged past the mixture monitor —
+    * separated from [[doremiStage]] so the restart test can resume
+    * mid-stream. Per micro-batch: per-doc cross-entropy against the
+    * broadcast offline LM via the SAME TextAnalysis.scoreBigrams code
+    * the batch path uses (docs never straddle id shards, so per-doc
+    * ce is exact within its batch), folded to a ≤|sources|-row
+    * (n_docs, Σn_bg, Σce·n_bg DECIMAL) partial written per bid —
+    * count/sum/decimal-sum are associative with identity 0, so the
+    * drained fold through the SHARED TextAnalysis.doremiWeights
+    * equals q_doremi_step exactly, and a retried batch just
+    * overwrites its own idempotent partial.
+    */
+  private[streaming] def doremiRun(spark: SparkSession,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.TextAnalysis
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val lm = spark.read.schema("bg STRING, p DOUBLE").parquet(s"$workDir/lm")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // a micro-batch arrives as ONE staged file = one partition —
+        // spread it so the bigram explode uses every core (the
+        // crossmodal lesson)
+        val bdf = batch.toDF()
+          .repartition(spark.sparkContext.defaultParallelism)
+        TextAnalysis.scoreBigrams(TextAnalysis.docBigrams(bdf), lm)
+          .join(bdf.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_bg")).as("n_bg"),
+            sum((col("cross_entropy") * col("n_bg")).cast("decimal(28,20)"))
+              .as("ces"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$workDir/per_b$bid")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val parts = Option(new java.io.File(workDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("per_b"))
+      .map(_.getPath)
+    require(parts.nonEmpty, "no drained partials — nothing was staged")
+    val folded = spark.read
+      .schema("source STRING, n_docs BIGINT, n_bg BIGINT, ces DECIMAL(38,20)")
+      .parquet(parts.toSeq: _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bg")).as("n_bg"),
+        sum(col("ces")).as("ces"))
+    TextAnalysis.doremiWeights(folded)
+  }
+
+  /** Stage + drain in one call — the q_stream_doremi entry point. */
+  def doremiIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    doremiStage(spark, dir, workDir, shards)
+    doremiRun(spark, workDir)
+  }
+
   /** Streaming vector-index ingest — the foreachBatch deployment of
     * the two-level IVF quantizer: the quantizer is trained OFFLINE
     * (graft.ops.Similarity.ivfQuantizer — anchors fixed before the

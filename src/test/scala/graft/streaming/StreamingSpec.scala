@@ -375,6 +375,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(census.nonEmpty && census.toSeq.map(_._2).sum == streamed.size)
   }
 
+  test("foreachBatch doremi monitor: kill after 2 of 3 batches, restart == batch step") {
+    // per-bid DECIMAL partials must survive a checkpoint resume: drain
+    // a 2-shard prefix, "crash", stage the third, resume — the folded
+    // mixture weights must STILL equal the batch q_doremi_step row set
+    val work = java.nio.file.Files.createTempDirectory("graft_doremi_resume").toString
+    Streams.doremiStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.doremiRun(spark, work)               // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/per_b1").exists())
+    Streams.doremiStage(spark, dir, work, 3)     // shard 2 appears
+    val streamed = Streams.doremiRun(spark, work) // run 2: resumes, batch 2 only
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(new java.io.File(s"$work/per_b2").exists())
+    assert(!new java.io.File(s"$work/per_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.TextAnalysis.queries("q_doremi_step")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch contamination guard: kill after 2 of 3 batches, restart == batch scan") {
     val work = java.nio.file.Files.createTempDirectory("graft_contam_resume").toString
     Streams.contaminationStage(spark, dir, work, 3, upTo = Some(2))
