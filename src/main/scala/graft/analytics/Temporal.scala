@@ -140,6 +140,16 @@ object Temporal {
       graft.streaming.Streams.qualityCountsToTable(s, dir, "stream_quality_sink")
         .orderBy(col("lang"))),
 
+    // EXECUTES on the streaming engine: document stream → PII
+    // redaction (the exact batch Column tree, shared via
+    // TextAnalysis.piiScrub) in append mode — the compliance gate
+    // that scrubs every document AT ingest, before raw text can
+    // persist. Shares q_pii_scrub's oracle — batch and stream cannot
+    // drift.
+    "q_stream_pii" -> ((s, dir) =>
+      graft.streaming.Streams.piiToTable(s, dir, "stream_pii_sink")
+        .orderBy(col("doc_id"))),
+
     // EXECUTES on the streaming engine: stream-static enrichment join
     // (event stream ⋈ broadcast customer dim) + per-segment totals.
     "q_stream_enrich" -> ((s, dir) =>
@@ -334,6 +344,23 @@ object Temporal {
         |  AND (CAST(n_sym AS DOUBLE) / greatest(n_tok, 1) < 0.1)
         |  AND (CAST(n_stop AS DOUBLE) / greatest(n_tok, 1) >= 0.06)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Verbatim q_pii_scrub oracle — ONE SQL text for the batch scrub
+    // and its ingest-time twin.
+    "q_stream_pii" ->
+      """WITH w AS (SELECT doc_id,
+        |  lower(text) || ' contact doc' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com acct '
+        |    || CAST(doc_id * 1000003 + 100000 AS VARCHAR) AS t0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t0, '[0-9]{6,}')) AS INT)
+        |    AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(t0,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |    '[0-9]{6,}', '<num>', 'g')) AS scrub_hash
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_stream_join" ->
       """SELECT a.event_id AS view_id, b.event_id AS buy_id
         |FROM events a JOIN events b

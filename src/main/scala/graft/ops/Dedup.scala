@@ -615,6 +615,53 @@ object Dedup {
         .orderBy(col("source"))
     }),
 
+    // SoftDeDup down-weighting (Xue et al. 2024, arXiv:2407.04787 —
+    // "reweight, don't remove"): instead of dropping near-dup copies,
+    // every document gets sampling weight 1/|its near-dup cluster|, so
+    // duplicated CONTENT contributes the mass of one copy while no
+    // text is discarded. Rides the session-shared pair list and the
+    // same component labels as q_dedup_components; beyond them the
+    // cost is one cluster-size aggregate (≤ docs rows) and a label
+    // join — the corpus text never moves. Singletons keep weight 1 by
+    // construction (their component is themselves). The per-doc
+    // weights feed a sampler directly (q_importance_sample's seeded
+    // coin with p = weight is the executable form).
+    "q_softdedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val labels = connectedComponents(docs, sharedJaccardPairs(s, dir, 0.6))
+      val csize = labels.groupBy(col("component"))
+        .agg(count(lit(1)).as("cl_size"))
+      labels.join(csize, Seq("component"))
+        .select(col("doc_id"), col("cl_size"),
+          round(lit(1.0) / col("cl_size"), 6).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // First-seen n-gram novelty (the Lee et al. dedup-analysis lens
+    // turned into a standing audit): for every document, the fraction
+    // of its distinct shingles whose FIRST occurrence in doc_id order
+    // is that document — how much genuinely new content each doc adds
+    // to the corpus. Low-novelty docs are recombinations of earlier
+    // material (template farms score ~0 even when no pair clears the
+    // Jaccard threshold — this catches mosaic duplication that
+    // pairwise dedup structurally cannot). Rides the shared postings:
+    // one min-per-hash fold and one hash-co-partitioned join back,
+    // both linear in the postings, then a doc_id-local fold. No pair
+    // product anywhere — saturation-proof where the band joins need
+    // caps.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val post = sharedShinglePostings(s, dir)
+      val first = post.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      post.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_sh"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_sh"), 6).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-copy selection per near-dup cluster — dedup that keeps
     // the BEST copy, not the lexicographically first: join the
     // component labels with the per-doc quality score (same formula as
@@ -1626,6 +1673,41 @@ object Dedup {
          |  round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_rate,
          |  CAST(coalesce(n_pair_ends, 0) AS BIGINT) AS n_pair_ends
          |FROM cen LEFT JOIN pe USING (source) ORDER BY source""".stripMargin,
+    // Same recursive component labels as q_dedup_components, then one
+    // cluster-size aggregate and the 1/size weight.
+    "q_softdedup" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |lab AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+         |cs AS (SELECT component, count(*) AS cl_size FROM lab GROUP BY component)
+         |SELECT doc_id, CAST(cl_size AS BIGINT) AS cl_size,
+         |  round(CAST(1.0 AS DOUBLE) / cl_size, 6) AS weight
+         |FROM lab JOIN cs USING (component) ORDER BY doc_id""".stripMargin,
+    // min(doc_id) per shingle hash = the first-seen owner; novelty is
+    // the per-doc share of self-owned hashes.
+    "q_ngram_novelty" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |fs AS (SELECT h, min(doc_id) AS first_doc FROM shh GROUP BY h),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM shh JOIN fs USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_sh, n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / n_sh, 6) AS novelty
+         |FROM ag ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies

@@ -28,6 +28,13 @@ object TextAnalysis {
     */
   val OovVocab = 20
 
+  /** Hashed-feature space size for q_dsir. The hashing is DSIR's own
+    * scale trick: the target/raw models are ≤DsirBuckets rows no
+    * matter how large the corpus grows (a raw bigram LM's vocab² table
+    * does not have that bound), so both stay broadcastable forever.
+    */
+  val DsirBuckets = 8192L
+
   /** The fixed 3-term retrieval query shared by q_bm25 and the hybrid
     * fusion surface (Similarity.q_rrf_fusion) — one constant so the
     * lexical leg of the fusion can never drift from the BM25 query.
@@ -259,6 +266,31 @@ object TextAnalysis {
       .withColumn("ok_stop", stopR >= 0.06)
       .withColumn("keep",
         col("ok_len") && col("ok_wordlen") && col("ok_sym") && col("ok_stop"))
+  }
+
+  /** The PII scrub projection — (doc_id, n_emails, n_longnums,
+    * scrub_hash) from any frame with (doc_id, text). Public so the
+    * STREAMING redaction gate ([[graft.streaming.Streams.piiToTable]])
+    * applies the byte-identical regex chain — batch and stream cannot
+    * drift. Synthetic PII (an email + a long account number derived
+    * from doc_id) is appended first so the scrub provably fires on
+    * every row; pure stateless column arithmetic, legal on a
+    * streaming DataFrame.
+    */
+  def piiScrub(df: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    val digits = "[0-9]{6,}"
+    val withPii = concat(lower(col("text")),
+      lit(" contact doc"), col("doc_id").cast("string"),
+      lit("@example.com acct "),
+      (col("doc_id") * 1000003L + 100000L).cast("string"))
+    val scrubbed = regexp_replace(
+      regexp_replace(withPii, email, "<email>"), digits, "<num>")
+    df.select(col("doc_id"), withPii.as("t0"), scrubbed.as("t1"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(t0, '$email', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(t0, '$digits', 0)")).as("n_longnums"),
+        md5(col("t1")).as("scrub_hash"))
   }
 
   /** DuckDB replay of [[gopherFlags]] — CTE chain ending in
@@ -740,23 +772,8 @@ object TextAnalysis {
     // PII, so each doc gets a deterministic email + account number
     // appended in-query (same expression in the oracle) — every row
     // exercises BOTH redactions and the hash proves removal.
-    "q_pii_scrub" -> ((s, dir) => {
-      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+"
-      val digits = "[0-9]{6,}"
-      val withPii = concat(lower(col("text")),
-        lit(" contact doc"), col("doc_id").cast("string"),
-        lit("@example.com acct "),
-        (col("doc_id") * 1000003L + 100000L).cast("string"))
-      val scrubbed = regexp_replace(
-        regexp_replace(withPii, email, "<email>"), digits, "<num>")
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), withPii.as("t0"), scrubbed.as("t1"))
-        .select(col("doc_id"),
-          size(expr(s"regexp_extract_all(t0, '$email', 0)")).as("n_emails"),
-          size(expr(s"regexp_extract_all(t0, '$digits', 0)")).as("n_longnums"),
-          md5(col("t1")).as("scrub_hash"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_pii_scrub" -> ((s, dir) =>
+      piiScrub(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
 
     // Tokenizer-training prep: the first BPE merge iteration's
     // statistics — corpus-wide counts of adjacent character pairs
@@ -1393,6 +1410,93 @@ object TextAnalysis {
           sum(col("y")).cast("long").as("n_pos"),
           round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"))
         .orderBy(col("bin"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    // importance weight of every raw document under hashed-bigram bag
+    // models — log w(d) = Σ_f cnt_{d,f}·(ln p_target[f] − ln p_raw[f])
+    // with bigram features hashed into DsirBuckets buckets and
+    // Laplace-smoothed counts. Target = the Gopher-keep subset (the
+    // quality-targeted selection of the paper's Wiki-shaped target);
+    // raw = the whole corpus. Feature hashing is the scale move: both
+    // models are ≤DsirBuckets rows at ANY corpus size, so scoring is a
+    // broadcast join over per-doc feature counts — one corpus explode,
+    // a (doc_id, f) fold, and a doc_id-local sum; linear forever. The
+    // target side never re-reads text: it is a doc_id equi-join
+    // against the already-folded feature counts. sel decides on the
+    // DECIMAL sum (logw > 0 ⇔ likelier under the target model), the
+    // acceptance set a seeded top-k resample (q_importance_sample's
+    // coin) would draw from. Docs with <2 tokens have no features and
+    // drop out, exactly like the LM family.
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ft = docBigrams(docs)
+        .select(col("doc_id"),
+          (h60(concat(lit("dsir:"), col("bg"))) % DsirBuckets).as("f"))
+        .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("cnt"))
+        .cache()
+      val tgt = gopherFlags(docs.select(col("doc_id"), col("text")))
+        .where(col("keep")).select(col("doc_id"))
+      val cq = ft.groupBy(col("f")).agg(sum(col("cnt")).as("cq"))
+      val cp = ft.join(tgt, Seq("doc_id"))
+        .groupBy(col("f")).agg(sum(col("cnt")).as("cp"))
+      val md = cq.join(cp, Seq("f"), "left")
+        .select(col("f"), col("cq"), coalesce(col("cp"), lit(0L)).as("cp"))
+      val tot = md.agg(sum(col("cq")).as("tq"), sum(col("cp")).as("tp"))
+      val llr = md.crossJoin(broadcast(tot))
+        .select(col("f"),
+          (log((col("cp").cast("double") + lit(1.0)) /
+               (col("tp").cast("double") + lit(DsirBuckets.toDouble))) -
+           log((col("cq").cast("double") + lit(1.0)) /
+               (col("tq").cast("double") + lit(DsirBuckets.toDouble)))).as("llr"))
+      ft.join(broadcast(llr), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feat"),
+          sum((col("cnt") * col("llr")).cast("decimal(28,20)")).as("lw"))
+        .select(col("doc_id"), col("n_feat"),
+          round(col("lw").cast("double"), 6).as("logw"),
+          (col("lw") > 0).as("sel"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality-vs-LM ablation curve: the cheap 4-term heuristic score
+    // cut into equal-width deciles over [0,1], each decile reporting
+    // its doc count and DECIMAL-exact mean LM cross-entropy /
+    // perplexity from the shared_perplexity table. This is the
+    // standing check that the heuristic the cascade filters on
+    // actually tracks the expensive signal (monotone-decreasing
+    // mean_ce over bins = the score ranks corpus-likeness; flat = it
+    // stopped measuring anything and the threshold is theater).
+    // Value-bucketed bins, NOT rank ntiles — the bin is a map-only
+    // compare, so beyond the shared table the query costs one score
+    // pass and a ≤10-group fold at any corpus size.
+    "q_quality_ablate" -> ((s, dir) => {
+      val lt = lower(col("text"))
+      val sc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tok"),
+          nMatches(lt, EnPat).as("n_stop"),
+          nMatches(col("text"), PunctPat).as("n_punct"),
+          nMatches(col("text"), DigitPat).as("n_digit"),
+          length(col("text")).as("len"))
+        .withColumn("score", qualityScore(col("n_tok"), col("n_stop"),
+          col("n_punct"), col("n_digit"), col("len")))
+        .select(col("doc_id"), col("score"))
+      val ppl = sharedPerplexity(s, dir)
+        .select(col("doc_id"), col("cross_entropy"), col("ppl"))
+      sc.join(ppl, Seq("doc_id"))
+        .withColumn("bin",
+          least(floor(col("score") * lit(10.0)), lit(9L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score").cast("decimal(28,20)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"),
+          round(sum(col("cross_entropy").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_ce"),
+          round(sum(col("ppl").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_ppl"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -1953,6 +2057,77 @@ object TextAnalysis {
          |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,
          |  round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
          |    AS ppl_avg
-         |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+         |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    // Hashed-bigram DSIR replay: same feature hash, same Laplace
+    // models, same DECIMAL fold; sel compares the DECIMAL sums so the
+    // acceptance boundary cannot drift between engines.
+    "q_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |ft AS (SELECT doc_id, ${sqlH60("'dsir:' || bg")} % $DsirBuckets AS f,
+         |    count(*) AS cnt
+         |  FROM bgd GROUP BY 1, 2),
+         |$sqlGopherFlags,
+         |tg AS (SELECT doc_id FROM gf
+         |  WHERE ok_len AND ok_wordlen AND ok_sym AND ok_stop),
+         |cq AS (SELECT f, sum(cnt) AS cq FROM ft GROUP BY f),
+         |cp AS (SELECT f, sum(cnt) AS cp FROM ft JOIN tg USING (doc_id) GROUP BY f),
+         |md AS (SELECT cq.f, cq.cq, coalesce(cp.cp, 0) AS cp
+         |  FROM cq LEFT JOIN cp USING (f)),
+         |tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM md),
+         |llr AS (SELECT f,
+         |    ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + ${DsirBuckets}.0)) -
+         |    ln((CAST(cq AS DOUBLE) + 1.0) / (CAST(tq AS DOUBLE) + ${DsirBuckets}.0)) AS llr
+         |  FROM md, tot),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |    sum(CAST(cnt * llr AS DECIMAL(28,20))) AS lw
+         |  FROM ft JOIN llr USING (f) GROUP BY doc_id)
+         |SELECT doc_id, n_feat, round(CAST(lw AS DOUBLE), 6) AS logw,
+         |  lw > 0 AS sel
+         |FROM ag ORDER BY doc_id""".stripMargin,
+    // Same per-doc ppl CTEs as q_lm_perplexity joined to the
+    // q_importance_sample score CTEs; value-bucketed deciles.
+    "q_quality_ablate" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS cnt FROM bgd GROUP BY bg),
+         |sp AS (SELECT bg, cnt, split_part(bg, ' ', 1) AS w1 FROM bc),
+         |un AS (SELECT w1, sum(cnt) AS cnt1 FROM sp GROUP BY w1),
+         |pr AS (SELECT bg, CAST(cnt AS DOUBLE) / cnt1 AS p
+         |  FROM sp JOIN un USING (w1)),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         |    sum(CAST(ln(p) AS DECIMAL(28,20))) AS term_sum
+         |  FROM bgd JOIN pr USING (bg) GROUP BY doc_id),
+         |ce AS (SELECT doc_id,
+         |    round(-CAST(term_sum AS DOUBLE) / n_bg, 6) AS cross_entropy
+         |  FROM ag),
+         |pp AS (SELECT doc_id, cross_entropy,
+         |    round(exp(cross_entropy), 6) AS ppl
+         |  FROM ce),
+         |m AS (SELECT doc_id,
+         |  CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |  CAST(len(regexp_extract_all(lower(text), '$EnPat')) AS INT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '$PunctPat')) AS INT) AS n_punct,
+         |  CAST(len(regexp_extract_all(text, '$DigitPat')) AS INT) AS n_digit,
+         |  CAST(length(text) AS INT) AS len
+         |FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${sqlScore("n_tok", "n_stop", "n_punct", "n_digit", "len")} AS score
+         |FROM m),
+         |j AS (SELECT sc.score, pp.cross_entropy, pp.ppl
+         |  FROM sc JOIN pp USING (doc_id)),
+         |b AS (SELECT least(CAST(floor(score * 10.0) AS BIGINT), 9) AS bin,
+         |    score, cross_entropy, ppl
+         |  FROM j)
+         |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(score AS DECIMAL(28,20))) AS DOUBLE) / count(*), 6)
+         |    AS mean_score,
+         |  round(CAST(sum(CAST(cross_entropy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_ce,
+         |  round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_ppl
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

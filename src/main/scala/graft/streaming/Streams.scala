@@ -136,6 +136,27 @@ object Streams {
     spark.table(table)
   }
 
+  /** Streaming PII redaction gate: the batch scrub projection
+    * ([[graft.ops.TextAnalysis.piiScrub]] — the same Column tree, so
+    * batch and stream cannot drift) applied to a document stream in
+    * APPEND mode — each arriving document is redacted the moment it
+    * lands, before any downstream stage can persist raw text (the
+    * compliance deployment: the unscrubbed form never reaches the
+    * lake). Stateless map-only transform — no state store, no
+    * watermark; at any scale the stream plans exactly like the batch
+    * scan. Restart safety is the file-source's own exactly-once
+    * contract (a re-delivered file re-emits identical rows — the
+    * scrub is deterministic, so a downstream idempotent sink
+    * converges).
+    */
+  def piiToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
+    val scrubbed = graft.ops.TextAnalysis.piiScrub(docsStream(spark, dir))
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+
   /** Stream-static enrichment join: the event stream joined to the
     * static customer dimension (broadcast — the dim is planned per
     * micro-batch with the usual batch strategies, so a small dim

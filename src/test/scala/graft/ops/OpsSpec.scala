@@ -1261,4 +1261,62 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(re.getDouble(1) > 0.0 && re.getDouble(1) <= 1.0, "MRR in (0,1]")
     assert(re.getDouble(2) >= 0.0 && re.getDouble(2) <= 1.0)
   }
+
+  test("softdedup: cluster members weigh 1/|cluster|, singletons weigh 1") {
+    val dir = docsDir(Seq(
+      0L -> base,
+      1L -> base,                // exact dup of 0
+      2L -> (base + " tonight"), // near dup (J = 19/20)
+      3L -> "completely unrelated text about spark engines and columnar execution at scale with vectorized readers"))
+    val w = Dedup.queries("q_softdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w.size == 4)
+    for (d <- Seq(0L, 1L, 2L)) assert(w(d) == ((3L, 0.333333)), s"doc $d")
+    assert(w(3L) == ((1L, 1.0)))
+  }
+
+  test("ngram novelty: dups score 0, mosaic recombination scores low") {
+    val unrel = "completely unrelated text about spark engines and columnar execution at scale with vectorized readers"
+    // first 10 words of base + first 10 of unrel: every non-boundary
+    // shingle was seen in an earlier doc — the mosaic-dup shape no
+    // pairwise Jaccard threshold catches
+    val mosaic = (base.split(" ").take(10) ++ unrel.split(" ").take(10)).mkString(" ")
+    val dir = docsDir(Seq(0L -> base, 1L -> base, 2L -> unrel, 3L -> mosaic))
+    val nv = Dedup.queries("q_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(nv(0L)._3 == 1.0, "first owner of every shingle")
+    assert(nv(1L)._3 == 0.0, "exact dup adds nothing")
+    assert(nv(2L)._3 == 1.0)
+    assert(nv(3L) == ((18L, 2L, 0.111111)), "only the 2 boundary shingles are new")
+  }
+
+  test("dsir: target-like docs score positive, off-target junk negative") {
+    val t1 = "the ancient harbor lights glimmer softly and the evening tide returns while sailors mend their nets beside the weathered pier and gulls circle above the quiet water near the northern cliffs"
+    val t2 = "the ancient harbor boats drift slowly and the morning tide recedes while fishers haul their catch beside the wooden pier and terns wheel above the calm water near the eastern cliffs"
+    val t3 = "the old harbor lanterns flicker gently and the midnight tide advances while sailors stow their ropes beside the stone pier and waves break above the dark water near the western cliffs"
+    val dir = docsDir(Seq(1L -> t1, 2L -> t2, 3L -> t3,
+      4L -> "zzz qqq xxx vvv", 5L -> "mmm nnn ppp rrr", 6L -> "kkk fff ggg hhh"))
+    // premise check: the Gopher target set is exactly the harbor docs
+    val keep = TextAnalysis.gopherFlags(graft.Tables(spark, dir, "documents"))
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 2L, 3L), s"target premise broke: $keep")
+    val out = TextAnalysis.queries("q_dsir")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 6)
+    for (d <- Seq(1L, 2L, 3L))
+      assert(out(d)._1 > 0.0 && out(d)._2, s"target doc $d should select")
+    for (d <- Seq(4L, 5L, 6L))
+      assert(out(d)._1 < 0.0 && !out(d)._2, s"junk doc $d should not select")
+  }
+
+  test("quality ablate: full census, quality ranks the deciles") {
+    val t1 = "the ancient harbor lights glimmer softly and the evening tide returns while sailors mend their nets beside the weathered pier and gulls circle above the quiet water near the northern cliffs"
+    val dir = docsDir(Seq(1L -> t1, 2L -> "zzz qqq xxx vvv", 3L -> "mmm nnn ppp rrr"))
+    val rows = TextAnalysis.queries("q_quality_ablate")(spark, dir).collect().toSeq
+    assert(rows.map(_.getLong(1)).sum == 3L, "every ≥2-token doc lands in a bin")
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+    // the harbor doc's heuristic score bins strictly above the junk
+    val bins = rows.map(_.getInt(0))
+    assert(bins.max > bins.min, "quality separated the corpus")
+  }
 }

@@ -42,6 +42,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming pii scrub == batch scrub projection (append mode, stateless)") {
+    val stream = Streams.piiToTable(spark, dir, "stream_pii_spec")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.ops.TextAnalysis
+      .piiScrub(graft.Tables(spark, dir, "documents"))
+      .orderBy("doc_id").collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("mapGroupsWithState per-user totals == batch groupBy") {
     val stream = Streams.userTotalsToTable(spark, dir, "stream_users")
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
