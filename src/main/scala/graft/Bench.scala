@@ -160,7 +160,14 @@ object Bench {
       // Matryoshka prefix-dim recall, classifier calibration
       "q_decontaminate", "q_simhash_recall", "q_retrieval_eval",
       "q_matryoshka_trunc", "q_calibration", "q_doremi_step",
-      "q_dedup_apply", "q_stream_doremi")
+      "q_dedup_apply", "q_stream_doremi",
+      // late round-7: DSIR selection, SoftDeDup weights, first-seen
+      // novelty, the quality-vs-perplexity ablation, streaming PII,
+      // then the final batch — KN smoothing, UniMax allocation,
+      // watermark detection, the KS drift test, dup assortativity
+      "q_dsir", "q_softdedup", "q_ngram_novelty", "q_quality_ablate",
+      "q_stream_pii", "q_kneser_ney", "q_unimax", "q_watermark_detect",
+      "q_ks_test", "q_dup_assortativity")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -177,11 +184,13 @@ object Bench {
       "q_dedup_canonical", "q_triangles", "q_pagerank", "q_pagerank_step",
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
       "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup",
-      "q_dup_rate_by_source", "q_simhash_recall", "q_dedup_apply")
+      "q_dup_rate_by_source", "q_simhash_recall", "q_dedup_apply",
+      "q_softdedup", "q_dup_assortativity")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
-      "q_minhash_error", "q_containment", "q_contamination")
+      "q_minhash_error", "q_containment", "q_contamination",
+      "q_ngram_novelty")
     val sharedPostings: Seq[(String, Double)] =
       if (names.exists(postingsFamily.contains)) {
         val t = timed("shared_shingle_postings") {
@@ -195,7 +204,8 @@ object Bench {
     // chain shared by q_lm_perplexity and q_perplexity_buckets (was
     // re-derived per consumer — the slowest bench entry twice over)
     val perplexityFamily =
-      Set("q_lm_perplexity", "q_perplexity_buckets", "q_doremi_step")
+      Set("q_lm_perplexity", "q_perplexity_buckets", "q_doremi_step",
+        "q_quality_ablate")
     val sharedPerplexity: Seq[(String, Double)] =
       if (names.exists(perplexityFamily.contains)) {
         val t = timed("shared_perplexity") {

@@ -290,6 +290,58 @@ object Stats {
       psiFrame(s, counts)
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift test — the nonparametric
+    // complement to q_drift_psi over the SAME ref/cur time-window
+    // split: D = sup |ecdf_ref − ecdf_cur| evaluated on a fixed
+    // 20-bin grid over the global value range (binned ecdf IS the
+    // production form at scale — the exact statistic needs a global
+    // sort of both samples; the grid version bounds the sup scan to
+    // 20 rows and is what every monitoring system ships). Counts stay
+    // BIGINT through the cumsum; the single global window runs over
+    // the 20-row bin summary (bounded-summary contract, ContractSpec
+    // whitelist). Rejection at α=0.05 uses c(α)=1.358 ·
+    // √((n1+n2)/(n1·n2)); both D and the critical value round to 6
+    // BEFORE the comparison so the verdict bit matches the oracle.
+    "q_ks_test" -> ((s, dir) => {
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables(s, dir, "events")
+        .select(expr("unix_micros(ts)").as("us"), col("value"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val mid = col("lo") + floor((col("hi") - col("lo")) / 2).cast("long")
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("side",
+          when(col("us") < least(col("lo") + PsiWindowUs, mid), "ref")
+            .when(col("us") >= greatest(col("hi") - PsiWindowUs, mid), "cur"))
+        .where(col("side").isNotNull)
+        .withColumn("bin",
+          when(col("mx") > col("mn"),
+            least(lit(19L), floor((col("value") - col("mn")) /
+              (col("mx") - col("mn")) * 20)).cast("int"))
+            .otherwise(lit(0)))
+      val counts = tagged.groupBy(col("bin"))
+        .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val cum = counts
+        .withColumn("c_ref", sum(col("n_ref")).over(w))
+        .withColumn("c_cur", sum(col("n_cur")).over(w))
+      val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_cur")).as("t_cur"))
+      cum.crossJoin(broadcast(tot))
+        .select(abs(col("c_ref").cast("double") / col("t_ref") -
+          col("c_cur").cast("double") / col("t_cur")).as("diff"),
+          col("t_ref"), col("t_cur"))
+        .groupBy(col("t_ref"), col("t_cur"))
+        .agg(max(col("diff")).as("d_raw"))
+        .select(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
+          round(col("d_raw"), 6).as("d_stat"),
+          round(lit(1.358) * sqrt((col("t_ref") + col("t_cur"))
+            .cast("double") / (col("t_ref") * col("t_cur"))), 6)
+            .as("d_crit"))
+        .withColumn("drifted", col("d_stat") > col("d_crit"))
+    }),
+
     // Streaming deployment of the PSI monitor: micro-batch 1 of the
     // ts-range-staged event stream FIXES the reference histogram and
     // its bin edges; every later batch folds its counts into an
@@ -383,6 +435,41 @@ object Stats {
          |    CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
          |  FROM tg WHERE side IS NOT NULL GROUP BY bin),
          |$sqlPsiTail""".stripMargin,
+    // Same bounds→tag split at 20 bins, BIGINT cumsum, double sup scan.
+    "q_ks_test" ->
+      s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+         |b AS (SELECT min(us) AS lo, max(us) AS hi,
+         |  min(value) AS mn, max(value) AS mx FROM ev),
+         |tg AS (SELECT CASE
+         |    WHEN us < least(lo + $PsiWindowUs, lo + (hi - lo) // 2) THEN 'ref'
+         |    WHEN us >= greatest(hi - $PsiWindowUs, lo + (hi - lo) // 2)
+         |      THEN 'cur' END AS side,
+         |  CASE WHEN mx > mn THEN CAST(least(19,
+         |      CAST(floor((value - mn) / (mx - mn) * 20) AS BIGINT)) AS INT)
+         |    ELSE 0 END AS bin
+         |  FROM ev CROSS JOIN b),
+         |cnt AS (SELECT bin,
+         |    CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM tg WHERE side IS NOT NULL GROUP BY bin),
+         |cum AS (SELECT bin,
+         |    sum(n_ref) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+         |    sum(n_cur) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cur
+         |  FROM cnt),
+         |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         |  CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cnt),
+         |d AS (SELECT max(abs(CAST(c_ref AS DOUBLE) / t_ref -
+         |    CAST(c_cur AS DOUBLE) / t_cur)) AS d_raw
+         |  FROM cum CROSS JOIN tot)
+         |SELECT t_ref AS n_ref, t_cur AS n_cur, round(d_raw, 6) AS d_stat,
+         |  round(CAST(1.358 AS DOUBLE) * sqrt(CAST(t_ref + t_cur AS DOUBLE)
+         |    / (t_ref * t_cur)), 6) AS d_crit,
+         |  round(d_raw, 6) > round(CAST(1.358 AS DOUBLE) *
+         |    sqrt(CAST(t_ref + t_cur AS DOUBLE) / (t_ref * t_cur)), 6)
+         |    AS drifted
+         |FROM d CROSS JOIN tot""".stripMargin,
     // ts-range shard split (shard 0 = reference, integer third) and
     // reference-fixed bin edges with [0,9] clamping, then the shared
     // PSI tail — replays the streaming ingest end-state exactly.

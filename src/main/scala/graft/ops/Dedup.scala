@@ -615,6 +615,48 @@ object Dedup {
         .orderBy(col("source"))
     }),
 
+    // Source-assortativity of the near-dup graph — does duplication
+    // stay WITHIN sources (mirror sites, template reuse) or cross
+    // them (syndication, scraping overlap)? Newman's assortativity
+    // coefficient over the source partition: r = (q_intra − Σ_s
+    // (d_s/2m)²)/(1 − Σ_s (d_s/2m)²), where m = |pairs|, q_intra =
+    // same-source pair share, d_s = pair-ends in s. Cross-source
+    // duplication is the governance signal: it survives per-source
+    // dedup shards, so high disassortativity means the dedup job
+    // CANNOT be partitioned by source. Rides the shared pair list;
+    // beyond it the cost is two broadcast label joins and one
+    // |sources|-key aggregate. Σd_s² stays BIGINT (exact) and the
+    // three doubles are single divisions — hash-exact. m = 0 (a
+    // pair-free corpus, the sf1 lesson) degrades to NULL rates via
+    // the guarded CASE, not a 0/0 NaN mismatch.
+    "q_dup_assortativity" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val pairs = sharedJaccardPairs(s, dir, 0.6)
+        .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")),
+          Seq("doc1"))
+        .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")),
+          Seq("doc2"))
+      val deg = pairs.select(col("s1").as("source"))
+        .unionByName(pairs.select(col("s2").as("source")))
+        .groupBy(col("source")).agg(count(lit(1)).as("d"))
+      val sumSq = deg.agg(coalesce(sum(col("d") * col("d")), lit(0L))
+        .as("sum_d2"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("n_intra"))
+        .crossJoin(broadcast(sumSq))
+        .withColumn("q_intra",
+          when(col("n_pairs") > 0,
+            col("n_intra").cast("double") / col("n_pairs")))
+        .withColumn("q_exp",
+          when(col("n_pairs") > 0, col("sum_d2").cast("double") /
+            (lit(4L) * col("n_pairs") * col("n_pairs"))))
+        .select(col("n_pairs"), col("n_intra"),
+          round(col("q_intra"), 6).as("intra_rate"),
+          round(col("q_exp"), 6).as("expected_rate"),
+          round((col("q_intra") - col("q_exp")) / (lit(1.0) - col("q_exp")), 6)
+            .as("assortativity"))
+    }),
+
     // SoftDeDup down-weighting (Xue et al. 2024, arXiv:2407.04787 —
     // "reweight, don't remove"): instead of dropping near-dup copies,
     // every document gets sampling weight 1/|its near-dup cluster|, so
@@ -1673,6 +1715,39 @@ object Dedup {
          |  round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_rate,
          |  CAST(coalesce(n_pair_ends, 0) AS BIGINT) AS n_pair_ends
          |FROM cen LEFT JOIN pe USING (source) ORDER BY source""".stripMargin,
+    // Same jpairs replay labeled by source; Σd² stays BIGINT, the
+    // three rates are guarded single divisions.
+    "q_dup_assortativity" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |pr AS (SELECT d1.source AS s1, d2.source AS s2
+         |  FROM jpairs JOIN documents d1 ON doc1 = d1.doc_id
+         |  JOIN documents d2 ON doc2 = d2.doc_id),
+         |deg AS (SELECT source, count(*) AS d FROM (
+         |    SELECT s1 AS source FROM pr UNION ALL SELECT s2 FROM pr)
+         |  GROUP BY source),
+         |sq AS (SELECT coalesce(CAST(sum(d * d) AS BIGINT), 0) AS sum_d2
+         |  FROM deg),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_intra
+         |  FROM pr),
+         |j AS (SELECT n_pairs, n_intra,
+         |  CASE WHEN n_pairs > 0
+         |    THEN CAST(n_intra AS DOUBLE) / n_pairs END AS q_intra,
+         |  CASE WHEN n_pairs > 0 THEN CAST(sum_d2 AS DOUBLE) /
+         |    (4 * n_pairs * n_pairs) END AS q_exp
+         |  FROM ag CROSS JOIN sq)
+         |SELECT n_pairs, n_intra, round(q_intra, 6) AS intra_rate,
+         |  round(q_exp, 6) AS expected_rate,
+         |  round((q_intra - q_exp) / (CAST(1.0 AS DOUBLE) - q_exp), 6)
+         |    AS assortativity
+         |FROM j""".stripMargin,
     // Same recursive component labels as q_dedup_components, then one
     // cluster-size aggregate and the 1/size weight.
     "q_softdedup" ->

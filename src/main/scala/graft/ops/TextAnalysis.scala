@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import TextFns._
 
@@ -27,6 +28,19 @@ object TextAnalysis {
     * is non-trivial at every SF.
     */
   val OovVocab = 20
+
+  /** Epoch cap for q_unimax: no language may be repeated more than
+    * this many times regardless of how much budget is left — the
+    * UniMax bound on low-resource over-repetition.
+    */
+  val UnimaxEpochs = 2L
+
+  /** Minimum adjacent-pair count for q_watermark_detect's z-test —
+    * below this the one-proportion test has no power and the z values
+    * are noise (Kirchenbauer et al. report T≳25 tokens for reliable
+    * detection; 16 pairs is the floor the synthetic docs clear).
+    */
+  val WatermarkMinPairs = 16L
 
   /** Hashed-feature space size for q_dsir. The hashing is DSIR's own
     * scale trick: the target/raw models are ≤DsirBuckets rows no
@@ -655,6 +669,40 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
     }),
 
+    // Interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995;
+    // the KenLM default that CCNet-style perplexity filters train) —
+    // the smoothing upgrade over q_ngram_lm's raw MLE: p_KN(w2|w1) =
+    // max(c − D, 0)/c(w1·) + (D·N1+(w1·)/c(w1·)) · (N1+(·w2)/T) with
+    // absolute discount D = 0.75. Every ingredient (bigram counts,
+    // marginals, distinct-continuation counts N1+, the type total T)
+    // is an exact integer derived from ONE bigram-type table — the
+    // continuation distribution is KN's insight and it is just a
+    // count(*) per w2 over that table. The whole chain moves only the
+    // Heaps-bounded type table (never the corpus), joins are on
+    // single-token keys, and top-20 is TakeOrderedAndProject. One
+    // double expression per row, parenthesized identically in the
+    // oracle — hash-exact.
+    "q_kneser_ney" -> ((s, dir) => {
+      val big = Tables.fanout(Tables(s, dir, "documents").select(col("text")))
+        .select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"), col("cnt"))
+      val uni = big.groupBy("w1").agg(sum(col("cnt")).as("cnt1"),
+        count(lit(1)).as("n_follow"))
+      val cont = big.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+      val types = big.agg(count(lit(1)).as("n_types"))
+      big.join(uni, Seq("w1")).join(cont, Seq("w2"))
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("cnt"),
+          round(
+            greatest(col("cnt") - lit(0.75), lit(0.0)) / col("cnt1") +
+              (lit(0.75) * col("n_follow") / col("cnt1")) *
+                (col("n_prec").cast("double") / col("n_types")),
+            6).as("p_kn"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(20)
+    }),
+
     // BM25 retrieval scoring for the fixed 3-term query (k1=1.2,
     // b=0.75), top 20 docs — the presentation view over the shared
     // [[bm25Scores]] chain; top-20 runs as TakeOrderedAndProject.
@@ -904,6 +952,88 @@ object TextAnalysis {
           round(col("w"), 6).as("weight"),
           round(col("w") / col("share"), 6).as("boost"))
         .orderBy(col("lang"))
+    }),
+
+    // UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151 —
+    // the mT5-successor sampling rule): share the token budget
+    // UNIFORMLY across languages, capped at [[UnimaxEpochs]] epochs of
+    // each language's own data, leftover redistributed among the
+    // uncapped — strictly bounds low-resource repetition where
+    // α-sampling (q_mix_temperature) can over-repeat small languages
+    // arbitrarily. The greedy ascending waterfill has a closed form:
+    // sort languages by cap = E·n_l ascending, k = (first idx whose
+    // cap·(langs_left) exceeds the remaining budget) − 1; langs ≤ k
+    // get their cap, the rest split (B − Σ_{≤k} cap) evenly.
+    // Verified against the literal greedy loop over 2000 random
+    // instances before being committed to the oracle. All arithmetic
+    // is BIGINT until the single final division; the two windows run
+    // over the |langs|-row aggregate (bounded-summary contract, see
+    // ContractSpec whitelist) — at 100 TB the only real work is the
+    // per-lang char sum, which partials map-side.
+    "q_unimax" -> ((s, dir) => {
+      val w = Window.orderBy(col("cap"), col("lang"))
+      val per = Tables(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("chars")).where(col("chars") > 0)
+      val tot = per.agg(sum(col("chars")).as("budget"),
+        count(lit(1)).as("nl"))
+      val ranked = per.crossJoin(broadcast(tot))
+        .withColumn("cap", col("chars") * lit(UnimaxEpochs))
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .withColumn("cum_prev", coalesce(
+          sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val kf = ranked.agg(min(when(
+        col("cap") * (col("nl") - col("idx") + 1) >
+          col("budget") - col("cum_prev"), col("idx"))).as("kfail"))
+      val withK = ranked.crossJoin(broadcast(kf))
+        .withColumn("k", coalesce(col("kfail") - 1, col("nl")))
+      val ck = withK.agg(coalesce(
+        sum(when(col("idx") <= col("k"), col("cap"))), lit(0L)).as("ck"))
+      withK.crossJoin(broadcast(ck))
+        .withColumn("alloc_raw",
+          when(col("idx") <= col("k"), col("cap").cast("double"))
+            .otherwise((col("budget") - col("ck")).cast("double") /
+              (col("nl") - col("k"))))
+        .select(col("lang"), col("chars"), col("cap"),
+          (col("idx") <= col("k")).as("capped"),
+          round(col("alloc_raw"), 6).as("alloc"),
+          round(col("alloc_raw") / col("chars"), 6).as("epochs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Statistical-watermark detection (Kirchenbauer et al. 2023,
+    // arXiv:2301.10226): a green-list watermark biases each generated
+    // token toward the half of the vocabulary selected by a hash of
+    // the PRECEDING token; detection is a per-document one-proportion
+    // z-test on the green fraction of adjacent token pairs, z =
+    // (2g − n)/√n under H₀ green-rate γ = 0.5. The standing
+    // corpus-governance scan for watermarked synthetic text leaking
+    // into training data. The green predicate is the cross-engine md5
+    // trick (first hex digit < '8' ⇔ γ = 0.5); docs with fewer than
+    // [[WatermarkMinPairs]] pairs are excluded (the z-test has no
+    // power there). Map-only per doc, one per-source aggregate whose
+    // mean-z sums DECIMAL-rounded per-doc values (partition-order
+    // free). At 100 TB: no shuffle except the |sources|-key agg.
+    "q_watermark_detect" -> ((s, dir) => {
+      val green = (bg: Column) => substring(md5(bg), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7")
+      val perDoc = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("source"), col("text")))
+        .select(col("source"), shingles(tokens(col("text")), 2).as("bgs"))
+        .select(col("source"), size(col("bgs")).cast("long").as("n"),
+          size(filter(col("bgs"), green)).cast("long").as("g"))
+        .where(col("n") >= WatermarkMinPairs)
+        .withColumn("z", (lit(2.0) * col("g") - col("n")) /
+          sqrt(col("n").cast("double")))
+      perDoc
+        .select(col("source"), col("z"),
+          round(col("z"), 6).cast(DecimalType(28, 6)).as("zd"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("z") >= 4.0, 1L).otherwise(0L)).as("n_flagged"),
+          round(sum(col("zd")).cast("double") / count(lit(1)), 6)
+            .as("mean_z"))
+        .orderBy(col("source"))
     }),
 
     // Vocabulary-coverage / OOV audit: the top-[[OovVocab]] tokens by
@@ -1678,6 +1808,25 @@ object TextAnalysis {
          |  CAST(cnt AS DOUBLE) / cnt1 AS p
          |FROM sp JOIN un USING (w1)
          |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Same bigram-type CTEs; the KN formula is one double expression
+    // parenthesized exactly as the Spark column.
+    "q_kneser_ney" ->
+      s"""WITH tk AS (SELECT ${sqlTokens("text")} AS a FROM documents),
+         |bgs AS (SELECT unnest(list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS cnt FROM bgs GROUP BY bg),
+         |sp AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |  cnt FROM bc),
+         |un AS (SELECT w1, sum(cnt) AS cnt1, count(*) AS n_follow
+         |  FROM sp GROUP BY w1),
+         |ct AS (SELECT w2, count(*) AS n_prec FROM sp GROUP BY w2),
+         |ty AS (SELECT count(*) AS n_types FROM sp)
+         |SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+         |  round(greatest(cnt - CAST(0.75 AS DOUBLE), 0.0) / cnt1 +
+         |    (CAST(0.75 AS DOUBLE) * n_follow / cnt1) *
+         |      (CAST(n_prec AS DOUBLE) / n_types), 6) AS p_kn
+         |FROM sp JOIN un USING (w1) JOIN ct USING (w2) CROSS JOIN ty
+         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_bm25" ->
       s"""WITH $sqlBm25Ctes
          |SELECT doc_id, bm25 FROM bm
@@ -1803,6 +1952,50 @@ object TextAnalysis {
         |SELECT lang, chars, round(share, 6) AS share, round(w, 6) AS weight,
         |  round(w / share, 6) AS boost
         |FROM j ORDER BY lang""".stripMargin,
+    // The ascending-waterfill closed form replayed verbatim: BIGINT
+    // throughout, one double division at the end.
+    "q_unimax" ->
+      s"""WITH per AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+         |  FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
+         |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS budget,
+         |  CAST(count(*) AS BIGINT) AS nl FROM per),
+         |rk AS (SELECT lang, chars, chars * $UnimaxEpochs AS cap, budget, nl,
+         |  CAST(row_number() OVER (ORDER BY chars * $UnimaxEpochs, lang)
+         |    AS BIGINT) AS idx,
+         |  coalesce(sum(chars * $UnimaxEpochs) OVER (
+         |    ORDER BY chars * $UnimaxEpochs, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM per CROSS JOIN tot),
+         |kf AS (SELECT min(CASE WHEN cap * (nl - idx + 1) > budget - cum_prev
+         |  THEN idx END) AS kfail FROM rk),
+         |kk AS (SELECT coalesce(kfail - 1, (SELECT nl FROM tot)) AS k FROM kf),
+         |ck AS (SELECT coalesce(sum(CASE WHEN idx <= k THEN cap END), 0) AS ck
+         |  FROM rk CROSS JOIN kk),
+         |fin AS (SELECT lang, chars, cap, idx <= k AS capped,
+         |  CASE WHEN idx <= k THEN CAST(cap AS DOUBLE)
+         |    ELSE CAST(budget - ck AS DOUBLE) / (nl - k) END AS alloc_raw
+         |  FROM rk CROSS JOIN kk CROSS JOIN ck)
+         |SELECT lang, chars, cap, capped, round(alloc_raw, 6) AS alloc,
+         |  round(alloc_raw / chars, 6) AS epochs
+         |FROM fin ORDER BY lang""".stripMargin,
+    // Same md5 green predicate, same n ≥ WatermarkMinPairs floor, same
+    // DECIMAL(28,6) order-free mean.
+    "q_watermark_detect" ->
+      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
+         |bg AS (SELECT source, list_transform(range(greatest(len(a) - 1, 0)),
+         |  i -> a[i+1] || ' ' || a[i+2]) AS bgs FROM tk),
+         |pd AS (SELECT source, CAST(len(bgs) AS BIGINT) AS n,
+         |  CAST(len(list_filter(bgs, b -> substr(md5(b), 1, 1) IN
+         |    ('0','1','2','3','4','5','6','7'))) AS BIGINT) AS g
+         |  FROM bg),
+         |z AS (SELECT source, (2.0 * g - n) / sqrt(CAST(n AS DOUBLE)) AS z
+         |  FROM pd WHERE n >= $WatermarkMinPairs)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN z >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  round(CAST(sum(CAST(round(z, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_z
+         |FROM z GROUP BY source ORDER BY source""".stripMargin,
     "q_oov_rate" ->
       s"""WITH tok AS (SELECT lang, unnest(${sqlTokens("text")}) AS t
          |  FROM documents),

@@ -1319,4 +1319,112 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val bins = rows.map(_.getInt(0))
     assert(bins.max > bins.min, "quality separated the corpus")
   }
+
+  test("kneser ney: closed-form replay from raw bigram counts") {
+    val d1 = "x cat y cat z cat x dog x dog x dog"
+    val d2 = "new york new york and old york"
+    val dir = docsDir(Seq(1L -> d1, 2L -> d2))
+    val out = TextAnalysis.queries("q_kneser_ney")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.nonEmpty && out.size <= 20)
+    // local replay of the exact KN formula from raw counts
+    val bigs = Seq(d1, d2).flatMap(_.split(" ").toSeq.sliding(2)
+        .filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cnt1 = bigs.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val nFollow = bigs.groupBy(_._1._1).map { case (k, v) => k -> v.size }
+    val nPrec = bigs.groupBy(_._1._2).map { case (k, v) => k -> v.size }
+    val t = bigs.size.toDouble
+    for (((w1, w2), (cnt, p)) <- out) {
+      assert(cnt == bigs((w1, w2)), s"count of ($w1,$w2)")
+      val exp = math.max(cnt - 0.75, 0.0) / cnt1(w1) +
+        (0.75 * nFollow(w1) / cnt1(w1)) * (nPrec(w2) / t)
+      assert(math.abs(p - exp) < 1e-6, s"p_kn($w2|$w1): $p vs $exp")
+      assert(p > 0.0 && p <= 1.0)
+    }
+  }
+
+  test("unimax: epoch cap binds small languages, leftover splits among the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("unimax").toString
+    Seq((1L, "a" * 100, "en"), (2L, "b" * 30, "de"), (3L, "c" * 10, "zh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // budget = 140 chars, caps = 2·n: zh 20 (capped), de 60 (capped at
+    // the boundary), en splits the leftover 60 alone
+    val out = TextAnalysis.queries("q_unimax")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("zh") == ((20L, true, 20.0, 2.0)))
+    assert(out("de") == ((60L, true, 60.0, 2.0)))
+    assert(!out("en")._2 && math.abs(out("en")._3 - 60.0) < 1e-9)
+    assert(math.abs(out.values.map(_._3).sum - 140.0) < 1e-9,
+      "allocations exhaust the budget exactly")
+  }
+
+  test("watermark detect: greedily greened text flags, natural text does not") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    // grow a 60-token sequence where every adjacent pair hashes green —
+    // the detector's own predicate, exercised from the outside
+    val seq = scala.collection.mutable.ArrayBuffer("wa")
+    while (seq.length < 60)
+      seq += vocab.find(v => md5hex(seq.last + " " + v).head < '8').get
+    val dir = docsDir(Seq(1L -> seq.mkString(" "),
+      2L -> (base + " " + base), 3L -> "too short"))
+    val out = TextAnalysis.queries("q_watermark_detect")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L, "sub-threshold doc excluded")
+    assert(out.head.getLong(2) == 1L, "exactly the greened doc flags")
+  }
+
+  test("ks test: shifted window drifts, identical windows do not") {
+    import spark.implicits._
+    val day = 86400000000L // µs
+    def write(curShift: Double): String = {
+      val dir = Files.createTempDirectory("ks").toString
+      val ref = (0 until 100).map(i => (i.toLong * day / 20, i / 100.0))
+      val cur = (0 until 100).map(i =>
+        (14L * day + i.toLong * day / 20, i / 100.0 + curShift))
+      (ref ++ cur).toDF("us", "value")
+        .select(expr("timestamp_micros(us)").as("ts"), col("value"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val shifted = graft.analytics.Stats.queries("q_ks_test")(
+      spark, write(10.0)).collect().head
+    assert(shifted.getLong(0) == 100L && shifted.getLong(1) == 100L)
+    assert(math.abs(shifted.getDouble(2) - 1.0) < 1e-9, "disjoint ranges: D = 1")
+    assert(shifted.getBoolean(4), "full shift must reject H0")
+    val same = graft.analytics.Stats.queries("q_ks_test")(
+      spark, write(0.0)).collect().head
+    assert(same.getDouble(2) == 0.0, "identical samples: D = 0")
+    assert(!same.getBoolean(4))
+  }
+
+  test("dup assortativity: exact census on a crafted two-source graph") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("assort").toString
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq((1L, base, "A"), (2L, base, "A"), (3L, t2, "A"), (4L, t2, "B"),
+      (5L, "one two three four five six seven eight nine ten", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // pairs: (1,2) intra-A, (3,4) cross A↔B → m=2, intra=1;
+    // ends: A=3, B=1 → expected = (9+1)/(4·4) = 0.625;
+    // r = (0.5 − 0.625)/(1 − 0.625) = −1/3
+    val r = Dedup.queries("q_dup_assortativity")(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 0.625) < 1e-9)
+    assert(math.abs(r.getDouble(4) - (-1.0 / 3)) < 1e-6)
+  }
 }
