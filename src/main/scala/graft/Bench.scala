@@ -167,7 +167,8 @@ object Bench {
       // watermark detection, the KS drift test, dup assortativity
       "q_dsir", "q_softdedup", "q_ngram_novelty", "q_quality_ablate",
       "q_stream_pii", "q_kneser_ney", "q_unimax", "q_watermark_detect",
-      "q_ks_test", "q_dup_assortativity")
+      "q_ks_test", "q_dup_assortativity", "q_stream_watermark",
+      "q_dedup_funnel")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -185,7 +186,7 @@ object Bench {
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
       "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup",
       "q_dup_rate_by_source", "q_simhash_recall", "q_dedup_apply",
-      "q_softdedup", "q_dup_assortativity")
+      "q_softdedup", "q_dup_assortativity", "q_dedup_funnel")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",

@@ -768,6 +768,52 @@ object Dedup {
         .select(col("keeper"), col("n_copies"))
         .orderBy(col("keeper"))),
 
+    // The dedup CASCADE census (the Dolma/FineWeb pipeline shape:
+    // exact → near-dup → semantic, each stage seeing only the prior
+    // stage's survivors): every doc is credited to the FIRST standing
+    // drop signal that catches it — content-hash non-keeper, near-dup
+    // non-representative ([[nearDupDrops]], the q_dedup_apply
+    // predicate), or SemDeDup within-cluster duplicate
+    // ([[Similarity.semdedupDropped]], the q_semdedup predicate).
+    // Reusing the three standing predicates means this census can
+    // never disagree with the operators that execute the drops. Each
+    // signal is the bounded output of its own banded/blocked join;
+    // the funnel itself adds two doc_id probe joins, one text-keyed
+    // keeper join, and a 1-row aggregate exploded into 3 stage rows.
+    // At 100 TB the stages run at their own contracts; the funnel's
+    // incremental cost is one corpus scan.
+    "q_dedup_funnel" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val keepers = docs.groupBy(col("text")).agg(min(col("doc_id")).as("keeper"))
+      val near = nearDupDrops(s, dir).withColumn("near_hit", lit(1))
+      val sem = Similarity.semdedupDropped(s, dir)
+        .select(col("vec_id").as("doc_id"), lit(1).as("sem_hit"))
+      val flags = docs.join(keepers, Seq("text"))
+        .join(near, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select((col("doc_id") =!= col("keeper")).as("ex"),
+          col("near_hit").isNotNull.as("nr"),
+          col("sem_hit").isNotNull.as("sm"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val a = flags.agg(count(lit(1)).as("n0"),
+        cnt(col("ex")).as("d1"),
+        cnt(!col("ex") && col("nr")).as("d2"),
+        cnt(!col("ex") && !col("nr") && col("sm")).as("d3"))
+      a.select(explode(array(
+          struct(lit(1).as("stage"), lit("exact").as("rule"),
+            col("n0").as("n_in"), col("d1").as("n_dropped"),
+            (col("n0") - col("d1")).as("n_out")),
+          struct(lit(2).as("stage"), lit("near").as("rule"),
+            (col("n0") - col("d1")).as("n_in"), col("d2").as("n_dropped"),
+            (col("n0") - col("d1") - col("d2")).as("n_out")),
+          struct(lit(3).as("stage"), lit("semantic").as("rule"),
+            (col("n0") - col("d1") - col("d2")).as("n_in"),
+            col("d3").as("n_dropped"),
+            (col("n0") - col("d1") - col("d2") - col("d3")).as("n_out"))))
+          .as("r"))
+        .select(col("r.*")).orderBy(col("stage"))
+    }),
+
     // MinHash + LSH near-dup candidates with estimated similarity.
     "q_dedup_minhash" -> ((s, dir) => {
       // per-doc minima are invariant to the postings dedup, so the
@@ -1787,6 +1833,49 @@ object Dedup {
       s"""WITH $sqlDupCorpus
          |SELECT min(doc_id) AS keeper, count(*) AS n_copies
          |FROM dup_corpus GROUP BY text ORDER BY keeper""".stripMargin,
+    // The three standing drop predicates replayed (exact keeper /
+    // near-dup component rep / SemDeDup), first-signal attribution,
+    // one aggregate exploded into the 3 stage rows.
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+         |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jpairs AS (SELECT doc1, doc2
+         |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= 0.6),
+         |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+         |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS u FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |lab AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+         |ndrop AS (SELECT doc_id FROM lab WHERE component <> doc_id),
+         |keepers AS (SELECT text, min(doc_id) AS keeper
+         |  FROM documents GROUP BY text),
+         |${graft.ops.Similarity.sqlSemdedupCtes},
+         |fl AS (SELECT d.doc_id,
+         |    d.doc_id <> k.keeper AS ex,
+         |    nd.doc_id IS NOT NULL AS nr,
+         |    sd.vec_id IS NOT NULL AS sm
+         |  FROM documents d JOIN keepers k ON d.text = k.text
+         |  LEFT JOIN ndrop nd ON d.doc_id = nd.doc_id
+         |  LEFT JOIN semdrop sd ON d.doc_id = sd.vec_id),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |  CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |  CAST(sum(CASE WHEN NOT ex AND nr THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |  CAST(sum(CASE WHEN NOT ex AND NOT nr AND sm THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS d3
+         |  FROM fl)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'exact' AS rule, n0 AS n_in, d1 AS n_dropped,
+         |    n0 - d1 AS n_out FROM ag
+         |  UNION ALL SELECT 2, 'near', n0 - d1, d2, n0 - d1 - d2 FROM ag
+         |  UNION ALL SELECT 3, 'semantic', n0 - d1 - d2, d3,
+         |    n0 - d1 - d2 - d3 FROM ag)
+         |ORDER BY stage""".stripMargin,
     "q_boilerplate" ->
       s"""WITH $sqlDupCorpus,
          |tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM dup_corpus),

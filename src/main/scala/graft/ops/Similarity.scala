@@ -178,6 +178,47 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** SemDeDup seed-centroid count (Abbas et al.: cluster, then drop
+    * within-cluster near-identical embeddings) — shared by q_semdedup
+    * and the dedup-funnel's semantic stage.
+    */
+  val SemKSeeds = 8
+
+  /** The SemDeDup cluster assignment (vec_id, cid, v): nearest of the
+    * [[SemKSeeds]] seed centroids by cosine, ties to the smaller cid.
+    * Cached — consumed by both self-join sides and the presentation
+    * output (the proven shared-subplan rule, cf. pagerank/jaccard).
+    */
+  private[ops] def semdedupAssigned(s: SparkSession, dir: String): DataFrame = {
+    CosineSim.register(s)
+    val emb = embeddings(s, dir)
+    val cents = broadcast(emb.where(col("vec_id") < SemKSeeds)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    emb.crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("cid"), cosine("v", "cv").as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cid"),
+        first(col("v")).as("v"))
+      .cache()
+  }
+
+  /** The SemDeDup drop set (vec_id): within-cluster members whose
+    * cosine to a smaller-id cluster-mate clears [[DupThreshold]] —
+    * the single predicate shared by q_semdedup and the dedup funnel's
+    * semantic stage, so the two can never disagree on what "semantic
+    * duplicate" means. The self-join is cid-co-partitioned (never n²:
+    * Σ|cluster|² with K seed clusters — the q_knn_graph contract).
+    */
+  private[ops] def semdedupDropped(s: SparkSession, dir: String): DataFrame = {
+    val assigned = semdedupAssigned(s, dir)
+    assigned.select(col("cid"), col("vec_id"), col("v").as("v1"))
+      .join(assigned.select(col("cid"), col("vec_id").as("prior"),
+        col("v").as("v2")), Seq("cid"))
+      .where(col("prior") < col("vec_id") &&
+        cosine("v1", "v2") >= lit(DupThreshold))
+      .select(col("vec_id")).distinct()
+  }
+
   /** Probe-set sampling for q_ann_recall's brute-force truth side:
     * recall is estimated over the probes where
     * `((vec_id * 1315423911) % 1000003) % sampleMod(n) == 0` — a
@@ -643,27 +684,8 @@ object Similarity {
     // per-cluster candidate product stays ~n^1.5/K ≈ n, and the
     // survivors feed the corpus-prep pipeline in place of raw docs.
     "q_semdedup" -> ((s, dir) => {
-      CosineSim.register(s)
-      val emb = embeddings(s, dir)
-      val KSeeds = 8
-      val cents = broadcast(emb.where(col("vec_id") < KSeeds)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
-      // consumed 3× (both self-join sides + final output) — cache the
-      // post-aggregate assignment so the n·K cosine scan runs once
-      // (the proven shared-subplan rule, cf. pagerank/jaccard chains)
-      val assigned = emb.crossJoin(cents)
-        .select(col("vec_id"), col("v"), col("cid"), cosine("v", "cv").as("cos"))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), struct(negate(col("cos")), col("cid"))).as("cid"),
-          first(col("v")).as("v"))
-        .cache()
-      val dropped = assigned.select(col("cid"), col("vec_id"), col("v").as("v1"))
-        .join(assigned.select(col("cid"), col("vec_id").as("prior"), col("v").as("v2")),
-          Seq("cid"))
-        .where(col("prior") < col("vec_id") &&
-          cosine("v1", "v2") >= lit(DupThreshold))
-        .select(col("vec_id")).distinct()
-        .withColumn("is_dropped", lit(true))
+      val assigned = semdedupAssigned(s, dir)
+      val dropped = semdedupDropped(s, dir).withColumn("is_dropped", lit(true))
       assigned.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid"), col("is_dropped").isNull.as("kept"))
         .orderBy(col("vec_id"))
@@ -1324,6 +1346,25 @@ object Similarity {
        |  (sqrt(list_sum(list_transform(range($TruncDim), i -> $a[i+1] * $a[i+1]))) *
        |   sqrt(list_sum(list_transform(range($TruncDim), i -> $b[i+1] * $b[i+1]))))""".stripMargin
 
+  /** SQL replay of [[semdedupAssigned]] + [[semdedupDropped]] — CTE
+    * chain ending in `asg(vec_id, v, cid)` and `semdrop(vec_id)`;
+    * shared by the q_semdedup oracle and the dedup-funnel's semantic
+    * stage (CTE names chosen not to collide with the shingle/pair
+    * chain it composes with there).
+    */
+  private[ops] def sqlSemdedupCtes: String =
+    s"""se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cse AS (SELECT vec_id AS cid, v AS cv FROM se WHERE vec_id < $SemKSeeds),
+       |ssc AS (SELECT se.vec_id, se.v, cse.cid, ${sqlCos("se.v", "cse.cv")} AS cos
+       |  FROM se CROSS JOIN cse),
+       |sa AS (SELECT vec_id, v, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM ssc),
+       |asg AS (SELECT vec_id, v, cid FROM sa WHERE rn = 1),
+       |semdrop AS (SELECT DISTINCT l.vec_id FROM asg l JOIN asg r
+       |  ON l.cid = r.cid AND r.vec_id < l.vec_id
+       |  WHERE ${sqlCos("l.v", "r.v")} >= $DupThreshold)""".stripMargin
+
   /** SQL replay of [[ivfProbed]] + [[shardProbed]] — CTE chain ending
     * in `probed(vec_id, v, anchor_id, shard)`; prefix for the
     * q_ann_recall / q_dedup_embedding_ivf / corpus-pipeline oracles.
@@ -1616,18 +1657,9 @@ object Similarity {
          |SELECT doc1, doc2, round(c, 6) AS cos_sim FROM c
          |WHERE c >= $DupThreshold ORDER BY doc1, doc2""".stripMargin,
     "q_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |sc AS (SELECT e.vec_id, e.v, c.cid, ${sqlCos("e.v", "c.cv")} AS cos
-         |  FROM e CROSS JOIN c),
-         |a AS (SELECT vec_id, v, cid,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc),
-         |asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
-         |d AS (SELECT DISTINCT l.vec_id FROM asg l JOIN asg r
-         |  ON l.cid = r.cid AND r.vec_id < l.vec_id
-         |  WHERE ${sqlCos("l.v", "r.v")} >= $DupThreshold)
-         |SELECT asg.vec_id, asg.cid, d.vec_id IS NULL AS kept
-         |FROM asg LEFT JOIN d ON asg.vec_id = d.vec_id
+      s"""WITH $sqlSemdedupCtes
+         |SELECT asg.vec_id, asg.cid, semdrop.vec_id IS NULL AS kept
+         |FROM asg LEFT JOIN semdrop ON asg.vec_id = semdrop.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
     "q_sim_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -307,6 +307,38 @@ object TextAnalysis {
         md5(col("t1")).as("scrub_hash"))
   }
 
+  /** Per-doc watermark z-score over adjacent token pairs (Kirchenbauer
+    * green-list detection): green iff the md5 of the pair's first hex
+    * digit < '8' (γ = 0.5, cross-engine deterministic), z =
+    * (2g − n)/√n under H₀; docs with n < [[WatermarkMinPairs]] are
+    * excluded (no test power). Map-only Column tree shared by
+    * q_watermark_detect and the ingest-time twin — they cannot drift.
+    */
+  private[graft] def watermarkZ(docs: DataFrame): DataFrame = {
+    val green = (bg: Column) => substring(md5(bg), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+    docs.select(col("source"), shingles(tokens(col("text")), 2).as("bgs"))
+      .select(col("source"), size(col("bgs")).cast("long").as("n"),
+        size(filter(col("bgs"), green)).cast("long").as("g"))
+      .where(col("n") >= WatermarkMinPairs)
+      .withColumn("z", (lit(2.0) * col("g") - col("n")) /
+        sqrt(col("n").cast("double")))
+  }
+
+  /** Per-source watermark census over [[watermarkZ]] rows: doc count,
+    * flags (z ≥ 4), and the DECIMAL-summed (associative — micro-batch
+    * and partition order free) mean z.
+    */
+  private[graft] def watermarkCensus(perDoc: DataFrame): DataFrame =
+    perDoc
+      .select(col("source"), col("z"),
+        round(col("z"), 6).cast(DecimalType(28, 6)).as("zd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") >= 4.0, 1L).otherwise(0L)).as("n_flagged"),
+        round(sum(col("zd")).cast("double") / count(lit(1)), 6)
+          .as("mean_z"))
+
   /** DuckDB replay of [[gopherFlags]] — CTE chain ending in
     * `gf(doc_id, n_tok, ok_len, ok_wordlen, ok_sym, ok_stop)`; shared
     * by the q_gopher_quality and q_filter_funnel oracles.
@@ -1014,27 +1046,24 @@ object TextAnalysis {
     // power there). Map-only per doc, one per-source aggregate whose
     // mean-z sums DECIMAL-rounded per-doc values (partition-order
     // free). At 100 TB: no shuffle except the |sources|-key agg.
-    "q_watermark_detect" -> ((s, dir) => {
-      val green = (bg: Column) => substring(md5(bg), 1, 1)
-        .isin("0", "1", "2", "3", "4", "5", "6", "7")
-      val perDoc = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("source"), col("text")))
-        .select(col("source"), shingles(tokens(col("text")), 2).as("bgs"))
-        .select(col("source"), size(col("bgs")).cast("long").as("n"),
-          size(filter(col("bgs"), green)).cast("long").as("g"))
-        .where(col("n") >= WatermarkMinPairs)
-        .withColumn("z", (lit(2.0) * col("g") - col("n")) /
-          sqrt(col("n").cast("double")))
-      perDoc
-        .select(col("source"), col("z"),
-          round(col("z"), 6).cast(DecimalType(28, 6)).as("zd"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("z") >= 4.0, 1L).otherwise(0L)).as("n_flagged"),
-          round(sum(col("zd")).cast("double") / count(lit(1)), 6)
-            .as("mean_z"))
-        .orderBy(col("source"))
-    }),
+    "q_watermark_detect" -> ((s, dir) =>
+      watermarkCensus(watermarkZ(Tables.fanout(Tables(s, dir, "documents")
+        .select(col("source"), col("text")))))
+        .orderBy(col("source"))),
+
+    // EXECUTES on the streaming engine: the watermark z-test census
+    // running AT ingest — synthetic-text contamination is caught the
+    // moment a source starts delivering it, not at the next offline
+    // sweep. The SAME [[watermarkZ]]/[[watermarkCensus]] Column trees
+    // as the batch op (they cannot drift) over the document stream in
+    // complete mode; streaming state is the |sources|-row census (the
+    // per-doc z never persists), and the DECIMAL z-sum is associative
+    // so micro-batch order cannot change a bit. ONE oracle text with
+    // q_watermark_detect.
+    "q_stream_watermark" -> ((s, dir) =>
+      graft.streaming.Streams
+        .watermarkToTable(s, dir, "stream_watermark_sink")
+        .orderBy(col("source"))),
 
     // Vocabulary-coverage / OOV audit: the top-[[OovVocab]] tokens by
     // global frequency (deterministic tie-break on the token) form the
@@ -1631,6 +1660,27 @@ object TextAnalysis {
   )
 
   /** One SQL text for the batch DoReMi step AND its streaming twin. */
+  /** Replay of [[watermarkZ]]+[[watermarkCensus]] — one text shared by
+    * q_watermark_detect and q_stream_watermark so batch and ingest-time
+    * census grade against the identical SQL.
+    */
+  private def watermarkOracle: String =
+    s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
+       |bg AS (SELECT source, list_transform(range(greatest(len(a) - 1, 0)),
+       |  i -> a[i+1] || ' ' || a[i+2]) AS bgs FROM tk),
+       |pd AS (SELECT source, CAST(len(bgs) AS BIGINT) AS n,
+       |  CAST(len(list_filter(bgs, b -> substr(md5(b), 1, 1) IN
+       |    ('0','1','2','3','4','5','6','7'))) AS BIGINT) AS g
+       |  FROM bg),
+       |z AS (SELECT source, (2.0 * g - n) / sqrt(CAST(n AS DOUBLE)) AS z
+       |  FROM pd WHERE n >= $WatermarkMinPairs)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN z >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  round(CAST(sum(CAST(round(z, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |    / count(*), 6) AS mean_z
+       |FROM z GROUP BY source ORDER BY source""".stripMargin
+
   private def doremiOracle: String =
     s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
@@ -1979,23 +2029,10 @@ object TextAnalysis {
          |  round(alloc_raw / chars, 6) AS epochs
          |FROM fin ORDER BY lang""".stripMargin,
     // Same md5 green predicate, same n ≥ WatermarkMinPairs floor, same
-    // DECIMAL(28,6) order-free mean.
-    "q_watermark_detect" ->
-      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
-         |bg AS (SELECT source, list_transform(range(greatest(len(a) - 1, 0)),
-         |  i -> a[i+1] || ' ' || a[i+2]) AS bgs FROM tk),
-         |pd AS (SELECT source, CAST(len(bgs) AS BIGINT) AS n,
-         |  CAST(len(list_filter(bgs, b -> substr(md5(b), 1, 1) IN
-         |    ('0','1','2','3','4','5','6','7'))) AS BIGINT) AS g
-         |  FROM bg),
-         |z AS (SELECT source, (2.0 * g - n) / sqrt(CAST(n AS DOUBLE)) AS z
-         |  FROM pd WHERE n >= $WatermarkMinPairs)
-         |SELECT source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN z >= 4.0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_flagged,
-         |  round(CAST(sum(CAST(round(z, 6) AS DECIMAL(28,6))) AS DOUBLE)
-         |    / count(*), 6) AS mean_z
-         |FROM z GROUP BY source ORDER BY source""".stripMargin,
+    // DECIMAL(28,6) order-free mean. ONE text for the batch census and
+    // its ingest-time twin.
+    "q_watermark_detect" -> watermarkOracle,
+    "q_stream_watermark" -> watermarkOracle,
     "q_oov_rate" ->
       s"""WITH tok AS (SELECT lang, unnest(${sqlTokens("text")}) AS t
          |  FROM documents),

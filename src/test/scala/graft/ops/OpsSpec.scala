@@ -1407,6 +1407,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!same.getBoolean(4))
   }
 
+  test("dedup funnel: stages chain, attribution matches the standing predicates") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.queries("q_dedup_funnel")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("exact", "near", "semantic"))
+    // survivorship chains: n_out(i) == n_in(i+1), n_out = n_in - dropped
+    rows.foreach { case (_, _, nin, d, nout) =>
+      assert(nout == nin - d && d >= 0)
+    }
+    assert(rows(0)._5 == rows(1)._3 && rows(1)._5 == rows(2)._3)
+    assert(rows(0)._3 ==
+      graft.Tables(spark, dir, "documents").count(), "stage 1 sees all docs")
+    // stage-2 attribution equals |nearDupDrops| among exact survivors
+    // (on this corpus every doc text is unique, so all survive stage 1)
+    assert(rows(0)._4 == 0L, "sf0.001 has no exact text dups")
+    val nearDrops = graft.ops.Dedup.queries("q_dedup_apply")(spark, dir)
+      .agg(sum(col("n_dropped"))).collect().head.getLong(0)
+    assert(rows(1)._4 == nearDrops, "near stage == the q_dedup_apply census")
+  }
+
   test("dup assortativity: exact census on a crafted two-source graph") {
     import spark.implicits._
     val dir = Files.createTempDirectory("assort").toString

@@ -51,6 +51,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("streaming watermark census == batch census (complete mode)") {
+    val stream = Streams.watermarkToTable(spark, dir, "stream_wm_spec")
+      .orderBy("source").collect().toSeq
+    val batch = graft.ops.TextAnalysis.watermarkCensus(
+        graft.ops.TextAnalysis.watermarkZ(
+          graft.Tables(spark, dir, "documents").select("source", "text")))
+      .orderBy("source").collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("mapGroupsWithState per-user totals == batch groupBy") {
     val stream = Streams.userTotalsToTable(spark, dir, "stream_users")
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
