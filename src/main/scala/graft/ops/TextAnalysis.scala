@@ -307,37 +307,63 @@ object TextAnalysis {
         md5(col("t1")).as("scrub_hash"))
   }
 
-  /** Per-doc watermark z-score over adjacent token pairs (Kirchenbauer
-    * green-list detection): green iff the md5 of the pair's first hex
-    * digit < '8' (γ = 0.5, cross-engine deterministic), z =
-    * (2g − n)/√n under H₀; docs with n < [[WatermarkMinPairs]] are
-    * excluded (no test power). Map-only Column tree shared by
-    * q_watermark_detect and the ingest-time twin — they cannot drift.
+  /** The green-list predicate (Kirchenbauer detection): a token pair
+    * is green iff its md5's first hex digit < '8' (γ = 0.5,
+    * cross-engine deterministic). ONE definition shared by the batch
+    * and streaming z computations.
     */
-  private[graft] def watermarkZ(docs: DataFrame): DataFrame = {
-    val green = (bg: Column) => substring(md5(bg), 1, 1)
+  private def watermarkGreen(bg: Column): Column =
+    substring(md5(bg), 1, 1)
       .isin("0", "1", "2", "3", "4", "5", "6", "7")
-    docs.select(col("source"), shingles(tokens(col("text")), 2).as("bgs"))
-      .select(col("source"), size(col("bgs")).cast("long").as("n"),
-        size(filter(col("bgs"), green)).cast("long").as("g"))
-      .where(col("n") >= WatermarkMinPairs)
+
+  /** Per-doc watermark z-score over adjacent token pairs: z =
+    * (2g − n)/√n under H₀ green-rate 0.5; docs with n <
+    * [[WatermarkMinPairs]] are excluded (no test power). z from
+    * per-doc (n, g) counts — shared final expression for both forms.
+    */
+  private def watermarkScore(counted: DataFrame): DataFrame =
+    counted.where(col("n") >= WatermarkMinPairs)
       .withColumn("z", (lit(2.0) * col("g") - col("n")) /
         sqrt(col("n").cast("double")))
-  }
 
-  /** Per-source watermark census over [[watermarkZ]] rows: doc count,
-    * flags (z ≥ 4), and the DECIMAL-summed (associative — micro-batch
-    * and partition order free) mean z.
+  /** Batch per-doc (n, g, z): explode the pair stream and aggregate —
+    * md5 runs CODEGEN'd per exploded row with map-side partial
+    * aggregation (one (doc_id, n, g) row per doc ever shuffles),
+    * where the array-lambda form evaluates the whole
+    * tokenize→shingle→md5 chain INTERPRETED per element (higher-order
+    * functions don't codegen; measured 5.7 s vs 1.3 s at sf0.1 for
+    * identical output). Needs (doc_id, source, text).
     */
-  private[graft] def watermarkCensus(perDoc: DataFrame): DataFrame =
-    perDoc
+  private[graft] def watermarkZ(docs: DataFrame): DataFrame =
+    watermarkScore(docs
+      .select(col("doc_id"), col("source"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(watermarkGreen(col("bg")), 1L).otherwise(0L)).as("g")))
+
+  /** Per-source census partials over [[watermarkZ]] rows: (n_docs,
+    * n_flagged, Σ round(z,6) as DECIMAL). Count/sum/decimal-sum are
+    * associative with identity 0, so micro-batch partials fold to the
+    * exact batch census — the q_stream_doremi partials discipline.
+    */
+  private[graft] def watermarkPartials(docs: DataFrame): DataFrame =
+    watermarkZ(docs)
       .select(col("source"), col("z"),
         round(col("z"), 6).cast(DecimalType(28, 6)).as("zd"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("z") >= 4.0, 1L).otherwise(0L)).as("n_flagged"),
-        round(sum(col("zd")).cast("double") / count(lit(1)), 6)
-          .as("mean_z"))
+        sum(col("zd")).as("zds"))
+
+  /** Final census frame from (possibly folded) partials — ONE formula
+    * for the batch op and the drained stream, so the pair cannot
+    * drift.
+    */
+  private[graft] def watermarkFromPartials(p: DataFrame): DataFrame =
+    p.select(col("source"), col("n_docs"), col("n_flagged"),
+      round(col("zds").cast("double") / col("n_docs"), 6).as("mean_z"))
+
 
   /** DuckDB replay of [[gopherFlags]] — CTE chain ending in
     * `gf(doc_id, n_tok, ok_len, ok_wordlen, ok_sym, ok_stop)`; shared
@@ -715,11 +741,17 @@ object TextAnalysis {
     // double expression per row, parenthesized identically in the
     // oracle — hash-exact.
     "q_kneser_ney" -> ((s, dir) => {
+      // the bigram-type table is consumed FOUR times (itself + the
+      // marginal, continuation, and type-total aggregates) — cache it
+      // or each derived aggregate re-runs the corpus tokenize+explode
+      // chain (measured 19.6 s → the cost of one pass; the cached
+      // frame is vocab²-bounded, the q_dedup_minhash signature rule)
       val big = Tables.fanout(Tables(s, dir, "documents").select(col("text")))
         .select(explode(shingles(tokens(col("text")), 2)).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
         .select(substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"), col("cnt"))
+        .cache()
       val uni = big.groupBy("w1").agg(sum(col("cnt")).as("cnt1"),
         count(lit(1)).as("n_follow"))
       val cont = big.groupBy("w2").agg(count(lit(1)).as("n_prec"))
@@ -1047,23 +1079,26 @@ object TextAnalysis {
     // mean-z sums DECIMAL-rounded per-doc values (partition-order
     // free). At 100 TB: no shuffle except the |sources|-key agg.
     "q_watermark_detect" -> ((s, dir) =>
-      watermarkCensus(watermarkZ(Tables.fanout(Tables(s, dir, "documents")
-        .select(col("source"), col("text")))))
+      watermarkFromPartials(watermarkPartials(
+        Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")))))
         .orderBy(col("source"))),
 
     // EXECUTES on the streaming engine: the watermark z-test census
     // running AT ingest — synthetic-text contamination is caught the
-    // moment a source starts delivering it, not at the next offline
-    // sweep. The SAME [[watermarkZ]]/[[watermarkCensus]] Column trees
-    // as the batch op (they cannot drift) over the document stream in
-    // complete mode; streaming state is the |sources|-row census (the
-    // per-doc z never persists), and the DECIMAL z-sum is associative
-    // so micro-batch order cannot change a bit. ONE oracle text with
-    // q_watermark_detect.
-    "q_stream_watermark" -> ((s, dir) =>
-      graft.streaming.Streams
-        .watermarkToTable(s, dir, "stream_watermark_sink")
-        .orderBy(col("source"))),
+    // micro-batch a source starts delivering it, not at the next
+    // offline sweep. The SAME [[watermarkZ]]/[[watermarkPartials]]/
+    // [[watermarkFromPartials]] trees as the batch op over per-bid
+    // idempotent foreachBatch partials (the q_stream_doremi
+    // discipline); partials are associative, so the drained fold
+    // equals the batch census bit-for-bit — ONE oracle text grades
+    // both.
+    "q_stream_watermark" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_watermark").toString
+      graft.streaming.Streams.watermarkIngest(s, dir, work)
+        .orderBy(col("source"))
+    }),
 
     // Vocabulary-coverage / OOV audit: the top-[[OovVocab]] tokens by
     // global frequency (deterministic tie-break on the token) form the

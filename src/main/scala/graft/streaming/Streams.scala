@@ -157,24 +157,63 @@ object Streams {
     spark.table(table)
   }
 
-  /** Streaming watermark-detection census: the batch green-list z-test
-    * ([[graft.ops.TextAnalysis.watermarkZ]]/[[graft.ops.TextAnalysis.watermarkCensus]]
-    * — the same Column trees, so batch and stream cannot drift)
-    * running over the document stream in complete mode. Synthetic-text
-    * contamination is flagged the micro-batch a source starts
-    * delivering it. Streaming state is exactly the |sources|-row
-    * census (per-doc z values never persist), and the census's DECIMAL
-    * z-sum is associative, so micro-batch arrival order cannot change
-    * a bit of the drained result — which is why one oracle text grades
-    * both forms.
+  /** Streaming watermark-detection census — the foreachBatch
+    * deployment of the green-list z-test: each micro-batch of arriving
+    * documents is scored with the SAME
+    * [[graft.ops.TextAnalysis.watermarkPartials]] explode+aggregate
+    * tree the batch op uses (docs never straddle id shards, so per-doc
+    * z is exact within its batch), folded to a ≤|sources|-row
+    * (n_docs, n_flagged, Σzd DECIMAL) partial written per batch id —
+    * count/sum/decimal-sum are associative with identity 0, so the
+    * drained fold through the SHARED watermarkFromPartials equals
+    * q_watermark_detect exactly, and a retried batch overwrites its
+    * own idempotent per-bid partial (at-least-once safe). One oracle
+    * text grades both forms.
     */
-  def watermarkToTable(spark: SparkSession, dir: String, table: String): DataFrame = withStatePartitions(spark) {
-    val agg = graft.ops.TextAnalysis.watermarkCensus(
-      graft.ops.TextAnalysis.watermarkZ(docsStream(spark, dir)))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(table).start()
+  def watermarkIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    stageShards(docs, workDir, shards, keyCol = "doc_id")
+    watermarkRun(spark, workDir)
+  }
+
+  /** Drain staged doc shards past the watermark monitor — separated
+    * from the staging so a restart test can resume mid-stream (the
+    * doremiRun shape).
+    */
+  private[streaming] def watermarkRun(spark: SparkSession,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.TextAnalysis
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // one staged file = one partition — spread the bigram explode
+        val bdf = batch.toDF()
+          .repartition(spark.sparkContext.defaultParallelism)
+        TextAnalysis.watermarkPartials(bdf)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$workDir/per_b$bid")
+        ()
+      }
+      .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(table)
+    val parts = Option(new java.io.File(workDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("per_b"))
+      .map(_.getPath)
+    require(parts.nonEmpty, "no drained partials — nothing was staged")
+    val folded = spark.read
+      .schema("source STRING, n_docs BIGINT, n_flagged BIGINT, zds DECIMAL(38,6)")
+      .parquet(parts.toSeq: _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_flagged")).as("n_flagged"), sum(col("zds")).as("zds"))
+    TextAnalysis.watermarkFromPartials(folded)
   }
 
   /** Stream-static enrichment join: the event stream joined to the

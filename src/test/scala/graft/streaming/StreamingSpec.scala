@@ -51,12 +51,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
-  test("streaming watermark census == batch census (complete mode)") {
-    val stream = Streams.watermarkToTable(spark, dir, "stream_wm_spec")
+  test("streaming watermark census == batch census (foreachBatch partials)") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_wm_spec").toString
+    val stream = Streams.watermarkIngest(spark, dir, work)
       .orderBy("source").collect().toSeq
-    val batch = graft.ops.TextAnalysis.watermarkCensus(
-        graft.ops.TextAnalysis.watermarkZ(
-          graft.Tables(spark, dir, "documents").select("source", "text")))
+    val batch = graft.ops.TextAnalysis.watermarkFromPartials(
+        graft.ops.TextAnalysis.watermarkPartials(
+          graft.Tables(spark, dir, "documents")
+            .select("doc_id", "source", "text")))
       .orderBy("source").collect().toSeq
     assert(stream.nonEmpty && stream == batch)
   }
