@@ -778,17 +778,20 @@ object Dedup {
     // Reusing the three standing predicates means this census can
     // never disagree with the operators that execute the drops. Each
     // signal is the bounded output of its own banded/blocked join;
-    // the funnel itself adds two doc_id probe joins, one text-keyed
-    // keeper join, and a 1-row aggregate exploded into 3 stage rows.
+    // the funnel itself adds two doc_id probe joins, one 8-byte
+    // content-hash keeper join (the text never shuffles), and a 1-row
+    // aggregate exploded into 3 stage rows.
     // At 100 TB the stages run at their own contracts; the funnel's
     // incremental cost is one corpus scan.
     "q_dedup_funnel" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      val keepers = docs.groupBy(col("text")).agg(min(col("doc_id")).as("keeper"))
+      // exact stage shuffles the 8-byte content hash, never the text
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), h60(col("text")).as("ch"))
+      val keepers = docs.groupBy(col("ch")).agg(min(col("doc_id")).as("keeper"))
       val near = nearDupDrops(s, dir).withColumn("near_hit", lit(1))
       val sem = Similarity.semdedupDropped(s, dir)
         .select(col("vec_id").as("doc_id"), lit(1).as("sem_hit"))
-      val flags = docs.join(keepers, Seq("text"))
+      val flags = docs.join(keepers, Seq("ch"))
         .join(near, Seq("doc_id"), "left")
         .join(sem, Seq("doc_id"), "left")
         .select((col("doc_id") =!= col("keeper")).as("ex"),
@@ -1853,14 +1856,14 @@ object Dedup {
          |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
          |lab AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
          |ndrop AS (SELECT doc_id FROM lab WHERE component <> doc_id),
-         |keepers AS (SELECT text, min(doc_id) AS keeper
-         |  FROM documents GROUP BY text),
+         |keepers AS (SELECT ${sqlH60("text")} AS ch, min(doc_id) AS keeper
+         |  FROM documents GROUP BY 1),
          |${graft.ops.Similarity.sqlSemdedupCtes},
          |fl AS (SELECT d.doc_id,
          |    d.doc_id <> k.keeper AS ex,
          |    nd.doc_id IS NOT NULL AS nr,
          |    sd.vec_id IS NOT NULL AS sm
-         |  FROM documents d JOIN keepers k ON d.text = k.text
+         |  FROM documents d JOIN keepers k ON ${sqlH60("d.text")} = k.ch
          |  LEFT JOIN ndrop nd ON d.doc_id = nd.doc_id
          |  LEFT JOIN semdrop sd ON d.doc_id = sd.vec_id),
          |ag AS (SELECT CAST(count(*) AS BIGINT) AS n0,

@@ -418,6 +418,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch watermark census: kill after 2 of 3 batches, restart == batch census") {
+    val work = java.nio.file.Files.createTempDirectory("graft_wm_resume").toString
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    Streams.stageShards(docs, work, 3, upTo = Some(2), keyCol = "doc_id")
+    Streams.watermarkRun(spark, work)             // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/per_b1").exists())
+    Streams.stageShards(docs, work, 3, keyCol = "doc_id") // shard 2 appears
+    val streamed = Streams.watermarkRun(spark, work)      // resumes, batch 2 only
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(new java.io.File(s"$work/per_b2").exists())
+    assert(!new java.io.File(s"$work/per_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.TextAnalysis.queries("q_watermark_detect")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch contamination guard: kill after 2 of 3 batches, restart == batch scan") {
     val work = java.nio.file.Files.createTempDirectory("graft_contam_resume").toString
     Streams.contaminationStage(spark, dir, work, 3, upTo = Some(2))
