@@ -179,20 +179,38 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** SemDeDup seed-centroid count (Abbas et al.: cluster, then drop
-    * within-cluster near-identical embeddings) — shared by q_semdedup
-    * and the dedup-funnel's semantic stage.
+    * within-cluster near-identical embeddings): ⌈√n⌉ with a floor of
+    * 8 — cluster size is ~√n, so the within-cluster pair product is
+    * n^1.5, never n²/K. A FIXED K here would be the q_knn_graph
+    * bare-label disease (|cluster| ∝ n ⇒ quadratic self-join) merely
+    * hidden by small constants; the paper's own configuration grows
+    * the cluster count with the corpus.
     */
-  val SemKSeeds = 8
+  private[ops] def semSeedCount(n: Long): Long =
+    math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** Saturation factor for SemDeDup's within-cluster self-join (the
+    * IVF [[shardProbed]] discipline): a cluster beyond
+    * SemSaturationFactor × expected size (n/K) splits into
+    * deterministic sub-shards and cross-shard pairs are forfeited —
+    * bounded work on a degenerate all-similar corpus. On the driver
+    * corpora no cluster exceeds the cap, so the guard is a no-op
+    * there (shard = 0 everywhere) and the oracle gate pins the
+    * sharded pipeline.
+    */
+  val SemSaturationFactor = 4L
 
   /** The SemDeDup cluster assignment (vec_id, cid, v): nearest of the
-    * [[SemKSeeds]] seed centroids by cosine, ties to the smaller cid.
-    * Cached — consumed by both self-join sides and the presentation
-    * output (the proven shared-subplan rule, cf. pagerank/jaccard).
+    * [[semSeedCount]] seed centroids by cosine, ties to the smaller
+    * cid. Cached — consumed by both self-join sides and the
+    * presentation output (the proven shared-subplan rule, cf.
+    * pagerank/jaccard).
     */
   private[ops] def semdedupAssigned(s: SparkSession, dir: String): DataFrame = {
     CosineSim.register(s)
     val emb = embeddings(s, dir)
-    val cents = broadcast(emb.where(col("vec_id") < SemKSeeds)
+    val k = semSeedCount(Tables(s, dir, "embeddings").count())
+    val cents = broadcast(emb.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv")))
     emb.crossJoin(cents)
       .select(col("vec_id"), col("v"), col("cid"), cosine("v", "cv").as("cos"))
@@ -202,18 +220,25 @@ object Similarity {
       .cache()
   }
 
-  /** The SemDeDup drop set (vec_id): within-cluster members whose
-    * cosine to a smaller-id cluster-mate clears [[DupThreshold]] —
-    * the single predicate shared by q_semdedup and the dedup funnel's
+  /** The SemDeDup drop set (vec_id): within-(cluster, shard) members
+    * whose cosine to a smaller-id mate clears [[DupThreshold]] — the
+    * single predicate shared by q_semdedup and the dedup funnel's
     * semantic stage, so the two can never disagree on what "semantic
-    * duplicate" means. The self-join is cid-co-partitioned (never n²:
-    * Σ|cluster|² with K seed clusters — the q_knn_graph contract).
+    * duplicate" means. The self-join keys on (cid, shard): Σ over
+    * clusters of min(|cluster|, cap)² — n^1.5 on a healthy corpus,
+    * n·cap on a degenerate one.
     */
   private[ops] def semdedupDropped(s: SparkSession, dir: String): DataFrame = {
-    val assigned = semdedupAssigned(s, dir)
-    assigned.select(col("cid"), col("vec_id"), col("v").as("v1"))
-      .join(assigned.select(col("cid"), col("vec_id").as("prior"),
-        col("v").as("v2")), Seq("cid"))
+    val n = Tables(s, dir, "embeddings").count()
+    val k = semSeedCount(n)
+    val cap = SemSaturationFactor * ((n + k - 1L) / k)
+    val bn = count(lit(1)).over(Window.partitionBy(col("cid")))
+    val sharded = semdedupAssigned(s, dir).withColumn("shard",
+      ((col("vec_id") * lit(1315423911L)) % lit(1000003L)) %
+        floor((bn + lit(cap - 1L)) / lit(cap)).cast("long"))
+    sharded.select(col("cid"), col("shard"), col("vec_id"), col("v").as("v1"))
+      .join(sharded.select(col("cid"), col("shard"),
+        col("vec_id").as("prior"), col("v").as("v2")), Seq("cid", "shard"))
       .where(col("prior") < col("vec_id") &&
         cosine("v1", "v2") >= lit(DupThreshold))
       .select(col("vec_id")).distinct()
@@ -1354,15 +1379,25 @@ object Similarity {
     */
   private[ops] def sqlSemdedupCtes: String =
     s"""se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cse AS (SELECT vec_id AS cid, v AS cv FROM se WHERE vec_id < $SemKSeeds),
+       |sprm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM se),
+       |sprm2 AS (SELECT n, k,
+       |  $SemSaturationFactor * ((n + k - 1) // k) AS cap FROM sprm),
+       |cse AS (SELECT vec_id AS cid, v AS cv FROM se
+       |  WHERE vec_id < (SELECT k FROM sprm2)),
        |ssc AS (SELECT se.vec_id, se.v, cse.cid, ${sqlCos("se.v", "cse.cv")} AS cos
        |  FROM se CROSS JOIN cse),
        |sa AS (SELECT vec_id, v, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
        |  FROM ssc),
        |asg AS (SELECT vec_id, v, cid FROM sa WHERE rn = 1),
-       |semdrop AS (SELECT DISTINCT l.vec_id FROM asg l JOIN asg r
-       |  ON l.cid = r.cid AND r.vec_id < l.vec_id
+       |sbz AS (SELECT *, count(*) OVER (PARTITION BY cid) AS bn FROM asg),
+       |ash AS (SELECT vec_id, v, cid,
+       |  ((vec_id * 1315423911) % 1000003) %
+       |    ((bn + (SELECT cap FROM sprm2) - 1) // (SELECT cap FROM sprm2))
+       |    AS shard FROM sbz),
+       |semdrop AS (SELECT DISTINCT l.vec_id FROM ash l JOIN ash r
+       |  ON l.cid = r.cid AND l.shard = r.shard AND r.vec_id < l.vec_id
        |  WHERE ${sqlCos("l.v", "r.v")} >= $DupThreshold)""".stripMargin
 
   /** SQL replay of [[ivfProbed]] + [[shardProbed]] — CTE chain ending

@@ -322,6 +322,21 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
           s"$q self-joins posting lists on anchor_id without the " +
             s"saturation shard: $anchorOnly")
       }
+      // Round-7: SemDeDup's within-cluster self-join must key on
+      // (cid, shard) — a cid-only key is the same unbounded Σ|cluster|²
+      // product on a degenerate corpus (and the seed count must scale,
+      // which the shared semSeedCount builder enforces by construction).
+      for (q <- Seq("q_semdedup", "q_dedup_funnel")) {
+        val plan = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan
+        val cidOnly = plan.collect {
+          case j: BaseJoinExec =>
+            j.leftKeys.flatMap(_.references.map(_.name)).toSet
+        }.filter(k => k.contains("cid") && !k.contains("shard"))
+        assert(cidOnly.isEmpty,
+          s"$q self-joins SemDeDup clusters on cid without the " +
+            s"saturation shard: $cidOnly")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

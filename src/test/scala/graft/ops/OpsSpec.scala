@@ -1428,6 +1428,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1)._4 == nearDrops, "near stage == the q_dedup_apply census")
   }
 
+  test("semdedup shard guard: degenerate all-identical corpus stays bounded") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("semdeg").toString
+    val n = 500
+    // every vector identical → one cluster of n; without the shard
+    // guard the self-join is n², with it Σ min(|shard|, cap)²
+    val v = Array.fill(64)(0.1f)
+    (0 until n).map(i => (i.toLong, v, i % 10))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dropped = Similarity.semdedupDropped(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // survivors = the min id of each (cid, shard) group; replicate the
+    // shard arithmetic to predict them exactly
+    val k = Similarity.semSeedCount(n)
+    val cap = Similarity.SemSaturationFactor * ((n + k - 1) / k)
+    val nShards = (n + cap - 1) / cap
+    assert(nShards > 1, "premise: the guard must actually fire here")
+    val kept = (0L until n).groupBy(i => ((i * 1315423911L) % 1000003L) % nShards)
+      .values.map(_.min).toSet
+    assert(dropped == (0L until n).toSet -- kept,
+      "drop set == everything but each sub-shard's min id")
+  }
+
   test("dup assortativity: exact census on a crafted two-source graph") {
     import spark.implicits._
     val dir = Files.createTempDirectory("assort").toString
