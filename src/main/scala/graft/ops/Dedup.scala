@@ -80,6 +80,33 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Stop-band cap for the MinHash LSH band self-join — the last of
+    * the four sketch/bucket self-joins to get the
+    * PhashBucketCap/SimhashBandCap/IVF-shard guard: a (band, sig)
+    * bucket with more than this many members is dropped from BOTH
+    * join sides, bounding a degenerate corpus (every doc the same
+    * signature ⇒ one bucket ⇒ n²) at n·cap. Chosen from the measured
+    * bucket histogram: maxima are 4 at sf0.1 and 10 at the 10× corpus,
+    * so the cap drops NOTHING at the oracle-gated SFs and the hash
+    * gate pins the capped pipeline. Identical docs share all
+    * [[Bands]] bands and forfeit together when saturated — the
+    * documented stop-band trade; exact dedup catches identical text
+    * upstream of the sketch.
+    */
+  val MinhashBandCap = 64L
+
+  /** Live (≤cap) subset of a band table — shared by the batch band
+    * self-join and the streaming store probe, mirrored in the three
+    * minhash oracles.
+    */
+  def minhashLiveBands(bands: DataFrame): DataFrame = {
+    val keep = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") <= MinhashBandCap)
+      .select(col("band"), col("sig"))
+    bands.join(keep, Seq("band", "sig"))
+  }
+
   /** Estimated Jaccard from two K-hash signatures (matching-minima
     * fraction) — codegen HOF, no UDF.
     */
@@ -841,7 +868,7 @@ object Dedup {
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
         .cache()
-      val bands = minhashBands(vec)
+      val bands = minhashLiveBands(minhashBands(vec))
       val cand = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
         .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
           Seq("band", "sig"))
@@ -1393,8 +1420,11 @@ object Dedup {
        |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
        |bands AS ($bands),
+       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) <= $MinhashBandCap),
+       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
        |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM bands b1 JOIN bands b2
+       |  FROM lb b1 JOIN lb b2
        |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)
        |SELECT doc1, doc2, ($est) / 32.0 AS est_sim
        |FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id
@@ -1503,8 +1533,11 @@ object Dedup {
        |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
        |bands AS ($bands),
+       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) <= $MinhashBandCap),
+       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
        |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM bands b1 JOIN bands b2
+       |  FROM lb b1 JOIN lb b2
        |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
        |es AS (SELECT doc1, doc2, ($est) / 32.0 AS est_sim
        |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),
@@ -1537,8 +1570,11 @@ object Dedup {
        |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
        |bands AS ($bands),
+       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) <= $MinhashBandCap),
+       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
        |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM bands b1 JOIN bands b2
+       |  FROM lb b1 JOIN lb b2
        |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
        |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
        |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
@@ -1575,8 +1611,11 @@ object Dedup {
        |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
        |bands AS ($bands),
+       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |  HAVING count(*) <= $MinhashBandCap),
+       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
        |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM bands b1 JOIN bands b2
+       |  FROM lb b1 JOIN lb b2
        |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
        |es AS (SELECT doc1, doc2, ($est) / 32.0 AS est_sim
        |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),

@@ -699,10 +699,17 @@ object Streams {
           // construction); the accumulated store is only scanned and
           // probed, never shuffled — at production scale the store is
           // additionally bucketed on the band key so the probe prunes
-          // to matching buckets
+          // to matching buckets. The store side goes through the
+          // MinhashBandCap stop-band (arrival-time occupancy): a
+          // saturated store bucket would otherwise make EVERY later
+          // probe pay |bucket|. At the oracle-gated SFs the cap never
+          // fires (measured maxima 4/10 vs 64) so drained ≡ batch
+          // stays hash-exact; on a corpus that saturates mid-stream
+          // the forfeit is arrival-time (strictly keeps more docs) —
+          // the stop-band trade, stated rather than hidden.
           val cand = broadcast(Dedup.minhashBands(vec)
               .select(col("band"), col("sig"), col("doc_id").as("doc1")))
-            .join(Dedup.minhashBands(allVec)
+            .join(Dedup.minhashLiveBands(Dedup.minhashBands(allVec))
               .select(col("band"), col("sig"), col("doc_id").as("doc2")),
               Seq("band", "sig"))
             .where(col("doc2") < col("doc1"))

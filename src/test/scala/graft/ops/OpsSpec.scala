@@ -62,6 +62,20 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "saturated buckets must be damped, not expanded into c² pairs")
   }
 
+  test("minhash stop-band: saturated band buckets stop generating candidates") {
+    // identical docs: identical signatures, one (band, sig) bucket per
+    // band. Below the cap the clique is found in full...
+    val small = docsDir((0L until 30L).map(i => i -> base))
+    val found = Dedup.queries("q_dedup_minhash")(spark, small).count()
+    assert(found == 30L * 29 / 2, s"sub-cap clique must be complete: $found")
+    // ...above it all 8 band buckets saturate together and the
+    // stop-band drops the c² candidate product (same damping contract
+    // as simhash/phash; exact copies are q_dedup_exact's job)
+    val big = docsDir((0L until (Dedup.MinhashBandCap + 10L)).map(i => i -> base))
+    assert(Dedup.queries("q_dedup_minhash")(spark, big).count() == 0L,
+      "saturated buckets must be damped, not expanded into c² pairs")
+  }
+
   test("connected components: local union-find and distributed loop agree") {
     import spark.implicits._
     // chain 1-2-3-4 (transitive merge), pair 10-11, isolates 20, 21
