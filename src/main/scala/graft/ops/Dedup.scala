@@ -97,14 +97,20 @@ object Dedup {
 
   /** Live (≤cap) subset of a band table — shared by the batch band
     * self-join and the streaming store probe, mirrored in the three
-    * minhash oracles.
+    * minhash oracles. The SATURATED list is the broadcast side: it is
+    * bounded by construction (every member exceeds cap, so there are
+    * at most n·Bands/cap such buckets), where the keep list is
+    * bucket-cardinality-sized — broadcasting the small complement
+    * keeps the probe a map-side anti join instead of shuffling the
+    * band table a second time (measured 5.3 s → the keep-join form
+    * vs 2.1 s pre-cap at sf0.1).
     */
   def minhashLiveBands(bands: DataFrame): DataFrame = {
-    val keep = bands.groupBy(col("band"), col("sig"))
+    val saturated = bands.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("c"))
-      .where(col("c") <= MinhashBandCap)
+      .where(col("c") > MinhashBandCap)
       .select(col("band"), col("sig"))
-    bands.join(keep, Seq("band", "sig"))
+    bands.join(broadcast(saturated), Seq("band", "sig"), "left_anti")
   }
 
   /** Estimated Jaccard from two K-hash signatures (matching-minima
