@@ -377,11 +377,14 @@ object Dedup {
     */
   private def simhashLiveBands(s: SparkSession, dir: String): DataFrame = {
     val bt = simhashBandTable(s, dir)
-    val keep = bt.groupBy(col("band"), col("key"))
+    // broadcast the BOUNDED saturated complement (≤ n·4/cap buckets by
+    // construction) as a map-side anti join — the keep-list inner join
+    // shuffled the band table a second time (the minhash cap lesson)
+    val saturated = bt.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("c"))
-      .where(col("c") <= SimhashBandCap)
+      .where(col("c") > SimhashBandCap)
       .select(col("band"), col("key"))
-    bt.join(keep, Seq("band", "key"))
+    bt.join(broadcast(saturated), Seq("band", "key"), "left_anti")
   }
 
   /** THE contaminated-doc set (train docs sharing ≥ 1 shingle hash
