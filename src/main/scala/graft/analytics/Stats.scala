@@ -300,8 +300,9 @@ object Stats {
     // BIGINT through the cumsum; the single global window runs over
     // the 20-row bin summary (bounded-summary contract, ContractSpec
     // whitelist). Rejection at α=0.05 uses c(α)=1.358 ·
-    // √((n1+n2)/(n1·n2)); both D and the critical value round to 6
-    // BEFORE the comparison so the verdict bit matches the oracle.
+    // √(1/n1 + 1/n2) — the overflow-free form of √((n1+n2)/(n1·n2));
+    // both D and the critical value round to 6 BEFORE the comparison
+    // so the verdict bit matches the oracle.
     "q_ks_test" -> ((s, dir) => {
       val w = Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -328,17 +329,19 @@ object Stats {
         .withColumn("c_cur", sum(col("n_cur")).over(w))
       val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
         sum(col("n_cur")).as("t_cur"))
-      cum.crossJoin(broadcast(tot))
-        .select(abs(col("c_ref").cast("double") / col("t_ref") -
-          col("c_cur").cast("double") / col("t_cur")).as("diff"),
-          col("t_ref"), col("t_cur"))
-        .groupBy(col("t_ref"), col("t_cur"))
-        .agg(max(col("diff")).as("d_raw"))
+      // ungrouped max (one row even over an empty stream — the oracle's
+      // `d` CTE shape, so a degenerate corpus yields matching NULLs,
+      // not a 0-row vs 1-row hash mismatch); the critical value uses
+      // 1/t1 + 1/t2, never the t1·t2 product, which would overflow
+      // BIGINT past ~3e9 events per window
+      val d = cum.crossJoin(broadcast(tot))
+        .agg(max(abs(col("c_ref").cast("double") / col("t_ref") -
+          col("c_cur").cast("double") / col("t_cur"))).as("d_raw"))
+      d.crossJoin(broadcast(tot))
         .select(col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
           round(col("d_raw"), 6).as("d_stat"),
-          round(lit(1.358) * sqrt((col("t_ref") + col("t_cur"))
-            .cast("double") / (col("t_ref") * col("t_cur"))), 6)
-            .as("d_crit"))
+          round(lit(1.358) * sqrt(lit(1.0) / col("t_ref") +
+            lit(1.0) / col("t_cur")), 6).as("d_crit"))
         .withColumn("drifted", col("d_stat") > col("d_crit"))
     }),
 
@@ -464,10 +467,10 @@ object Stats {
          |    CAST(c_cur AS DOUBLE) / t_cur)) AS d_raw
          |  FROM cum CROSS JOIN tot)
          |SELECT t_ref AS n_ref, t_cur AS n_cur, round(d_raw, 6) AS d_stat,
-         |  round(CAST(1.358 AS DOUBLE) * sqrt(CAST(t_ref + t_cur AS DOUBLE)
-         |    / (t_ref * t_cur)), 6) AS d_crit,
+         |  round(CAST(1.358 AS DOUBLE) * sqrt(CAST(1.0 AS DOUBLE) / t_ref +
+         |    CAST(1.0 AS DOUBLE) / t_cur), 6) AS d_crit,
          |  round(d_raw, 6) > round(CAST(1.358 AS DOUBLE) *
-         |    sqrt(CAST(t_ref + t_cur AS DOUBLE) / (t_ref * t_cur)), 6)
+         |    sqrt(CAST(1.0 AS DOUBLE) / t_ref + CAST(1.0 AS DOUBLE) / t_cur), 6)
          |    AS drifted
          |FROM d CROSS JOIN tot""".stripMargin,
     // ts-range shard split (shard 0 = reference, integer third) and

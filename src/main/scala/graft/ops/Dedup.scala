@@ -805,14 +805,25 @@ object Dedup {
         .orderBy(col("keeper"))),
 
     // The dedup CASCADE census (the Dolma/FineWeb pipeline shape:
-    // exact → near-dup → semantic, each stage seeing only the prior
-    // stage's survivors): every doc is credited to the FIRST standing
-    // drop signal that catches it — content-hash non-keeper, near-dup
-    // non-representative ([[nearDupDrops]], the q_dedup_apply
-    // predicate), or SemDeDup within-cluster duplicate
+    // exact → near-dup → semantic): every doc is credited to the
+    // FIRST standing drop signal that catches it — content-hash
+    // non-keeper, near-dup non-representative ([[nearDupDrops]], the
+    // q_dedup_apply predicate), or SemDeDup within-cluster duplicate
     // ([[Similarity.semdedupDropped]], the q_semdedup predicate).
-    // Reusing the three standing predicates means this census can
-    // never disagree with the operators that execute the drops. Each
+    // Attribution semantics, stated precisely: the signals are the
+    // STANDING full-corpus predicates intersected in cascade order
+    // (the q_filter_funnel convention), NOT a re-executed pipeline
+    // where each stage recomputes on the prior stage's survivors.
+    // For the exact and near stages the two are provably identical
+    // (exact duplicates share their shingle set, so the pair graph
+    // restricted to exact survivors yields the same components); for
+    // the semantic stage they can differ — re-clustering the
+    // survivor subset could re-seed and keep a doc whose only
+    // sub-threshold mate was already dropped upstream. The census
+    // form is the cheap standing audit; [[dedupApply]]-style staged
+    // re-execution is the physical pipeline. Reusing the three
+    // standing predicates means this census can never disagree with
+    // the operators that execute the drops. Each
     // signal is the bounded output of its own banded/blocked join;
     // the funnel itself adds two doc_id probe joins, one 8-byte
     // content-hash keeper join (the text never shuffles), and a 1-row
@@ -1416,16 +1427,22 @@ object Dedup {
   // ---- oracles (generated so the 32/60-column signature SQL cannot
   //      drift from the Scala constants) ----
 
-  private def minhashOracle: String = {
+  /** Shared CTE chain for the MinHash oracles: shingles → hashed
+    * minima (`mh`), the b×r band table, the ≤[[MinhashBandCap]] keep
+    * list, and the capped candidate set (`cand`) — replaying
+    * [[minhashLiveBands]] exactly. ONE fragment for all four
+    * consumers (q_dedup_minhash / q_minhash_error / q_lsh_recall /
+    * q_stream_minhash) so a cap change cannot silently drift a
+    * subset of them.
+    */
+  private def sqlMinhashCandCtes: String = {
     val mhCols = (0 until K).map(i =>
       s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
     val bands = (0 until Bands).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws(',', " +
         (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
         ") AS sig FROM mh").mkString("\nUNION ALL\n")
-    val est = (0 until K).map(i =>
-      s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH ${sqlShingleCtes("documents")},
+    s"""${sqlShingleCtes("documents")},
        |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
        |bands AS ($bands),
@@ -1434,11 +1451,18 @@ object Dedup {
        |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
        |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
        |  FROM lb b1 JOIN lb b2
-       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)
-       |SELECT doc1, doc2, ($est) / 32.0 AS est_sim
+       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  /** The K-term signature-match estimate expression over `mh x`/`mh y`. */
+  private def sqlMinhashEst: String = (0 until K).map(i =>
+    s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  private def minhashOracle: String =
+    s"""WITH $sqlMinhashCandCtes
+       |SELECT doc1, doc2, ($sqlMinhashEst) / 32.0 AS est_sim
        |FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id
        |ORDER BY doc1, doc2""".stripMargin
-  }
 
   /** Shared CTE chain for the SimHash oracles: signatures (`sg`), the
     * 4×15-bit band table, the ≤[[SimhashBandCap]] keep list, and the
@@ -1530,25 +1554,8 @@ object Dedup {
        |GROUP BY source ORDER BY source""".stripMargin
 
   private def minhashErrorOracle: String = {
-    val mhCols = (0 until K).map(i =>
-      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
-    val bands = (0 until Bands).map(b =>
-      s"SELECT doc_id, $b AS band, concat_ws(',', " +
-        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
-        ") AS sig FROM mh").mkString("\nUNION ALL\n")
-    val est = (0 until K).map(i =>
-      s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH ${sqlShingleCtes("documents")},
-       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
-       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
-       |bands AS ($bands),
-       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
-       |  HAVING count(*) <= $MinhashBandCap),
-       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
-       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM lb b1 JOIN lb b2
-       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
-       |es AS (SELECT doc1, doc2, ($est) / 32.0 AS est_sim
+    s"""WITH $sqlMinhashCandCtes,
+       |es AS (SELECT doc1, doc2, ($sqlMinhashEst) / 32.0 AS est_sim
        |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),
        |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
        |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
@@ -1569,22 +1576,7 @@ object Dedup {
     * the overlap — recall and candidate precision are hash-checked.
     */
   private def lshRecallOracle: String = {
-    val mhCols = (0 until K).map(i =>
-      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
-    val bands = (0 until Bands).map(b =>
-      s"SELECT doc_id, $b AS band, concat_ws(',', " +
-        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
-        ") AS sig FROM mh").mkString("\nUNION ALL\n")
-    s"""WITH ${sqlShingleCtes("documents")},
-       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
-       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
-       |bands AS ($bands),
-       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
-       |  HAVING count(*) <= $MinhashBandCap),
-       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
-       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM lb b1 JOIN lb b2
-       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
+    s"""WITH $sqlMinhashCandCtes,
        |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
        |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
@@ -1608,25 +1600,8 @@ object Dedup {
     * doc1 < doc2, so the LARGER side of a qualifying pair drops).
     */
   private def streamMinhashOracle: String = {
-    val mhCols = (0 until K).map(i =>
-      s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
-    val bands = (0 until Bands).map(b =>
-      s"SELECT doc_id, $b AS band, concat_ws(',', " +
-        (0 until K / Bands).map(r => s"mh_${b * (K / Bands) + r}").mkString(", ") +
-        ") AS sig FROM mh").mkString("\nUNION ALL\n")
-    val est = (0 until K).map(i =>
-      s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH ${sqlShingleCtes("documents")},
-       |hm AS (SELECT doc_id, ${sqlH60("s")} % $P AS hm FROM sh),
-       |mh AS (SELECT doc_id, $mhCols FROM hm GROUP BY doc_id),
-       |bands AS ($bands),
-       |keepb AS (SELECT band, sig FROM bands GROUP BY band, sig
-       |  HAVING count(*) <= $MinhashBandCap),
-       |lb AS (SELECT bands.* FROM bands JOIN keepb USING (band, sig)),
-       |cand AS (SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
-       |  FROM lb b1 JOIN lb b2
-       |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id),
-       |es AS (SELECT doc1, doc2, ($est) / 32.0 AS est_sim
+    s"""WITH $sqlMinhashCandCtes,
+       |es AS (SELECT doc1, doc2, ($sqlMinhashEst) / 32.0 AS est_sim
        |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),
        |dropped AS (SELECT DISTINCT doc2 AS doc_id FROM es
        |  WHERE est_sim >= $StreamDupThreshold)

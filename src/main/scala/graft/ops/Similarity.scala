@@ -206,10 +206,11 @@ object Similarity {
     * presentation output (the proven shared-subplan rule, cf.
     * pagerank/jaccard).
     */
-  private[ops] def semdedupAssigned(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def semdedupAssigned(s: SparkSession, dir: String,
+      n: Long): DataFrame = {
     CosineSim.register(s)
     val emb = embeddings(s, dir)
-    val k = semSeedCount(Tables(s, dir, "embeddings").count())
+    val k = semSeedCount(n)
     val cents = broadcast(emb.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv")))
     emb.crossJoin(cents)
@@ -230,10 +231,19 @@ object Similarity {
     */
   private[ops] def semdedupDropped(s: SparkSession, dir: String): DataFrame = {
     val n = Tables(s, dir, "embeddings").count()
+    semdedupDroppedFrom(semdedupAssigned(s, dir, n), n)
+  }
+
+  /** Drop set over an already-built assignment — lets q_semdedup share
+    * ONE count() job and ONE assigned frame between its presentation
+    * output and the drop-set self-join.
+    */
+  private[ops] def semdedupDroppedFrom(assigned: DataFrame,
+      n: Long): DataFrame = {
     val k = semSeedCount(n)
     val cap = SemSaturationFactor * ((n + k - 1L) / k)
     val bn = count(lit(1)).over(Window.partitionBy(col("cid")))
-    val sharded = semdedupAssigned(s, dir).withColumn("shard",
+    val sharded = assigned.withColumn("shard",
       ((col("vec_id") * lit(1315423911L)) % lit(1000003L)) %
         floor((bn + lit(cap - 1L)) / lit(cap)).cast("long"))
     sharded.select(col("cid"), col("shard"), col("vec_id"), col("v").as("v1"))
@@ -709,8 +719,10 @@ object Similarity {
     // per-cluster candidate product stays ~n^1.5/K ≈ n, and the
     // survivors feed the corpus-prep pipeline in place of raw docs.
     "q_semdedup" -> ((s, dir) => {
-      val assigned = semdedupAssigned(s, dir)
-      val dropped = semdedupDropped(s, dir).withColumn("is_dropped", lit(true))
+      val n = Tables(s, dir, "embeddings").count()
+      val assigned = semdedupAssigned(s, dir, n)
+      val dropped = semdedupDroppedFrom(assigned, n)
+        .withColumn("is_dropped", lit(true))
       assigned.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cid"), col("is_dropped").isNull.as("kept"))
         .orderBy(col("vec_id"))

@@ -364,7 +364,6 @@ object TextAnalysis {
     p.select(col("source"), col("n_docs"), col("n_flagged"),
       round(col("zds").cast("double") / col("n_docs"), 6).as("mean_z"))
 
-
   /** DuckDB replay of [[gopherFlags]] — CTE chain ending in
     * `gf(doc_id, n_tok, ok_len, ok_wordlen, ok_sym, ok_stop)`; shared
     * by the q_gopher_quality and q_filter_funnel oracles.
@@ -1694,10 +1693,10 @@ object TextAnalysis {
     })
   )
 
-  /** One SQL text for the batch DoReMi step AND its streaming twin. */
-  /** Replay of [[watermarkZ]]+[[watermarkCensus]] — one text shared by
-    * q_watermark_detect and q_stream_watermark so batch and ingest-time
-    * census grade against the identical SQL.
+  /** Replay of [[watermarkZ]]+[[watermarkPartials]]+
+    * [[watermarkFromPartials]] — one text shared by q_watermark_detect
+    * and q_stream_watermark so batch and ingest-time census grade
+    * against the identical SQL.
     */
   private def watermarkOracle: String =
     s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
@@ -1716,6 +1715,7 @@ object TextAnalysis {
        |    / count(*), 6) AS mean_z
        |FROM z GROUP BY source ORDER BY source""".stripMargin
 
+  /** One SQL text for the batch DoReMi step AND its streaming twin. */
   private def doremiOracle: String =
     s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),

@@ -704,9 +704,13 @@ object Streams {
           // saturated store bucket would otherwise make EVERY later
           // probe pay |bucket|. At the oracle-gated SFs the cap never
           // fires (measured maxima 4/10 vs 64) so drained ≡ batch
-          // stays hash-exact; on a corpus that saturates mid-stream
-          // the forfeit is arrival-time (strictly keeps more docs) —
-          // the stop-band trade, stated rather than hidden.
+          // stays hash-exact. On a corpus that saturates mid-stream
+          // the divergence direction is: early batches still see a
+          // sub-cap bucket and emit its pairs (dropping docs), while
+          // the batch oracle's FINAL-corpus cap kills the whole
+          // bucket's candidates — so the drained kept-set is a SUBSET
+          // of the batch one, never a superset. The stop-band trade,
+          // stated rather than hidden.
           val cand = broadcast(Dedup.minhashBands(vec)
               .select(col("band"), col("sig"), col("doc_id").as("doc1")))
             .join(Dedup.minhashLiveBands(Dedup.minhashBands(allVec))
