@@ -476,6 +476,70 @@ object TextAnalysis {
     * weights. ONE definition so batch and drained-stream weights
     * cannot drift on the formula.
     */
+  /** Per-doc DSIR log-importance weight (doc_id, n_feat, lw
+    * DECIMAL(28,20)) — hashed-bigram log-likelihood ratio of the
+    * Gopher-keep target LM vs the raw-corpus LM (both Laplace,
+    * ≤[[DsirBuckets]] rows at ANY corpus size so scoring is one
+    * broadcast join). Shared by the q_dsir score surface and the
+    * executable selection (q_dsir_apply / [[dsirApply]]).
+    */
+  private[graft] def dsirLogw(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val ft = docBigrams(docs)
+      .select(col("doc_id"),
+        (h60(concat(lit("dsir:"), col("bg"))) % DsirBuckets).as("f"))
+      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tgt = gopherFlags(docs.select(col("doc_id"), col("text")))
+      .where(col("keep")).select(col("doc_id"))
+    val cq = ft.groupBy(col("f")).agg(sum(col("cnt")).as("cq"))
+    val cp = ft.join(tgt, Seq("doc_id"))
+      .groupBy(col("f")).agg(sum(col("cnt")).as("cp"))
+    val md = cq.join(cp, Seq("f"), "left")
+      .select(col("f"), col("cq"), coalesce(col("cp"), lit(0L)).as("cp"))
+    val tot = md.agg(sum(col("cq")).as("tq"), sum(col("cp")).as("tp"))
+    val llr = md.crossJoin(broadcast(tot))
+      .select(col("f"),
+        (log((col("cp").cast("double") + lit(1.0)) /
+             (col("tp").cast("double") + lit(DsirBuckets.toDouble))) -
+         log((col("cq").cast("double") + lit(1.0)) /
+             (col("tq").cast("double") + lit(DsirBuckets.toDouble)))).as("llr"))
+    ft.join(broadcast(llr), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum((col("cnt") * col("llr")).cast("decimal(28,20)")).as("lw"))
+  }
+
+  /** THE DSIR selection set — docs whose log-weight exceeds the
+    * corpus MEAN log-weight, the deterministic budget form of DSIR's
+    * weight-proportional sampling (a fixed positive-lw rule is
+    * vacuous on a corpus whose target occupies most of it: every
+    * driver doc scores negative). The comparison is lw·n > Σlw —
+    * exact DECIMAL×BIGINT arithmetic with NO division, so both
+    * engines decide every boundary identically. Single predicate
+    * shared by the census (q_dsir_apply) and the physical write
+    * ([[dsirApply]]), the deletionList discipline applied to
+    * importance selection.
+    */
+  private[graft] def dsirSelected(s: SparkSession, dir: String): DataFrame = {
+    val lw = dsirLogw(s, dir)
+    val tot = lw.agg(sum(col("lw")).as("tlw"), count(lit(1)).as("nw"))
+    lw.crossJoin(broadcast(tot))
+      .where(col("lw") * col("nw") > col("tlw"))
+      .select(col("doc_id"))
+  }
+
+  /** EXECUTE the selection q_dsir_apply censuses: write the corpus
+    * under `outDir` keeping exactly the positively-weighted docs —
+    * one scan + one semi-join probe on doc_id (the selection set is
+    * the scoring chain's bounded output).
+    */
+  def dsirApply(s: SparkSession, dir: String, outDir: String): Unit = {
+    Tables(s, dir, "documents")
+      .join(dsirSelected(s, dir), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   private[graft] def doremiWeights(per0: DataFrame): DataFrame = {
     val eta = 1.0
     val per = per0.select(col("source"), col("n_docs"), col("n_bg"),
@@ -1621,35 +1685,43 @@ object TextAnalysis {
     // acceptance set a seeded top-k resample (q_importance_sample's
     // coin) would draw from. Docs with <2 tokens have no features and
     // drop out, exactly like the LM family.
-    "q_dsir" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val ft = docBigrams(docs)
-        .select(col("doc_id"),
-          (h60(concat(lit("dsir:"), col("bg"))) % DsirBuckets).as("f"))
-        .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("cnt"))
-        .cache()
-      val tgt = gopherFlags(docs.select(col("doc_id"), col("text")))
-        .where(col("keep")).select(col("doc_id"))
-      val cq = ft.groupBy(col("f")).agg(sum(col("cnt")).as("cq"))
-      val cp = ft.join(tgt, Seq("doc_id"))
-        .groupBy(col("f")).agg(sum(col("cnt")).as("cp"))
-      val md = cq.join(cp, Seq("f"), "left")
-        .select(col("f"), col("cq"), coalesce(col("cp"), lit(0L)).as("cp"))
-      val tot = md.agg(sum(col("cq")).as("tq"), sum(col("cp")).as("tp"))
-      val llr = md.crossJoin(broadcast(tot))
-        .select(col("f"),
-          (log((col("cp").cast("double") + lit(1.0)) /
-               (col("tp").cast("double") + lit(DsirBuckets.toDouble))) -
-           log((col("cq").cast("double") + lit(1.0)) /
-               (col("tq").cast("double") + lit(DsirBuckets.toDouble)))).as("llr"))
-      ft.join(broadcast(llr), Seq("f"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feat"),
-          sum((col("cnt") * col("llr")).cast("decimal(28,20)")).as("lw"))
+    "q_dsir" -> ((s, dir) =>
+      dsirLogw(s, dir)
         .select(col("doc_id"), col("n_feat"),
           round(col("lw").cast("double"), 6).as("logw"),
           (col("lw") > 0).as("sel"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // EXECUTABLE DSIR selection — the q_dsir scores turned into the
+    // censused KEEP the selection exists to drive: per-source counts
+    // of docs/selected/dropped plus the bit_xor receipt over SELECTED
+    // content keys (the q_dedup_apply / q_forget / q_decontaminate
+    // receipt discipline — this makes the executable family a
+    // quartet: RTBF delete, eval decontamination, near-dup collapse,
+    // and now importance selection). ONE shared predicate
+    // ([[dsirSelected]]: above the corpus-mean log-weight, the
+    // deterministic budget form of DSIR's proportional sampling)
+    // drives both the census and the physical write ([[dsirApply]]);
+    // OpsSpec proves the
+    // census IS the receipt of the written corpus. Unlike the dedup
+    // collapse, re-applying is NOT a no-op by design — re-scoring the
+    // selected subset re-fits both hashed LMs on the subset — so the
+    // verification is receipt equality, not re-run idempotence.
+    // Docs too short to produce a bigram have no importance evidence
+    // and are not selected.
+    "q_dsir_apply" -> ((s, dir) => {
+      val sel = dsirSelected(s, dir).withColumn("hit", lit(1))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"))
+        .join(sel, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_dropped"),
+          expr("bit_xor(CASE WHEN hit = 1 THEN h ELSE CAST(0 AS BIGINT) END)")
+            .as("sel_checksum"))
+        .orderBy(col("source"))
     }),
 
     // Quality-vs-LM ablation curve: the cheap 4-term heuristic score
@@ -1692,6 +1764,33 @@ object TextAnalysis {
         .orderBy(col("bin"))
     })
   )
+
+  /** Shared CTE chain replaying [[dsirLogw]] — ends in
+    * `ag(doc_id, n_feat, lw)`; one fragment for the q_dsir score
+    * surface and the q_dsir_apply census so the two cannot drift.
+    */
+  private def sqlDsirCtes: String =
+    s"""tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+       |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+       |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+       |ft AS (SELECT doc_id, ${sqlH60("'dsir:' || bg")} % $DsirBuckets AS f,
+       |    count(*) AS cnt
+       |  FROM bgd GROUP BY 1, 2),
+       |$sqlGopherFlags,
+       |tg AS (SELECT doc_id FROM gf
+       |  WHERE ok_len AND ok_wordlen AND ok_sym AND ok_stop),
+       |cq AS (SELECT f, sum(cnt) AS cq FROM ft GROUP BY f),
+       |cp AS (SELECT f, sum(cnt) AS cp FROM ft JOIN tg USING (doc_id) GROUP BY f),
+       |md AS (SELECT cq.f, cq.cq, coalesce(cp.cp, 0) AS cp
+       |  FROM cq LEFT JOIN cp USING (f)),
+       |tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM md),
+       |llr AS (SELECT f,
+       |    ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + ${DsirBuckets}.0)) -
+       |    ln((CAST(cq AS DOUBLE) + 1.0) / (CAST(tq AS DOUBLE) + ${DsirBuckets}.0)) AS llr
+       |  FROM md, tot),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |    sum(CAST(cnt * llr AS DECIMAL(28,20))) AS lw
+       |  FROM ft JOIN llr USING (f) GROUP BY doc_id)""".stripMargin
 
   /** Replay of [[watermarkZ]]+[[watermarkPartials]]+
     * [[watermarkFromPartials]] — one text shared by q_watermark_detect
@@ -2327,30 +2426,27 @@ object TextAnalysis {
     // models, same DECIMAL fold; sel compares the DECIMAL sums so the
     // acceptance boundary cannot drift between engines.
     "q_dsir" ->
-      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
-         |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
-         |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
-         |ft AS (SELECT doc_id, ${sqlH60("'dsir:' || bg")} % $DsirBuckets AS f,
-         |    count(*) AS cnt
-         |  FROM bgd GROUP BY 1, 2),
-         |$sqlGopherFlags,
-         |tg AS (SELECT doc_id FROM gf
-         |  WHERE ok_len AND ok_wordlen AND ok_sym AND ok_stop),
-         |cq AS (SELECT f, sum(cnt) AS cq FROM ft GROUP BY f),
-         |cp AS (SELECT f, sum(cnt) AS cp FROM ft JOIN tg USING (doc_id) GROUP BY f),
-         |md AS (SELECT cq.f, cq.cq, coalesce(cp.cp, 0) AS cp
-         |  FROM cq LEFT JOIN cp USING (f)),
-         |tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM md),
-         |llr AS (SELECT f,
-         |    ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + ${DsirBuckets}.0)) -
-         |    ln((CAST(cq AS DOUBLE) + 1.0) / (CAST(tq AS DOUBLE) + ${DsirBuckets}.0)) AS llr
-         |  FROM md, tot),
-         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
-         |    sum(CAST(cnt * llr AS DECIMAL(28,20))) AS lw
-         |  FROM ft JOIN llr USING (f) GROUP BY doc_id)
+      s"""WITH $sqlDsirCtes
          |SELECT doc_id, n_feat, round(CAST(lw AS DOUBLE), 6) AS logw,
          |  lw > 0 AS sel
          |FROM ag ORDER BY doc_id""".stripMargin,
+    // Same scoring chain, positive-lw selection, per-source census
+    // with the bit_xor receipt over selected content keys.
+    "q_dsir_apply" ->
+      s"""WITH $sqlDsirCtes,
+         |twn AS (SELECT sum(lw) AS tlw, CAST(count(*) AS BIGINT) AS nw FROM ag),
+         |selx AS (SELECT doc_id FROM ag CROSS JOIN twn WHERE lw * nw > tlw)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN selx.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_selected,
+         |  CAST(sum(CASE WHEN selx.doc_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  bit_xor(CASE WHEN selx.doc_id IS NOT NULL
+         |    THEN ${sqlH60("'d:' || CAST(d.doc_id AS VARCHAR)")}
+         |    ELSE 0 END) AS sel_checksum
+         |FROM documents d LEFT JOIN selx ON d.doc_id = selx.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     // Same per-doc ppl CTEs as q_lm_perplexity joined to the
     // q_importance_sample score CTEs; value-bucketed deciles.
     "q_quality_ablate" ->

@@ -1323,6 +1323,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       assert(out(d)._1 < 0.0 && !out(d)._2, s"junk doc $d should not select")
   }
 
+  test("dsir apply: census is the receipt of the physical selection") {
+    val dir = "/root/testdata/sf0.001"
+    val census = TextAnalysis.queries("q_dsir_apply")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(census.values.exists(_._2 > 0), "fixture must select something")
+    assert(census.values.exists(_._3 > 0), "fixture must drop something")
+    val out = Files.createTempDirectory("dsir_out").toString
+    TextAnalysis.dsirApply(spark, dir, out)
+    // the written corpus must match the census receipts exactly:
+    // per-source counts and the bit_xor over selected content keys
+    val written = spark.read.parquet(s"$out/documents.parquet")
+      .select(col("source"),
+        graft.ops.TextFns.h60(concat(lit("d:"), col("doc_id").cast("string")))
+          .as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("ck"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    for ((src, (_, nSel, _, ck)) <- census) {
+      if (nSel == 0L) assert(!written.contains(src))
+      else assert(written(src) == ((nSel, ck)),
+        s"$src: physical selection does not match its census receipt")
+    }
+  }
+
   test("quality ablate: full census, quality ranks the deciles") {
     val t1 = "the ancient harbor lights glimmer softly and the evening tide returns while sailors mend their nets beside the weathered pier and gulls circle above the quiet water near the northern cliffs"
     val dir = docsDir(Seq(1L -> t1, 2L -> "zzz qqq xxx vvv", 3L -> "mmm nnn ppp rrr"))
