@@ -514,18 +514,22 @@ object TextAnalysis {
     * corpus MEAN log-weight, the deterministic budget form of DSIR's
     * weight-proportional sampling (a fixed positive-lw rule is
     * vacuous on a corpus whose target occupies most of it: every
-    * driver doc scores negative). The comparison is lw·n > Σlw —
-    * exact DECIMAL×BIGINT arithmetic with NO division, so both
-    * engines decide every boundary identically. Single predicate
-    * shared by the census (q_dsir_apply) and the physical write
-    * ([[dsirApply]]), the deletionList discipline applied to
-    * importance selection.
+    * driver doc scores negative). The comparison is lw·n > Σlw with
+    * NO division; both sides cast the exact DECIMAL sums to DOUBLE
+    * first and multiply in IEEE — a raw DECIMAL(28,20)×BIGINT product
+    * would exceed precision 38, where Spark silently reduces scale
+    * and DuckDB promotes differently, so the double form is the one
+    * whose boundary decisions are bit-identical across engines.
+    * Single predicate shared by the census (q_dsir_apply) and the
+    * physical write ([[dsirApply]]), the deletionList discipline
+    * applied to importance selection.
     */
   private[graft] def dsirSelected(s: SparkSession, dir: String): DataFrame = {
     val lw = dsirLogw(s, dir)
     val tot = lw.agg(sum(col("lw")).as("tlw"), count(lit(1)).as("nw"))
     lw.crossJoin(broadcast(tot))
-      .where(col("lw") * col("nw") > col("tlw"))
+      .where(col("lw").cast("double") * col("nw") >
+        col("tlw").cast("double"))
       .select(col("doc_id"))
   }
 
@@ -2435,7 +2439,8 @@ object TextAnalysis {
     "q_dsir_apply" ->
       s"""WITH $sqlDsirCtes,
          |twn AS (SELECT sum(lw) AS tlw, CAST(count(*) AS BIGINT) AS nw FROM ag),
-         |selx AS (SELECT doc_id FROM ag CROSS JOIN twn WHERE lw * nw > tlw)
+         |selx AS (SELECT doc_id FROM ag CROSS JOIN twn
+         |  WHERE CAST(lw AS DOUBLE) * nw > CAST(tlw AS DOUBLE))
          |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN selx.doc_id IS NOT NULL THEN 1 ELSE 0 END)
