@@ -662,9 +662,10 @@ object Dedup {
     // CANNOT be partitioned by source. Rides the shared pair list;
     // beyond it the cost is two broadcast label joins and one
     // |sources|-key aggregate. Σd_s² stays BIGINT (exact) and the
-    // three doubles are single divisions — hash-exact. m = 0 (a
-    // pair-free corpus, the sf1 lesson) degrades to NULL rates via
-    // the guarded CASE, not a 0/0 NaN mismatch.
+    // three doubles are single divisions — hash-exact. Both 0/0
+    // poles degrade to NULL via guarded CASEs, not NaN mismatches:
+    // m = 0 (a pair-free corpus, the sf1 lesson) NULLs the rates, and
+    // q_exp = 1 (every pair-end inside one source) NULLs r itself.
     "q_dup_assortativity" -> ((s, dir) => {
       val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
       val pairs = sharedJaccardPairs(s, dir, 0.6)
@@ -689,7 +690,11 @@ object Dedup {
         .select(col("n_pairs"), col("n_intra"),
           round(col("q_intra"), 6).as("intra_rate"),
           round(col("q_exp"), 6).as("expected_rate"),
-          round((col("q_intra") - col("q_exp")) / (lit(1.0) - col("q_exp")), 6)
+          // q_exp = 1 (every pair-end in one source) makes Newman's r
+          // 0/0; guard to NULL like the m = 0 case rather than lean
+          // on both engines hashing NaN identically.
+          round(when(col("q_exp") < 1.0,
+            (col("q_intra") - col("q_exp")) / (lit(1.0) - col("q_exp"))), 6)
             .as("assortativity"))
     }),
 
@@ -1817,7 +1822,8 @@ object Dedup {
          |  FROM ag CROSS JOIN sq)
          |SELECT n_pairs, n_intra, round(q_intra, 6) AS intra_rate,
          |  round(q_exp, 6) AS expected_rate,
-         |  round((q_intra - q_exp) / (CAST(1.0 AS DOUBLE) - q_exp), 6)
+         |  round(CASE WHEN q_exp < 1
+         |    THEN (q_intra - q_exp) / (CAST(1.0 AS DOUBLE) - q_exp) END, 6)
          |    AS assortativity
          |FROM j""".stripMargin,
     // Same recursive component labels as q_dedup_components, then one

@@ -534,7 +534,8 @@ object TextAnalysis {
   }
 
   /** EXECUTE the selection q_dsir_apply censuses: write the corpus
-    * under `outDir` keeping exactly the positively-weighted docs —
+    * under `outDir` keeping exactly the ABOVE-MEAN-weighted docs
+    * (the [[dsirSelected]] predicate — lw·n > Σlw, NOT lw > 0) —
     * one scan + one semi-join probe on doc_id (the selection set is
     * the scoring chain's bounded output).
     */
@@ -1684,16 +1685,17 @@ object TextAnalysis {
     // broadcast join over per-doc feature counts — one corpus explode,
     // a (doc_id, f) fold, and a doc_id-local sum; linear forever. The
     // target side never re-reads text: it is a doc_id equi-join
-    // against the already-folded feature counts. sel decides on the
-    // DECIMAL sum (logw > 0 ⇔ likelier under the target model), the
-    // acceptance set a seeded top-k resample (q_importance_sample's
-    // coin) would draw from. Docs with <2 tokens have no features and
-    // drop out, exactly like the LM family.
+    // against the already-folded feature counts. pos_lw flags on the
+    // DECIMAL sum (logw > 0 ⇔ likelier under the target model) — a
+    // score-surface annotation only; the EXECUTABLE selection
+    // (q_dsir_apply / dsirApply) uses the different above-mean
+    // predicate in [[dsirSelected]]. Docs with <2 tokens have no
+    // features and drop out, exactly like the LM family.
     "q_dsir" -> ((s, dir) =>
       dsirLogw(s, dir)
         .select(col("doc_id"), col("n_feat"),
           round(col("lw").cast("double"), 6).as("logw"),
-          (col("lw") > 0).as("sel"))
+          (col("lw") > 0).as("pos_lw"))
         .orderBy(col("doc_id"))),
 
     // EXECUTABLE DSIR selection — the q_dsir scores turned into the
@@ -2427,15 +2429,17 @@ object TextAnalysis {
          |    AS ppl_avg
          |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // Hashed-bigram DSIR replay: same feature hash, same Laplace
-    // models, same DECIMAL fold; sel compares the DECIMAL sums so the
-    // acceptance boundary cannot drift between engines.
+    // models, same DECIMAL fold; pos_lw compares the DECIMAL sums so
+    // the sign boundary cannot drift between engines (annotation
+    // only — the executable predicate is q_dsir_apply's above-mean).
     "q_dsir" ->
       s"""WITH $sqlDsirCtes
          |SELECT doc_id, n_feat, round(CAST(lw AS DOUBLE), 6) AS logw,
-         |  lw > 0 AS sel
+         |  lw > 0 AS pos_lw
          |FROM ag ORDER BY doc_id""".stripMargin,
-    // Same scoring chain, positive-lw selection, per-source census
-    // with the bit_xor receipt over selected content keys.
+    // Same scoring chain, above-mean (lw·n > Σlw) selection,
+    // per-source census with the bit_xor receipt over selected
+    // content keys.
     "q_dsir_apply" ->
       s"""WITH $sqlDsirCtes,
          |twn AS (SELECT sum(lw) AS tlw, CAST(count(*) AS BIGINT) AS nw FROM ag),

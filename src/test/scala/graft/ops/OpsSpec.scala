@@ -1514,4 +1514,24 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 0.625) < 1e-9)
     assert(math.abs(r.getDouble(4) - (-1.0 / 3)) < 1e-6)
   }
+
+  test("dup assortativity: all pair-ends in one source yields NULL, not NaN") {
+    // q_exp = 1 pole: with every duplicate inside source A, Σd² =
+    // (2m)² so (q_intra − q_exp)/(1 − q_exp) is 0/0 — the guarded
+    // CASE must NULL it like the m = 0 pole instead of relying on
+    // both engines hashing NaN identically
+    import spark.implicits._
+    val dir = Files.createTempDirectory("assort1").toString
+    Seq((1L, base, "A"), (2L, base, "A"),
+      (3L, "one two three four five six seven eight nine ten", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.queries("q_dup_assortativity")(spark, dir).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    assert(r.isNullAt(4), "degenerate single-source partition must yield NULL")
+  }
 }

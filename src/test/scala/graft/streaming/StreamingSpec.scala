@@ -294,7 +294,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val vec = Dedup.minhashSignatures(docs).cache()
-    val bands = Dedup.minhashBands(vec)
+    // replay the CAPPED pipeline: both minhashDedupIngest's store
+    // probe and the q_dedup_minhash batch predicate route bands
+    // through minhashLiveBands, so the batch-side twin must too —
+    // otherwise this equality silently stops mirroring the pipeline
+    // the first time a fixture bucket crosses MinhashBandCap
+    val bands = Dedup.minhashLiveBands(Dedup.minhashBands(vec))
     val dropped = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
       .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
         Seq("band", "sig"))
@@ -307,6 +312,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     vec.unpersist()
     assert(kept == (all -- dropped) && kept.nonEmpty && dropped.nonEmpty)
+  }
+
+  test("minhash stop-band saturating mid-stream: drained kept-set ⊆ batch kept-set") {
+    // exercises the documented divergence direction of the
+    // MinhashBandCap stop-band (Streams.minhashDedupIngest): 70
+    // identical docs saturate every band bucket at the FULL corpus
+    // (70 > cap 64) so the batch predicate kills the bucket and drops
+    // nothing, while the stream's first two shards see sub-cap store
+    // occupancy (24, 48) and still drop their duplicates — drained
+    // must come out a strict SUBSET of the batch kept-set, never a
+    // superset
+    import spark.implicits._
+    import graft.ops.Dedup
+    val a = "the quick brown fox jumps over the lazy dog while the rain falls on the quiet town and the river runs south past the old mill"
+    val rows = (1L to 70L).map(_ -> a) ++ Seq(
+      71L -> "completely unrelated text about spark engines and columnar execution at scale with vectorized parquet readers",
+      72L -> "another standalone document discussing broadcast joins adaptive execution and shuffle partition coalescing in depth",
+      73L -> "a third free-standing passage on watermarks stateful operators and exactly once sinks in structured streaming")
+    val fdir = java.nio.file.Files.createTempDirectory("smh_sat_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val docs = graft.Tables(spark, fdir, "documents")
+      .select(col("doc_id"), col("text"))
+    val vec = Dedup.minhashSignatures(docs).cache()
+    // premise: the full corpus really saturates (the test is vacuous
+    // if the fixture ever shrinks below the cap)
+    val occ = Dedup.minhashBands(vec).groupBy("band", "sig").count()
+      .agg(max("count")).head().getLong(0)
+    assert(occ > Dedup.MinhashBandCap, s"fixture must saturate: $occ")
+    // batch predicate = the capped pipeline over the final corpus
+    val bands = Dedup.minhashLiveBands(Dedup.minhashBands(vec))
+    val dropped = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
+        Seq("band", "sig"))
+      .where(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+      .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
+      .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
+      .where(Dedup.minhashEst(col("v1"), col("v2")) >= Dedup.StreamDupThreshold)
+      .select("doc2").collect().map(_.getLong(0)).toSet
+    vec.unpersist()
+    val batchKept = (1L to 73L).toSet -- dropped
+    // final-corpus cap kills the whole bucket: batch drops nothing
+    assert(dropped.isEmpty, s"saturated bucket must yield no batch pairs: $dropped")
+    val work = java.nio.file.Files.createTempDirectory("graft_smh_sat").toString
+    val kept = Streams.minhashDedupIngest(spark, fdir, work)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(batchKept), "drained kept-set must be ⊆ batch kept-set")
+    assert(kept != batchKept, "mid-stream sub-cap batches must have dropped dups")
+    // shape: the first copy survives shard 1's within-batch election,
+    // later sub-cap shards drop theirs, the distinct docs all survive
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(Set(71L, 72L, 73L).subsetOf(kept))
   }
 
   test("foreachBatch incremental dedup: one survivor per text across micro-batches") {
