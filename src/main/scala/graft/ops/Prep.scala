@@ -301,6 +301,109 @@ object Prep {
       val work = java.nio.file.Files
         .createTempDirectory("graft_stream_forget").toString
       graft.streaming.Streams.forgetIngest(s, dir, work)
+    }),
+
+    // THE curation capstone — the release-build census. Every standing
+    // drop/keep signal the executable family defines, composed into
+    // one first-signal-wins cascade over the documents corpus:
+    // governance (doc-level RTBF mod-[[ForgetMod]] sample, eval
+    // holdout, decontamination), the dedup funnel (exact content-hash
+    // non-keepers, near-dup non-representatives =
+    // [[Dedup.nearDupDrops]], SemDeDup = [[Similarity
+    // .semdedupDropped]]), the quality funnel (the four Gopher flags +
+    // the q_prep_pipeline language keep), and DSIR above-mean
+    // selection ([[TextAnalysis.dsirSelected]]). Output: one row per
+    // stage carrying BOTH censuses —
+    //   (n_in, n_dropped, n_out): the stage's own FAMILY funnel over
+    //     the full corpus, so the dedup rows equal q_dedup_funnel and
+    //     the quality rows equal q_filter_funnel ROW-FOR-ROW (same
+    //     predicates, same attribution — asserted in OpsSpec anyway),
+    //     the decontaminate row equals the q_decontaminate census
+    //     summed over sources, and the dsir row equals q_dsir_apply's;
+    //   (rel_in, rel_dropped, rel_out): the chained release cascade in
+    //     stage order, telescoping from |corpus| to the release size;
+    //   kept_checksum: bit_xor of h60('d:'||doc_id) over the chained
+    //     survivors AFTER the stage — the per-stage purge receipt; the
+    //     final 'release' row's (rel_out, kept_checksum) is the
+    //     receipt [[corpusReleaseApply]]'s physical write must match.
+    // All signals are standing full-corpus predicates (the
+    // q_dedup_funnel attribution convention), so the kept set — and
+    // hence the physical release — is order-independent set algebra;
+    // the stage order only attributes credit. Scale shape: each signal
+    // is the bounded output of its own banded/blocked join (their
+    // contracts are unchanged); the capstone adds doc_id probe joins
+    // against those bounded sets, one map-only flag pass, and a 1-row
+    // aggregate exploded into 13 rows. One corpus scan of incremental
+    // cost, exactly like the funnels it composes.
+    "q_corpus_release" -> ((s, dir) => {
+      val f = releaseFlags(s, dir)
+      // (funnel, rule, drop signal) in cascade order
+      val sig: Seq[(String, String, Column)] = Seq(
+        ("governance", "forget", col("fg")),
+        ("governance", "eval_holdout", col("ev")),
+        ("governance", "decontaminate", col("ct")),
+        ("dedup", "exact", col("ex")),
+        ("dedup", "near", col("nr")),
+        ("dedup", "semantic", col("sm")),
+        ("quality", "len", !col("ok_len")),
+        ("quality", "wordlen", !col("ok_wordlen")),
+        ("quality", "sym", !col("ok_sym")),
+        ("quality", "stop", !col("ok_stop")),
+        ("quality", "lang", col("bl")),
+        ("governance", "dsir", col("nds")))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      // chained prefix survivors: surv_i = no signal among stages 1..i
+      val prefixes = sig.scanLeft(lit(true))((acc, t) => acc && !t._3).tail
+      val relDropAggs = sig.zipWithIndex.map { case ((_, _, c), i) =>
+        val prev = if (i == 0) lit(true) else prefixes(i - 1)
+        cnt(prev && c).as(s"rd_$i")
+      }
+      val ckAggs = prefixes.zipWithIndex.map { case (p, i) =>
+        call_function("bit_xor",
+          when(p, col("h")).otherwise(lit(0L))).as(s"ck_$i")
+      }
+      // family-standing funnels (the row-for-row-equal numbers)
+      val qk1 = col("ok_len")
+      val qk2 = qk1 && col("ok_wordlen")
+      val qk3 = qk2 && col("ok_sym")
+      val qk4 = qk3 && col("ok_stop")
+      val standing = Seq(
+        cnt(col("fg")).as("fgc"), cnt(col("ev")).as("evc"),
+        cnt(col("ct")).as("ctc"),
+        cnt(col("ex")).as("d1"),
+        cnt(!col("ex") && col("nr")).as("d2"),
+        cnt(!col("ex") && !col("nr") && col("sm")).as("d3"),
+        cnt(qk1).as("q1"), cnt(qk2).as("q2"), cnt(qk3).as("q3"),
+        cnt(qk4).as("q4"), cnt(qk4 && !col("bl")).as("q5"),
+        cnt(!col("nds")).as("dsk"))
+      val a = f.agg(count(lit(1)).as("n0"),
+        (standing ++ relDropAggs ++ ckAggs): _*)
+      // standing (n_in, n_dropped, n_out) per stage, release-chain cols
+      val n0 = col("n0")
+      val famIn: Seq[Column] = Seq(n0, n0, n0 - col("evc"), n0,
+        n0 - col("d1"), n0 - col("d1") - col("d2"), n0, col("q1"),
+        col("q2"), col("q3"), col("q4"), n0)
+      val famDrop: Seq[Column] = Seq(col("fgc"), col("evc"), col("ctc"),
+        col("d1"), col("d2"), col("d3"), n0 - col("q1"),
+        col("q1") - col("q2"), col("q2") - col("q3"),
+        col("q3") - col("q4"), col("q4") - col("q5"), n0 - col("dsk"))
+      def relOut(i: Int): Column =
+        (0 to i).map(j => col(s"rd_$j")).foldLeft(n0)(_ - _)
+      val rows = sig.zipWithIndex.map { case ((fam, rule, _), i) =>
+        struct(lit(i + 1).as("stage"), lit(fam).as("funnel"),
+          lit(rule).as("rule"),
+          famIn(i).as("n_in"), famDrop(i).as("n_dropped"),
+          (famIn(i) - famDrop(i)).as("n_out"),
+          (if (i == 0) n0 else relOut(i - 1)).as("rel_in"),
+          col(s"rd_$i").as("rel_dropped"), relOut(i).as("rel_out"),
+          col(s"ck_$i").as("kept_checksum"))
+      } :+ struct(lit(13).as("stage"), lit("release").as("funnel"),
+        lit("write").as("rule"), relOut(11).as("n_in"),
+        lit(0L).as("n_dropped"), relOut(11).as("n_out"),
+        relOut(11).as("rel_in"), lit(0L).as("rel_dropped"),
+        relOut(11).as("rel_out"), col("ck_11").as("kept_checksum"))
+      a.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.*")).orderBy(col("stage"))
     })
   )
 
@@ -355,6 +458,94 @@ object Prep {
       .join(del, col("user_id") === col("k"), "left_anti"))
   }
 
+  /** THE release drop-signal frame — one row per document with every
+    * standing predicate the release cascade composes, each taken from
+    * the SAME definition its standalone census/apply uses (so the
+    * capstone census cannot drift from the operators that execute the
+    * drops):
+    *   fg  doc-level RTBF sample (doc_id ≡ 0 mod [[ForgetMod]] — the
+    *       deletionList discipline at corpus level),
+    *   ev  the q_decontaminate eval holdout (doc_id ≡ 0 mod 50),
+    *   ct  [[Dedup.contaminatedDocs]],
+    *   ex  exact content-hash non-keeper (the q_dedup_funnel rule),
+    *   nr  [[Dedup.nearDupDrops]], sm [[Similarity.semdedupDropped]],
+    *   ok_len/ok_wordlen/ok_sym/ok_stop [[TextAnalysis.gopherFlags]],
+    *   bl  predicted language ≠ en (the q_prep_pipeline lang keep),
+    *   nds NOT in [[TextAnalysis.dsirSelected]] (above-mean DSIR).
+    * `h` is the h60('d:'||doc_id) content key all receipts fold.
+    * Shared by the q_corpus_release census and the physical write
+    * ([[corpusReleaseApply]]).
+    */
+  private[graft] def releaseFlags(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val keepers = docs.select(h60(col("text")).as("ch"), col("doc_id"))
+      .groupBy(col("ch")).agg(min(col("doc_id")).as("keeper"))
+    val near = Dedup.nearDupDrops(s, dir).withColumn("near_hit", lit(1))
+    val sem = Similarity.semdedupDropped(s, dir)
+      .select(col("vec_id").as("doc_id"), lit(1).as("sem_hit"))
+    val cont = Dedup.contaminatedDocs(s, dir).withColumn("ct_hit", lit(1))
+    val sel = TextAnalysis.dsirSelected(s, dir).withColumn("sel_hit", lit(1))
+    val lt = lower(col("text"))
+    gopherFlags(Tables.fanout(docs.select(col("doc_id"), col("text"))))
+      .withColumn("pred_lang",
+        predLangFromCounts(nMatches(lt, EnPat), nMatches(lt, DePat),
+          nMatches(lt, FrPat), nMatches(lt, EsPat),
+          nMatches(col("text"), ZhPat)))
+      .withColumn("ch", h60(col("text")))
+      .join(keepers, Seq("ch"))
+      .join(near, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"),
+        (col("doc_id") % ForgetMod === 0).as("fg"),
+        (col("doc_id") % 50 === 0).as("ev"),
+        col("ct_hit").isNotNull.as("ct"),
+        (col("doc_id") =!= col("keeper")).as("ex"),
+        col("near_hit").isNotNull.as("nr"),
+        col("sem_hit").isNotNull.as("sm"),
+        col("ok_len"), col("ok_wordlen"), col("ok_sym"), col("ok_stop"),
+        (col("pred_lang") =!= "en").as("bl"),
+        col("sel_hit").isNull.as("nds"))
+  }
+
+  /** The release keep predicate over a [[releaseFlags]] row — no drop
+    * signal fires. ONE definition for the census's final row and the
+    * physical write.
+    */
+  private[graft] def releaseKeep: Column =
+    !col("fg") && !col("ev") && !col("ct") && !col("ex") && !col("nr") &&
+      !col("sm") && col("ok_len") && col("ok_wordlen") && col("ok_sym") &&
+      col("ok_stop") && !col("bl") && !col("nds")
+
+  /** EXECUTE the release build q_corpus_release censuses: write the
+    * curated corpus under `outDir` keeping exactly the docs no
+    * standing drop signal touches — one corpus scan + one semi-join
+    * probe against the flag frame's kept ids (each signal is its own
+    * bounded banded/blocked output; the write itself never shuffles
+    * the text). OpsSpec closes the loop: the written corpus's
+    * (count, bit_xor) must equal the census's final 'release' row,
+    * re-running the census on the released corpus drops nothing in
+    * the subset-stable stages, and q_data_card runs on the release as
+    * the shipped datasheet.
+    */
+  def corpusReleaseApply(s: SparkSession, dir: String, outDir: String): Unit = {
+    // cache: the kept-id list (bounded: ids only) feeds BOTH table
+    // writes — without it each write re-runs the whole signal chain
+    val keep = releaseFlags(s, dir).where(releaseKeep)
+      .select(col("doc_id")).cache()
+    Tables(s, dir, "documents")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // the release ships its ALIGNED embeddings (vec_id ↔ doc_id), so
+    // downstream consumers — including a census re-run on the release
+    // itself — see a consistent corpus, not dangling vectors
+    Tables(s, dir, "embeddings")
+      .join(keep.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   /** k-anonymity threshold: QI groups below this size are "at risk". */
   val KanonK = 5
 
@@ -364,7 +555,137 @@ object Prep {
   val ChunkLen = 32
   val ChunkStride = 24
 
+  /** Replay of [[releaseFlags]] + the 13-row q_corpus_release census.
+    * Assembled from the same fragments the standalone oracles use
+    * (shingle/pair/component chain from q_dedup_apply, semdedup CTEs,
+    * Gopher flags, lang CASE, contamination, the DSIR chain and its
+    * above-mean selx), so a Spark/oracle divergence in any ONE signal
+    * fails its standalone gate too. Prefix conjunctions, chained
+    * receipts, and the 13 rows are generated, not hand-typed — the
+    * stage list lives in exactly one Scala Seq per engine.
+    */
+  private def corpusReleaseOracle: String = {
+    val sigs = Seq("fg", "ev", "ct", "ex", "nr", "sm",
+      "NOT ok_len", "NOT ok_wordlen", "NOT ok_sym", "NOT ok_stop",
+      "bl", "nds")
+    def pref(i: Int): String =
+      if (i == 0) "TRUE"
+      else sigs.take(i).map(s => s"NOT ($s)").mkString(" AND ")
+    def cnt(cond: String) =
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)"
+    val rdCols = sigs.zipWithIndex.map { case (sg, i) =>
+      s"${cnt(s"${pref(i)} AND ($sg)")} AS rd_$i" }
+    val ckCols = sigs.indices.map(i =>
+      s"bit_xor(CASE WHEN ${pref(i + 1)} THEN h ELSE 0 END) AS ck_$i")
+    val standing = Seq(
+      s"${cnt("fg")} AS fgc", s"${cnt("ev")} AS evc", s"${cnt("ct")} AS ctc",
+      s"${cnt("ex")} AS d1", s"${cnt("NOT ex AND nr")} AS d2",
+      s"${cnt("NOT ex AND NOT nr AND sm")} AS d3",
+      s"${cnt("ok_len")} AS q1", s"${cnt("ok_len AND ok_wordlen")} AS q2",
+      s"${cnt("ok_len AND ok_wordlen AND ok_sym")} AS q3",
+      s"${cnt("ok_len AND ok_wordlen AND ok_sym AND ok_stop")} AS q4",
+      s"${cnt("ok_len AND ok_wordlen AND ok_sym AND ok_stop AND NOT bl")} AS q5",
+      s"${cnt("NOT nds")} AS dsk")
+    def relOut(i: Int): String =
+      "n0 - " + (0 to i).map(j => s"rd_$j").mkString(" - ")
+    val fam = Seq(
+      ("governance", "forget", "n0", "fgc"),
+      ("governance", "eval_holdout", "n0", "evc"),
+      ("governance", "decontaminate", "n0 - evc", "ctc"),
+      ("dedup", "exact", "n0", "d1"),
+      ("dedup", "near", "n0 - d1", "d2"),
+      ("dedup", "semantic", "n0 - d1 - d2", "d3"),
+      ("quality", "len", "n0", "n0 - q1"),
+      ("quality", "wordlen", "q1", "q1 - q2"),
+      ("quality", "sym", "q2", "q2 - q3"),
+      ("quality", "stop", "q3", "q3 - q4"),
+      ("quality", "lang", "q4", "q4 - q5"),
+      ("governance", "dsir", "n0", "n0 - dsk"))
+    val rows = fam.zipWithIndex.map { case ((fn, rl, nin, nd), i) =>
+      val relIn = if (i == 0) "n0" else relOut(i - 1)
+      s"""SELECT CAST(${i + 1} AS INT) AS stage, '$fn' AS funnel,
+         |  '$rl' AS rule, $nin AS n_in, $nd AS n_dropped,
+         |  ($nin) - ($nd) AS n_out, $relIn AS rel_in,
+         |  rd_$i AS rel_dropped, ${relOut(i)} AS rel_out,
+         |  ck_$i AS kept_checksum FROM rag""".stripMargin
+    } :+
+      s"""SELECT CAST(13 AS INT), 'release', 'write', ${relOut(11)},
+         |  CAST(0 AS BIGINT), ${relOut(11)}, ${relOut(11)},
+         |  CAST(0 AS BIGINT), ${relOut(11)}, ck_11 FROM rag""".stripMargin
+    s"""WITH RECURSIVE ${sqlShingleCtes("documents")},
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+       |  FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jpairs AS (SELECT doc1, doc2
+       |  FROM inter JOIN sz x ON doc1 = x.doc_id JOIN sz y ON doc2 = y.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (x.sz + y.sz - i) >= $JaccardThreshold),
+       |edges AS (SELECT doc1 AS a, doc2 AS b FROM jpairs
+       |  UNION ALL SELECT doc2, doc1 FROM jpairs),
+       |reach AS (
+       |  SELECT doc_id AS v, doc_id AS u FROM documents
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |lab AS (SELECT v AS doc_id, min(u) AS component FROM reach GROUP BY v),
+       |ndrop AS (SELECT doc_id FROM lab WHERE component <> doc_id),
+       |keepers AS (SELECT ${sqlH60("text")} AS ch, min(doc_id) AS keeper
+       |  FROM documents GROUP BY 1),
+       |${graft.ops.Similarity.sqlSemdedupCtes},
+       |$sqlGopherFlags,
+       |lng AS (SELECT doc_id, $sqlLangCase AS pred_lang FROM documents),
+       |cev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0),
+       |cfl AS (SELECT DISTINCT t.doc_id FROM shh t JOIN cev USING (h)
+       |  WHERE t.doc_id % 50 <> 0),
+       |bgd AS (SELECT doc_id, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+       |  i -> a[i+1] || ' ' || a[i+2])) AS bg FROM tk),
+       |ft AS (SELECT doc_id, ${sqlH60("'dsir:' || bg")} % ${TextAnalysis.DsirBuckets} AS f,
+       |    count(*) AS cnt
+       |  FROM bgd GROUP BY 1, 2),
+       |tg AS (SELECT doc_id FROM gf
+       |  WHERE ok_len AND ok_wordlen AND ok_sym AND ok_stop),
+       |cq AS (SELECT f, sum(cnt) AS cq FROM ft GROUP BY f),
+       |cp AS (SELECT f, sum(cnt) AS cp FROM ft JOIN tg USING (doc_id) GROUP BY f),
+       |md AS (SELECT cq.f, cq.cq, coalesce(cp.cp, 0) AS cp
+       |  FROM cq LEFT JOIN cp USING (f)),
+       |tot AS (SELECT sum(cq) AS tq, sum(cp) AS tp FROM md),
+       |llr AS (SELECT f,
+       |    ln((CAST(cp AS DOUBLE) + 1.0) / (CAST(tp AS DOUBLE) + ${TextAnalysis.DsirBuckets}.0)) -
+       |    ln((CAST(cq AS DOUBLE) + 1.0) / (CAST(tq AS DOUBLE) + ${TextAnalysis.DsirBuckets}.0)) AS llr
+       |  FROM md, tot),
+       |ag AS (SELECT doc_id, sum(CAST(cnt * llr AS DECIMAL(28,20))) AS lw
+       |  FROM ft JOIN llr USING (f) GROUP BY doc_id),
+       |twn AS (SELECT sum(lw) AS tlw, CAST(count(*) AS BIGINT) AS nw FROM ag),
+       |selx AS (SELECT doc_id FROM ag CROSS JOIN twn
+       |  WHERE CAST(lw AS DOUBLE) * nw > CAST(tlw AS DOUBLE)),
+       |fl AS (SELECT d.doc_id,
+       |    ${sqlH60("'d:' || CAST(d.doc_id AS VARCHAR)")} AS h,
+       |    d.doc_id % $ForgetMod = 0 AS fg,
+       |    d.doc_id % 50 = 0 AS ev,
+       |    cfl.doc_id IS NOT NULL AS ct,
+       |    d.doc_id <> k.keeper AS ex,
+       |    nd.doc_id IS NOT NULL AS nr,
+       |    sd.vec_id IS NOT NULL AS sm,
+       |    gf.ok_len, gf.ok_wordlen, gf.ok_sym, gf.ok_stop,
+       |    lng.pred_lang <> 'en' AS bl,
+       |    sx.doc_id IS NULL AS nds
+       |  FROM documents d
+       |  JOIN keepers k ON ${sqlH60("d.text")} = k.ch
+       |  JOIN gf ON d.doc_id = gf.doc_id
+       |  JOIN lng ON d.doc_id = lng.doc_id
+       |  LEFT JOIN ndrop nd ON d.doc_id = nd.doc_id
+       |  LEFT JOIN semdrop sd ON d.doc_id = sd.vec_id
+       |  LEFT JOIN cfl ON d.doc_id = cfl.doc_id
+       |  LEFT JOIN selx sx ON d.doc_id = sx.doc_id),
+       |rag AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |  ${(standing ++ rdCols ++ ckCols).mkString(",\n  ")}
+       |  FROM fl)
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")})
+       |ORDER BY stage""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_corpus_release" -> corpusReleaseOracle,
     "q_prep_pipeline" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

@@ -1534,4 +1534,81 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
     assert(r.isNullAt(4), "degenerate single-source partition must yield NULL")
   }
+
+  test("corpus release: census rows equal the standing funnels row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val rel = Prep.queries("q_corpus_release")(spark, dir).collect()
+    assert(rel.length == 13)
+    val byStage = rel.map(r => r.getInt(0) -> r).toMap
+    // dedup family (stages 4-6) == q_dedup_funnel, all five fields
+    val df = Dedup.queries("q_dedup_funnel")(spark, dir).collect()
+    for ((fr, i) <- df.zipWithIndex) {
+      val rr = byStage(4 + i)
+      assert(rr.getString(2) == fr.getString(1))
+      assert((rr.getLong(3), rr.getLong(4), rr.getLong(5)) ==
+        ((fr.getLong(2), fr.getLong(3), fr.getLong(4))),
+        s"dedup funnel row ${i + 1} must match q_dedup_funnel")
+    }
+    // quality family (stages 7-10) == q_filter_funnel
+    val ff = TextAnalysis.queries("q_filter_funnel")(spark, dir).collect()
+    for ((fr, i) <- ff.zipWithIndex) {
+      val rr = byStage(7 + i)
+      assert(rr.getString(2) == fr.getString(1))
+      assert((rr.getLong(3), rr.getLong(4), rr.getLong(5)) ==
+        ((fr.getLong(2), fr.getLong(3), fr.getLong(4))),
+        s"quality funnel row ${i + 1} must match q_filter_funnel")
+    }
+    // decontaminate row (stage 3) == the q_decontaminate census summed
+    val dec = Dedup.queries("q_decontaminate")(spark, dir).collect()
+    assert(byStage(3).getLong(3) == dec.map(_.getLong(1)).sum)
+    assert(byStage(3).getLong(4) == dec.map(_.getLong(2)).sum)
+    // dsir row (stage 12) == the q_dsir_apply census summed
+    val ds = TextAnalysis.queries("q_dsir_apply")(spark, dir).collect()
+    assert(byStage(12).getLong(3) == ds.map(_.getLong(1)).sum)
+    assert(byStage(12).getLong(4) == ds.map(_.getLong(3)).sum)
+    // the chained cascade telescopes from |corpus| to the release
+    assert(byStage(1).getLong(6) == 500L)
+    for (i <- 1 until 13)
+      assert(byStage(i + 1).getLong(6) == byStage(i).getLong(8),
+        s"rel_in(stage ${i + 1}) must equal rel_out(stage $i)")
+    for (i <- 1 to 13)
+      assert(byStage(i).getLong(8) ==
+        byStage(i).getLong(6) - byStage(i).getLong(7))
+  }
+
+  test("corpus release: physical write matches the receipt; re-apply is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    val rel = Prep.queries("q_corpus_release")(spark, dir).collect()
+    val fin = rel.find(_.getInt(0) == 13).get
+    val (nRel, ck) = (fin.getLong(8), fin.getLong(9))
+    assert(nRel > 0, "release must be non-empty on the fixture")
+    assert(nRel < 500, "release must actually drop something")
+    val out = Files.createTempDirectory("corpus_rel").toString
+    Prep.corpusReleaseApply(spark, dir, out)
+    // the written corpus must equal the census's final receipt exactly
+    val w = spark.read.parquet(s"$out/documents.parquet")
+      .select(graft.ops.TextFns.h60(
+        concat(lit("d:"), col("doc_id").cast("string"))).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    assert(w.getLong(0) == nRel && w.getLong(1) == ck,
+      "written corpus must match the census receipt")
+    // aligned embeddings: exactly the kept doc ids, no dangling vectors
+    val embIds = spark.read.parquet(s"$out/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val docIds = spark.read.parquet(s"$out/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(embIds.subsetOf(docIds))
+    // re-running the census on the release: every subset-stable stage
+    // drops nothing (semantic re-clusters and dsir re-fits its LMs on
+    // the subset — both documented as not idempotent by design)
+    val again = Prep.queries("q_corpus_release")(spark, out).collect()
+    val stable = Set("forget", "eval_holdout", "decontaminate", "exact",
+      "near", "len", "wordlen", "sym", "stop", "lang")
+    for (r <- again if stable(r.getString(2)))
+      assert(r.getLong(7) == 0L,
+        s"${r.getString(2)} must be a no-op on the released corpus")
+    // the shipped datasheet: q_data_card runs on the release as-is
+    val card = TextAnalysis.queries("q_data_card")(spark, out).collect()
+    assert(card.map(_.getLong(1)).sum == nRel)
+  }
 }
