@@ -137,18 +137,29 @@ object Joins {
     // the plain join). This is the manual form of the runtime bloom
     // pruning Spark injects automatically (asserted in SourcesSpec);
     // explicit construction matters when the filter must cross jobs
-    // (e.g. built once, reused by N incremental loads). The udf probe
-    // is the demo-scale shortcut; the production path pushes
-    // might_contain against the scan.
+    // (e.g. built once, reused by N incremental loads). The probe is
+    // Spark's own codegen BloomFilterMightContain expression over the
+    // serialized filter (via PlanBridge — the expression is not in the
+    // public Column API), NOT a Scala udf: the filter scan stays
+    // inside whole-stage codegen with mightContainLong inlined per
+    // row, and the plan shape is pinned in SourcesSpec.
     "q_bloom_prefilter" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graft.PlanBridge
+      import org.apache.spark.sql.types.BinaryType
       val dim = Tables(s, dir, "orders")
         .where(col("o_totalprice") > 400000)
         .select(col("o_orderkey"))
       val bf = dim.stat.bloomFilter("o_orderkey", 20000, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val might = udf((k: Long) => bfB.value.mightContain(k))
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      val might = PlanBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), PlanBridge.expression(col("l_orderkey"))))
       Tables(s, dir, "lineitem")
-        .where(might(col("l_orderkey")))
+        .where(might)
         .join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))

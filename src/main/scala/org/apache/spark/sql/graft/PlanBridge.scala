@@ -19,6 +19,24 @@ object PlanBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** Wrap a raw Catalyst expression as a public Column (the Spark 4
+    * Column API hides the expression constructor behind ColumnNode;
+    * this is the same converter `expr(...)` parsing lands on). Lets
+    * the library use non-public-API codegen expressions — e.g.
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * for the q_bloom_prefilter probe — instead of an interpreted udf.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (unresolved is fine —
+    * analysis resolves it once the Column lands in a plan).
+    */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Session-local physical-strategy registration (idempotent), for
     * sessions not built with the `GraftExtensions` hook. Checks the
     * planner's FULL strategy list, so an extensions-wired session is

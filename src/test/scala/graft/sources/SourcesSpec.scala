@@ -218,6 +218,19 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("explicit bloom prefilter probes via the native codegen expression, not a udf") {
+    // q_bloom_prefilter's probe must be Spark's BloomFilterMightContain
+    // (whole-stage-codegen'd mightContainLong against the serialized
+    // filter literal), not an interpreted Scala udf wrapping a
+    // broadcast — pin the plan shape so a refactor can't silently
+    // regress the probe out of codegen.
+    val q = graft.analytics.Joins.queries("q_bloom_prefilter")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(q.count() > 0)
+  }
+
   test("S10: batched JDBC append sink round-trips (embedded Derby)") {
     // The reference's ETL appends each batch to Postgres over JDBC
     // (dags/ETL.py:131-140); the engine analog is df.write.jdbc in
