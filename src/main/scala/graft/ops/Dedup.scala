@@ -1423,11 +1423,74 @@ object Dedup {
             .otherwise(lit(0.0)))
         .withColumn("keep", col("dup_ratio") < 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Multi-resolution span dedup — q_span_dedup at W ∈ [[SpanWs]]
+    // with LONGEST-WINDOW-FIRST attribution (the Lee-et-al.
+    // exact-substring semantics: a long verbatim match should be
+    // credited as one long duplicate, not dissolve into its short
+    // sub-windows). Every duplicated token position is attributed to
+    // the LONGEST W whose duplicated window covers it, so cov_w32
+    // counts positions inside ≥32-token verbatim repeats, cov_w16 the
+    // 16-31-token tail, cov_w8 the short-phrase residue — the length
+    // spectrum of duplication, which a single-W scan cannot see
+    // (boilerplate = high cov_w8; mirrored paragraphs = high cov_w32).
+    // No suffix array: three stride-1 window explodes share one token
+    // pass, each resolution is one hash-count aggregate exactly like
+    // q_span_dedup, and attribution is one (doc_id, tpos) max-fold —
+    // a single extra shuffle over the duplication-bounded coverage
+    // rows (union WITHOUT per-W distinct: the max-fold collapses
+    // duplicates, so per-W distincts would just add three shuffles).
+    // At 100 TB every stage stays a partial+final aggregate over
+    // scan-partitioned data; the coverage side is bounded by
+    // duplicated volume × |SpanWs|, not the corpus.
+    "q_span_dedup_multi" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      // one tokenize pass feeds all three resolutions (lazy cache —
+      // builders stay plan-only cheap)
+      val toked = Tables.fanout(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks")).cache()
+      val sizes = toked.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      val covs = SpanWs.map { w =>
+        val wins = toked.select(col("doc_id"),
+            posexplode(shingles(col("toks"), w)).as(Seq("pos", "g")))
+          .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+        val dup = wins.groupBy(col("h"))
+          .agg(count(lit(1)).as("occ")).where(col("occ") >= 2)
+          .select(col("h"))
+        wins.join(dup, Seq("h"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tpos"),
+            lit(w).as("w"))
+      }
+      val attributed = covs.reduce(_.unionByName(_))
+        .groupBy(col("doc_id"), col("tpos"))
+        .agg(max(col("w")).as("w"))
+      val perDoc = attributed.groupBy(col("doc_id"))
+        .agg(sum(when(col("w") === 8, 1L).otherwise(0L)).as("cov_w8"),
+          sum(when(col("w") === 16, 1L).otherwise(0L)).as("cov_w16"),
+          sum(when(col("w") === 32, 1L).otherwise(0L)).as("cov_w32"),
+          count(lit(1)).as("n_covered"))
+      sizes.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("cov_w8"), lit(0L)).as("cov_w8"),
+          coalesce(col("cov_w16"), lit(0L)).as("cov_w16"),
+          coalesce(col("cov_w32"), lit(0L)).as("cov_w32"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("dup_ratio",
+          when(col("n_tokens") > 0,
+            round(col("n_covered").cast("double") / col("n_tokens"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_ratio") < 0.5)
+        .orderBy(col("doc_id"))
     })
   )
 
   /** Window width for q_span_dedup (tokens). */
   val SpanW = 8
+
+  /** Resolutions for q_span_dedup_multi — longest wins attribution. */
+  val SpanWs = Seq(8, 16, 32)
 
   // ---- oracles (generated so the 32/60-column signature SQL cannot
   //      drift from the Scala constants) ----
@@ -2079,6 +2142,47 @@ object Dedup {
          |    THEN round(CAST(coalesce(n_covered, 0) AS DOUBLE) / n_tokens, 6)
          |    ELSE 0.0 END < 0.5 AS keep
          |FROM sz LEFT JOIN nc USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    // Same window/dup/coverage replay per resolution, UNION ALL, then
+    // max-w attribution per (doc_id, tpos) — generated from SpanWs so
+    // the resolutions cannot drift from the Scala side.
+    "q_span_dedup_multi" -> {
+      val perW = SpanWs.map { w =>
+        val gram = (0 until w).map(j => s"a[i+$j]").mkString(" || ' ' || ")
+        s"""win$w AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           |    ${sqlH60(s"($gram)")} AS h
+           |  FROM tk, generate_series(1, 512) g(i) WHERE i <= len(a) - ${w - 1}),
+           |freq$w AS (SELECT h FROM win$w GROUP BY h HAVING count(*) >= 2),
+           |cov$w AS (SELECT doc_id, pos + j AS tpos, $w AS w
+           |  FROM win$w JOIN freq$w USING (h),
+           |    generate_series(0, ${w - 1}) s(j))""".stripMargin
+      }.mkString(",\n")
+      val union = SpanWs.map(w => s"SELECT * FROM cov$w")
+        .mkString(" UNION ALL ")
+      val covCols = SpanWs.map(w =>
+        s"CAST(sum(CASE WHEN w = $w THEN 1 ELSE 0 END) AS BIGINT) AS cov_w$w")
+        .mkString(",\n  ")
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |sz AS (SELECT doc_id, CAST(len(a) AS INT) AS n_tokens FROM tk),
+         |$perW,
+         |cu AS (SELECT doc_id, tpos, max(w) AS w FROM ($union)
+         |  GROUP BY doc_id, tpos),
+         |pd AS (SELECT doc_id,
+         |  $covCols,
+         |  CAST(count(*) AS BIGINT) AS n_covered
+         |  FROM cu GROUP BY doc_id)
+         |SELECT sz.doc_id, n_tokens,
+         |  coalesce(cov_w8, 0) AS cov_w8,
+         |  coalesce(cov_w16, 0) AS cov_w16,
+         |  coalesce(cov_w32, 0) AS cov_w32,
+         |  coalesce(n_covered, 0) AS n_covered,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(CAST(coalesce(n_covered, 0) AS DOUBLE) / n_tokens, 6)
+         |    ELSE 0.0 END AS dup_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN round(CAST(coalesce(n_covered, 0) AS DOUBLE) / n_tokens, 6)
+         |    ELSE 0.0 END < 0.5 AS keep
+         |FROM sz LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -1535,6 +1535,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(4), "degenerate single-source partition must yield NULL")
   }
 
+  test("span dedup multi: degenerate all-identical corpus attributes all to W=32") {
+    val t = (1 to 40).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> t, 2L -> t, 3L -> t))
+    val rows = Dedup.queries("q_span_dedup_multi")(spark, dir).collect()
+    assert(rows.length == 3)
+    // 40 identical tokens: the nine W=32 windows already cover every
+    // position, so longest-wins leaves nothing for W=16/W=8
+    for (r <- rows) {
+      assert(r.getInt(1) == 40)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((0L, 0L, 40L, 40L)))
+      assert(r.getDouble(6) == 1.0 && !r.getBoolean(7))
+    }
+  }
+
+  test("span dedup multi: a 16-token shared span attributes to W=16, not its W=8 sub-windows") {
+    val sh = (1 to 16).map(i => s"s$i").mkString(" ")
+    def uniq(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val dir = docsDir(Seq(
+      1L -> s"${uniq("u")} $sh ${uniq("v")}",
+      2L -> s"${uniq("w")} $sh ${uniq("x")}"))
+    val rows = Dedup.queries("q_span_dedup_multi")(spark, dir).collect()
+    assert(rows.length == 2)
+    // the shared run holds one W=16 window and nine W=8 windows; all
+    // 16 positions go to the longest signal
+    for (r <- rows) {
+      assert(r.getInt(1) == 36)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((0L, 16L, 0L, 16L)))
+      assert(math.abs(r.getDouble(6) - 16.0 / 36) < 1e-6 && r.getBoolean(7))
+    }
+  }
+
   test("corpus release: census rows equal the standing funnels row-for-row") {
     val dir = "/root/testdata/sf0.001"
     val rel = Prep.queries("q_corpus_release")(spark, dir).collect()
