@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import graft.util.Exact._
@@ -172,9 +172,14 @@ object Streams {
     */
   def watermarkIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = {
+    // the CANONICAL documents staging projection — watermark, doremi,
+    // crossmodal and contamination all stage this exact frame, so the
+    // stageMemo key coincides and the shard files are built once per
+    // session for the whole documents-twin family
     val docs = graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("text"))
-    stageShards(docs, workDir, shards, keyCol = "doc_id")
+      .select(col("doc_id"), col("text"), col("source"))
+    stageShards(docs, workDir, shards, keyCol = "doc_id",
+      cacheKey = Some(s"$dir|documents"))
     watermarkRun(spark, workDir)
   }
 
@@ -672,13 +677,15 @@ object Streams {
     val (lo0, hi0) = (bounds.getLong(0), bounds.getLong(1) + 1)
     val srcDir = java.nio.file.Paths.get(workDir, "stream")
     val span = math.max(1L, hi0 - lo0)
-    val t0 = System.currentTimeMillis() - 600000
-    for (i <- 0 until shards) {
-      val lo = lo0 + i * span / shards
-      val hi = if (i == shards - 1) hi0 else lo0 + (i + 1) * span / shards
-      stageFile(docs.where(col("doc_id") >= lo && col("doc_id") < hi),
-        srcDir, s"d$i", t0 + i * 10000L)
+    // the EXACT range boundaries of the old per-shard loop, expressed
+    // as one when-chain so staging is a single source pass (the
+    // stageIntoBy discipline) instead of `shards` full scans — the
+    // boundaries use the same integer division, so batch composition
+    // is bit-identical to the historical staging
+    val shardOf = (1 until shards).foldLeft(lit(0)) { (acc, i) =>
+      when(col("doc_id") >= lo0 + i * span / shards, lit(i)).otherwise(acc)
     }
+    stageIntoBy(docs, srcDir, shards, None, shardOf)
     val sigDir = s"$workDir/sig_store"
     val keptDir = s"$workDir/kept"
     val schema = spark.read.parquet(srcDir.toString).schema
@@ -879,7 +886,8 @@ object Streams {
     }
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
-    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id")
+    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id",
+      cacheKey = Some(s"$dir|documents"))
     ()
   }
 
@@ -968,7 +976,8 @@ object Streams {
     val emb = Similarity.embeddings(spark, dir)
     require(emb.limit(1).count() > 0,
       "embeddings table is empty — nothing to index")
-    stageShards(emb, workDir, shards, keyCol = "vec_id")
+    stageShards(emb, workDir, shards, keyCol = "vec_id",
+      cacheKey = Some(s"$dir|embeddings"))
     ivfRun(spark, dir, workDir)
   }
 
@@ -1045,7 +1054,8 @@ object Streams {
   private[streaming] def outliersStage(spark: SparkSession, dir: String,
       workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
     val emb = graft.ops.Similarity.embeddings(spark, dir)
-    stageShards(emb, workDir, shards, upTo, keyCol = "vec_id")
+    stageShards(emb, workDir, shards, upTo, keyCol = "vec_id",
+      cacheKey = Some(s"$dir|embeddings"))
     ()
   }
 
@@ -1120,10 +1130,15 @@ object Streams {
     */
   private[streaming] def contaminationStage(spark: SparkSession, dir: String,
       workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    // canonical documents staging projection, UNFILTERED — the train
+    // slice (doc_id % 50 <> 0) is applied by contaminationRun's stream
+    // pipeline instead, so this family member shares the one staged
+    // shard set; per-batch train content is identical either way
+    // (shard membership is doc_id % n, independent of the filter)
     val docs = graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    stageShards(docs.where(col("doc_id") % 50 =!= 0),
-      workDir, shards, upTo, keyCol = "doc_id")
+      .select(col("doc_id"), col("text"), col("source"))
+    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id",
+      cacheKey = Some(s"$dir|documents"))
     ()
   }
 
@@ -1145,8 +1160,12 @@ object Streams {
       evalIx.count() // materialize the static index once, pre-stream
       val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
       val schema = spark.read.parquet(srcDir).schema
+      // the train-slice predicate lives HERE (stateless stream filter),
+      // not in the staging — the staged shards are the shared canonical
+      // corpus; idempotent when a test stages a pre-filtered prefix
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .where(col("doc_id") % 50 =!= 0)
       val q = stream.writeStream
         .option("checkpointLocation", s"$workDir/ckpt")
         .foreachBatch { (batch: Dataset[Row], bid: Long) =>
@@ -1193,9 +1212,13 @@ object Streams {
     */
   private[streaming] def forgetStage(spark: SparkSession, dir: String,
       workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    // the CANONICAL events staging projection — forget, upsert and
+    // mv_merge share one staged shard set; each run projects by name
     val ev = graft.Tables(spark, dir, "events")
-      .select(col("event_id"), col("user_id"))
-    stageShards(ev, workDir, shards, upTo)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    stageShards(ev, workDir, shards, upTo,
+      cacheKey = Some(s"$dir|events"))
     ()
   }
 
@@ -1276,9 +1299,12 @@ object Streams {
     */
   private[streaming] def crossmodalStage(spark: SparkSession, dir: String,
       workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    // canonical documents staging projection (see watermarkIngest) —
+    // the run side only touches doc_id/text by name
     val docs = graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id")
+      .select(col("doc_id"), col("text"), col("source"))
+    stageShards(docs, workDir, shards, upTo, keyCol = "doc_id",
+      cacheKey = Some(s"$dir|documents"))
     ()
   }
 
@@ -1424,16 +1450,81 @@ object Streams {
       s"could not set mtime on $dst — batch ordering would be undefined")
   }
 
+  /** Session-scoped staged-shard cache (the [[graft.ops.Scratch]]
+    * discipline at the staging layer): 8 of the 10 slowest bench
+    * entries were foreachBatch twins whose wall was dominated by
+    * staging + drain machinery, and twins sharing a source re-staged
+    * the same deterministic shard files per query. Keyed by
+    * (applicationId, caller key, n, keyCol); the staged directory is
+    * built once and every later twin just symlinks its own
+    * `workDir/stream` onto it — per-query checkpoints stay private,
+    * only the immutable source files are shared.
+    */
+  private val stageMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private lazy val stageRoot: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stage-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
+    d
+  }
+
   /** Stage a frame as `n` deterministic single-file shards (split by
     * `event_id % n`) under `workDir/stream`, so a file-source stream
     * with `maxFilesPerTrigger=1` replays it as n genuine micro-batches.
     * `upTo` stages only the first `upTo` shards (same shard boundaries)
     * — the checkpoint-resume test stages a prefix, drains, then stages
     * the rest and resumes from the same checkpoint.
+    *
+    * `cacheKey` (production twins only) routes a FULL stage through
+    * [[stageMemo]]: the shards are built once per (session, key) and
+    * `workDir/stream` becomes a symlink to the shared directory.
+    * Prefix stages (`upTo`) and workDirs whose stream dir already
+    * exists (the crash-resume tests' incremental convention) keep the
+    * private in-place path — arrival-order control stays with the
+    * test.
     */
   private[streaming] def stageShards(df: DataFrame, workDir: String, n: Int,
-      upTo: Option[Int] = None, keyCol: String = "event_id"): String = {
-    val srcDir = java.nio.file.Paths.get(workDir, "stream")
+      upTo: Option[Int] = None, keyCol: String = "event_id",
+      cacheKey: Option[String] = None): String = {
+    val link = java.nio.file.Paths.get(workDir, "stream")
+    cacheKey match {
+      case Some(k) if upTo.isEmpty && !java.nio.file.Files.exists(link) =>
+        // the staged files' schema is part of the identity (two twins
+        // may stage the same table under different projections); any
+        // row-level filter must be in the caller's key
+        val full = s"${df.sparkSession.sparkContext.applicationId}|$k|$n|" +
+          s"$keyCol|${df.schema.catalogString}"
+        val shared = stageMemo.getOrElseUpdate(full, {
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(full.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(20)
+          stageInto(df, stageRoot.resolve(tag), n, None, keyCol)
+        })
+        java.nio.file.Files.createDirectories(link.getParent)
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(shared))
+        link.toString
+      case _ => stageInto(df, link, n, upTo, keyCol)
+    }
+  }
+
+  private def stageInto(df: DataFrame, srcDir: java.nio.file.Path, n: Int,
+      upTo: Option[Int], keyCol: String): String =
+    stageIntoBy(df, srcDir, n, upTo, col(keyCol) % n)
+
+  /** One-pass staging under an arbitrary shard-assignment expression
+    * (must produce 0..n-1) — the mod form above is the common case;
+    * [[minhashDedupIngest]] shards by exact doc_id RANGE and passes
+    * its boundary chain here instead of paying one full scan + one
+    * single-task write per shard.
+    */
+  private def stageIntoBy(df: DataFrame, srcDir: java.nio.file.Path, n: Int,
+      upTo: Option[Int], shardOf: Column): String = {
     // staging is deterministic, so shards already on disk (a prior
     // prefix-stage before a simulated crash) are simply kept
     val missing = (0 until math.min(n, upTo.getOrElse(n)))
@@ -1448,7 +1539,7 @@ object Streams {
       // exactly one part file to promote.
       val tmp = srcDir.resolveSibling(
         s"${srcDir.getFileName}_stage_tmp").toString
-      df.withColumn("__shard", col(keyCol) % n)
+      df.withColumn("__shard", shardOf)
         .where(col("__shard").isin(missing.map(i => Long.box(i.toLong)): _*))
         .repartition(n, col("__shard"))
         .write.mode("overwrite").partitionBy("__shard").parquet(tmp)
@@ -1530,7 +1621,7 @@ object Streams {
     val ev = graft.Tables(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
-    stageShards(ev, workDir, 3)
+    stageShards(ev, workDir, 3, cacheKey = Some(s"$dir|events"))
     upsertRun(spark, workDir)
   }
 
@@ -1626,9 +1717,11 @@ object Streams {
     * genuinely exercised.
     */
   def mvMergeIngest(spark: SparkSession, dir: String, workDir: String): DataFrame = {
+    // canonical events staging projection (see forgetStage)
     val ev = graft.Tables(spark, dir, "events")
-      .select(col("event_type"), col("value"), col("event_id"))
-    stageShards(ev, workDir, 3)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    stageShards(ev, workDir, 3, cacheKey = Some(s"$dir|events"))
     mvMergeRun(spark, workDir)
   }
 
