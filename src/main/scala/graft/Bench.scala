@@ -169,9 +169,9 @@ object Bench {
       "q_stream_pii", "q_kneser_ney", "q_unimax", "q_watermark_detect",
       "q_ks_test", "q_dup_assortativity", "q_stream_watermark",
       "q_dedup_funnel", "q_dsir_apply",
-      // round-8: the release-build capstone census + multi-resolution
-      // span dedup
-      "q_corpus_release", "q_span_dedup_multi")
+      // round-8: the release-build capstone census, multi-resolution
+      // span dedup, SFT chat packing
+      "q_corpus_release", "q_span_dedup_multi", "q_chat_pack")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

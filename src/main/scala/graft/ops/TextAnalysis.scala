@@ -49,6 +49,12 @@ object TextAnalysis {
     */
   val DsirBuckets = 8192L
 
+  /** q_chat_pack turn geometry: a document reads as fixed-length
+    * turns of this many tokens (turn 0 = system, odd = user, even ≥ 2
+    * = assistant).
+    */
+  val ChatTurnLen = 16
+
   /** The fixed 3-term retrieval query shared by q_bm25 and the hybrid
     * fusion surface (Similarity.q_rrf_fusion) — one constant so the
     * lexical leg of the fusion can never drift from the BM25 query.
@@ -774,6 +780,66 @@ object TextAnalysis {
           col("n_straddled"),
           round(col("n_straddled").cast("double") / col("n_docs"), 6)
             .as("straddle_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // SFT chat packing — the fine-tuning twin of q_pack_sequences.
+    // Each document is read as a deterministic multi-turn conversation
+    // (fixed [[ChatTurnLen]]-token turns; turn 0 = system, odd turns =
+    // user, even turns ≥ 2 = assistant — the instruction-tuning shape)
+    // and the conversations ride the SAME per-lang cumsum packer at
+    // the 1024-token budget. The SFT twist is the LOSS MASK: assistant
+    // spans train, system/user spans mask — so the census reports, per
+    // language, the conversation/turn/token counts, the trainable
+    // token mass and rate (1 − rate is attention the trainer pays for
+    // tokens that contribute no gradient), the chunk count and fill
+    // rate (q_pack_efficiency's row shape), and how many turn SPANS
+    // straddle a chunk boundary (a split assistant span loses its
+    // prompt context). Every span is closed-form integer arithmetic
+    // from (doc_start, n_tok) — turn starts/lengths/roles derive from
+    // the token count alone, so both engines compute identical spans
+    // and the census is hash-exact. Scale shape: the per-lang window
+    // cumsum (per-group sort, like the packer), one bounded turn
+    // explode (≤ n_tok/[[ChatTurnLen]] rows per doc), one per-lang
+    // fold; at corpus scale partition by (lang, hash-shard) exactly
+    // like q_pack_sequences.
+    "q_chat_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val T = ChatTurnLen.toLong
+      val turns = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+        .withColumn("doc_start", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("doc_start"),
+          explode(sequence(lit(0L),
+            expr(s"(n_tok + ${T - 1}) div $T") - 1)).as("turn"))
+        .withColumn("t_start", col("doc_start") + col("turn") * T)
+        .withColumn("t_len", least(lit(T), col("n_tok") - col("turn") * T))
+        .withColumn("train",
+          col("turn") =!= 0 && col("turn") % 2 === 0)
+        .withColumn("sc", floor(col("t_start") / lit(1024L)))
+        .withColumn("ec",
+          floor((col("t_start") + col("t_len") - lit(1L)) / lit(1024L)))
+      turns.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_convs"),
+          count(lit(1)).as("n_turns"),
+          sum(col("t_len")).as("n_tokens"),
+          sum(when(col("train"), col("t_len")).otherwise(0L))
+            .as("n_train_tokens"),
+          (max(col("ec")) + lit(1L)).as("n_chunks"),
+          sum(when(col("sc") =!= col("ec"), 1L).otherwise(0L))
+            .as("n_straddled_turns"))
+        .select(col("lang"), col("n_convs"), col("n_turns"), col("n_tokens"),
+          col("n_train_tokens"),
+          round(col("n_train_tokens").cast("double") / col("n_tokens"), 6)
+            .as("train_rate"),
+          col("n_chunks"),
+          round(col("n_tokens").cast("double") / (col("n_chunks") * lit(1024L)), 6)
+            .as("fill_rate"),
+          col("n_straddled_turns"))
         .orderBy(col("lang"))
     }),
 
@@ -1923,6 +1989,46 @@ object TextAnalysis {
          |  CAST(n_straddled AS BIGINT) AS n_straddled,
          |  round(CAST(n_straddled AS DOUBLE) / n_docs, 6) AS straddle_rate
          |FROM a ORDER BY lang""".stripMargin,
+    // Same turn geometry (ChatTurnLen-token spans, system/user/
+    // assistant role cycle), same lang-cumsum packing, same chunk
+    // arithmetic — all integer until the two final divisions.
+    "q_chat_pack" -> {
+      val T = ChatTurnLen
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+         |p AS (SELECT lang, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok
+         |    AS doc_start
+         |  FROM t WHERE n_tok > 0),
+         |tr AS (SELECT lang, doc_id, n_tok, doc_start,
+         |    CAST(i AS BIGINT) AS turn
+         |  FROM p, generate_series(0, 511) g(i)
+         |  WHERE i < (n_tok + ${T - 1}) // $T),
+         |sp AS (SELECT lang, doc_id,
+         |    doc_start + turn * $T AS t_start,
+         |    least($T, n_tok - turn * $T) AS t_len,
+         |    turn <> 0 AND turn % 2 = 0 AS train
+         |  FROM tr),
+         |e AS (SELECT lang, doc_id, t_len, train,
+         |    floor(t_start / 1024) AS sc,
+         |    floor((t_start + t_len - 1) / 1024) AS ec
+         |  FROM sp),
+         |a AS (SELECT lang, count(DISTINCT doc_id) AS n_convs,
+         |    count(*) AS n_turns, sum(t_len) AS n_tokens,
+         |    sum(CASE WHEN train THEN t_len ELSE 0 END) AS n_train_tokens,
+         |    max(ec) + 1 AS n_chunks,
+         |    sum(CASE WHEN sc <> ec THEN 1 ELSE 0 END) AS n_straddled_turns
+         |  FROM e GROUP BY lang)
+         |SELECT lang, CAST(n_convs AS BIGINT) AS n_convs,
+         |  CAST(n_turns AS BIGINT) AS n_turns,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_train_tokens AS BIGINT) AS n_train_tokens,
+         |  round(CAST(n_train_tokens AS DOUBLE) / n_tokens, 6) AS train_rate,
+         |  CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  round(CAST(n_tokens AS DOUBLE) / (n_chunks * 1024), 6) AS fill_rate,
+         |  CAST(n_straddled_turns AS BIGINT) AS n_straddled_turns
+         |FROM a ORDER BY lang""".stripMargin
+    },
     "q_normalize_text" ->
       s"""SELECT doc_id,
          |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),

@@ -1535,6 +1535,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(4), "degenerate single-source partition must yield NULL")
   }
 
+  test("chat pack: closed-form mask spans on a crafted 40-token corpus") {
+    // 40 tokens = 3 turns of 16/16/8: [system 16][user 16][assistant 8]
+    // — per doc exactly 8 trainable tokens; 3 docs fit one 1024 chunk
+    def doc(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> doc("a"), 2L -> doc("b"), 3L -> doc("c")))
+    val r = TextAnalysis.queries("q_chat_pack")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((3L, 9L, 120L, 24L)))
+    assert(math.abs(row.getDouble(5) - 0.2) < 1e-9)
+    assert(row.getLong(6) == 1L)
+    assert(math.abs(row.getDouble(7) - 120.0 / 1024) < 1e-6)
+    assert(row.getLong(8) == 0L)
+  }
+
+  test("chat pack: a turn straddling the 1024 budget is counted") {
+    // two 600-token conversations: doc 2 starts at offset 600, its
+    // turn 26 spans [1016, 1032) and crosses the chunk boundary —
+    // exactly one straddled span, two chunks, 38 turns per doc with
+    // assistant turns {2,4,...,36} (the 8-token turn 37 is user)
+    def doc(p: String) = (1 to 600).map(i => s"$p$i").mkString(" ")
+    val dir = docsDir(Seq(1L -> doc("a"), 2L -> doc("b")))
+    val row = TextAnalysis.queries("q_chat_pack")(spark, dir).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((2L, 76L, 1200L, 576L)))
+    assert(math.abs(row.getDouble(5) - 0.48) < 1e-9)
+    assert(row.getLong(6) == 2L)
+    assert(math.abs(row.getDouble(7) - 1200.0 / 2048) < 1e-6)
+    assert(row.getLong(8) == 1L)
+  }
+
   test("span dedup multi: degenerate all-identical corpus attributes all to W=32") {
     val t = (1 to 40).map(i => s"t$i").mkString(" ")
     val dir = docsDir(Seq(1L -> t, 2L -> t, 3L -> t))
