@@ -171,7 +171,8 @@ object Bench {
       "q_dedup_funnel", "q_dsir_apply",
       // round-8: the release-build capstone census, multi-resolution
       // span dedup, SFT chat packing
-      "q_corpus_release", "q_span_dedup_multi", "q_chat_pack")
+      "q_corpus_release", "q_span_dedup_multi", "q_chat_pack",
+      "q_ivf_retrain", "q_stream_ivf_retrain")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -158,6 +158,97 @@ object Similarity {
     */
   val OutlierCos = 0.15
 
+  /** q_ivf_retrain trigger: the re-train response fires when outliers
+    * exceed this percent of the corpus (integer compare — n_out·100 ≥
+    * pct·n — so there is no fp boundary for the engines to disagree
+    * on). On the driver corpora the outlier rate is ~10-20%, so the
+    * executed branch is the one the oracle gates.
+    */
+  val RetrainPct = 2
+
+  /** Id offset for re-train anchors (A′) — keeps them disjoint from
+    * the fine-anchor id space (vec_ids) at any corpus size, and makes
+    * the stored side win cosine ties in the merged assignment (the
+    * union rank-1 breaks ties toward the smaller anchor_id).
+    */
+  val RetrainAnchorBase = 1000000000L
+
+  /** A′ — the executed re-train response to the q_semantic_outliers
+    * coverage audit: when the outlier rate crosses [[RetrainPct]]%,
+    * the FLAGGED vectors train one Lloyd round (q_kmeans_step
+    * conventions — unrounded-cosine min_by assignment, round(avg, 6)
+    * centroid cells) over deterministic hash-sampled seeds (the
+    * probeSampled integer mix, sampleMod ≈ √n_out so |A′| ≈ √n_out
+    * with NO global sort — a "k lowest ids" seed rule would need one),
+    * and the resulting centroids join the index as NEW anchors with
+    * ids offset by [[RetrainAnchorBase]]. Empty below the trigger, so
+    * downstream merges degrade to the stored assignment. Scale shape:
+    * the Lloyd round is n_out·√n_out broadcast cosines + one cell
+    * aggregate — the flagged slice only, never the corpus.
+    */
+  private[graft] def retrainAnchors(s: SparkSession, dir: String): DataFrame = {
+    CosineSim.register(s)
+    val scored = outlierScore(ivfProbed(s, dir), anchorTable(s, dir))
+    val stats = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_out"))
+      .where(col("n_out") * lit(100L) >= lit(RetrainPct.toLong) * col("n"))
+      .select(greatest(lit(1L),
+        floor(sqrt(col("n_out").cast("double"))).cast("long")).as("sm"))
+    val flaggedIds = scored.where(col("is_outlier")).select(col("vec_id"))
+    val seeds = broadcast(flaggedIds
+      .crossJoin(broadcast(stats))
+      .where(((col("vec_id") * lit(1315423911L)) % lit(1000003L))
+        % col("sm") === 0)
+      .join(embeddings(s, dir), Seq("vec_id"))
+      .select(col("vec_id").as("sid"), col("v").as("sv")))
+    val flaggedVecs = embeddings(s, dir)
+      .join(flaggedIds, Seq("vec_id"), "left_semi")
+    val best = flaggedVecs.crossJoin(seeds)
+      .select(col("vec_id"), col("v"), col("sid"), cosine("v", "sv").as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("sid"), struct(negate(col("cos")), col("sid"))).as("sid"),
+        first(col("v")).as("v"))
+    best.select(col("sid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("sid"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("sid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        t => t.getField("c")).as("av"))
+      .select((col("sid") + lit(RetrainAnchorBase)).as("anchor_id"), col("av"))
+  }
+
+  /** The INCREMENTAL re-index after the re-train response: the stored
+    * rank-1 coverage state merged with the rank-1 over A′ — one pass
+    * of n·|A′| cosines against the tiny broadcast A′, NEVER a full
+    * re-probe. argmax(U ∪ V) = max(argmax U, argmax V), so this
+    * per-vector binary merge IS the from-scratch rank-1 over the
+    * union candidate set — which is exactly what the DuckDB oracle
+    * computes (one window over probed ∪ new pairs, no merge), so the
+    * hash gate PROVES incremental ≡ from-scratch. Ties break toward
+    * the stored side (smaller anchor_id, guaranteed by
+    * [[RetrainAnchorBase]]). Only flagged vectors TRAIN A′; every
+    * vector gets the cheap A′ probe — restricting the probe to
+    * flagged vectors would leave stale assignments the from-scratch
+    * form disagrees with.
+    */
+  private[graft] def retrainMerged(s: SparkSession, dir: String): DataFrame = {
+    val scored = outlierScore(ivfProbed(s, dir), anchorTable(s, dir))
+    val newBest = embeddings(s, dir)
+      .crossJoin(broadcast(retrainAnchors(s, dir)))
+      .select(col("vec_id"), col("anchor_id"),
+        round(cosine("v", "av"), 6).as("ncos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("anchor_id"), col("ncos")),
+        struct(negate(col("ncos")), col("anchor_id"))).as("nb"))
+    val takeNew = col("nb").isNotNull && col("nb.ncos") > col("best_cos")
+    scored.join(newBest, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(takeNew, col("nb.anchor_id")).otherwise(col("best_anchor"))
+          .as("anchor_id"),
+        when(takeNew, col("nb.ncos")).otherwise(col("best_cos")).as("cos"))
+      .withColumn("reassigned", col("anchor_id") >= RetrainAnchorBase)
+  }
+
   /** Lloyd iterations for the full q_kmeans loop (unrolled verbatim in
     * its oracle — keep the two in sync through this constant).
     */
@@ -898,6 +989,32 @@ object Similarity {
       graft.streaming.Streams.outliersIngest(s, dir, work)
     }),
 
+    // The EXECUTED re-train response to the coverage audit: when
+    // q_semantic_outliers crosses RetrainPct%, one Lloyd round over
+    // the flagged vectors mints new anchors (A′) and the index state
+    // updates INCREMENTALLY — stored rank-1 merged with the rank-1
+    // over the broadcast A′ (n·|A′| cosines, never a re-probe). The
+    // oracle computes the same state FROM SCRATCH (one rank-1 window
+    // over the union candidate set), so the hash gate proves the
+    // incremental update equals the full re-index exactly.
+    "q_ivf_retrain" -> ((s, dir) => {
+      CosineSim.register(s)
+      retrainMerged(s, dir).orderBy(col("vec_id"))
+    }),
+
+    // EXECUTES on the streaming engine: the same re-train response
+    // applied to the q_stream_ivf postings store IN PLACE — the
+    // drained store's moved vectors get their posting rows replaced by
+    // the new-anchor posting (a versioned store generation, the
+    // latestVersioned retry discipline). Census of the UPDATED store;
+    // the oracle replays probed-minus-moved-plus-new.
+    "q_stream_ivf_retrain" -> ((s, dir) => {
+      CosineSim.register(s)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_ivf_rt").toString
+      graft.streaming.Streams.ivfRetrainIngest(s, dir, work)
+    }),
+
     // Hybrid retrieval fusion (RRF, k=60 — Cormack/Clarke/Buettcher):
     // the serving-side composition of the engine's two retrieval
     // families — the BM25 lexical chain (shared with q_bm25 through
@@ -1369,6 +1486,49 @@ object Similarity {
        |  acos < $OutlierCos AS is_outlier
        |FROM best ORDER BY vec_id""".stripMargin
 
+  /** FROM-SCRATCH replay of the re-train response — flags, trigger,
+    * hash-sampled seeds, one Lloyd round, then ONE rank-1 window over
+    * the union of probed candidates and the n×|A′| new pairs (no
+    * incremental merge anywhere): ends in `fin(vec_id, anchor_id,
+    * acos)`. Spark computes the same state incrementally, so the hash
+    * gate proves the decomposition argmax(U ∪ V) = max per side.
+    */
+  private def sqlRetrainCtes: String =
+    s"""$sqlIvfProbed,
+       |ac AS (SELECT p.vec_id, f.fine_id AS anchor_id,
+       |    round(${sqlCos("p.v", "f.fv")}, 6) AS acos
+       |  FROM probed p JOIN fine f ON p.anchor_id = f.fine_id),
+       |b1 AS (SELECT vec_id, anchor_id, acos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY acos DESC, anchor_id) AS rn FROM ac) WHERE rn = 1),
+       |fl AS (SELECT vec_id FROM b1 WHERE acos < $OutlierCos),
+       |st AS (SELECT (SELECT count(*) FROM e) AS n,
+       |    (SELECT count(*) FROM fl) AS n_out),
+       |tg AS (SELECT greatest(1,
+       |    CAST(floor(sqrt(CAST(n_out AS DOUBLE))) AS BIGINT)) AS sm
+       |  FROM st WHERE n_out * 100 >= $RetrainPct * n),
+       |sd AS (SELECT e.vec_id AS sid, e.v AS sv
+       |  FROM e JOIN fl USING (vec_id) CROSS JOIN tg
+       |  WHERE ((e.vec_id * 1315423911) % 1000003) % tg.sm = 0),
+       |lb AS (SELECT f.vec_id, e.v, sd.sid, ${sqlCos("e.v", "sd.sv")} AS cos
+       |  FROM fl f JOIN e USING (vec_id) CROSS JOIN sd),
+       |la AS (SELECT vec_id, v, sid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, sid) AS rn FROM lb) WHERE rn = 1),
+       |cells AS (SELECT sid, CAST(i AS INT) AS pos,
+       |    round(avg(v[i+1]), 6) AS c
+       |  FROM la, generate_series(0, ${Dim - 1}) g(i) GROUP BY sid, i),
+       |na AS (SELECT sid + $RetrainAnchorBase AS anchor_id,
+       |    list(c ORDER BY pos) AS av FROM cells GROUP BY sid),
+       |np AS (SELECT e.vec_id, na.anchor_id,
+       |    round(${sqlCos("e.v", "na.av")}, 6) AS acos
+       |  FROM e CROSS JOIN na),
+       |uni AS (SELECT vec_id, anchor_id, acos FROM ac
+       |  UNION ALL SELECT vec_id, anchor_id, acos FROM np),
+       |fin AS (SELECT vec_id, anchor_id, acos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY acos DESC, anchor_id) AS rn FROM uni) WHERE rn = 1)""".stripMargin
+
   private def sqlCos(a: String, b: String): String =
     s"""list_sum(list_transform(range($Dim), i -> $a[i+1] * $b[i+1])) /
        |  (sqrt(list_sum(list_transform(range($Dim), i -> $a[i+1] * $a[i+1]))) *
@@ -1803,6 +1963,23 @@ object Similarity {
     // row-for-row, so it shares this oracle VERBATIM.
     "q_semantic_outliers" -> semanticOutliersOracle,
     "q_stream_outliers" -> semanticOutliersOracle,
+    "q_ivf_retrain" ->
+      s"""WITH $sqlRetrainCtes
+         |SELECT vec_id, anchor_id, acos AS cos,
+         |  anchor_id >= $RetrainAnchorBase AS reassigned
+         |FROM fin ORDER BY vec_id""".stripMargin,
+    // The updated store replayed from scratch: probed postings minus
+    // moved vectors, plus each moved vector's single new-anchor row.
+    "q_stream_ivf_retrain" ->
+      s"""WITH $sqlRetrainCtes,
+         |mv AS (SELECT vec_id, anchor_id FROM fin
+         |  WHERE anchor_id >= $RetrainAnchorBase),
+         |keep AS (SELECT vec_id, anchor_id FROM probed
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM mv)),
+         |upd AS (SELECT * FROM keep UNION ALL SELECT * FROM mv)
+         |SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  bit_xor(vec_id) AS member_xor
+         |FROM upd GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
     // Full SQL replay of the deterministic IVF pipeline (two-level
     // quantizer, multi-probe 2, bucket self-join, rn=1 re-rank) plus
     // the exact brute force — recall is therefore hash-checked.

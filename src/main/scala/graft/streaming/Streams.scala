@@ -1029,6 +1029,38 @@ object Streams {
       .orderBy(col("anchor_id"))
   }
 
+  /** EXECUTE the re-train response on the streaming index store:
+    * [[ivfIngest]] drains the postings store, then the coverage audit
+    * + one-round re-train ([[graft.ops.Similarity.retrainMerged]] —
+    * the SAME frames the batch q_ivf_retrain hash-gates) rewrite the
+    * store IN PLACE: every moved vector's posting rows are replaced by
+    * its single new-anchor posting, written as the next store
+    * generation `postings_r1` (a re-run overwrites its own generation
+    * — the versioned-state retry discipline; readers take the highest
+    * generation). Returns the per-anchor census of the UPDATED store;
+    * the oracle replays probed − moved + new from scratch. At scale
+    * the rewrite touches only the moved vectors' rows — the anti-join
+    * rides the store scan, the moved list is the bounded re-train
+    * output.
+    */
+  def ivfRetrainIngest(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = {
+    import graft.ops.Similarity
+    ivfIngest(spark, dir, workDir)
+    val store = spark.read.schema("vec_id BIGINT, anchor_id BIGINT")
+      .parquet(s"$workDir/postings_b*")
+    val moved = Similarity.retrainMerged(spark, dir)
+      .where(col("reassigned")).select(col("vec_id"), col("anchor_id"))
+    store.join(moved.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(moved)
+      .write.mode("overwrite").parquet(s"$workDir/postings_r1")
+    spark.read.parquet(s"$workDir/postings_r1")
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("member_xor"))
+      .orderBy(col("anchor_id"))
+  }
+
   /** Streaming coverage-audit guard — the foreachBatch deployment of
     * q_semantic_outliers: the quantizer and the √n anchor table are
     * fixed before the stream starts (trained offline, broadcast);

@@ -1535,6 +1535,39 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(4), "degenerate single-source partition must yield NULL")
   }
 
+  test("ivf retrain: fires on the fixture, strictly improves moved coverage") {
+    import graft.ops.Similarity
+    val dir = "/root/testdata/sf0.001"
+    graft.functions.CosineSim.register(spark)
+    val scoredRows = Similarity.queries("q_semantic_outliers")(spark, dir)
+      .collect()
+    val nOut = scoredRows.count(_.getBoolean(3)).toLong
+    val n = scoredRows.length.toLong
+    assert(nOut * 100 >= Similarity.RetrainPct * n,
+      "fixture premise: the re-train trigger must fire")
+    val stored = scoredRows
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val merged = Similarity.queries("q_ivf_retrain")(spark, dir).collect()
+    assert(merged.length == n)
+    val moved = merged.filter(_.getBoolean(3))
+    assert(moved.nonEmpty, "the response must actually move vectors")
+    for (r <- merged) {
+      val (sAnchor, sCos) = stored(r.getLong(0))
+      if (r.getBoolean(3)) {
+        // a move is strictly better and lands on an A' anchor id
+        assert(r.getLong(1) >= Similarity.RetrainAnchorBase)
+        assert(r.getDouble(2) > sCos)
+      } else {
+        // a non-move is exactly the stored assignment
+        assert(r.getLong(1) == sAnchor && r.getDouble(2) == sCos)
+      }
+    }
+    // coverage only improves: post-state outlier count can only drop
+    val outAfter = merged.count(_.getDouble(2) < Similarity.OutlierCos)
+    assert(outAfter <= nOut)
+    assert(outAfter < nOut, "some flagged vector must now be covered")
+  }
+
   test("chat pack: closed-form mask spans on a crafted 40-token corpus") {
     // 40 tokens = 3 turns of 16/16/8: [system 16][user 16][assistant 8]
     // — per doc exactly 8 trainable tokens; 3 docs fit one 1024 chunk

@@ -394,6 +394,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$root/work/hash_index").distinct().count() == 3)
   }
 
+  test("ivf retrain: the store update replaces exactly the moved vectors' rows") {
+    import graft.ops.Similarity
+    graft.functions.CosineSim.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    Streams.ivfRetrainIngest(spark, dir, work)
+    val before = spark.read.parquet(s"$work/postings_b*")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = spark.read.parquet(s"$work/postings_r1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val moved = Similarity.queries("q_ivf_retrain")(spark, dir).collect()
+      .filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(moved.nonEmpty, "fixture premise: the response must move vectors")
+    val movedIds = moved.map(_._1)
+    // moved vectors: all old posting rows gone, exactly the one new row
+    assert(after.filter(p => movedIds(p._1)) == moved)
+    // unmoved vectors: postings byte-identical to the drained store
+    assert(after.filterNot(p => movedIds(p._1)) ==
+      before.filterNot(p => movedIds(p._1)))
+  }
+
   test("foreachBatch ivf ingest: streamed postings == batch assignment row-for-row") {
     graft.functions.CosineSim.register(spark)
     val work = java.nio.file.Files.createTempDirectory("graft_sivf_spec").toString
