@@ -172,7 +172,7 @@ object Bench {
       // round-8: the release-build capstone census, multi-resolution
       // span dedup, SFT chat packing
       "q_corpus_release", "q_span_dedup_multi", "q_chat_pack",
-      "q_ivf_retrain", "q_stream_ivf_retrain")
+      "q_ivf_retrain", "q_stream_ivf_retrain", "q_sink_roundtrip")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

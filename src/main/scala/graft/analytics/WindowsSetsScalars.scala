@@ -218,6 +218,29 @@ object WindowsSetsScalars {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // DSv2 WRITE parity through the ORACLE gate: orders round-trip
+    // through the graftsink connector (task files invisible until the
+    // atomic manifest commit — graft.sources.GraftSink; the
+    // commit/abort/orphan semantics themselves are executed in
+    // SourcesSpec) and aggregate — so any encode/decode or
+    // manifest-visibility lossiness in the V2 write path
+    // hash-mismatches against the parquet-derived oracle.
+    "q_sink_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .write.format("graftsink").option("path", tmp)
+        .mode("overwrite").save()
+      s.read.format("graftsink").load(tmp)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          min(col("id")).as("lo_id"), max(col("id")).as("hi_id"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // P3 triad: missing key → default 0; unparseable → row dropped
     // (Spark cast yields null under non-ANSI; oracle uses TRY_CAST).
     "q_cast_default" -> ((s, dir) => {
@@ -329,6 +352,16 @@ object WindowsSetsScalars {
         |  SELECT event_id,
         |    TRY_CAST(coalesce(json_extract_string(props, '$.k'), '0') AS INT) AS k
         |  FROM events)
-        |WHERE k IS NOT NULL ORDER BY event_id LIMIT 2000""".stripMargin
+        |WHERE k IS NOT NULL ORDER BY event_id LIMIT 2000""".stripMargin,
+    // Roundtrip identity for the DSv2 WRITE path: the oracle
+    // aggregates the PARQUET table — the query must get identical
+    // results back out of its graftsink commit cycle.
+    "q_sink_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  min(o_orderkey) AS lo_id, max(o_orderkey) AS hi_id
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

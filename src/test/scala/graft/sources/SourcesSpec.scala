@@ -218,6 +218,73 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graftsink DSv2 write: commit publishes atomically, append accumulates") {
+    val out = java.nio.file.Files.createTempDirectory("gsink").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .where(col("id") <= 100)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    val back = spark.read.format("graftsink").load(out)
+    assert(back.count() == src.count())
+    // content round-trips exactly (schema carried by the manifest DDL)
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+    // append carries the previous manifest's files forward
+    val more = src.withColumn("id", col("id") + 1000000L)
+    more.write.format("graftsink").option("path", out).mode("append").save()
+    assert(spark.read.format("graftsink").load(out).count() == 2 * src.count())
+    // overwrite truncates back to one generation
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    assert(spark.read.format("graftsink").load(out).count() == src.count())
+  }
+
+  test("graftsink DSv2 abort: a mid-write task failure leaves the table untouched") {
+    val out = java.nio.file.Files.createTempDirectory("gsink_abort").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      .where(col("id") <= 100)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    val committed = spark.read.format("graftsink").load(out)
+      .orderBy("id").collect().toSeq
+    // the injected failure (writer throws at id=50) must abort the job:
+    // every succeeded task's file is deleted, the manifest is untouched,
+    // and the visible state is exactly the pre-job commit
+    intercept[Exception] {
+      src.write.format("graftsink").option("path", out)
+        .option("failAtId", "50").mode("append").save()
+    }
+    assert(spark.read.format("graftsink").load(out)
+      .orderBy("id").collect().toSeq == committed,
+      "aborted job must not change the visible table state")
+    // and the aborted attempt's data files are gone from disk
+    val live = GraftSink.readManifest(out).get.files.toSet
+    val onDisk = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".gsink")).toSet
+    assert(onDisk == live, s"orphan files after abort: ${onDisk -- live}")
+  }
+
+  test("graftsink DSv2 exactly-once visibility: orphan files are never read") {
+    val out = java.nio.file.Files.createTempDirectory("gsink_orphan").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      .where(col("id") <= 100)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    val n = spark.read.format("graftsink").load(out).count()
+    // a zombie/speculative task's file lands in the directory AFTER the
+    // commit — manifest-gated readers must not see a single row of it
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      GraftSink.readManifest(out).get.ddl)
+    val orphan = new java.io.File(out, "part-9-999-zombie.gsink")
+    java.nio.file.Files.write(orphan.toPath,
+      "424242\t1.0".getBytes("UTF-8"))
+    assert(schema.length == 2) // premise: the orphan line parses
+    assert(spark.read.format("graftsink").load(out).count() == n,
+      "an uncommitted file must be invisible")
+    assert(!spark.read.format("graftsink").load(out)
+      .where(col("id") === 424242L).collect().nonEmpty)
+  }
+
   test("explicit bloom prefilter probes via the native codegen expression, not a udf") {
     // q_bloom_prefilter's probe must be Spark's BloomFilterMightContain
     // (whole-stage-codegen'd mightContainLong against the serialized
