@@ -190,7 +190,8 @@ object Bench {
       "q_prep_pipeline", "q_kcore", "q_lsh_recall",
       "q_dedup_aware_split", "q_leakage_guard", "q_crossmodal_dedup",
       "q_dup_rate_by_source", "q_simhash_recall", "q_dedup_apply",
-      "q_softdedup", "q_dup_assortativity", "q_dedup_funnel")
+      "q_softdedup", "q_dup_assortativity", "q_dedup_funnel",
+      "q_corpus_release")
     // Consumers of the materialized postings layer BELOW the pair list
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
@@ -273,9 +274,35 @@ object Bench {
         System.err.println(f"[bench] shared_phash             $t%9.3f s")
         Seq("shared_phash" -> t)
       } else Seq.empty
+    // the DSIR log-weight table: one bigram explode + LM fit shared by
+    // the score surface, the apply census, and the release capstone
+    val dsirFamily = Set("q_dsir", "q_dsir_apply", "q_corpus_release")
+    val sharedDsir: Seq[(String, Double)] =
+      if (names.exists(dsirFamily.contains)) {
+        val t = timed("shared_dsir_logw") {
+          graft.ops.TextAnalysis.dsirLogw(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_dsir_logw         $t%9.3f s")
+        Seq("shared_dsir_logw" -> t)
+      } else Seq.empty
+    // the SemDeDup cluster assignment: one n·K centroid pass shared by
+    // q_semdedup's self-join sides, the funnel's semantic stage, and
+    // the release capstone
+    val semFamily = Set("q_semdedup", "q_dedup_funnel", "q_corpus_release")
+    val sharedSem: Seq[(String, Double)] =
+      if (names.exists(semFamily.contains)) {
+        val t = timed("shared_semdedup") {
+          graft.functions.CosineSim.register(spark)
+          graft.ops.Similarity.sharedSemdedupAssigned(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_semdedup          $t%9.3f s")
+        Seq("shared_semdedup" -> t)
+      } else Seq.empty
     val shared: Seq[(String, Double)] =
       sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
-        sharedPhash ++ (
+        sharedPhash ++ sharedDsir ++ sharedSem ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

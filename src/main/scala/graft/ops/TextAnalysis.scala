@@ -489,7 +489,15 @@ object TextAnalysis {
     * broadcast join). Shared by the q_dsir score surface and the
     * executable selection (q_dsir_apply / [[dsirApply]]).
     */
-  private[graft] def dsirLogw(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dsirLogw(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"dsir_logw_$dir") { dsirLogwBuild(s, dir) }
+  // ^ session-shared materialized intermediate (round 8): the log
+  //   weights feed q_dsir, the q_dsir_apply census, the physical
+  //   dsirApply write, and the corpus-release capstone — before this
+  //   each consumer re-ran the bigram explode + LM fit. Billed as
+  //   shared_dsir_logw in Bench.
+
+  private def dsirLogwBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val ft = docBigrams(docs)
       .select(col("doc_id"),
