@@ -239,7 +239,8 @@ object Bench {
     val ivfFamily = Set("q_sim_ann", "q_ann_recall", "q_dedup_embedding_ivf",
       "q_ivf_pq_search", "q_label_propagation", "q_bitext_mine",
       "q_contrastive_pairs", "q_knn_graph", "q_semantic_outliers",
-      "q_cluster_balance", "q_embedding_drift")
+      "q_cluster_balance", "q_embedding_drift",
+      "q_ivf_retrain", "q_stream_ivf_retrain")
     val sharedIvf: Seq[(String, Double)] =
       if (names.exists(ivfFamily.contains)) {
         val t = timed("shared_ivf_probed") {

@@ -1466,17 +1466,18 @@ object Dedup {
       val attributed = covs.reduce(_.unionByName(_))
         .groupBy(col("doc_id"), col("tpos"))
         .agg(max(col("w")).as("w"))
+      // per-W columns generated from SpanWs exactly like the oracle's
+      // — one constant owns the resolutions on both engines
+      val covAggs = SpanWs.map(w =>
+        sum(when(col("w") === w, 1L).otherwise(0L)).as(s"cov_w$w"))
       val perDoc = attributed.groupBy(col("doc_id"))
-        .agg(sum(when(col("w") === 8, 1L).otherwise(0L)).as("cov_w8"),
-          sum(when(col("w") === 16, 1L).otherwise(0L)).as("cov_w16"),
-          sum(when(col("w") === 32, 1L).otherwise(0L)).as("cov_w32"),
-          count(lit(1)).as("n_covered"))
+        .agg(covAggs.head,
+          (covAggs.tail :+ count(lit(1)).as("n_covered")): _*)
+      val covOut = SpanWs.map(w =>
+        coalesce(col(s"cov_w$w"), lit(0L)).as(s"cov_w$w"))
       sizes.join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("cov_w8"), lit(0L)).as("cov_w8"),
-          coalesce(col("cov_w16"), lit(0L)).as("cov_w16"),
-          coalesce(col("cov_w32"), lit(0L)).as("cov_w32"),
-          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .select((Seq(col("doc_id"), col("n_tokens")) ++ covOut :+
+          coalesce(col("n_covered"), lit(0L)).as("n_covered")): _*)
         .withColumn("dup_ratio",
           when(col("n_tokens") > 0,
             round(col("n_covered").cast("double") / col("n_tokens"), 6))
@@ -2162,6 +2163,8 @@ object Dedup {
       val covCols = SpanWs.map(w =>
         s"CAST(sum(CASE WHEN w = $w THEN 1 ELSE 0 END) AS BIGINT) AS cov_w$w")
         .mkString(",\n  ")
+      val covSel = SpanWs.map(w => s"coalesce(cov_w$w, 0) AS cov_w$w")
+        .mkString(",\n  ")
       s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
          |sz AS (SELECT doc_id, CAST(len(a) AS INT) AS n_tokens FROM tk),
          |$perW,
@@ -2172,9 +2175,7 @@ object Dedup {
          |  CAST(count(*) AS BIGINT) AS n_covered
          |  FROM cu GROUP BY doc_id)
          |SELECT sz.doc_id, n_tokens,
-         |  coalesce(cov_w8, 0) AS cov_w8,
-         |  coalesce(cov_w16, 0) AS cov_w16,
-         |  coalesce(cov_w32, 0) AS cov_w32,
+         |  $covSel,
          |  coalesce(n_covered, 0) AS n_covered,
          |  CASE WHEN n_tokens > 0
          |    THEN round(CAST(coalesce(n_covered, 0) AS DOUBLE) / n_tokens, 6)

@@ -532,18 +532,23 @@ object Prep {
     */
   def corpusReleaseApply(s: SparkSession, dir: String, outDir: String): Unit = {
     // cache: the kept-id list (bounded: ids only) feeds BOTH table
-    // writes — without it each write re-runs the whole signal chain
+    // writes — without it each write re-runs the whole signal chain;
+    // unpersisted after the writes so repeated applies in a long
+    // session don't pin executor storage
     val keep = releaseFlags(s, dir).where(releaseKeep)
       .select(col("doc_id")).cache()
-    Tables(s, dir, "documents")
-      .join(keep, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    // the release ships its ALIGNED embeddings (vec_id ↔ doc_id), so
-    // downstream consumers — including a census re-run on the release
-    // itself — see a consistent corpus, not dangling vectors
-    Tables(s, dir, "embeddings")
-      .join(keep.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    try {
+      Tables(s, dir, "documents")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      // the release ships its ALIGNED embeddings (vec_id ↔ doc_id), so
+      // downstream consumers — including a census re-run on the release
+      // itself — see a consistent corpus, not dangling vectors
+      Tables(s, dir, "embeddings")
+        .join(keep.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    } finally { keep.unpersist(); () }
   }
 
   /** k-anonymity threshold: QI groups below this size are "at risk". */

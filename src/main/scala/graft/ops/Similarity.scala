@@ -186,9 +186,9 @@ object Similarity {
     * the Lloyd round is n_out·√n_out broadcast cosines + one cell
     * aggregate — the flagged slice only, never the corpus.
     */
-  private[graft] def retrainAnchors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def retrainAnchors(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
     CosineSim.register(s)
-    val scored = outlierScore(ivfProbed(s, dir), anchorTable(s, dir))
     val stats = scored.agg(count(lit(1)).as("n"),
         sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_out"))
       .where(col("n_out") * lit(100L) >= lit(RetrainPct.toLong) * col("n"))
@@ -232,9 +232,13 @@ object Similarity {
     * form disagrees with.
     */
   private[graft] def retrainMerged(s: SparkSession, dir: String): DataFrame = {
-    val scored = outlierScore(ivfProbed(s, dir), anchorTable(s, dir))
+    // ONE scored pass feeds both the trigger/flag set (retrainAnchors)
+    // and the merge base — the rank-1 window over the n·NProbe probed
+    // table is the operator's dominant input (lazy cache: n rows of
+    // ids+doubles; builders stay plan-only cheap)
+    val scored = outlierScore(ivfProbed(s, dir), anchorTable(s, dir)).cache()
     val newBest = embeddings(s, dir)
-      .crossJoin(broadcast(retrainAnchors(s, dir)))
+      .crossJoin(broadcast(retrainAnchors(s, dir, scored)))
       .select(col("vec_id"), col("anchor_id"),
         round(cosine("v", "av"), 6).as("ncos"))
       .groupBy(col("vec_id"))

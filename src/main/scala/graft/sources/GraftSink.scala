@@ -175,9 +175,19 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.map(_.asInstanceOf[GraftSinkCommit].file).toSeq
+    val prevManifest = GraftSink.readManifest(path)
+    // append must not silently re-type the carried-forward generation:
+    // decode is positional, so a different column order/type in the
+    // appended frame would parse OLD files under the NEW DDL
+    if (!truncate)
+      prevManifest.foreach { m =>
+        require(m.ddl == schema.toDDL,
+          s"graftsink append schema mismatch: table has [${m.ddl}], " +
+            s"write has [${schema.toDDL}]")
+      }
     val prev =
       if (truncate) Seq.empty
-      else GraftSink.readManifest(path).map(_.files).getOrElse(Seq.empty)
+      else prevManifest.map(_.files).getOrElse(Seq.empty)
     // truncate drops the superseded generation's files AFTER the new
     // manifest is live (publish first, clean second — a crash between
     // the two leaks garbage files, never wrong rows)
@@ -216,7 +226,11 @@ class GraftSinkWriter(path: String, schema: StructType,
     s"part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.gsink"
   private val file = { new java.io.File(path).mkdirs()
     new java.io.File(path, fileName) }
-  private val out = new java.io.PrintWriter(
+  // BufferedWriter, NOT PrintWriter: PrintWriter swallows IOExceptions
+  // (checkError polling), so a disk-full mid-task would let commit()
+  // publish a silently truncated file into the manifest — the write
+  // path must THROW so the task aborts and the file never commits
+  private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(
       new java.io.FileOutputStream(file), "UTF-8"))
   private var rows = 0L
@@ -230,11 +244,14 @@ class GraftSinkWriter(path: String, schema: StructType,
       if (idIdx >= 0 && !record.isNullAt(idIdx) && record.getLong(idIdx) == k)
         throw new RuntimeException(s"graftsink: injected failure at id=$k")
     }
-    out.println(GraftSink.encode(record, schema))
+    out.write(GraftSink.encode(record, schema))
+    out.newLine()
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
+    // flush + close throw on failure — a file that cannot be fully
+    // persisted must fail the task, not enter the manifest
     out.close()
     GraftSinkCommit(fileName, rows)
   }

@@ -239,6 +239,29 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.format("graftsink").load(out).count() == src.count())
   }
 
+  test("graftsink DSv2 append: a mismatched schema is rejected, table untouched") {
+    // decode is positional — appending a re-ordered/re-typed frame
+    // would silently re-type the carried-forward generation, so the
+    // commit must fail loudly and the abort must clean its files
+    val out = java.nio.file.Files.createTempDirectory("gsink_schema").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      .where(col("id") <= 50)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    val committed = spark.read.format("graftsink").load(out)
+      .orderBy("id").collect().toSeq
+    intercept[Exception] {
+      src.select(col("o_totalprice"), col("id")) // re-ordered columns
+        .write.format("graftsink").option("path", out).mode("append").save()
+    }
+    assert(spark.read.format("graftsink").load(out)
+      .orderBy("id").collect().toSeq == committed)
+    val live = GraftSink.readManifest(out).get.files.toSet
+    val onDisk = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".gsink")).toSet
+    assert(onDisk == live, "rejected append must leave no orphan files")
+  }
+
   test("graftsink DSv2 abort: a mid-write task failure leaves the table untouched") {
     val out = java.nio.file.Files.createTempDirectory("gsink_abort").toString
     val src = graft.Tables(spark, dir, "orders")
