@@ -301,9 +301,34 @@ object Bench {
         System.err.println(f"[bench] shared_semdedup          $t%9.3f s")
         Seq("shared_semdedup" -> t)
       } else Seq.empty
+    // the banded MinHash est-pair table (the sketch index output):
+    // one signature + band self-join + estimate pass shared by the
+    // candidate query and both quality audits
+    val mhFamily = Set("q_dedup_minhash", "q_minhash_error", "q_lsh_recall")
+    val sharedMh: Seq[(String, Double)] =
+      if (names.exists(mhFamily.contains)) {
+        val t = timed("shared_minhash_pairs") {
+          graft.ops.Dedup.sharedMinhashEstPairs(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_minhash_pairs     $t%9.3f s")
+        Seq("shared_minhash_pairs" -> t)
+      } else Seq.empty
+    // the capped SimHash band table shared by the pair query and its
+    // recall audit
+    val shFamily = Set("q_dedup_simhash", "q_simhash_recall")
+    val sharedSh: Seq[(String, Double)] =
+      if (names.exists(shFamily.contains)) {
+        val t = timed("shared_simhash_bands") {
+          graft.ops.Dedup.simhashLiveBands(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_simhash_bands     $t%9.3f s")
+        Seq("shared_simhash_bands" -> t)
+      } else Seq.empty
     val shared: Seq[(String, Double)] =
       sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
-        sharedPhash ++ sharedDsir ++ sharedSem ++ (
+        sharedPhash ++ sharedDsir ++ sharedSem ++ sharedMh ++ sharedSh ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

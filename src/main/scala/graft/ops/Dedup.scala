@@ -375,16 +375,56 @@ object Dedup {
     * q_simhash_recall (cap applied to BOTH join sides before the
     * product, the phashPairs shape).
     */
-  private def simhashLiveBands(s: SparkSession, dir: String): DataFrame = {
-    val bt = simhashBandTable(s, dir)
-    // broadcast the BOUNDED saturated complement (≤ n·4/cap buckets by
-    // construction) as a map-side anti join — the keep-list inner join
-    // shuffled the band table a second time (the minhash cap lesson)
-    val saturated = bt.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("c"))
-      .where(col("c") > SimhashBandCap)
-      .select(col("band"), col("key"))
-    bt.join(broadcast(saturated), Seq("band", "key"), "left_anti")
+  private[graft] def simhashLiveBands(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"simhash_livebands_$dir") {
+      val bt = simhashBandTable(s, dir)
+      // broadcast the BOUNDED saturated complement (≤ n·4/cap buckets by
+      // construction) as a map-side anti join — the keep-list inner join
+      // shuffled the band table a second time (the minhash cap lesson)
+      val saturated = bt.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") > SimhashBandCap)
+        .select(col("band"), col("key"))
+      bt.join(broadcast(saturated), Seq("band", "key"), "left_anti")
+    }
+  // ^ session-shared materialized intermediate (round 8): the capped
+  //   band table feeds q_dedup_simhash AND q_simhash_recall — each
+  //   re-ran the tokenize + 60-bit fold + band explode + stop-band
+  //   census. Billed as shared_simhash_bands in Bench.
+
+  /** The banded MinHash candidate pairs WITH estimates — q_dedup_minhash's
+    * body, session-materialized (round 8): q_minhash_error and
+    * q_lsh_recall each re-ran the signature build + band self-join +
+    * estimate joins by invoking the query builder. The est-pair table
+    * IS the sketch index's output, so materializing it is what a
+    * production store does anyway. Billed as shared_minhash_pairs.
+    */
+  private[graft] def sharedMinhashEstPairs(s: SparkSession,
+      dir: String): DataFrame = Scratch.materialize(s, s"minhash_pairs_$dir") {
+    // per-doc minima are invariant to the postings dedup, so the
+    // shared materialized postings replace the raw shingle pass
+    val hm = sharedShinglePostings(s, dir)
+      .select(col("doc_id"), (col("h") % P).as("hm"))
+    val mhAggs = (0 until K).map(i =>
+      min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
+    // One pass builds the signature table; cache it — it is consumed
+    // three times within this build (band generation + both sides of
+    // the estimate join) and would otherwise recompute per use.
+    val vec = hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
+      .cache()
+    val bands = minhashLiveBands(minhashBands(vec))
+    val cand = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
+        Seq("band", "sig"))
+      .where(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    cand
+      .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
+      .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        minhashEst(col("v1"), col("v2")).as("est_sim"))
   }
 
   /** THE contaminated-doc set (train docs sharing ≥ 1 shingle hash
@@ -869,43 +909,11 @@ object Dedup {
         .select(col("r.*")).orderBy(col("stage"))
     }),
 
-    // MinHash + LSH near-dup candidates with estimated similarity.
-    "q_dedup_minhash" -> ((s, dir) => {
-      // per-doc minima are invariant to the postings dedup, so the
-      // shared materialized postings replace the raw shingle pass
-      val hm = sharedShinglePostings(s, dir)
-        .select(col("doc_id"), (col("h") % P).as("hm"))
-      val mhAggs = (0 until K).map(i =>
-        min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
-      // One pass builds the signature table; cache it — it is consumed
-      // three times (band generation + both sides of the estimate
-      // join) and would otherwise recompute the whole shingle+hash
-      // pipeline each time (measured 3× the query cost). K longs per
-      // doc ⇒ tiny (~0.3 KB/doc).
-      // Cached but NOT force-materialized: builders must stay
-      // plan-only cheap (Explain/lint tooling constructs every query).
-      // The r3 23.6 s cache race (band self-join sides racing an
-      // unpopulated cache, each recomputing the shingle pipeline) is
-      // gone structurally — vec now derives from the materialized
-      // postings PARQUET, so a racy recompute re-reads a small file
-      // instead of re-tokenizing the corpus (≤1 s at sf0.1, measured).
-      val vec = hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until K).map(i => col(s"mh_$i")): _*).as("v"))
-        .cache()
-      val bands = minhashLiveBands(minhashBands(vec))
-      val cand = bands.select(col("band"), col("sig"), col("doc_id").as("doc1"))
-        .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc2")),
-          Seq("band", "sig"))
-        .where(col("doc1") < col("doc2"))
-        .select("doc1", "doc2").distinct()
-      cand
-        .join(vec.select(col("doc_id").as("doc1"), col("v").as("v1")), Seq("doc1"))
-        .join(vec.select(col("doc_id").as("doc2"), col("v").as("v2")), Seq("doc2"))
-        .select(col("doc1"), col("doc2"),
-          minhashEst(col("v1"), col("v2")).as("est_sim"))
-        .orderBy(col("doc1"), col("doc2"))
-    }),
+    // MinHash + LSH near-dup candidates with estimated similarity —
+    // the session-materialized est-pair table ([[sharedMinhashEstPairs]])
+    // plus the presentation sort.
+    "q_dedup_minhash" -> ((s, dir) =>
+      sharedMinhashEstPairs(s, dir).orderBy(col("doc1"), col("doc2"))),
 
     // SimHash: 60-bit signature, banded self-join, hamming ≤ 3.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -1039,7 +1047,7 @@ object Dedup {
     // The mean goes through a decimal sum so it is aggregation-order
     // independent.
     "q_minhash_error" -> ((s, dir) => {
-      val est = queries("q_dedup_minhash")(s, dir)
+      val est = sharedMinhashEstPairs(s, dir)
       val sh = sharedShinglePostings(s, dir).cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       est.select(col("doc1"), col("doc2"), col("est_sim"))
@@ -1126,7 +1134,7 @@ object Dedup {
     // on 8-byte pair keys; never the corpus).
     "q_lsh_recall" -> ((s, dir) => {
       val exact = sharedJaccardPairs(s, dir, 0.6).select(col("doc1"), col("doc2"))
-      val cand = queries("q_dedup_minhash")(s, dir).select(col("doc1"), col("doc2"))
+      val cand = sharedMinhashEstPairs(s, dir).select(col("doc1"), col("doc2"))
       val hits = exact.join(cand, Seq("doc1", "doc2"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
