@@ -78,6 +78,12 @@ object Streams {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, StatePartitions.toString)
+    // NOTE (round 8, measured): scoping AQE OFF here was tried and
+    // REVERTED — the near-zero-work twins moved within noise while
+    // q_stream_crossmodal regressed 7.6 → 11.5 s (its per-batch
+    // shuffles rely on AQE partition coalescing). The drain-machinery
+    // floor (~1.8 s/twin) is query start/stop + per-batch commit-log
+    // and job-scheduling cost, not re-planning.
     try body finally spark.conf.set(key, prev)
   }
 
