@@ -394,6 +394,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(s"$root/work/hash_index").distinct().count() == 3)
   }
 
+  test("staged-shard cache: twins sharing a source symlink one staged directory") {
+    // two documents-family twins in one session must resolve their
+    // workDir/stream to the SAME shared staged directory (the round-8
+    // amortization), while their checkpoints stay private
+    val w1 = java.nio.file.Files.createTempDirectory("stage_a").toString
+    val w2 = java.nio.file.Files.createTempDirectory("stage_b").toString
+    Streams.watermarkIngest(spark, dir, w1)
+    Streams.doremiIngest(spark, dir, w2)
+    val l1 = java.nio.file.Paths.get(w1, "stream")
+    val l2 = java.nio.file.Paths.get(w2, "stream")
+    assert(java.nio.file.Files.isSymbolicLink(l1))
+    assert(java.nio.file.Files.isSymbolicLink(l2))
+    assert(java.nio.file.Files.readSymbolicLink(l1) ==
+      java.nio.file.Files.readSymbolicLink(l2),
+      "both twins must ride the one staged shard set")
+    // and the shared files exist exactly once, with the staged naming
+    val files = java.nio.file.Files.list(l1).iterator()
+    var n = 0
+    while (files.hasNext) { files.next(); n += 1 }
+    assert(n == 3, "three staged shards")
+    // private checkpoints: each twin drained through its own
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(w1, "ckpt")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(w2, "ckpt")))
+  }
+
   test("ivf retrain: the store update replaces exactly the moved vectors' rows") {
     import graft.ops.Similarity
     graft.functions.CosineSim.register(spark)
