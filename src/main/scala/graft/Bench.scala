@@ -172,7 +172,8 @@ object Bench {
       // round-8: the release-build capstone census, multi-resolution
       // span dedup, SFT chat packing
       "q_corpus_release", "q_span_dedup_multi", "q_chat_pack",
-      "q_ivf_retrain", "q_stream_ivf_retrain", "q_sink_roundtrip")
+      "q_ivf_retrain", "q_stream_ivf_retrain", "q_sink_roundtrip",
+      "q_release_delta")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -196,7 +197,7 @@ object Bench {
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
       "q_minhash_error", "q_containment", "q_contamination",
-      "q_ngram_novelty")
+      "q_ngram_novelty", "q_lsh_recall", "q_release_delta")
     val sharedPostings: Seq[(String, Double)] =
       if (names.exists(postingsFamily.contains)) {
         val t = timed("shared_shingle_postings") {
@@ -304,7 +305,8 @@ object Bench {
     // the banded MinHash est-pair table (the sketch index output):
     // one signature + band self-join + estimate pass shared by the
     // candidate query and both quality audits
-    val mhFamily = Set("q_dedup_minhash", "q_minhash_error", "q_lsh_recall")
+    val mhFamily = Set("q_dedup_minhash", "q_minhash_error", "q_lsh_recall",
+      "q_release_delta")
     val sharedMh: Seq[(String, Double)] =
       if (names.exists(mhFamily.contains)) {
         val t = timed("shared_minhash_pairs") {

@@ -1512,7 +1512,7 @@ object Dedup {
     * q_stream_minhash) so a cap change cannot silently drift a
     * subset of them.
     */
-  private def sqlMinhashCandCtes: String = {
+  private[ops] def sqlMinhashCandCtes: String = {
     val mhCols = (0 until K).map(i =>
       s"min((${aCoef(i)}*hm+${bCoef(i)}) % $P) AS mh_$i").mkString(",\n  ")
     val bands = (0 until Bands).map(b =>
@@ -1532,7 +1532,7 @@ object Dedup {
   }
 
   /** The K-term signature-match estimate expression over `mh x`/`mh y`. */
-  private def sqlMinhashEst: String = (0 until K).map(i =>
+  private[ops] def sqlMinhashEst: String = (0 until K).map(i =>
     s"CASE WHEN x.mh_$i = y.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
 
   private def minhashOracle: String =

@@ -404,6 +404,93 @@ object Prep {
         relOut(11).as("rel_out"), col("ck_11").as("kept_checksum"))
       a.select(explode(array(rows: _*)).as("r"))
         .select(col("r.*")).orderBy(col("stage"))
+    }),
+
+    // The INCREMENTAL release extension — what q_corpus_release
+    // becomes after the initial build, because a 100 TB release is
+    // never rebuilt from scratch: a new crawl batch (the doc_id ≡ 0
+    // mod 4 slice, the q_dedup_incremental snapshot convention; v1 =
+    // the rest) is ADMITTED doc-by-doc against v1's standing stores
+    // plus its own batch-local signals. Stages, first-signal order:
+    // governance (forget / eval holdout — map-only mods), quality
+    // (Gopher conjunction) and language (the q_prep_pipeline keep),
+    // exact-vs-store (16-byte content key probed against v1's hash
+    // index — the store holds EVERYTHING v1 ever saw, kept or
+    // dropped, the minhashDedupIngest store rule), exact-in-batch
+    // (min-id keeper), and near-vs-store (banded MinHash est ≥
+    // StreamDupThreshold against any v1 doc or any smaller-id batch
+    // doc — the q_stream_minhash arrival-order predicate with v1 as
+    // the pre-existing store; rides the SESSION-MATERIALIZED
+    // [[Dedup.sharedMinhashEstPairs]], whose band cap is the v1 ∪
+    // batch occupancy, exactly the stream's arrival-time census).
+    // Deliberately NOT in the delta: semantic dedup and DSIR
+    // selection — both are corpus-GLOBAL (re-clustering / re-fitting
+    // on v1 ∪ batch can reverse v1 decisions), so they belong to the
+    // periodic q_corpus_release REBUILD, not the per-batch extension.
+    // Output: per-source batch census with first-signal drop counts,
+    // admitted count, and the bit_xor receipt over admitted content
+    // keys (the release family's receipt discipline). Scale shape:
+    // two 16-byte-key probes, one banded-pair probe against the
+    // bounded est-pair output, map-only flags, one |sources|-row
+    // fold — the batch, never v1, is the unit of work.
+    "q_release_delta" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 4 === 0)
+      val v1Hash = docs.where(col("doc_id") % 4 =!= 0)
+        .select(md5(col("text")).as("ch")).distinct()
+        .withColumn("v1_hit", lit(1))
+      val keeper = batch.select(md5(col("text")).as("ch"), col("doc_id"))
+        .groupBy(col("ch")).agg(min(col("doc_id")).as("keeper"))
+      val est = Dedup.sharedMinhashEstPairs(s, dir)
+        .where(col("est_sim") >= Dedup.StreamDupThreshold)
+      // a batch doc b is near-blocked by any v1 neighbor (arrived
+      // before b regardless of id) or any SMALLER-id batch neighbor;
+      // pairs are canonical doc1 < doc2, so b appears as doc2 against
+      // all smaller ids and as doc1 against larger (v1-only) ids
+      val nearBlk = est.where(col("doc2") % 4 === 0)
+        .select(col("doc2").as("doc_id"))
+        .unionByName(est.where(col("doc1") % 4 === 0 &&
+          col("doc2") % 4 =!= 0).select(col("doc1").as("doc_id")))
+        .distinct().withColumn("nr_hit", lit(1))
+      val lt = lower(col("text"))
+      val f = TextAnalysis.gopherFlags(Tables.fanout(
+          batch.select(col("doc_id"), col("source"), col("text"))))
+        .withColumn("pred_lang",
+          predLangFromCounts(nMatches(lt, EnPat), nMatches(lt, DePat),
+            nMatches(lt, FrPat), nMatches(lt, EsPat),
+            nMatches(col("text"), ZhPat)))
+        .withColumn("ch", md5(col("text")))
+        .join(v1Hash, Seq("ch"), "left")
+        .join(keeper, Seq("ch"))
+        .join(nearBlk, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"),
+          (col("doc_id") % ForgetMod === 0).as("fg"),
+          (col("doc_id") % 50 === 0).as("ev"),
+          (!col("ok_len") || !col("ok_wordlen") || !col("ok_sym") ||
+            !col("ok_stop")).as("bq"),
+          (col("pred_lang") =!= "en").as("bl"),
+          col("v1_hit").isNotNull.as("xv"),
+          (col("doc_id") =!= col("keeper")).as("xb"),
+          col("nr_hit").isNotNull.as("nr"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val s1 = !col("fg"); val s2 = s1 && !col("ev")
+      val s3 = s2 && !col("bq"); val s4 = s3 && !col("bl")
+      val s5 = s4 && !col("xv"); val s6 = s5 && !col("xb")
+      val adm = s6 && !col("nr")
+      f.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_batch"),
+          cnt(col("fg")).as("d_forget"),
+          cnt(s1 && col("ev")).as("d_eval"),
+          cnt(s2 && col("bq")).as("d_quality"),
+          cnt(s3 && col("bl")).as("d_lang"),
+          cnt(s4 && col("xv")).as("d_exact_v1"),
+          cnt(s5 && col("xb")).as("d_exact_batch"),
+          cnt(s6 && col("nr")).as("d_near"),
+          cnt(adm).as("n_admitted"),
+          call_function("bit_xor",
+            when(adm, col("h")).otherwise(lit(0L))).as("admitted_checksum"))
+        .orderBy(col("source"))
     })
   )
 
@@ -689,8 +776,68 @@ object Prep {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Replay of the delta admission: the full-corpus banded est pairs
+    * (the same [[Dedup.sqlMinhashCandCtes]] chain the minhash oracles
+    * use — its band cap IS the v1 ∪ batch occupancy), the v1 content
+    * index, batch keepers, Gopher/lang flags, then the first-signal
+    * census with generated prefix conjunctions.
+    */
+  private def releaseDeltaOracle: String = {
+    val sigs = Seq("fg", "ev", "bq", "bl", "xv", "xb", "nr")
+    val names = Seq("d_forget", "d_eval", "d_quality", "d_lang",
+      "d_exact_v1", "d_exact_batch", "d_near")
+    def pref(i: Int): String =
+      if (i == 0) "TRUE"
+      else sigs.take(i).map(s => s"NOT ($s)").mkString(" AND ")
+    val dCols = sigs.zipWithIndex.map { case (sg, i) =>
+      s"CAST(sum(CASE WHEN ${pref(i)} AND ($sg) THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS ${names(i)}" }.mkString(",\n  ")
+    val admCond = pref(sigs.length)
+    s"""WITH ${graft.ops.Dedup.sqlMinhashCandCtes},
+       |es AS (SELECT doc1, doc2,
+       |    (${graft.ops.Dedup.sqlMinhashEst}) / 32.0 AS est_sim
+       |  FROM cand JOIN mh x ON doc1 = x.doc_id JOIN mh y ON doc2 = y.doc_id),
+       |nb AS (SELECT DISTINCT b FROM (
+       |  SELECT doc2 AS b FROM es
+       |    WHERE doc2 % 4 = 0 AND est_sim >= ${Dedup.StreamDupThreshold}
+       |  UNION ALL
+       |  SELECT doc1 FROM es
+       |    WHERE doc1 % 4 = 0 AND doc2 % 4 <> 0
+       |      AND est_sim >= ${Dedup.StreamDupThreshold})),
+       |v1h AS (SELECT DISTINCT md5(text) AS ch FROM documents
+       |  WHERE doc_id % 4 <> 0),
+       |bt AS (SELECT doc_id, source, md5(text) AS ch FROM documents
+       |  WHERE doc_id % 4 = 0),
+       |kp AS (SELECT ch, min(doc_id) AS keeper FROM bt GROUP BY ch),
+       |$sqlGopherFlags,
+       |lng AS (SELECT doc_id, $sqlLangCase AS pred_lang FROM documents),
+       |fl AS (SELECT bt.doc_id, bt.source,
+       |    ${sqlH60("'d:' || CAST(bt.doc_id AS VARCHAR)")} AS h,
+       |    bt.doc_id % $ForgetMod = 0 AS fg,
+       |    bt.doc_id % 50 = 0 AS ev,
+       |    NOT (gf.ok_len AND gf.ok_wordlen AND gf.ok_sym AND gf.ok_stop)
+       |      AS bq,
+       |    lng.pred_lang <> 'en' AS bl,
+       |    v1h.ch IS NOT NULL AS xv,
+       |    bt.doc_id <> kp.keeper AS xb,
+       |    nb.b IS NOT NULL AS nr
+       |  FROM bt JOIN gf ON bt.doc_id = gf.doc_id
+       |    JOIN lng ON bt.doc_id = lng.doc_id
+       |    LEFT JOIN v1h ON bt.ch = v1h.ch
+       |    JOIN kp ON bt.ch = kp.ch
+       |    LEFT JOIN nb ON bt.doc_id = nb.b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+       |  $dCols,
+       |  CAST(sum(CASE WHEN $admCond THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  bit_xor(CASE WHEN $admCond THEN h ELSE 0 END)
+       |    AS admitted_checksum
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_corpus_release" -> corpusReleaseOracle,
+    "q_release_delta" -> releaseDeltaOracle,
     "q_prep_pipeline" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

@@ -1535,6 +1535,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(4), "degenerate single-source partition must yield NULL")
   }
 
+  test("release delta: every admission stage fires on the crafted batch") {
+    import spark.implicits._
+    // v1 = ids not divisible by 4; batch = ids divisible by 4
+    val tA = base + " while the tall ships wait in the old harbor and the traders count their coins"
+    val tB = "the river winds through the quiet valley and the old bridge stands above the clear water while farmers tend their fields beside the stone wall near the village and the mill"
+    val de = "der die das und ist nicht der die das und ist nicht der die das und ist nicht der die the and of wind stein berg fluss haus baum feld"
+    val dir = Files.createTempDirectory("rel_delta").toString
+    Seq(
+      1L -> tA,                      // v1: the store content
+      2L -> "some other v1 text about columnar execution and adaptive plans at scale in the engine",
+      0L -> "zzz qqq",               // batch: 0 % 97 = 0 → forget
+      4L -> tA,                      // batch: exact copy of v1 → exact_v1
+      8L -> tB,                      // batch: fresh quality text → ADMITTED
+      12L -> tB,                     // batch: dup of 8 → exact_batch
+      16L -> (tA + " tonight"),      // batch: near-dup of v1 → near
+      20L -> "mmm nnn ppp rrr",      // batch: fails gopher → quality
+      24L -> de,                     // batch: passes gopher, lang=de → lang
+      100L -> tB)                    // batch: 100 % 50 = 0 → eval
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // premise: tA (with suffix) and de must pass the gopher gate, and
+    // the de text must detect as German
+    val gf = TextAnalysis.gopherFlags(
+        graft.Tables(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(4L, 8L, 16L, 24L).subsetOf(gf), s"gopher premise broke: $gf")
+    val r = Prep.queries("q_release_delta")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 8L, "n_batch")
+    assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5)) ==
+      ((1L, 1L, 1L, 1L)), "forget/eval/quality/lang")
+    assert((row.getLong(6), row.getLong(7), row.getLong(8)) == ((1L, 1L, 1L)),
+      "exact_v1/exact_batch/near")
+    assert(row.getLong(9) == 1L, "exactly doc 8 admitted")
+    // the receipt is the admitted doc's content key
+    val h8 = spark.sql("SELECT h60('d:8')").head().getLong(0)
+    assert(row.getLong(10) == h8)
+  }
+
   test("ivf retrain: fires on the fixture, strictly improves moved coverage") {
     import graft.ops.Similarity
     val dir = "/root/testdata/sf0.001"
