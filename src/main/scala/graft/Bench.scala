@@ -197,7 +197,7 @@ object Bench {
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
       "q_minhash_error", "q_containment", "q_contamination",
-      "q_ngram_novelty", "q_lsh_recall", "q_release_delta")
+      "q_ngram_novelty", "q_release_delta")
     val sharedPostings: Seq[(String, Double)] =
       if (names.exists(postingsFamily.contains)) {
         val t = timed("shared_shingle_postings") {

@@ -410,9 +410,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       java.nio.file.Files.readSymbolicLink(l2),
       "both twins must ride the one staged shard set")
     // and the shared files exist exactly once, with the staged naming
-    val files = java.nio.file.Files.list(l1).iterator()
-    var n = 0
-    while (files.hasNext) { files.next(); n += 1 }
+    val files = java.nio.file.Files.list(l1)
+    val n = try files.count() finally files.close()
     assert(n == 3, "three staged shards")
     // private checkpoints: each twin drained through its own
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(w1, "ckpt")))
