@@ -234,9 +234,14 @@ object Similarity {
   private[graft] def retrainMerged(s: SparkSession, dir: String): DataFrame = {
     // ONE scored pass feeds both the trigger/flag set (retrainAnchors)
     // and the merge base — the rank-1 window over the n·NProbe probed
-    // table is the operator's dominant input (lazy cache: n rows of
-    // ids+doubles; builders stay plan-only cheap)
-    val scored = outlierScore(ivfProbed(s, dir), anchorTable(s, dir)).cache()
+    // table is the operator's dominant input. Session-materialized via
+    // Scratch (round-9 advice), not cache(): a cache built inside a
+    // shared builder has no unpersist point and would pin executor
+    // storage for the rest of the session; the parquet round-trip is
+    // deterministic, so both batch and streaming retrain consumers
+    // read the identical scored table.
+    val scored = Scratch.materialize(s, s"retrain_scored|$dir")(
+      outlierScore(ivfProbed(s, dir), anchorTable(s, dir)))
     val newBest = embeddings(s, dir)
       .crossJoin(broadcast(retrainAnchors(s, dir, scored)))
       .select(col("vec_id"), col("anchor_id"),

@@ -28,11 +28,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    task can never leak rows (the exactly-once visibility rule every
   *    table format — Iceberg/Delta — builds on).
   *  - **job commit is one atomic manifest publish.** `BatchWrite
-  *    .commit` writes the manifest (schema DDL + committed file list)
-  *    to a temp name and RENAMEs it over the live one — readers see
-  *    the old committed state or the new one, never a partial write.
-  *    Append mode carries the previous manifest's files forward;
-  *    truncate (overwrite) starts the list fresh.
+  *    .commit` writes this commit's file list as one immutable SEGMENT
+  *    file, then writes the manifest (generation + checksum + schema
+  *    DDL + segment references) to a temp name and RENAMEs it over the
+  *    live one — readers see the old committed state or the new one,
+  *    never a partial write. Append mode carries the previous
+  *    manifest's segments forward (O(1) new bytes per commit, not the
+  *    cumulative file list); truncate (overwrite) starts fresh;
+  *    [[GraftSink.compact]] folds accumulated segments back into one.
+  *  - **single writer per path.** Commits are optimistic, not
+  *    serialized: the generation is re-read just before the publish
+  *    rename and a concurrent bump fails the commit loudly, but the
+  *    read→rename window is not atomic on a plain filesystem — run
+  *    one writing job per table path (the Spark batch-sink norm);
+  *    a multi-writer deployment swaps the rename for the object
+  *    store's conditional-put on the generation.
   *  - **abort undoes everything.** A failed task's own
   *    `DataWriter.abort` deletes its file; `BatchWrite.abort` deletes
   *    every succeeded task's file; the manifest is untouched, so the
@@ -72,30 +82,102 @@ class GraftSinkSource extends TableProvider with DataSourceRegister {
 object GraftSink {
   val ManifestName = "_graftsink_manifest"
 
-  case class Manifest(ddl: String, files: Seq[String])
+  /** The committed table state. `files` is the flattened data-file
+    * list (read back from the manifest's SEGMENTS — an append-heavy
+    * table re-writes only one small segment per commit, never the
+    * cumulative list; the Iceberg manifest-list shape); `gen` is the
+    * monotonically increasing commit generation the optimistic
+    * concurrency check compares; `segments` are the immutable
+    * segment-file names the manifest references.
+    */
+  case class Manifest(ddl: String, files: Seq[String], gen: Long = 0L,
+      segments: Seq[String] = Seq.empty)
 
+  private val Header = "graftsink.v2"
+
+  private def checksum(gen: Long, ddl: String, segments: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((s"$gen\n$ddl" +: segments).mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Read the live manifest and flatten its segments into the
+    * committed file list. The checksum line covers generation + DDL +
+    * segment list, so a torn or hand-edited manifest fails LOUDLY
+    * instead of serving a partial table.
+    */
   def readManifest(path: String): Option[Manifest] = {
     val f = new java.io.File(path, ManifestName)
     if (!f.exists()) None
     else {
       val lines = java.nio.file.Files.readAllLines(f.toPath)
-      Some(Manifest(lines.get(0),
-        (1 until lines.size()).map(lines.get(_)).toSeq))
+      require(lines.size() >= 4 && lines.get(0) == Header,
+        s"$f is not a $Header manifest")
+      val gen = lines.get(1).stripPrefix("gen=").toLong
+      val ck = lines.get(2).stripPrefix("checksum=")
+      val ddl = lines.get(3)
+      val segments = (4 until lines.size()).map(lines.get(_)).toSeq
+      require(ck == checksum(gen, ddl, segments),
+        s"$f checksum mismatch — manifest is corrupt")
+      val files = segments.flatMap { sg =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .readAllLines(new java.io.File(path, sg).toPath).asScala
+          .filter(_.nonEmpty)
+      }
+      Some(Manifest(ddl, files, gen, segments))
     }
   }
 
-  /** Atomic publish: write to a temp name, rename over the live one. */
+  /** Write one immutable segment file listing this commit's data files
+    * (temp name + atomic rename; the name embeds the generation for
+    * operator legibility and a UUID for uniqueness). Returns the
+    * segment name for the manifest to reference.
+    */
+  private[sources] def writeSegment(path: String, gen: Long,
+      files: Seq[String]): String = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val name = s"_graftsink_seg_g${gen}_${java.util.UUID.randomUUID()}"
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, "_seg", ".tmp")
+    java.nio.file.Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, new java.io.File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    name
+  }
+
+  /** Atomic publish: write to a temp name, rename over the live one.
+    * `m.files` is ignored — the manifest persists only the segment
+    * references; readers flatten them.
+    */
   def writeManifest(path: String, m: Manifest): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
     val tmp = java.nio.file.Files.createTempFile(dir.toPath, "_manifest", ".tmp")
     java.nio.file.Files.write(tmp,
-      (m.ddl +: m.files).mkString("\n").getBytes("UTF-8"))
+      (Seq(Header, s"gen=${m.gen}",
+        s"checksum=${checksum(m.gen, m.ddl, m.segments)}", m.ddl) ++
+        m.segments).mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, new java.io.File(dir, ManifestName).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
+
+  /** Merge every segment the live manifest references into ONE and
+    * publish it as the next generation (the [[Layout.compact]] swap
+    * discipline: build aside, publish atomically, clean superseded
+    * files second) — the maintenance op that keeps an append-heavy
+    * table's manifest-read cost O(1) instead of O(commits). Data files
+    * are untouched, so reads are identical before/after; a crash
+    * between publish and cleanup leaks orphan segment files, never
+    * wrong rows. Single-writer, like every mutation here.
+    */
+  def compact(path: String): Unit =
+    readManifest(path).filter(_.segments.size > 1).foreach { m =>
+      val merged = writeSegment(path, m.gen + 1, m.files)
+      writeManifest(path, Manifest(m.ddl, Seq.empty, m.gen + 1, Seq(merged)))
+      m.segments.foreach { sg => new java.io.File(path, sg).delete(); () }
+    }
 
   private[sources] def encode(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -185,19 +267,47 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
           s"graftsink append schema mismatch: table has [${m.ddl}], " +
             s"write has [${schema.toDDL}]")
       }
-    val prev =
+    val prevGen = prevManifest.map(_.gen).getOrElse(0L)
+    val prevSegs =
       if (truncate) Seq.empty
-      else prevManifest.map(_.files).getOrElse(Seq.empty)
-    // truncate drops the superseded generation's files AFTER the new
-    // manifest is live (publish first, clean second — a crash between
-    // the two leaks garbage files, never wrong rows)
-    GraftSink.writeManifest(path,
-      GraftSink.Manifest(schema.toDDL, prev ++ committed))
+      else prevManifest.map(_.segments).getOrElse(Seq.empty)
+    // this commit's files go into ONE new immutable segment; the
+    // manifest carries segment REFERENCES, so an append re-writes a
+    // commit-sized file plus a segments-count-sized manifest — never
+    // the cumulative data-file list
+    val seg = GraftSink.writeSegment(path, prevGen + 1, committed)
+    try {
+      // OPTIMISTIC CONCURRENCY (single-writer-per-path is still the
+      // supported mode — see class doc): re-read the generation just
+      // before publishing; a bump since this commit started means a
+      // concurrent writer won, and publishing over it would silently
+      // drop that commit's segment. A true CAS needs the storage
+      // layer's conditional-put (rename cannot compare) — this check
+      // narrows the race to the read→rename window and turns the
+      // common conflict into a loud failure instead of lost data.
+      val liveGen = GraftSink.readManifest(path).map(_.gen).getOrElse(0L)
+      if (liveGen != prevGen)
+        throw new java.util.ConcurrentModificationException(
+          s"graftsink commit conflict on $path: generation moved " +
+            s"$prevGen -> $liveGen while this job was writing")
+      GraftSink.writeManifest(path,
+        GraftSink.Manifest(schema.toDDL, Seq.empty, prevGen + 1,
+          prevSegs :+ seg))
+    } catch {
+      case t: Throwable =>
+        new java.io.File(path, seg).delete()
+        throw t
+    }
     if (truncate) {
-      val keep = committed.toSet
+      // truncate drops the superseded generation's data AND segment
+      // files AFTER the new manifest is live (publish first, clean
+      // second — a crash between the two leaks garbage files, never
+      // wrong rows)
+      val keep = committed.toSet + seg
       Option(new java.io.File(path).listFiles())
         .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.endsWith(".gsink") && !keep(f.getName))
+        .filter(f => (f.getName.endsWith(".gsink") ||
+          f.getName.startsWith("_graftsink_seg_")) && !keep(f.getName))
         .foreach(_.delete())
     }
   }
@@ -257,7 +367,10 @@ class GraftSinkWriter(path: String, schema: StructType,
   }
 
   override def abort(): Unit = {
-    out.close()
+    // close may THROW (the disk-full flush case the BufferedWriter
+    // comment above anticipates) — the delete must still run, or the
+    // abort path leaves the partial file as a permanent orphan
+    try out.close() catch { case _: java.io.IOException => () }
     file.delete()
     ()
   }

@@ -1499,17 +1499,42 @@ object Streams {
     * only the immutable source files are shared.
     */
   private val stageMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  // per-key build serialization (round-9 advice): TrieMap
+  // .getOrElseUpdate only makes the INSERT atomic — two twins racing
+  // the same cache key from parallel threads would both run stageInto
+  // against the identical shared directory
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val stageRoots =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
-  private lazy val stageRoot: java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory("graft-stage-")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+  /** Conf key naming the shared staging root. The staging protocol
+    * needs a POSIX filesystem (single-file shard promotion via rename,
+    * mtime-ordered micro-batches, per-twin symlinks), so on a cluster
+    * this must be a shared POSIX mount (e.g. NFS) visible to driver
+    * and executors; an object store cannot host it. Unset, a
+    * driver-local temp dir deleted on JVM exit — correct at local[*].
+    */
+  val StagingDirConf = "spark.graft.stagingDir"
+
+  private def stageRoot(spark: SparkSession): java.nio.file.Path =
+    stageRoots.getOrElseUpdate(spark.conf.get(StagingDirConf, ""), {
+      spark.conf.get(StagingDirConf, "") match {
+        case "" =>
+          val d = java.nio.file.Files.createTempDirectory("graft-stage-")
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            def rm(f: java.io.File): Unit = {
+              val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(): Unit
+            }
+            rm(d.toFile)
+          }))
+          d
+        case configured =>
+          val d = java.nio.file.Paths.get(configured)
+          java.nio.file.Files.createDirectories(d)
+          d
       }
-      rm(d.toFile)
-    }))
-    d
-  }
+    })
 
   /** Stage a frame as `n` deterministic single-file shards (split by
     * `event_id % n`) under `workDir/stream`, so a file-source stream
@@ -1537,12 +1562,16 @@ object Streams {
         // row-level filter must be in the caller's key
         val full = s"${df.sparkSession.sparkContext.applicationId}|$k|$n|" +
           s"$keyCol|${df.schema.catalogString}"
-        val shared = stageMemo.getOrElseUpdate(full, {
-          val tag = java.security.MessageDigest.getInstance("MD5")
-            .digest(full.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(20)
-          stageInto(df, stageRoot.resolve(tag), n, None, keyCol)
-        })
+        val lock = stageLocks.computeIfAbsent(full, _ => new Object)
+        val shared = lock.synchronized {
+          stageMemo.getOrElseUpdate(full, {
+            val tag = java.security.MessageDigest.getInstance("MD5")
+              .digest(full.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString.take(20)
+            stageInto(df, stageRoot(df.sparkSession).resolve(tag), n, None,
+              keyCol)
+          })
+        }
         java.nio.file.Files.createDirectories(link.getParent)
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(shared))

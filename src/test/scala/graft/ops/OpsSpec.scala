@@ -1751,4 +1751,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val card = TextAnalysis.queries("q_data_card")(spark, out).collect()
     assert(card.map(_.getLong(1)).sum == nRel)
   }
+
+  test("Scratch honors spark.graft.scratchDir: configured root, build-once, race-safe") {
+    // the cluster seam (round-9 advice): with the conf set, shared
+    // intermediates land under the CONFIGURED root — the path every
+    // executor would read on a real cluster — instead of a
+    // driver-local temp dir; unset keeps the local default
+    val root = Files.createTempDirectory("graft_scratch_conf").toString
+    spark.conf.set(Scratch.ScratchDirConf, root)
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def call() = Scratch.materialize(spark, "conf_root_probe") {
+        builds.incrementAndGet()
+        spark.range(5).select(col("id"))
+      }
+      // 4 racing callers of one never-built key: the per-key lock must
+      // serialize the side-effecting build down to exactly one run
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val reads = Await.result(
+        Future.sequence((1 to 4).map(_ => Future(call().count()))),
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(reads.forall(_ == 5L))
+      assert(builds.get() == 1, s"build ran ${builds.get()} times")
+      // and the parquet physically lives under the configured root
+      val files = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      assert(files.nonEmpty, s"nothing materialized under $root")
+    } finally spark.conf.unset(Scratch.ScratchDirConf)
+  }
 }

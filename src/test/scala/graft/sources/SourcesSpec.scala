@@ -287,6 +287,55 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(onDisk == live, s"orphan files after abort: ${onDisk -- live}")
   }
 
+  test("graftsink manifest segments: appends stay O(commit), compaction folds them") {
+    val out = java.nio.file.Files.createTempDirectory("gsink_seg").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      .where(col("id") <= 50)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    (1 to 3).foreach { i =>
+      src.withColumn("id", col("id") + i * 1000000L)
+        .write.format("graftsink").option("path", out).mode("append").save()
+    }
+    val m = GraftSink.readManifest(out).get
+    // one immutable segment per commit — an append never re-writes the
+    // cumulative data-file list
+    assert(m.gen == 4 && m.segments.size == 4, s"gen=${m.gen} segs=${m.segments}")
+    val before = spark.read.format("graftsink").load(out)
+      .orderBy("id").collect().toSeq
+    GraftSink.compact(out)
+    val m2 = GraftSink.readManifest(out).get
+    assert(m2.segments.size == 1 && m2.gen == m.gen + 1)
+    assert(m2.files.toSet == m.files.toSet,
+      "compaction must reference exactly the same data files")
+    assert(spark.read.format("graftsink").load(out)
+      .orderBy("id").collect().toSeq == before,
+      "reads must be identical before/after compaction")
+    // superseded segment files are cleaned after the publish
+    def segsOnDisk() = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("_graftsink_seg_")).toSet
+    assert(segsOnDisk() == m2.segments.toSet)
+    // truncate starts the segment list fresh and cleans the superseded one
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    val m3 = GraftSink.readManifest(out).get
+    assert(m3.segments.size == 1 && segsOnDisk() == m3.segments.toSet)
+  }
+
+  test("graftsink manifest checksum: a corrupted manifest fails loudly") {
+    val out = java.nio.file.Files.createTempDirectory("gsink_ck").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      .where(col("id") <= 20)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    val mf = new java.io.File(out, GraftSink.ManifestName).toPath
+    val lines = java.nio.file.Files.readAllLines(mf)
+    // forge the generation without re-computing the checksum — the
+    // reader must refuse to serve from a tampered/torn manifest
+    lines.set(1, "gen=999")
+    java.nio.file.Files.write(mf, String.join("\n", lines).getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { GraftSink.readManifest(out) }
+  }
+
   test("graftsink DSv2 exactly-once visibility: orphan files are never read") {
     val out = java.nio.file.Files.createTempDirectory("gsink_orphan").toString
     val src = graft.Tables(spark, dir, "orders")
