@@ -452,47 +452,91 @@ object Prep {
         .unionByName(est.where(col("doc1") % 4 === 0 &&
           col("doc2") % 4 =!= 0).select(col("doc1").as("doc_id")))
         .distinct().withColumn("nr_hit", lit(1))
-      val lt = lower(col("text"))
-      val f = TextAnalysis.gopherFlags(Tables.fanout(
-          batch.select(col("doc_id"), col("source"), col("text"))))
-        .withColumn("pred_lang",
-          predLangFromCounts(nMatches(lt, EnPat), nMatches(lt, DePat),
-            nMatches(lt, FrPat), nMatches(lt, EsPat),
-            nMatches(col("text"), ZhPat)))
-        .withColumn("ch", md5(col("text")))
+      val f = deltaLocalFlags(batch)
         .join(v1Hash, Seq("ch"), "left")
         .join(keeper, Seq("ch"))
         .join(nearBlk, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"),
-          (col("doc_id") % ForgetMod === 0).as("fg"),
-          (col("doc_id") % 50 === 0).as("ev"),
-          (!col("ok_len") || !col("ok_wordlen") || !col("ok_sym") ||
-            !col("ok_stop")).as("bq"),
-          (col("pred_lang") =!= "en").as("bl"),
+        .select(col("doc_id"), col("source"), col("h"),
+          col("fg"), col("ev"), col("bq"), col("bl"),
           col("v1_hit").isNotNull.as("xv"),
           (col("doc_id") =!= col("keeper")).as("xb"),
           col("nr_hit").isNotNull.as("nr"))
-      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-      val s1 = !col("fg"); val s2 = s1 && !col("ev")
-      val s3 = s2 && !col("bq"); val s4 = s3 && !col("bl")
-      val s5 = s4 && !col("xv"); val s6 = s5 && !col("xb")
-      val adm = s6 && !col("nr")
-      f.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_batch"),
-          cnt(col("fg")).as("d_forget"),
-          cnt(s1 && col("ev")).as("d_eval"),
-          cnt(s2 && col("bq")).as("d_quality"),
-          cnt(s3 && col("bl")).as("d_lang"),
-          cnt(s4 && col("xv")).as("d_exact_v1"),
-          cnt(s5 && col("xb")).as("d_exact_batch"),
-          cnt(s6 && col("nr")).as("d_near"),
-          cnt(adm).as("n_admitted"),
-          call_function("bit_xor",
-            when(adm, col("h")).otherwise(lit(0L))).as("admitted_checksum"))
-        .orderBy(col("source"))
+      deltaCensus(f).orderBy(col("source"))
+    }),
+
+    // EXECUTES on the streaming engine: q_release_delta's admission
+    // cascade AT INGEST — the one execution mode the release family
+    // was missing (the reference's stream-like contract,
+    // /root/reference/README.md:81-82, applied to corpus curation).
+    // v1's standing stores (content-hash index, MinHash signature
+    // store) are fixed before the stream starts; arriving crawl
+    // micro-batches (the doc_id ≡ 0 mod 4 slice, range-staged so
+    // arrival order is id order) probe them plus their own
+    // batch-local signals and fold per-bid idempotent census
+    // partials whose drained combination equals q_release_delta
+    // row-for-row — the two SHARE [[deltaLocalFlags]]/[[deltaCensus]]
+    // and this entry shares the batch oracle verbatim. Kill/resume
+    // in StreamingSpec.
+    "q_stream_release" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_release").toString
+      graft.streaming.Streams.releaseIngest(s, dir, work)
     })
   )
+
+  /** The BATCH-LOCAL admission signals of one arriving crawl frame
+    * (doc_id, source, text) — everything the release-delta cascade can
+    * decide without a standing store: the governance mods (fg/ev), the
+    * Gopher quality conjunction (bq), the language keep (bl), plus the
+    * 16-byte content key `ch` the exact probes use and the h60 receipt
+    * key `h`. ONE definition shared by q_release_delta and the
+    * streaming admission twin ([[graft.streaming.Streams.releaseRun]])
+    * — the batch/stream no-drift discipline of forgetRun/gopherFlags.
+    */
+  private[graft] def deltaLocalFlags(bdf: DataFrame): DataFrame = {
+    val lt = lower(col("text"))
+    TextAnalysis.gopherFlags(Tables.fanout(
+        bdf.select(col("doc_id"), col("source"), col("text"))))
+      .withColumn("pred_lang",
+        predLangFromCounts(nMatches(lt, EnPat), nMatches(lt, DePat),
+          nMatches(lt, FrPat), nMatches(lt, EsPat),
+          nMatches(col("text"), ZhPat)))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("ch"),
+        h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"),
+        (col("doc_id") % ForgetMod === 0).as("fg"),
+        (col("doc_id") % 50 === 0).as("ev"),
+        (!col("ok_len") || !col("ok_wordlen") || !col("ok_sym") ||
+          !col("ok_stop")).as("bq"),
+        (col("pred_lang") =!= "en").as("bl"))
+  }
+
+  /** First-signal-wins census over a complete delta flags frame
+    * (source, h, fg, ev, bq, bl, xv, xb, nr): per-source batch size,
+    * per-stage drop counts in cascade order, admitted count, and the
+    * bit_xor receipt over admitted keys. Every aggregate is
+    * associative/commutative with identity 0, so the SAME definition
+    * serves the batch census and the streaming twin's per-micro-batch
+    * partials (whose drained fold is then exact).
+    */
+  private[graft] def deltaCensus(f: DataFrame): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val s1 = !col("fg"); val s2 = s1 && !col("ev")
+    val s3 = s2 && !col("bq"); val s4 = s3 && !col("bl")
+    val s5 = s4 && !col("xv"); val s6 = s5 && !col("xb")
+    val adm = s6 && !col("nr")
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        cnt(col("fg")).as("d_forget"),
+        cnt(s1 && col("ev")).as("d_eval"),
+        cnt(s2 && col("bq")).as("d_quality"),
+        cnt(s3 && col("bl")).as("d_lang"),
+        cnt(s4 && col("xv")).as("d_exact_v1"),
+        cnt(s5 && col("xb")).as("d_exact_batch"),
+        cnt(s6 && col("nr")).as("d_near"),
+        cnt(adm).as("n_admitted"),
+        call_function("bit_xor",
+          when(adm, col("h")).otherwise(lit(0L))).as("admitted_checksum"))
+  }
 
   /** q_forget deletion-list sampler: customers with key ≡ 0 (mod 97). */
   val ForgetMod = 97
@@ -838,6 +882,9 @@ object Prep {
   val oracles: Map[String, String] = Map(
     "q_corpus_release" -> corpusReleaseOracle,
     "q_release_delta" -> releaseDeltaOracle,
+    // the streaming twin executes the SAME admission cascade at
+    // ingest and is graded by the identical replay
+    "q_stream_release" -> releaseDeltaOracle,
     "q_prep_pipeline" ->
       s"""WITH ${sqlShingleCtes("documents")},
          |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),

@@ -1304,6 +1304,194 @@ object Streams {
         col("kept_checksum"))
   }
 
+  /** Streaming release admission — the foreachBatch deployment of
+    * q_release_delta (the ingest-time extension of a shipped corpus
+    * release): v1's standing stores are FIXED before the stream starts
+    * (content-hash index + MinHash signature store — exactly what a
+    * release ships alongside its corpus so extensions never re-scan
+    * v1's text), then every arriving crawl micro-batch (range-staged
+    * so arrival order is doc_id order, the minhashDedupIngest
+    * convention) decides each doc's admission first-signal-wins:
+    *
+    *   - batch-local signals via the SHARED
+    *     [[graft.ops.Prep.deltaLocalFlags]] projection (forget/eval
+    *     mods, Gopher quality, language — the same Column trees as the
+    *     batch census, so the two surfaces cannot drift);
+    *   - exact-vs-v1: the 16-byte content key probed against the v1
+    *     index;
+    *   - exact-in-batch: key seen in an EARLIER micro-batch (versioned
+    *     hash store) or on a smaller id in THIS one — with id-ordered
+    *     arrival this is exactly the batch census's min-id keeper rule;
+    *   - near-vs-store: banded MinHash candidates against v1 ∪ already-
+    *     arrived ∪ smaller in-batch ids at est ≥
+    *     [[graft.ops.Dedup.StreamDupThreshold]] — the q_stream_minhash
+    *     arrival-order predicate with v1 as the pre-existing store.
+    *     The store side goes through the minhashLiveBands stop-band at
+    *     ARRIVAL-TIME occupancy; at the oracle-gated SFs the cap never
+    *     fires (measured maxima 4/10 vs 64), so drained ≡ batch stays
+    *     hash-exact (on a corpus that saturates mid-stream the drained
+    *     admitted set is a SUPERSET direction on this predicate — the
+    *     documented stop-band trade, stated rather than hidden).
+    *
+    * Every signal is arrival-frozen — v1 is static and both backward-
+    * looking rules only consult smaller ids — so per-doc flags computed
+    * at arrival equal the batch census's, and the per-bid
+    * [[graft.ops.Prep.deltaCensus]] partials (counts + bit_xor —
+    * associative/commutative with identity 0) drain to q_release_delta
+    * ROW-FOR-ROW: q_stream_release shares the batch oracle verbatim.
+    * Retry/restart safety is the versioned-store discipline: probes
+    * read stores STRICTLY below the current bid and each batch
+    * overwrites its own idempotent outputs (kill/resume exercised in
+    * StreamingSpec). At production scale the hash/signature stores are
+    * bucketed tables co-located on their keys; per trigger only the
+    * batch's own rows shuffle — v1 is scanned and probed, never
+    * reshuffled.
+    */
+  def releaseIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    releaseStage(spark, dir, workDir, shards)
+    releaseRun(spark, dir, workDir)
+  }
+
+  /** Build v1's standing stores (once — deterministic, kept on
+    * restart) and stage the crawl batch as doc_id-RANGE shards; `upTo`
+    * stages a prefix for the checkpoint-restart test.
+    */
+  private[streaming] def releaseStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    import graft.ops.Dedup
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val v1 = docs.where(col("doc_id") % 4 =!= 0)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_hash")))
+      v1.select(md5(col("text")).as("ch")).distinct()
+        .write.mode("overwrite").parquet(s"$workDir/v1_hash")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_sig")))
+      Dedup.minhashSignatures(v1.select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(s"$workDir/v1_sig")
+    // both backward-looking rules (in-batch keeper, smaller-id near
+    // neighbor) need arrival order == id order, so the batch stages as
+    // range shards — the minhashDedupIngest boundary chain
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    val bounds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!bounds.isNullAt(0), "empty crawl batch — nothing to admit")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1) + 1)
+    val span = math.max(1L, hi - lo)
+    val shardOf = (1 until shards).foldLeft(lit(0)) { (acc, i) =>
+      when(col("doc_id") >= lo + i * span / shards, lit(i)).otherwise(acc)
+    }
+    stageIntoBy(batch, java.nio.file.Paths.get(workDir, "stream"), shards,
+      upTo, shardOf)
+    ()
+  }
+
+  /** Drain whatever crawl shards are staged under `workDir/stream`
+    * through the admission cascade — separated from [[releaseStage]]
+    * so the checkpoint-restart test can resume mid-stream; v1's stores
+    * and all per-bid state live on DISK.
+    */
+  private[streaming] def releaseRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.{Dedup, Prep}
+    val sigSchema = "doc_id BIGINT, v ARRAY<BIGINT>"
+    val censusSchema = "source STRING, n_batch BIGINT, d_forget BIGINT, " +
+      "d_eval BIGINT, d_quality BIGINT, d_lang BIGINT, d_exact_v1 BIGINT, " +
+      "d_exact_batch BIGINT, d_near BIGINT, n_admitted BIGINT, " +
+      "admitted_checksum BIGINT"
+    val v1Hash = spark.read.schema("ch STRING").parquet(s"$workDir/v1_hash")
+      .withColumn("v1_hit", lit(1))
+    val v1Sig = spark.read.schema(sigSchema).parquet(s"$workDir/v1_sig")
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // one staged file = one partition — spread the shingle work
+        val bdf = batch.toDF()
+          .repartition(spark.sparkContext.defaultParallelism)
+        // cached: local flags feed the keeper agg, the flag joins and
+        // the hash-store append; vec feeds bands, two estimate joins
+        // and the signature-store append
+        val local = Prep.deltaLocalFlags(bdf).cache()
+        val vec = Dedup.minhashSignatures(
+          bdf.select(col("doc_id"), col("text"))).cache()
+        try {
+          val mbKeeper = local.groupBy(col("ch"))
+            .agg(min(col("doc_id")).as("mb_keeper"))
+          val prevHash = storesBelow(spark, workDir, "bhash_b", bid,
+            "ch STRING").map(_.distinct().withColumn("prev_hit", lit(1)))
+          val prevSig = storesBelow(spark, workDir, "bsig_b", bid, sigSchema)
+          val allVec = prevSig.foldLeft(v1Sig.unionByName(vec))(_ unionByName _)
+          val lb = Dedup.minhashLiveBands(Dedup.minhashBands(allVec))
+          // probe side = this batch's own live bands — small by
+          // construction, so it broadcasts (the minhashDedupIngest
+          // shape); the accumulated side is only scanned and probed
+          val cand = broadcast(lb
+              .join(vec.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .select(col("band"), col("sig"), col("doc_id").as("doc1")))
+            .join(lb.select(col("band"), col("sig"), col("doc_id").as("doc2")),
+              Seq("band", "sig"))
+            // a v1 neighbor blocks regardless of id (it arrived with
+            // the release); a batch neighbor blocks only from below
+            .where(col("doc2") % 4 =!= 0 || col("doc2") < col("doc1"))
+            .select("doc1", "doc2").distinct()
+          val near = cand
+            .join(vec.select(col("doc_id").as("doc1"), col("v").as("vp")),
+              Seq("doc1"))
+            .join(allVec.select(col("doc_id").as("doc2"), col("v").as("vo")),
+              Seq("doc2"))
+            .where(Dedup.minhashEst(col("vp"), col("vo")) >=
+              Dedup.StreamDupThreshold)
+            .select(col("doc1").as("doc_id")).distinct()
+            .withColumn("nr_hit", lit(1))
+          val joined = local
+            .join(v1Hash, Seq("ch"), "left")
+            .join(mbKeeper, Seq("ch"))
+            .join(near, Seq("doc_id"), "left")
+          val flags = prevHash
+            .map(p => joined.join(p, Seq("ch"), "left"))
+            .getOrElse(joined.withColumn("prev_hit", lit(null).cast("int")))
+            .select(col("doc_id"), col("source"), col("h"),
+              col("fg"), col("ev"), col("bq"), col("bl"),
+              col("v1_hit").isNotNull.as("xv"),
+              (col("prev_hit").isNotNull ||
+                col("doc_id") =!= col("mb_keeper")).as("xb"),
+              col("nr_hit").isNotNull.as("nr"))
+          // per-bid idempotent outputs: the census partial (the SHARED
+          // aggregate — associative folds only) + both store appends
+          Prep.deltaCensus(flags).coalesce(1)
+            .write.mode("overwrite").parquet(s"$workDir/census_b$bid")
+          vec.coalesce(4).write.mode("overwrite")
+            .parquet(s"$workDir/bsig_b$bid")
+          local.select(col("ch")).distinct().coalesce(1)
+            .write.mode("overwrite").parquet(s"$workDir/bhash_b$bid")
+        } finally { local.unpersist(); vec.unpersist(); () }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val partials = storesBelow(spark, workDir, "census_b", Long.MaxValue,
+        censusSchema)
+      .getOrElse(throw new IllegalStateException(
+        "no drained census partials — nothing was staged"))
+    partials.groupBy(col("source"))
+      .agg(sum(col("n_batch")).as("n_batch"),
+        sum(col("d_forget")).as("d_forget"),
+        sum(col("d_eval")).as("d_eval"),
+        sum(col("d_quality")).as("d_quality"),
+        sum(col("d_lang")).as("d_lang"),
+        sum(col("d_exact_v1")).as("d_exact_v1"),
+        sum(col("d_exact_batch")).as("d_exact_batch"),
+        sum(col("d_near")).as("d_near"),
+        sum(col("n_admitted")).as("n_admitted"),
+        expr("bit_xor(admitted_checksum)").as("admitted_checksum"))
+      .orderBy(col("source"))
+  }
+
   /** Streaming cross-modal dedup guard — the foreachBatch deployment
     * of q_crossmodal_dedup (the LAION ingest shape): documents stream
     * as id shards; each micro-batch computes its own text postings
@@ -1354,24 +1542,9 @@ object Streams {
   private[streaming] def crossmodalRun(spark: SparkSession, dir: String,
       workDir: String): DataFrame = withStatePartitions(spark) {
     import graft.ops.{Dedup, Multimodal}
-    // every versioned `prefix<v>` store directory with v < belowBid.
-    // The store schemas are supplied, not inferred — a footer-sniffing
-    // read is one extra Spark JOB per store per batch, and the whole
-    // ingest is driver-job-bound (measured 26 jobs/micro-batch before
-    // this pass slimmed it)
     def storesBelow(prefix: String, belowBid: Long,
-        schema: String): Option[DataFrame] = {
-      val dirs = Option(new java.io.File(workDir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.isDirectory)
-        .flatMap { f =>
-          scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
-            .filter(v => f.getName.startsWith(prefix) && v < belowBid)
-            .map(_ => f.getPath)
-        }
-      if (dirs.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(dirs.toSeq: _*))
-    }
+        schema: String): Option[DataFrame] =
+      Streams.storesBelow(spark, workDir, prefix, belowBid, schema)
     val postSchema = "doc_id BIGINT, h BIGINT"
     val metaSchema = "doc_id BIGINT, sz BIGINT, phash_hi BIGINT, phash_lo BIGINT"
     val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
@@ -1639,6 +1812,29 @@ object Streams {
       }
     }
     srcDir.toString
+  }
+
+  /** Every versioned `prefix<v>` store directory under `workDir` with
+    * v < belowBid, read under the SUPPLIED schema (a footer-sniffing
+    * read is one extra Spark JOB per store per batch, and these
+    * ingests are driver-job-bound — measured 26 jobs/micro-batch in
+    * crossmodal before the schemas were pinned). The strictly-below-
+    * bid rule is the versioned-store retry discipline: a replayed
+    * micro-batch recomputes from the same pre-batch state and
+    * overwrites its own idempotent outputs.
+    */
+  private def storesBelow(spark: SparkSession, workDir: String,
+      prefix: String, belowBid: Long, schema: String): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(workDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+      .flatMap { f =>
+        scala.util.Try(f.getName.stripPrefix(prefix).toLong).toOption
+          .filter(v => f.getName.startsWith(prefix) && v < belowBid)
+          .map(_ => f.getPath)
+      }
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(schema).parquet(dirs.toSeq: _*))
   }
 
   /** Newest `prefix<bid>` output directory under `workDir`, optionally
