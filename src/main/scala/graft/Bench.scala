@@ -173,7 +173,10 @@ object Bench {
       // span dedup, SFT chat packing
       "q_corpus_release", "q_span_dedup_multi", "q_chat_pack",
       "q_ivf_retrain", "q_stream_ivf_retrain", "q_sink_roundtrip",
-      "q_release_delta")
+      "q_release_delta",
+      // round-9: suffix-array exact span dedup, the streaming release
+      // admission twin
+      "q_span_dedup_exact", "q_stream_release")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -362,6 +365,27 @@ object Bench {
       System.err.println(f"[bench] $n%-24s $t%9.3f s")
       n -> t
     }
+    spark.stop()
+    // ---- contention-free re-pin pass (round 9) ----
+    // After a long single-JVM run, entries can measure far above their
+    // standalone cost purely from accumulated JVM state — 13 untouched
+    // r8 entries landed 1.5–11× above envelope and every one re-pinned
+    // clean standalone. Make that re-pin part of the contract: fork
+    // ONE fresh JVM, run only the slow-looking entries there, and
+    // report their standalone times as "repin" beside the first-look
+    // numbers (SPARK_GRAFT_REPIN=0 disables; skipped under
+    // SPARK_GRAFT_ONLY — local iteration already isolates).
+    val repin: Seq[(String, Double)] = {
+      val threshold = sys.env.get("SPARK_GRAFT_REPIN_THRESHOLD")
+        .map(_.toDouble).getOrElse(2.5)
+      val enabled = sys.env.get("SPARK_GRAFT_REPIN").forall(_ != "0") &&
+        only.isEmpty
+      val flagged = results
+        .filter { case (n, t) => t > threshold && !n.startsWith("shared_") }
+        .sortBy(-_._2).take(24).map(_._1)
+      if (!enabled || flagged.isEmpty) Seq.empty
+      else forkRepin(flagged, sfDir, cpus)
+    }
     // Driver contract: ONE JSON line, and it must survive a bounded
     // tail-capture of stdout (r01 AND r02 lost the line to truncation
     // — ~60 map entries put it near 2 KB). Keep the final stdout line
@@ -372,10 +396,11 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val repinJson =
+      if (repin.isEmpty) "" else s""","repin":${qsJson(repin)}"""
     def jline(rs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(rs)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(rs)}$repinJson,"sf":"$sfDir"}"""
     val top10 = results.sortBy(-_._2).take(10)
-    spark.stop()
     System.err.println(jline(results)) // full detail for human readers
     // Belt and braces for the driver's stdout tail-capture: persist the
     // FULL result to files too (BENCH.json at the repo root and under
@@ -400,5 +425,63 @@ object Bench {
     }
     System.err.println(s"[bench] shuffle MB by entry: $shuffleJson")
     println(jline(top10))
+  }
+
+  /** Fork a fresh JVM running ONLY the flagged entries and return
+    * their standalone times. `run / fork` is on, so java.class.path
+    * is the real application classpath and the parent's JVM flags
+    * (add-opens, heap, code cache) can be mirrored verbatim; the
+    * child works in a temp cwd so its BENCH*.json cannot clobber the
+    * parent's, and the parent parses the child's full-detail file.
+    * Any failure degrades to "no repin data", never a broken contract
+    * line.
+    */
+  private def forkRepin(flagged: Seq[String], sfDir: String,
+      cpus: String): Seq[(String, Double)] = {
+    val cp = sys.props.getOrElse("java.class.path", "")
+    if (!cp.contains("spark")) {
+      System.err.println("[bench] repin skipped: classpath not recoverable")
+      return Seq.empty
+    }
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-agentlib"))
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val cwd = java.nio.file.Files.createTempDirectory("bench_repin")
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+    pb.directory(cwd.toFile)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(cwd.resolve("repin.log").toFile)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SF_DIR", sfDir)
+    env.put("SPARK_GRAFT_CPUS", cpus)
+    env.put("SPARK_GRAFT_ONLY", flagged.mkString(","))
+    env.put("SPARK_GRAFT_REPIN", "0")
+    val t0 = System.nanoTime()
+    val p = pb.start()
+    if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
+      p.destroyForcibly()
+      System.err.println("[bench] repin fork timed out — no repin data")
+      return Seq.empty
+    }
+    val f = cwd.resolve("BENCH.json")
+    if (p.exitValue() != 0 || !java.nio.file.Files.exists(f)) {
+      System.err.println(s"[bench] repin fork failed rc=${p.exitValue()}" +
+        s" — see ${cwd.resolve("repin.log")}")
+      return Seq.empty
+    }
+    val txt = java.nio.file.Files.readString(f)
+    val body = """"queries":\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    val pair = """"([^"]+)":(-?[0-9.]+)""".r
+    val times = pair.findAllMatchIn(body)
+      .map(x => x.group(1) -> x.group(2).toDouble).toSeq
+    val keep = times.filter { case (n, _) => flagged.contains(n) }
+    System.err.println(
+      f"[bench] repin fork: ${keep.size} entries re-pinned in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    keep
   }
 }

@@ -1,0 +1,322 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import TextFns._
+
+/** EXACT repeated-substring dedup — the Lee et al. (arXiv:2107.06499,
+  * "Deduplicating Training Data Makes Language Models Better")
+  * suffix-array standard that the fixed-W window scans
+  * (q_span_dedup / q_span_dedup_multi) approximate: for every token
+  * position, the length of the LONGEST span starting there that also
+  * occurs verbatim anywhere else in the corpus (another doc or
+  * another offset of the same doc; matches never cross doc
+  * boundaries, the paper's separator convention).
+  *
+  * Algorithm — built from primitives that distribute:
+  *
+  *  1. '''Prefix-doubling suffix ranks''' ([[SaRounds]] bounded
+  *     rounds, the BPE-loop discipline): r_0 = h60(token); round k
+  *     relabels the pair (r_k(pos), r_k(pos + 2^k), −1 past doc end)
+  *     to a dense rank, so r_k equality ⟺ the padded 2^k-token
+  *     windows are equal. After 2^K ≥ max doc length, equal final
+  *     ranks ⟺ identical suffixes (including length). The per-round
+  *     relabel is a distributed two-pass range-sort rank
+  *     ([[denseRankPair]]) — never a global window.
+  *  2. '''Rank-group adjacency''': all suffixes of one final rank are
+  *     IDENTICAL, so the classical "max LCP is with an adjacent
+  *     suffix" fact collapses to rank groups — a suffix's longest
+  *     match is max(full length if its group has ≥ 2 members, LCP
+  *     with the g−1 group, LCP with the g+1 group), and each group
+  *     LCP is computed ONCE per adjacent rank pair on any
+  *     representative (members are equal, so the choice cannot
+  *     matter).
+  *  3. '''LCP by doubling descent''': for each adjacent pair, walk k =
+  *     K−1..0 adding 2^k when the r_k ranks at the current common
+  *     offset match — 2 hash-join probes of the rank table per round,
+  *     bounded rounds. Equal padded windows inside a pair of
+  *     DIFFERENT suffixes always witness 2^k true common tokens (an
+  *     equal padding pattern would force the suffixes identical), so
+  *     the greedy sum IS the exact LCP.
+  *
+  * Census per doc: longest duplicated span, starts of duplicated
+  * spans ≥ [[SpanExactMin]], exact positions covered (provably equal
+  * to q_span_dedup's W=8 coverage — every position inside a
+  * duplicated ≥8-span lies inside a duplicated 8-window and vice
+  * versa; asserted in OpsSpec), coverage ratio and the keep flag.
+  *
+  * Scale shape at 100 TB: K = log₂(max doc tokens) rounds, each one
+  * range-partitioned sort + one per-doc window over the token stream
+  * (the known distributed SA-construction cost, all bounded rounds);
+  * the descent joins are K × 2 co-partitioned probes over a ≤|ranks|
+  * pair table; coverage explodes only duplicated volume. Nothing is
+  * quadratic and no stage holds more than the token stream.
+  */
+object SpanExact {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Suffix-compare horizon: final ranks separate any two suffixes
+    * differing within this many tokens, so it must be ≥ the longest
+    * doc (generator max = 100; guarded loudly at build). Both engines
+    * derive their round count from this ONE constant.
+    */
+  val SpanSaMaxLen = 128
+
+  /** log₂([[SpanSaMaxLen]]) doubling rounds, fixed on BOTH engines so
+    * the rank tables are bit-identical.
+    */
+  val SaRounds = 7
+
+  /** Minimum exact-match length to count as a dup start / cover
+    * positions — q_span_dedup's window width, making the two
+    * censuses' n_covered columns equal by construction.
+    */
+  val SpanExactMin: Int = Dedup.SpanW
+
+  val queries: Map[String, Q] = Map(
+    "q_span_dedup_exact" -> ((s, dir) => {
+      val K = SaRounds
+      val ranks = saRanks(s, dir)
+      val sizes = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      // one row per identical-suffix group; the representative key is
+      // packed (pos < SpanSaMaxLen ≤ 1024 by the build guard) so the
+      // group census is a single min-fold
+      val grp = ranks.groupBy(col(s"r$K").as("g"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("doc_id") * 1024 + col("pos")).as("rp"))
+        .select(col("g"), col("cnt"),
+          expr("rp div 1024").as("d"), (col("rp") % 1024).as("p"))
+      val repLen = grp.join(sizes.select(col("doc_id").as("d"),
+          col("n_tokens").cast("long").as("nt")), Seq("d"))
+        .select(col("g"), col("cnt"), col("d"), col("p"),
+          (col("nt") - col("p")).as("len"))
+      // adjacent rank groups + LCP doubling descent (2 rank probes
+      // per round, K rounds)
+      var adj = repLen.select(col("g"), col("d").as("d1"), col("p").as("p1"))
+        .join(repLen.select((col("g") - 1).as("g"), col("d").as("d2"),
+          col("p").as("p2")), Seq("g"))
+        .withColumn("l", lit(0L))
+      for (k <- (K - 1) to 0 by -1) {
+        adj = adj
+          .join(ranks.select(col("doc_id").as("xd"), col("pos").as("xp"),
+            col(s"r$k").as("xa")),
+            col("xd") === col("d1") && col("xp") === col("p1") + col("l"),
+            "left")
+          .join(ranks.select(col("doc_id").as("yd"), col("pos").as("yp"),
+            col(s"r$k").as("ya")),
+            col("yd") === col("d2") && col("yp") === col("p2") + col("l"),
+            "left")
+          // null (past doc end) never matches — a window running off
+          // one doc's end cannot equal a window of real tokens
+          .withColumn("l", when(col("xa") === col("ya"),
+            col("l") + lit(1L << k)).otherwise(col("l")))
+          .drop("xd", "xp", "xa", "yd", "yp", "ya")
+      }
+      val lcp = adj.select(col("g"), col("l"))
+      val glcp = repLen
+        .join(lcp.select(col("g"), col("l").as("l_next")), Seq("g"), "left")
+        .join(lcp.select((col("g") + 1).as("g"), col("l").as("l_prev")),
+          Seq("g"), "left")
+        .select(col("g"),
+          greatest(when(col("cnt") >= 2, col("len")).otherwise(lit(0L)),
+            coalesce(col("l_next"), lit(0L)),
+            coalesce(col("l_prev"), lit(0L))).as("dup_len"))
+      val perPos = ranks.select(col("doc_id"), col("pos"),
+          col(s"r$K").as("g"))
+        .join(glcp, Seq("g"))
+      val covered = perPos.where(col("dup_len") >= SpanExactMin)
+        .select(col("doc_id"),
+          explode(sequence(col("pos").cast("long"),
+            col("pos") + col("dup_len") - 1)).as("tpos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+      val perDoc = perPos.groupBy(col("doc_id"))
+        .agg(max(col("dup_len")).as("longest_dup"),
+          sum(when(col("dup_len") >= SpanExactMin, 1L).otherwise(0L))
+            .as("n_dup_starts"))
+      sizes.join(perDoc, Seq("doc_id"), "left")
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("longest_dup"), lit(0L)).as("longest_dup"),
+          coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("dup_ratio",
+          when(col("n_tokens") > 0,
+            round(col("n_covered").cast("double") / col("n_tokens"), 6))
+            .otherwise(lit(0.0)))
+        .withColumn("keep", col("dup_ratio") < 0.5)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** The (doc_id, pos, r0..r[[SaRounds]]) suffix rank tables —
+    * session-materialized (Scratch): the group census, the 2·K
+    * descent probes and the per-suffix join all scan one parquet
+    * instead of re-running the doubling loop.
+    */
+  private[graft] def saRanks(s: SparkSession, dir: String): DataFrame = {
+    // round intermediates are persisted during the build (each round's
+    // two passes and the next round's sort read them); all released
+    // once the materialized parquet is written
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try Scratch.materialize(s, s"span_sa_ranks|$dir")(
+      buildRanks(s, dir, persisted))
+    finally { persisted.foreach(_.unpersist()); () }
+  }
+
+  private def buildRanks(s: SparkSession, dir: String,
+      persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val tok = Tables.fanout(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val mRow = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), sum(col("n"))).head()
+    val maxLen = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+    val nTok = if (mRow.isNullAt(1)) 0L else mRow.getLong(1)
+    require(maxLen <= SpanSaMaxLen,
+      s"a $maxLen-token doc exceeds the $SpanSaMaxLen-token suffix " +
+        "horizon — raise SpanSaMaxLen (and the oracle's round count)")
+    // the 7 rounds are latency-bound at small corpora (each is a
+    // range-sort + two passes): size the rank partitioning to the
+    // token stream (≈500k tokens/partition) instead of paying 32
+    // tasks' launch overhead per pass on a 27k-token corpus; a real
+    // cluster's parallelism cap scales with its executors
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nTok / 500000L + 1L)).toInt
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var df = tok.select(col("doc_id"), col("pos"), h60(col("t")).as("r0"))
+    for (k <- 0 until SaRounds) {
+      val paired = df.withColumn("rr",
+        coalesce(lead(col(s"r$k"), 1 << k).over(w), lit(-1L)))
+      df = denseRankPair(paired, s"r$k", "rr", s"r${k + 1}", parts, persisted)
+        .drop("rr")
+    }
+    df
+  }
+
+  /** Distributed dense rank over the pair ordering (c1, c2) — the
+    * prefix-doubling relabel step. A global rank window would
+    * serialize the corpus through one partition, so this is the
+    * classical two-pass range-sort rank: range-partition + sort by
+    * the pair, count distinct pairs per partition (one tiny row per
+    * partition to the driver), prefix-sum the offsets, assign
+    * per-partition local ranks + offset. The range partitioner sends
+    * equal pairs to one partition, so the result is globally dense
+    * and 1-based — identical to the oracle's dense_rank() window.
+    * mapPartitionsWithIndex is the genuine per-partition imperative
+    * case the RDD door exists for; everything around it stays
+    * DataFrame.
+    */
+  private def denseRankPair(df: DataFrame, c1: String, c2: String,
+      out: String, parts: Int,
+      persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.repartitionByRange(parts, col(c1), col(c2))
+      .sortWithinPartitions(col(c1), col(c2)).persist()
+    persisted += sorted
+    val i1 = sorted.schema.fieldIndex(c1)
+    val i2 = sorted.schema.fieldIndex(c2)
+    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var seen = false; var l1 = 0L; var l2 = 0L
+      it.foreach { r =>
+        val a = r.getLong(i1); val b = r.getLong(i2)
+        if (!seen || a != l1 || b != l2) { n += 1; seen = true; l1 = a; l2 = b }
+      }
+      Iterator.single((pid, n))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = offsets(pid)
+      var seen = false; var l1 = 0L; var l2 = 0L
+      it.map { row =>
+        val a = row.getLong(i1); val b = row.getLong(i2)
+        if (!seen || a != l1 || b != l2) { r += 1; seen = true; l1 = a; l2 = b }
+        Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    s.createDataFrame(ranked, schema)
+  }
+
+  /** DuckDB replay: the identical doubling loop as dense_rank()
+    * windows (global windows are fine oracle-side), the identical
+    * packed representative, descent and census — every round count
+    * and constant generated from the same Scala values the Spark side
+    * uses, so the two engines cannot drift.
+    */
+  private def spanExactOracle: String = {
+    val K = SaRounds
+    val rounds = (0 until K).map { k =>
+      val keep = (0 to k).map(i => s"r$i").mkString(", ")
+      s"""p$k AS (SELECT doc_id, pos, $keep,
+         |  coalesce(lead(r$k, ${1 << k})
+         |    OVER (PARTITION BY doc_id ORDER BY pos), -1) AS rr
+         |  FROM t$k),
+         |t${k + 1} AS (SELECT doc_id, pos, $keep,
+         |  CAST(dense_rank() OVER (ORDER BY r$k, rr) AS BIGINT) AS r${k + 1}
+         |  FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    val descent = (0 until K).map { j =>
+      val k = K - 1 - j
+      s"""adj${j + 1} AS (SELECT a.gg, a.d1, a.p1, a.d2, a.p2,
+         |  a.l + CASE WHEN x.r$k = y.r$k THEN ${1L << k} ELSE 0 END AS l
+         |  FROM adj$j a
+         |  LEFT JOIN t$K x ON x.doc_id = a.d1 AND x.pos = a.p1 + a.l
+         |  LEFT JOIN t$K y ON y.doc_id = a.d2 AND y.pos = a.p2 + a.l)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+       |sz AS (SELECT doc_id, len(a) AS n FROM tk),
+       |t0 AS (SELECT doc_id, i - 1 AS pos, ${sqlH60("a[i]")} AS r0
+       |  FROM tk, generate_series(1, $SpanSaMaxLen) g(i) WHERE i <= len(a)),
+       |$rounds,
+       |rep AS (SELECT r$K AS gg, CAST(count(*) AS BIGINT) AS cnt,
+       |    min(doc_id * 1024 + pos) AS rp
+       |  FROM t$K GROUP BY r$K),
+       |rlen AS (SELECT gg, cnt, rp // 1024 AS d, rp % 1024 AS p,
+       |    sz.n - rp % 1024 AS len
+       |  FROM rep JOIN sz ON sz.doc_id = rp // 1024),
+       |adj0 AS (SELECT a.gg, a.d AS d1, a.p AS p1, b.d AS d2, b.p AS p2,
+       |    CAST(0 AS BIGINT) AS l
+       |  FROM rlen a JOIN rlen b ON b.gg = a.gg + 1),
+       |$descent,
+       |glcp AS (SELECT rlen.gg,
+       |    greatest(CASE WHEN cnt >= 2 THEN len ELSE 0 END,
+       |      coalesce(nx.l, 0), coalesce(pv.l, 0)) AS dup_len
+       |  FROM rlen
+       |  LEFT JOIN adj$K nx ON nx.gg = rlen.gg
+       |  LEFT JOIN adj$K pv ON pv.gg = rlen.gg - 1),
+       |pp AS (SELECT t.doc_id, t.pos, glcp.dup_len
+       |  FROM t$K t JOIN glcp ON glcp.gg = t.r$K),
+       |cov AS (SELECT DISTINCT doc_id, pos + u AS tpos
+       |  FROM pp, generate_series(0, ${SpanSaMaxLen - 1}) s(u)
+       |  WHERE dup_len >= $SpanExactMin AND u < dup_len),
+       |covd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+       |  FROM cov GROUP BY doc_id),
+       |pd AS (SELECT doc_id, max(dup_len) AS longest_dup,
+       |    CAST(sum(CASE WHEN dup_len >= $SpanExactMin THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup_starts
+       |  FROM pp GROUP BY doc_id)
+       |SELECT sz.doc_id, CAST(sz.n AS INTEGER) AS n_tokens,
+       |  coalesce(pd.longest_dup, 0) AS longest_dup,
+       |  coalesce(pd.n_dup_starts, 0) AS n_dup_starts,
+       |  coalesce(covd.n_covered, 0) AS n_covered,
+       |  CASE WHEN sz.n > 0
+       |    THEN round(CAST(coalesce(covd.n_covered, 0) AS DOUBLE) / sz.n, 6)
+       |    ELSE 0.0 END AS dup_ratio,
+       |  CASE WHEN sz.n > 0
+       |    THEN round(CAST(coalesce(covd.n_covered, 0) AS DOUBLE) / sz.n, 6)
+       |    ELSE 0.0 END < 0.5 AS keep
+       |FROM sz LEFT JOIN pd USING (doc_id) LEFT JOIN covd USING (doc_id)
+       |ORDER BY sz.doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] =
+    Map("q_span_dedup_exact" -> spanExactOracle)
+}

@@ -1752,6 +1752,47 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(card.map(_.getLong(1)).sum == nRel)
   }
 
+  test("q_span_dedup_exact: known longest repeats on a crafted corpus") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a verbatim 12-token run (R1..R12) embedded
+    // in otherwise-unique text; doc 3 is all-unique; doc 4 repeats a
+    // 4-token phrase internally (below the 8-token floor)
+    val run = (1 to 12).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 $run v1 v2 v3 v4"),
+      (2L, s"w1 w2 w3 $run x1 x2 x3 x4 x5"),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" ")),
+      (4L, "y1 y2 y3 y4 y1 y2 y3 y4")).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("span_exact_fix").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    val r = SpanExact.queries("q_span_dedup_exact")(spark, out)
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // longest exact repeat 12; 5 qualifying starts (lengths 12..8);
+    // they cover exactly the 12 run positions
+    assert(r(1L) == ((20, 12L, 5L, 12L)), r(1L).toString)
+    assert(r(2L) == ((20, 12L, 5L, 12L)), r(2L).toString)
+    assert(r(3L) == ((10, 0L, 0L, 0L)), r(3L).toString)
+    // internal 4-token repeat: exact length found, below the coverage floor
+    assert(r(4L) == ((8, 4L, 0L, 0L)), r(4L).toString)
+  }
+
+  test("q_span_dedup_exact coverage == q_span_dedup's W=8 coverage (testdata)") {
+    // a position is inside a duplicated ≥8-token exact span iff it is
+    // inside a duplicated 8-window — the two censuses must agree on
+    // n_covered doc-for-doc (the suffix array refines the SPECTRUM,
+    // not the coverage)
+    val dir = "/root/testdata/sf0.001"
+    val exact = SpanExact.queries("q_span_dedup_exact")(spark, dir)
+      .select("doc_id", "n_covered").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val windowed = Dedup.queries("q_span_dedup")(spark, dir)
+      .select("doc_id", "n_covered").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == windowed)
+    assert(exact.values.sum > 0, "no duplicated spans in testdata — vacuous")
+  }
+
   test("Scratch honors spark.graft.scratchDir: configured root, build-once, race-safe") {
     // the cluster seam (round-9 advice): with the conf set, shared
     // intermediates land under the CONFIGURED root — the path every
