@@ -175,8 +175,9 @@ object Bench {
       "q_ivf_retrain", "q_stream_ivf_retrain", "q_sink_roundtrip",
       "q_release_delta",
       // round-9: suffix-array exact span dedup, the streaming release
-      // admission twin
-      "q_span_dedup_exact", "q_stream_release")
+      // admission twin, the graph-expanded ANN family + its recall audit
+      "q_span_dedup_exact", "q_stream_release",
+      "q_ann_graph", "q_ann_graph_recall")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -244,7 +245,8 @@ object Bench {
       "q_ivf_pq_search", "q_label_propagation", "q_bitext_mine",
       "q_contrastive_pairs", "q_knn_graph", "q_semantic_outliers",
       "q_cluster_balance", "q_embedding_drift",
-      "q_ivf_retrain", "q_stream_ivf_retrain")
+      "q_ivf_retrain", "q_stream_ivf_retrain",
+      "q_ann_graph", "q_ann_graph_recall")
     val sharedIvf: Seq[(String, Double)] =
       if (names.exists(ivfFamily.contains)) {
         val t = timed("shared_ivf_probed") {

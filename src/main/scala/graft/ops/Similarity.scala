@@ -92,6 +92,12 @@ object Similarity {
       .agg(min(col("dist") * PqK + col("cid")).as("mc"))
   val NProbe = 2
 
+  /** Out-degree of q_ann_graph's stored neighbor graph (HNSW's M):
+    * each vector keeps its top-4 in-bucket neighbors; the one-hop
+    * expansion multiplies candidate volume by at most this.
+    */
+  val GraphDegree = 4
+
   /** Reciprocal-rank-fusion constant (k=60, the value from Cormack,
     * Clarke & Buettcher's original RRF paper — robust across IR
     * collections) and the per-leg candidate depth for q_rrf_fusion.
@@ -1178,6 +1184,88 @@ object Similarity {
             count(lit(1)), 6).as("recall_at_1"))
     }),
 
+    // The SECOND ANN index family (round 9): graph-expanded search —
+    // HNSW's layer-0 idea expressed as bounded relational ops. A
+    // [[GraphDegree]]-degree neighbor graph (each vector's top-G
+    // in-bucket neighbors — the bounded kNN graph q_knn_graph already
+    // builds, without its label block) is walked ONE hop from the IVF
+    // candidate set: a query's candidates pull in their own graph
+    // neighbors, reaching vectors whose buckets the query never
+    // probed — exactly the boundary-recall failure mode of pure IVF.
+    // Candidates are a SUPERSET of q_sim_ann's by construction, so
+    // recall@1 can only improve (asserted in OpsSpec; quantified
+    // hash-exactly by q_ann_graph_recall). Cost shape at 10⁹ rows:
+    // the graph is the bucket self-join's bounded output folded to
+    // G rows/vector (a real index stores it, as it stores the IVF
+    // postings); the expansion join emits ≤ |cand|·G rows; the
+    // re-rank is one exact cosine per expanded candidate + a bounded
+    // top-1 heap — no stage exceeds the candidate volume, nothing is
+    // quadratic.
+    "q_ann_graph" -> ((s, dir) => {
+      CosineSim.register(s)
+      val probed = ivfShardedProbed(s, dir)
+      val cand = probed.select(col("anchor_id"), col("shard"),
+          col("vec_id"), col("v").as("v1"))
+        .join(probed.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("nn_id"), col("v").as("v2")),
+          Seq("anchor_id", "shard"))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+        .distinct()
+      // the stored graph: top-G per vector, bounded heap (no window
+      // over the candidate stream)
+      val graph = cand.groupBy(col("vec_id"))
+        .agg(expr(s"top_k_by_score(cos_sim, nn_id, $GraphDegree)").as("top"))
+        .select(col("vec_id").as("hop_id"),
+          explode(col("top")).as("t"))
+        .select(col("hop_id"), col("t.doc_id").as("nn_id"))
+      // one-hop walk: candidate → its graph neighbors become
+      // candidates of the original query
+      val emb = embeddings(s, dir)
+      val expanded = cand.select(col("vec_id"), col("nn_id").as("hop_id"))
+        .join(graph, Seq("hop_id"))
+        .where(col("nn_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("nn_id")).distinct()
+        .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
+        .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
+          Seq("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+      cand.unionByName(expanded).distinct()
+        .groupBy(col("vec_id"))
+        .agg(expr("top_k_by_score(cos_sim, nn_id, 1)").as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.doc_id").as("nn_id"),
+          col("t.score").as("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Recall@1 of the graph-expanded ANN against the same brute-force
+    // truth as q_ann_recall — the two 1-row audits side by side ARE
+    // the family comparison (IVF vs IVF+graph), both hash-checked.
+    "q_ann_graph_recall" -> ((s, dir) => {
+      CosineSim.register(s)
+      val emb = embeddings(s, dir)
+      val ann = queries("q_ann_graph")(s, dir)
+        .select(col("vec_id"), col("cos_sim").as("ann_cos"))
+      val n = Tables(s, dir, "embeddings").count()
+      val probes = emb.where(probeSampled(col("vec_id"), n))
+        .select(col("vec_id"), col("v").as("v1"))
+      val truth = emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
+        .crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
+      truth.join(ann, Seq("vec_id"), "left")
+        .select((col("ann_cos") === col("true_cos"))
+          .cast("int").as("hit"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+            count(lit(1)), 6).as("recall_at_1"))
+    }),
+
     // Retrieval-quality evaluation of the dense retriever: MRR and
     // recall@10 over the scale-invariant probe sample, with same-label
     // vectors as the relevance ground truth (the standard proxy when
@@ -2024,6 +2112,68 @@ object Similarity {
          |ann AS (SELECT vec_id, cos_sim AS ann_cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand) WHERE rn = 1),
+         |truth AS (SELECT a.vec_id, max(round(${sqlCos("a.v", "b.v")}, 6)) AS true_cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |  WHERE ${sqlProbeSampled("a.vec_id")} GROUP BY a.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall_at_1
+         |FROM truth LEFT JOIN ann USING (vec_id)""".stripMargin,
+    // The graph-expanded ANN replayed exactly: IVF candidates, the
+    // top-G neighbor graph, the one-hop expansion re-ranked by exact
+    // cosine, rn=1.
+    "q_ann_graph" ->
+      s"""WITH $sqlIvfProbed,
+         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM probed a JOIN probed b
+         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+         |    AND a.vec_id <> b.vec_id),
+         |g AS (SELECT vec_id AS hop_id, nn_id FROM (
+         |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
+         |  WHERE rn <= $GraphDegree),
+         |ex AS (SELECT DISTINCT c.vec_id, g.nn_id
+         |  FROM cand c JOIN g ON c.nn_id = g.hop_id
+         |  WHERE g.nn_id <> c.vec_id),
+         |exc AS (SELECT ex.vec_id, ex.nn_id,
+         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+         |  FROM ex JOIN e x ON ex.vec_id = x.vec_id
+         |    JOIN e y ON ex.nn_id = y.vec_id),
+         |allc AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+         |  SELECT vec_id, nn_id, cos_sim FROM cand
+         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc)),
+         |r AS (SELECT vec_id, nn_id, cos_sim, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn FROM allc)
+         |SELECT vec_id, nn_id, cos_sim FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    // Same truth side as q_ann_recall, audited ANN = the graph form.
+    "q_ann_graph_recall" ->
+      s"""WITH $sqlIvfProbed,
+         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM probed a JOIN probed b
+         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+         |    AND a.vec_id <> b.vec_id),
+         |g AS (SELECT vec_id AS hop_id, nn_id FROM (
+         |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
+         |  WHERE rn <= $GraphDegree),
+         |ex AS (SELECT DISTINCT c.vec_id, g.nn_id
+         |  FROM cand c JOIN g ON c.nn_id = g.hop_id
+         |  WHERE g.nn_id <> c.vec_id),
+         |exc AS (SELECT ex.vec_id, ex.nn_id,
+         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+         |  FROM ex JOIN e x ON ex.vec_id = x.vec_id
+         |    JOIN e y ON ex.nn_id = y.vec_id),
+         |allc AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+         |  SELECT vec_id, nn_id, cos_sim FROM cand
+         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc)),
+         |ann AS (SELECT vec_id, cos_sim AS ann_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM allc) WHERE rn = 1),
          |truth AS (SELECT a.vec_id, max(round(${sqlCos("a.v", "b.v")}, 6)) AS true_cos
          |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
          |  WHERE ${sqlProbeSampled("a.vec_id")} GROUP BY a.vec_id)

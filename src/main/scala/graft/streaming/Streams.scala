@@ -87,6 +87,34 @@ object Streams {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Finite-drain runner for the foreachBatch twins (round-9 drain-
+    * floor result, measured by [[DrainAb]]): `Trigger.AvailableNow` +
+    * awaitTermination plans the whole staged backlog up front (one
+    * listing; batches still split by maxFilesPerTrigger, so batch
+    * composition and bids are unchanged) and terminates itself,
+    * skipping the idle progress-poll cycle `processAllAvailable` pays
+    * per drain — measured −0.2 s/twin on both a near-zero-work twin
+    * (forget 1.80→1.59 s) and a real-work one (watermark 2.02→1.83 s)
+    * at sf0.1. Default ON for these twins;
+    * [[AvailableNowConf]]=false restores the old drain. The
+    * stateful-window memory-sink twins (watermark eviction, timeout
+    * sessionization, stream-stream joins) deliberately KEEP
+    * processAllAvailable — their final-eviction semantics depend on
+    * the default trigger's extra cycle.
+    */
+  val AvailableNowConf = "spark.graft.streaming.availableNow"
+
+  private def drain(spark: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit =
+    if (spark.conf.get(AvailableNowConf, "true").toBoolean) {
+      val q = w.trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); () } finally q.stop()
+    } else {
+      val q = w.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
   private def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -626,7 +654,7 @@ object Streams {
     val keptDir = s"$workDir/kept"
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val hashed = batch.withColumn("h", md5(col("text")))
@@ -646,9 +674,7 @@ object Streams {
           fresh.select(col("h")).write.mode("append").parquet(indexDir)
         } finally fresh.unpersist()
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     spark.read.parquet(keptDir)
   }
 
@@ -697,7 +723,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir.toString).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         // cache: consumed by bands, the estimate join, and the store
@@ -749,9 +775,7 @@ object Streams {
           vec.write.mode("append").parquet(sigDir)
         } finally { vec.unpersist(); () }
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     spark.read.parquet(keptDir)
   }
 
@@ -827,7 +851,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir.toString).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         // the reference branch keys on the BATCH ID (deterministic and
@@ -859,9 +883,7 @@ object Streams {
           merged.write.mode("overwrite").parquet(s"$workDir/cur_v$bid")
         }
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     val ref = spark.read.parquet(refDir)
       .select(col("bin"), col("n").as("n_ref"))
     val cur = latestVersioned(workDir, "cur_v") match {
@@ -917,7 +939,7 @@ object Streams {
     val lm = spark.read.schema("bg STRING, p DOUBLE").parquet(s"$workDir/lm")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         // a micro-batch arrives as ONE staged file = one partition —
@@ -934,9 +956,7 @@ object Streams {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$workDir/per_b$bid")
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     val parts = Option(new java.io.File(workDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("per_b"))
@@ -1011,7 +1031,7 @@ object Streams {
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = stream.writeStream
+      drain(spark, stream.writeStream
         .option("checkpointLocation", s"$workDir/ckpt")
         .foreachBatch { (batch: Dataset[Row], bid: Long) =>
           // one OVERWRITTEN directory per batch id: foreachBatch is
@@ -1024,9 +1044,7 @@ object Streams {
             .select(col("vec_id"), col("anchor_id"))
             .write.mode("overwrite").parquet(s"$workDir/postings_b$bid")
           ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        })
     } finally { coarse.unpersist(); fineBucket.unpersist(); () }
     spark.read.parquet(s"$workDir/postings_b*")
       .groupBy(col("anchor_id"))
@@ -1121,7 +1139,7 @@ object Streams {
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val q = stream.writeStream
+      drain(spark, stream.writeStream
         .option("checkpointLocation", s"$workDir/ckpt")
         .foreachBatch { (batch: Dataset[Row], bid: Long) =>
           // a micro-batch arrives as ONE staged file = one partition —
@@ -1133,9 +1151,7 @@ object Streams {
               Similarity.ivfAssign(bdf, coarse, fineBucket), anchors)
             .write.mode("overwrite").parquet(s"$workDir/flags_b$bid")
           ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        })
     } finally { coarse.unpersist(); fineBucket.unpersist(); () }
     spark.read.parquet(s"$workDir/flags_b*").orderBy(col("vec_id"))
   }
@@ -1204,7 +1220,7 @@ object Streams {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .where(col("doc_id") % 50 =!= 0)
-      val q = stream.writeStream
+      drain(spark, stream.writeStream
         .option("checkpointLocation", s"$workDir/ckpt")
         .foreachBatch { (batch: Dataset[Row], bid: Long) =>
           Dedup.shingleHashes(batch.toDF())
@@ -1214,9 +1230,7 @@ object Streams {
               countDistinct(col("eval_id")).as("n_eval_docs"))
             .write.mode("overwrite").parquet(s"$workDir/flag_b$bid")
           ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        })
     } finally { evalIx.unpersist(); () }
     spark.read.parquet(s"$workDir/flag_b*").orderBy(col("doc_id"))
   }
@@ -1277,7 +1291,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         batch.toDF()
@@ -1293,9 +1307,7 @@ object Streams {
               "ELSE CAST(0 AS BIGINT) END)"), lit(0L)).as("kept_xor"))
           .write.mode("overwrite").parquet(s"$workDir/audit_b$bid")
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     spark.read.parquet(s"$workDir/audit_b*")
       .agg(coalesce(sum(col("n_purged")), lit(0L)).as("n_purged"),
         coalesce(sum(col("n_kept")), lit(0L)).as("n_kept"),
@@ -1407,7 +1419,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         // one staged file = one partition — spread the shingle work
@@ -1471,9 +1483,7 @@ object Streams {
             .write.mode("overwrite").parquet(s"$workDir/bhash_b$bid")
         } finally { local.unpersist(); vec.unpersist(); () }
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     val partials = storesBelow(spark, workDir, "census_b", Long.MaxValue,
         censusSchema)
       .getOrElse(throw new IllegalStateException(
@@ -1551,7 +1561,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         import spark.implicits._
@@ -1616,9 +1626,7 @@ object Streams {
             .parquet(s"$workDir/meta_b$bid")
         } finally { post.unpersist(); meta.unpersist(); () }
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     // drain: symmetric per-doc census over the full spine — the exact
     // output shape (and oracle) of the batch q_crossmodal_dedup
     val pairs = storesBelow("pairs_b", Long.MaxValue,
@@ -1903,7 +1911,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val part = latest(batch.toDF())
@@ -1914,9 +1922,7 @@ object Streams {
         }
         merged.write.mode("overwrite").parquet(s"$workDir/tbl_v$bid")
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     spark.read.parquet(latestVersioned(workDir, "tbl_v").getOrElse(
       throw new IllegalStateException("no micro-batch ran — empty source?")))
       .select(col("user_id"), col("s.ts").as("last_ts"),
@@ -1945,7 +1951,7 @@ object Streams {
       // date <= timestamp coerces date → midnight; make the cast
       // explicit for the native operator's time key (as q_asof_native)
       .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
-    val q = eventsStream(spark, dir)
+    drain(spark, eventsStream(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"))
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -1957,9 +1963,7 @@ object Streams {
             col("o_orderdate").as("asof_date"))
           .write.mode("append").parquet(outDir)
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     spark.read.parquet(outDir)
   }
 
@@ -2000,7 +2004,7 @@ object Streams {
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
+    drain(spark, stream.writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val partial = batch.groupBy(col("event_type"))
@@ -2015,9 +2019,7 @@ object Streams {
         }
         merged.write.mode("overwrite").parquet(s"$workDir/mv_v$bid")
         ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      })
     spark.read.parquet(latestVersioned(workDir, "mv_v").getOrElse(
       throw new IllegalStateException("no micro-batch ran — empty source?")))
   }

@@ -1793,6 +1793,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(exact.values.sum > 0, "no duplicated spans in testdata — vacuous")
   }
 
+  test("q_ann_graph: expansion candidates are a superset, recall can only improve") {
+    val dir = "/root/testdata/sf0.001"
+    def recall(q: String) = Similarity.queries(q)(spark, dir)
+      .collect().head.getDouble(2)
+    val ivf = recall("q_ann_recall")
+    val graph = recall("q_ann_graph_recall")
+    assert(graph >= ivf,
+      s"graph-expanded recall $graph < IVF recall $ivf — superset violated")
+    // and on this corpus the hop genuinely helps (not a vacuous tie)
+    assert(graph > ivf, s"graph expansion added nothing: $graph == $ivf")
+    // the graph top-1 is never WORSE per vector: cos(graph) >= cos(ivf)
+    val g = Similarity.queries("q_ann_graph")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val i = Similarity.queries("q_sim_ann")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(i.forall { case (v, c) => g.getOrElse(v, -2.0) >= c },
+      "some vector's graph-expanded best neighbor is worse than IVF's")
+  }
+
   test("Scratch honors spark.graft.scratchDir: configured root, build-once, race-safe") {
     // the cluster seam (round-9 advice): with the conf set, shared
     // intermediates land under the CONFIGURED root — the path every
