@@ -321,6 +321,20 @@ object Bench {
         System.err.println(f"[bench] shared_minhash_pairs     $t%9.3f s")
         Seq("shared_minhash_pairs" -> t)
       } else Seq.empty
+    // the suffix-rank table (7 prefix-doubling rounds): the stored
+    // index q_span_dedup_exact's census scans — billed separately so
+    // the query measures its incremental census cost (the build is
+    // what a production exact-dedup job materializes once per corpus)
+    val saFamily = Set("q_span_dedup_exact")
+    val sharedSa: Seq[(String, Double)] =
+      if (names.exists(saFamily.contains)) {
+        val t = timed("shared_span_sa") {
+          graft.ops.SpanExact.saRanks(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_span_sa           $t%9.3f s")
+        Seq("shared_span_sa" -> t)
+      } else Seq.empty
     // the capped SimHash band table shared by the pair query and its
     // recall audit
     val shFamily = Set("q_dedup_simhash", "q_simhash_recall")
@@ -335,7 +349,8 @@ object Bench {
       } else Seq.empty
     val shared: Seq[(String, Double)] =
       sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
-        sharedPhash ++ sharedDsir ++ sharedSem ++ sharedMh ++ sharedSh ++ (
+        sharedPhash ++ sharedDsir ++ sharedSem ++ sharedMh ++ sharedSa ++
+        sharedSh ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

@@ -34,13 +34,16 @@ import TextFns._
   *     LCP is computed ONCE per adjacent rank pair on any
   *     representative (members are equal, so the choice cannot
   *     matter).
-  *  3. '''LCP by doubling descent''': for each adjacent pair, walk k =
-  *     K−1..0 adding 2^k when the r_k ranks at the current common
-  *     offset match — 2 hash-join probes of the rank table per round,
-  *     bounded rounds. Equal padded windows inside a pair of
-  *     DIFFERENT suffixes always witness 2^k true common tokens (an
-  *     equal padding pattern would force the suffixes identical), so
-  *     the greedy sum IS the exact LCP.
+  *  3. '''LCP by direct prefix compare''': each adjacent pair fetches
+  *     its two docs' token ARRAYS (one co-partitioned join per side —
+  *     docs are row-sized here, unlike the corpus-wide suffix set)
+  *     and counts leading equal tokens with a codegen
+  *     zip_with/aggregate fold — the whole LCP is 2 joins + 1 map
+  *     over the ≤|groups| pair table. (A doubling DESCENT over the
+  *     kept r_k tables — 2 joins × K rounds — was the first cut; the
+  *     direct compare replaced it at 14 joins → 2 and lets the rank
+  *     build keep only its CURRENT column, which also slims every
+  *     round's sort.)
   *
   * Census per doc: longest duplicated span, starts of duplicated
   * spans ≥ [[SpanExactMin]], exact positions covered (provably equal
@@ -78,57 +81,13 @@ object SpanExact {
 
   val queries: Map[String, Q] = Map(
     "q_span_dedup_exact" -> ((s, dir) => {
-      val K = SaRounds
       val ranks = saRanks(s, dir)
       val sizes = Tables.fanout(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-      // one row per identical-suffix group; the representative key is
-      // packed (pos < SpanSaMaxLen ≤ 1024 by the build guard) so the
-      // group census is a single min-fold
-      val grp = ranks.groupBy(col(s"r$K").as("g"))
-        .agg(count(lit(1)).as("cnt"),
-          min(col("doc_id") * 1024 + col("pos")).as("rp"))
-        .select(col("g"), col("cnt"),
-          expr("rp div 1024").as("d"), (col("rp") % 1024).as("p"))
-      val repLen = grp.join(sizes.select(col("doc_id").as("d"),
-          col("n_tokens").cast("long").as("nt")), Seq("d"))
-        .select(col("g"), col("cnt"), col("d"), col("p"),
-          (col("nt") - col("p")).as("len"))
-      // adjacent rank groups + LCP doubling descent (2 rank probes
-      // per round, K rounds)
-      var adj = repLen.select(col("g"), col("d").as("d1"), col("p").as("p1"))
-        .join(repLen.select((col("g") - 1).as("g"), col("d").as("d2"),
-          col("p").as("p2")), Seq("g"))
-        .withColumn("l", lit(0L))
-      for (k <- (K - 1) to 0 by -1) {
-        adj = adj
-          .join(ranks.select(col("doc_id").as("xd"), col("pos").as("xp"),
-            col(s"r$k").as("xa")),
-            col("xd") === col("d1") && col("xp") === col("p1") + col("l"),
-            "left")
-          .join(ranks.select(col("doc_id").as("yd"), col("pos").as("yp"),
-            col(s"r$k").as("ya")),
-            col("yd") === col("d2") && col("yp") === col("p2") + col("l"),
-            "left")
-          // null (past doc end) never matches — a window running off
-          // one doc's end cannot equal a window of real tokens
-          .withColumn("l", when(col("xa") === col("ya"),
-            col("l") + lit(1L << k)).otherwise(col("l")))
-          .drop("xd", "xp", "xa", "yd", "yp", "ya")
-      }
-      val lcp = adj.select(col("g"), col("l"))
-      val glcp = repLen
-        .join(lcp.select(col("g"), col("l").as("l_next")), Seq("g"), "left")
-        .join(lcp.select((col("g") + 1).as("g"), col("l").as("l_prev")),
-          Seq("g"), "left")
-        .select(col("g"),
-          greatest(when(col("cnt") >= 2, col("len")).otherwise(lit(0L)),
-            coalesce(col("l_next"), lit(0L)),
-            coalesce(col("l_prev"), lit(0L))).as("dup_len"))
       val perPos = ranks.select(col("doc_id"), col("pos"),
-          col(s"r$K").as("g"))
-        .join(glcp, Seq("g"))
+          col("r").as("g"))
+        .join(saGroupLcp(s, dir), Seq("g"))
       val covered = perPos.where(col("dup_len") >= SpanExactMin)
         .select(col("doc_id"),
           explode(sequence(col("pos").cast("long"),
@@ -154,10 +113,74 @@ object SpanExact {
     })
   )
 
-  /** The (doc_id, pos, r0..r[[SaRounds]]) suffix rank tables —
-    * session-materialized (Scratch): the group census, the 2·K
-    * descent probes and the per-suffix join all scan one parquet
-    * instead of re-running the doubling loop.
+  /** The (g → dup_len) group table: one row per identical-suffix
+    * group with its longest-match length — session-materialized
+    * (Scratch) because the group census (grp/repLen) feeds FOUR
+    * downstream subtrees whose aliasing makes them canonically
+    * unequal (no exchange reuse); materialized, the query's census is
+    * one ranks ⋈ glcp join plus aggregates.
+    *
+    * dup_len(group) = max(full length if the group holds ≥ 2
+    * identical suffixes, LCP with the g−1 group, LCP with the g+1
+    * group); each group LCP is a direct leading-equal-token count
+    * over the two representatives' token arrays (codegen
+    * zip_with/aggregate fold — null-safe <=> past one doc's end
+    * compares token vs null → mismatch, so the count stops at the
+    * true LCP; both-null before a mismatch would mean identical
+    * suffixes, impossible across different rank groups).
+    */
+  private def saGroupLcp(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"span_sa_glcp|$dir") {
+      val ranks = saRanks(s, dir)
+      val toked = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+      val sizes = toked.select(col("doc_id"), size(col("a")).as("n_tokens"))
+      // one row per identical-suffix group; the representative key is
+      // packed (pos < SpanSaMaxLen ≤ 1024 by the build guard) so the
+      // group census is a single min-fold
+      val grp = ranks.groupBy(col("r").as("g"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("doc_id") * 1024 + col("pos")).as("rp"))
+        .select(col("g"), col("cnt"),
+          expr("rp div 1024").as("d"), (col("rp") % 1024).as("p"))
+      val repLen = grp.join(sizes.select(col("doc_id").as("d"),
+          col("n_tokens").cast("long").as("nt")), Seq("d"))
+        .select(col("g"), col("cnt"), col("d"), col("p"),
+          (col("nt") - col("p")).as("len"))
+      val flags = zip_with(
+        slice(col("a1"), (col("p1") + 1).cast("int"), lit(SpanSaMaxLen)),
+        slice(col("a2"), (col("p2") + 1).cast("int"), lit(SpanSaMaxLen)),
+        (x, y) => when(x <=> y, 1).otherwise(0))
+      val lcpCol = aggregate(flags,
+        struct(lit(0L).as("n"), lit(true).as("ok")),
+        (st, x) => struct(
+          when(st.getField("ok") && x === 1, st.getField("n") + 1L)
+            .otherwise(st.getField("n")).as("n"),
+          (st.getField("ok") && x === 1).as("ok")))
+        .getField("n")
+      val lcp = repLen.select(col("g"), col("d").as("d1"), col("p").as("p1"))
+        .join(repLen.select((col("g") - 1).as("g"), col("d").as("d2"),
+          col("p").as("p2")), Seq("g"))
+        .join(toked.select(col("doc_id").as("d1"), col("a").as("a1")),
+          Seq("d1"))
+        .join(toked.select(col("doc_id").as("d2"), col("a").as("a2")),
+          Seq("d2"))
+        .select(col("g"), lcpCol.as("l"))
+      repLen
+        .join(lcp.select(col("g"), col("l").as("l_next")), Seq("g"), "left")
+        .join(lcp.select((col("g") + 1).as("g"), col("l").as("l_prev")),
+          Seq("g"), "left")
+        .select(col("g"),
+          greatest(when(col("cnt") >= 2, col("len")).otherwise(lit(0L)),
+            coalesce(col("l_next"), lit(0L)),
+            coalesce(col("l_prev"), lit(0L))).as("dup_len"))
+    }
+
+  /** The (doc_id, pos, r) final suffix rank table —
+    * session-materialized (Scratch): the group census and the
+    * per-suffix join scan one parquet instead of re-running the
+    * doubling loop.
     */
   private[graft] def saRanks(s: SparkSession, dir: String): DataFrame = {
     // round intermediates are persisted during the build (each round's
@@ -184,18 +207,22 @@ object SpanExact {
         "horizon — raise SpanSaMaxLen (and the oracle's round count)")
     // the 7 rounds are latency-bound at small corpora (each is a
     // range-sort + two passes): size the rank partitioning to the
-    // token stream (≈500k tokens/partition) instead of paying 32
-    // tasks' launch overhead per pass on a 27k-token corpus; a real
-    // cluster's parallelism cap scales with its executors
+    // token stream (≈100k tokens/partition, so sort work spreads
+    // once the corpus is real) instead of paying 32 tasks' launch
+    // overhead per pass on a 27k-token corpus; a real cluster's
+    // parallelism cap scales with its executors
     val parts = math.max(1L, math.min(
-      s.sparkContext.defaultParallelism.toLong, nTok / 500000L + 1L)).toInt
+      s.sparkContext.defaultParallelism.toLong, nTok / 100000L + 1L)).toInt
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var df = tok.select(col("doc_id"), col("pos"), h60(col("t")).as("r0"))
+    // only the CURRENT rank rides the loop — the LCP is computed from
+    // token arrays, not from kept r_k tables, so each round's sort
+    // moves (doc_id, pos, r, rr) and nothing else
+    var df = tok.select(col("doc_id"), col("pos"), h60(col("t")).as("r"))
     for (k <- 0 until SaRounds) {
       val paired = df.withColumn("rr",
-        coalesce(lead(col(s"r$k"), 1 << k).over(w), lit(-1L)))
-      df = denseRankPair(paired, s"r$k", "rr", s"r${k + 1}", parts, persisted)
-        .drop("rr")
+        coalesce(lead(col("r"), 1 << k).over(w), lit(-1L)))
+      df = denseRankPair(paired, "r", "rr", "rnew", parts, persisted)
+        .select(col("doc_id"), col("pos"), col("rnew").as("r"))
     }
     df
   }
@@ -253,23 +280,13 @@ object SpanExact {
   private def spanExactOracle: String = {
     val K = SaRounds
     val rounds = (0 until K).map { k =>
-      val keep = (0 to k).map(i => s"r$i").mkString(", ")
-      s"""p$k AS (SELECT doc_id, pos, $keep,
+      s"""p$k AS (SELECT doc_id, pos, r$k,
          |  coalesce(lead(r$k, ${1 << k})
          |    OVER (PARTITION BY doc_id ORDER BY pos), -1) AS rr
          |  FROM t$k),
-         |t${k + 1} AS (SELECT doc_id, pos, $keep,
+         |t${k + 1} AS (SELECT doc_id, pos,
          |  CAST(dense_rank() OVER (ORDER BY r$k, rr) AS BIGINT) AS r${k + 1}
          |  FROM p$k)""".stripMargin
-    }.mkString(",\n")
-    val descent = (0 until K).map { j =>
-      val k = K - 1 - j
-      s"""adj${j + 1} AS (SELECT a.gg, a.d1, a.p1, a.d2, a.p2,
-         |  a.l + CASE WHEN x.r$k = y.r$k THEN ${1L << k} ELSE 0 END AS l
-         |  FROM adj$j a
-         |  LEFT JOIN t$K x ON x.doc_id = a.d1 AND x.pos = a.p1 + a.l
-         |  LEFT JOIN t$K y ON y.doc_id = a.d2 AND y.pos = a.p2 + a.l)"""
-        .stripMargin
     }.mkString(",\n")
     s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
        |sz AS (SELECT doc_id, len(a) AS n FROM tk),
@@ -282,16 +299,22 @@ object SpanExact {
        |rlen AS (SELECT gg, cnt, rp // 1024 AS d, rp % 1024 AS p,
        |    sz.n - rp % 1024 AS len
        |  FROM rep JOIN sz ON sz.doc_id = rp // 1024),
-       |adj0 AS (SELECT a.gg, a.d AS d1, a.p AS p1, b.d AS d2, b.p AS p2,
-       |    CAST(0 AS BIGINT) AS l
+       |adj AS (SELECT a.gg, a.d AS d1, a.p AS p1, b.d AS d2, b.p AS p2
        |  FROM rlen a JOIN rlen b ON b.gg = a.gg + 1),
-       |$descent,
+       |mm AS (SELECT adj.gg, u
+       |  FROM adj JOIN tk ta ON ta.doc_id = adj.d1
+       |    JOIN tk tb ON tb.doc_id = adj.d2
+       |    CROSS JOIN generate_series(1, ${SpanSaMaxLen + 1}) s(u)
+       |  WHERE ta.a[CAST(p1 + u AS INT)]
+       |    IS DISTINCT FROM tb.a[CAST(p2 + u AS INT)]),
+       |lcp AS (SELECT gg, CAST(min(u) - 1 AS BIGINT) AS l
+       |  FROM mm GROUP BY gg),
        |glcp AS (SELECT rlen.gg,
        |    greatest(CASE WHEN cnt >= 2 THEN len ELSE 0 END,
        |      coalesce(nx.l, 0), coalesce(pv.l, 0)) AS dup_len
        |  FROM rlen
-       |  LEFT JOIN adj$K nx ON nx.gg = rlen.gg
-       |  LEFT JOIN adj$K pv ON pv.gg = rlen.gg - 1),
+       |  LEFT JOIN lcp nx ON nx.gg = rlen.gg
+       |  LEFT JOIN lcp pv ON pv.gg = rlen.gg - 1),
        |pp AS (SELECT t.doc_id, t.pos, glcp.dup_len
        |  FROM t$K t JOIN glcp ON glcp.gg = t.r$K),
        |cov AS (SELECT DISTINCT doc_id, pos + u AS tpos

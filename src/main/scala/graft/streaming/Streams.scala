@@ -1341,9 +1341,13 @@ object Streams {
     *     The store side goes through the minhashLiveBands stop-band at
     *     ARRIVAL-TIME occupancy; at the oracle-gated SFs the cap never
     *     fires (measured maxima 4/10 vs 64), so drained ≡ batch stays
-    *     hash-exact (on a corpus that saturates mid-stream the drained
-    *     admitted set is a SUPERSET direction on this predicate — the
-    *     documented stop-band trade, stated rather than hidden).
+    *     hash-exact. On a corpus that saturates mid-stream the
+    *     divergence direction is the minhashDedupIngest one: early
+    *     batches still see a sub-cap bucket and emit its pairs
+    *     (blocking docs) while the batch census's final-corpus cap
+    *     kills the whole bucket's candidates — so the drained admitted
+    *     set is a SUBSET of the batch one, never a superset. The
+    *     stop-band trade, stated rather than hidden.
     *
     * Every signal is arrival-frozen — v1 is static and both backward-
     * looking rules only consult smaller ids — so per-doc flags computed
