@@ -177,7 +177,7 @@ object Bench {
       // round-9: suffix-array exact span dedup, the streaming release
       // admission twin, the graph-expanded ANN family + its recall audit
       "q_span_dedup_exact", "q_stream_release",
-      "q_ann_graph", "q_ann_graph_recall")
+      "q_ann_graph", "q_ann_graph_recall", "q_dup_spectrum")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -325,7 +325,7 @@ object Bench {
     // index q_span_dedup_exact's census scans — billed separately so
     // the query measures its incremental census cost (the build is
     // what a production exact-dedup job materializes once per corpus)
-    val saFamily = Set("q_span_dedup_exact")
+    val saFamily = Set("q_span_dedup_exact", "q_dup_spectrum")
     val sharedSa: Seq[(String, Double)] =
       if (names.exists(saFamily.contains)) {
         val t = timed("shared_span_sa") {

@@ -110,6 +110,36 @@ object SpanExact {
             .otherwise(lit(0.0)))
         .withColumn("keep", col("dup_ratio") < 0.5)
         .orderBy(col("doc_id"))
+    }),
+
+    // The corpus duplication-length SPECTRUM — Lee et al.'s headline
+    // figure ("how much of the corpus repeats, at what length"),
+    // exact: every token position bucketed by its longest-match
+    // length (power-of-two bands), with position counts and corpus
+    // share. The data-quality view that decides a dedup threshold:
+    // mass in the high bands = mirrored documents, mass at 8–31 =
+    // boilerplate, the 1–7 residue = natural n-gram reuse. Rides the
+    // session-materialized rank + group-LCP tables — incremental cost
+    // is one join + a ≤9-row aggregate; the corpus never re-tokenizes.
+    "q_dup_spectrum" -> ((s, dir) => {
+      val perPos = saRanks(s, dir).select(col("r").as("g"))
+        .join(saGroupLcp(s, dir), Seq("g"))
+      val band = when(col("dup_len") >= 64, 64L)
+        .when(col("dup_len") >= 32, 32L)
+        .when(col("dup_len") >= 16, 16L)
+        .when(col("dup_len") >= 8, 8L)
+        .when(col("dup_len") >= 4, 4L)
+        .when(col("dup_len") >= 2, 2L)
+        .when(col("dup_len") >= 1, 1L)
+        .otherwise(0L)
+      val counted = perPos.select(band.as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_positions"))
+      val total = counted.agg(sum(col("n_positions")).as("n_total"))
+      counted.crossJoin(broadcast(total))
+        .select(col("band"), col("n_positions"),
+          round(col("n_positions").cast("double") / col("n_total"), 6)
+            .as("share"))
+        .orderBy(col("band"))
     })
   )
 
@@ -277,7 +307,10 @@ object SpanExact {
     * and constant generated from the same Scala values the Spark side
     * uses, so the two engines cannot drift.
     */
-  private def spanExactOracle: String = {
+  /** The shared CTE chain (tokens → doubling ranks → groups →
+    * adjacent-pair LCP → per-position dup_len) both oracles build on.
+    */
+  private def saCtes: String = {
     val K = SaRounds
     val rounds = (0 until K).map { k =>
       s"""p$k AS (SELECT doc_id, pos, r$k,
@@ -288,7 +321,7 @@ object SpanExact {
          |  CAST(dense_rank() OVER (ORDER BY r$k, rr) AS BIGINT) AS r${k + 1}
          |  FROM p$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+    s"""tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
        |sz AS (SELECT doc_id, len(a) AS n FROM tk),
        |t0 AS (SELECT doc_id, i - 1 AS pos, ${sqlH60("a[i]")} AS r0
        |  FROM tk, generate_series(1, $SpanSaMaxLen) g(i) WHERE i <= len(a)),
@@ -316,7 +349,11 @@ object SpanExact {
        |  LEFT JOIN lcp nx ON nx.gg = rlen.gg
        |  LEFT JOIN lcp pv ON pv.gg = rlen.gg - 1),
        |pp AS (SELECT t.doc_id, t.pos, glcp.dup_len
-       |  FROM t$K t JOIN glcp ON glcp.gg = t.r$K),
+       |  FROM t$K t JOIN glcp ON glcp.gg = t.r$K)""".stripMargin
+  }
+
+  private def spanExactOracle: String =
+    s"""WITH $saCtes,
        |cov AS (SELECT DISTINCT doc_id, pos + u AS tpos
        |  FROM pp, generate_series(0, ${SpanSaMaxLen - 1}) s(u)
        |  WHERE dup_len >= $SpanExactMin AND u < dup_len),
@@ -338,8 +375,23 @@ object SpanExact {
        |    ELSE 0.0 END < 0.5 AS keep
        |FROM sz LEFT JOIN pd USING (doc_id) LEFT JOIN covd USING (doc_id)
        |ORDER BY sz.doc_id""".stripMargin
-  }
 
-  val oracles: Map[String, String] =
-    Map("q_span_dedup_exact" -> spanExactOracle)
+  private def dupSpectrumOracle: String =
+    s"""WITH $saCtes,
+       |b AS (SELECT CAST(CASE
+       |    WHEN dup_len >= 64 THEN 64 WHEN dup_len >= 32 THEN 32
+       |    WHEN dup_len >= 16 THEN 16 WHEN dup_len >= 8 THEN 8
+       |    WHEN dup_len >= 4 THEN 4 WHEN dup_len >= 2 THEN 2
+       |    WHEN dup_len >= 1 THEN 1 ELSE 0 END AS BIGINT) AS band
+       |  FROM pp),
+       |c AS (SELECT band, CAST(count(*) AS BIGINT) AS n_positions
+       |  FROM b GROUP BY band)
+       |SELECT band, n_positions,
+       |  round(CAST(n_positions AS DOUBLE) /
+       |    (SELECT sum(n_positions) FROM c), 6) AS share
+       |FROM c ORDER BY band""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_span_dedup_exact" -> spanExactOracle,
+    "q_dup_spectrum" -> dupSpectrumOracle)
 }
