@@ -257,6 +257,19 @@ object Bench {
         System.err.println(f"[bench] shared_ivf_probed        $t%9.3f s")
         Seq("shared_ivf_probed" -> t)
       } else Seq.empty
+    // the IVF candidate-pair edge list (the index's candidate output):
+    // one bucket self-join + cosine pass shared by the ANN family
+    val ivfCandFamily = Set("q_sim_ann", "q_ann_recall", "q_ann_graph",
+      "q_ann_graph_recall", "q_knn_graph")
+    val sharedIvfCand: Seq[(String, Double)] =
+      if (names.exists(ivfCandFamily.contains)) {
+        val t = timed("shared_ivf_cand") {
+          graft.ops.Similarity.sharedIvfCand(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_ivf_cand          $t%9.3f s")
+        Seq("shared_ivf_cand" -> t)
+      } else Seq.empty
     // the full-corpus PQ code table (the stored PQ index): one
     // quantize+encode pass shared by the PQ query family
     val pqFamily = Set("q_pq_encode", "q_pq_search", "q_ivf_pq_search")
@@ -349,8 +362,8 @@ object Bench {
       } else Seq.empty
     val shared: Seq[(String, Double)] =
       sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
-        sharedPhash ++ sharedDsir ++ sharedSem ++ sharedMh ++ sharedSa ++
-        sharedSh ++ (
+        sharedIvfCand ++ sharedPhash ++ sharedDsir ++ sharedSem ++
+        sharedMh ++ sharedSa ++ sharedSh ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

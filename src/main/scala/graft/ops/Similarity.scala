@@ -555,6 +555,31 @@ object Similarity {
   private[graft] def sharedIvfProbed(s: SparkSession, dir: String): DataFrame =
     ivfProbed(s, dir)
 
+  /** The IVF candidate-pair table WITH rounded cosines — the bucket
+    * self-join's output (vec_id, nn_id, cos_sim), both directions,
+    * session-materialized (round 9): q_sim_ann, q_ann_graph (twice —
+    * graph build + expansion seed), q_ann_graph_recall and
+    * q_knn_graph each re-ran the Σ|bucket|² pair join + cosine +
+    * distinct; a production vector store materializes exactly this
+    * edge list (it IS the index's candidate output). Bounded by the
+    * saturation-sharded bucket products, never n². Billed as
+    * shared_ivf_cand in Bench.
+    */
+  private[graft] def sharedIvfCand(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"ivf_cand_$dir") {
+      CosineSim.register(s)
+      val probed = ivfShardedProbed(s, dir)
+      probed.select(col("anchor_id"), col("shard"),
+          col("vec_id"), col("v").as("v1"))
+        .join(probed.select(col("anchor_id"), col("shard"),
+          col("vec_id").as("nn_id"), col("v").as("v2")),
+          Seq("anchor_id", "shard"))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+        .distinct()
+    }
+
   /** Exact all-pairs near-dup is the AUDIT role only — it bounds the
     * executed IVF scale path (q_dedup_embedding_ivf) from above. Above
     * `maxRows` the n² pair space and the full-table broadcast are both
@@ -1092,18 +1117,9 @@ object Similarity {
     // bucket owns ≥ 1 fine anchor (its own) — full coverage holds.
     "q_sim_ann" -> ((s, dir) => {
       CosineSim.register(s)
-      // the shared two-level quantizer + saturation shard (no-op on
-      // healthy corpora — see shardProbed)
-      val probed = ivfShardedProbed(s, dir)
-      val cand = probed.select(col("anchor_id"), col("shard"),
-          col("vec_id"), col("v").as("v1"))
-        .join(probed.select(col("anchor_id"), col("shard"),
-          col("vec_id").as("nn_id"), col("v").as("v2")),
-          Seq("anchor_id", "shard"))
-        .where(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), col("nn_id"),
-          round(cosine("v1", "v2"), 6).as("cos_sim"))
-        .distinct()
+      // the shared two-level quantizer + saturation shard, candidate
+      // pairs session-materialized (see sharedIvfCand)
+      val cand = sharedIvfCand(s, dir)
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_sim").desc, col("nn_id"))
       cand.withColumn("rn", row_number().over(w))
@@ -1203,16 +1219,7 @@ object Similarity {
     // quadratic.
     "q_ann_graph" -> ((s, dir) => {
       CosineSim.register(s)
-      val probed = ivfShardedProbed(s, dir)
-      val cand = probed.select(col("anchor_id"), col("shard"),
-          col("vec_id"), col("v").as("v1"))
-        .join(probed.select(col("anchor_id"), col("shard"),
-          col("vec_id").as("nn_id"), col("v").as("v2")),
-          Seq("anchor_id", "shard"))
-        .where(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), col("nn_id"),
-          round(cosine("v1", "v2"), 6).as("cos_sim"))
-        .distinct()
+      val cand = sharedIvfCand(s, dir)
       // the stored graph: top-G per vector, bounded heap (no window
       // over the candidate stream)
       val graph = cand.groupBy(col("vec_id"))
@@ -1371,21 +1378,18 @@ object Similarity {
     // boundary recall.
     "q_knn_graph" -> ((s, dir) => {
       CosineSim.register(s)
-      val probed = ivfShardedProbed(s, dir)
+      // the label block is a FILTER of the shared candidate table:
+      // same-bucket pairs with equal labels (cos already rounded
+      // before the shared distinct, so the heap's tie-break operates
+      // on the same values the oracle ranks)
       val lbl = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"))
-      val pa = probed.join(lbl, Seq("vec_id"))
-      // round BEFORE distinct/ranking so the heap's tie-break (smaller
-      // nn_id) operates on the same values the oracle ranks
-      val pairs = pa.select(col("anchor_id"), col("shard"), col("label"),
-          col("vec_id"), col("v").as("v1"))
-        .join(pa.select(col("anchor_id"), col("shard"), col("label"),
-          col("vec_id").as("nn_id"), col("v").as("v2")),
-          Seq("anchor_id", "shard", "label"))
-        .where(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), col("nn_id"),
-          round(cosine("v1", "v2"), 6).as("cos_sim"))
-        .distinct()
+      val pairs = sharedIvfCand(s, dir)
+        .join(lbl, Seq("vec_id"))
+        .join(lbl.select(col("vec_id").as("nn_id"),
+          col("label").as("nn_label")), Seq("nn_id"))
+        .where(col("label") === col("nn_label"))
+        .select(col("vec_id"), col("nn_id"), col("cos_sim"))
       pairs.groupBy(col("vec_id"))
         .agg(expr("top_k_by_score(cos_sim, nn_id, 3)").as("top"))
         .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "t")))
