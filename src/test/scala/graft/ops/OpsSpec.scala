@@ -1793,6 +1793,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(exact.values.sum > 0, "no duplicated spans in testdata — vacuous")
   }
 
+  test("q_dup_spectrum: bands and shares on the crafted span corpus") {
+    import spark.implicits._
+    // reuse the span-exact fixture geometry: docs 1/2 share a 12-token
+    // run, doc 3 all-unique, doc 4 repeats 4 tokens internally
+    val run = (1 to 12).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 $run v1 v2 v3 v4"),
+      (2L, s"w1 w2 w3 $run x1 x2 x3 x4 x5"),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" ")),
+      (4L, "y1 y2 y3 y4 y1 y2 y3 y4")).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("dup_spectrum_fix").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    val r = SpanExact.queries("q_dup_spectrum")(spark, out)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // per-position longest-match lengths, worked by hand:
+    //   docs 1+2: the run positions count down 12..1 per doc — bands
+    //     8:{12..8}=5, 4:{7..4}=4, 2:{3,2}=2, 1:{1}=1 (×2 docs); the
+    //     unique pads/tails (4+4 in doc 1, 3+5 in doc 2) are band 0
+    //   doc 3: 10 positions at band 0
+    //   doc 4: both copies of y1..y4 match the other copy with
+    //     lengths 4,3,2,1 → band 4:{4,4}, 2:{3,3,2,2}, 1:{1,1}, 0: none
+    assert(r(8L) == 10L, r.toString)                 // 5 × 2 docs
+    assert(r(4L) == 4L * 2 + 2L, r.toString)         // docs 1/2 + doc 4
+    assert(r(2L) == 2L * 2 + 4L, r.toString)
+    assert(r(1L) == 1L * 2 + 2L, r.toString)
+    assert(r(0L) == (4 + 4) + (3 + 5) + 10L, r.toString)
+    assert(!r.contains(16L) && !r.contains(32L) && !r.contains(64L))
+  }
+
   test("q_ann_graph: expansion candidates are a superset, recall can only improve") {
     val dir = "/root/testdata/sf0.001"
     def recall(q: String) = Similarity.queries(q)(spark, dir)

@@ -607,6 +607,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(resumed == batch)
   }
 
+  test("staging cache honors spark.graft.stagingDir: shards land under the configured root") {
+    // the cluster seam's staging half (round-9): with the conf set,
+    // the shared staged-shard directory lives under the CONFIGURED
+    // POSIX root and each twin's workDir/stream symlinks into it
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_staging_conf").toString
+    spark.conf.set(Streams.StagingDirConf, root)
+    try {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_staging_wk").toString
+      val ev = graft.Tables(spark, dir, "events")
+        .select(col("user_id"), col("event_id")).limit(200)
+      val staged = Streams.stageShards(ev, work, 2, keyCol = "event_id",
+        cacheKey = Some("conf-root-probe"))
+      val link = java.nio.file.Paths.get(work, "stream")
+      assert(java.nio.file.Files.isSymbolicLink(link))
+      val target = java.nio.file.Files.readSymbolicLink(link).toString
+      assert(target.startsWith(root), s"$target not under $root")
+      assert(spark.read.parquet(staged).count() == 200)
+    } finally spark.conf.unset(Streams.StagingDirConf)
+  }
+
   test("foreachBatch release admission: drained census == q_release_delta, restart-safe") {
     // the ingest-time extension must reproduce the batch extension's
     // per-source census exactly (shared flags projection + shared
