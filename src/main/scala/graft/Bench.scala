@@ -396,6 +396,26 @@ object Bench {
       n -> t
     }
     spark.stop()
+    // Persist the first-look result BEFORE the repin fork: the fork
+    // adds minutes of wall, and a bench killed mid-repin by an outer
+    // timeout must still leave a parseable BENCH.json on disk (the
+    // final write below overwrites it with the repin map included).
+    locally {
+      def p3(v: Double): String = f"$v%.3f"
+      val prelimTotal = p3(results.map(_._2).filter(_ >= 0).sum)
+      val prelimQs = results
+        .map { case (k, v) => "\"" + k + "\":" + p3(v) }
+        .mkString("{", ",", "}")
+      val prelim = s"""{"metric":"total","value":$prelimTotal,""" +
+        s""""unit":"sec","queries":$prelimQs,"sf":"$sfDir"}"""
+      for (p <- Seq("BENCH.json", "target/bench.json")) {
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p), prelim + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+        }
+      }
+    }
     // ---- contention-free re-pin pass (round 9) ----
     // After a long single-JVM run, entries can measure far above their
     // standalone cost purely from accumulated JVM state — 13 untouched
