@@ -1339,9 +1339,16 @@ object Streams {
     *     [[graft.ops.Dedup.StreamDupThreshold]] — the q_stream_minhash
     *     arrival-order predicate with v1 as the pre-existing store.
     *     The store side goes through the minhashLiveBands stop-band at
-    *     ARRIVAL-TIME occupancy; at the oracle-gated SFs the cap never
-    *     fires (measured maxima 4/10 vs 64), so drained ≡ batch stays
-    *     hash-exact. On a corpus that saturates mid-stream the
+    *     ARRIVAL-TIME occupancy, recomposed from STAGED index
+    *     artifacts: v1's band table, per-bucket counts and
+    *     already-saturated bucket list ship with the release (built
+    *     once in [[releaseStage]]), so each trigger band-explodes only
+    *     its own arrivals and merges the small delta counts with v1's
+    *     fixed counts — the saturated set is identical to the full
+    *     minhashBands(v1 ∪ arrived ∪ batch) census without ever
+    *     re-exploding or reshuffling v1. At the oracle-gated SFs the
+    *     cap never fires (measured maxima 4/10 vs 64), so drained ≡
+    *     batch stays hash-exact. On a corpus that saturates mid-stream the
     *     divergence direction is the minhashDedupIngest one: early
     *     batches still see a sub-cap bucket and emit its pairs
     *     (blocking docs) while the batch census's final-corpus cap
@@ -1387,6 +1394,37 @@ object Streams {
         java.nio.file.Paths.get(s"$workDir/v1_sig")))
       Dedup.minhashSignatures(v1.select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(s"$workDir/v1_sig")
+    // a release ships its index artifacts: v1's band table, the
+    // per-bucket occupancy counts, and the already-saturated bucket
+    // list are staged ONCE (derived from the v1_sig store so the two
+    // can't drift) instead of re-deriving minhashBands(v1) every
+    // micro-batch — the round-9 perf-weak seam. The per-trigger
+    // occupancy census then merges these fixed counts with the small
+    // delta (arrivals-only) counts and reproduces the exact same
+    // saturated set, so the drained census stays hash-equal to
+    // q_release_delta.
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_bands"))) {
+      val v1SigStored = spark.read
+        .schema("doc_id BIGINT, v ARRAY<BIGINT>")
+        .parquet(s"$workDir/v1_sig")
+      val v1Bands = Dedup.minhashBands(v1SigStored)
+      v1Bands.write.mode("overwrite").parquet(s"$workDir/v1_bands_tmp")
+      val stored = spark.read
+        .schema("doc_id BIGINT, band INT, sig STRING")
+        .parquet(s"$workDir/v1_bands_tmp")
+      val cnt = stored.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("c_v1"))
+      cnt.write.mode("overwrite").parquet(s"$workDir/v1_bcnt")
+      cnt.where(col("c_v1") > Dedup.MinhashBandCap)
+        .select(col("band"), col("sig")).coalesce(1)
+        .write.mode("overwrite").parquet(s"$workDir/v1_sat")
+      // publish last so a crash mid-stage re-derives everything
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$workDir/v1_bands_tmp"),
+        java.nio.file.Paths.get(s"$workDir/v1_bands"))
+      ()
+    }
     // both backward-looking rules (in-batch keeper, smaller-id near
     // neighbor) need arrival order == id order, so the batch stages as
     // range shards — the minhashDedupIngest boundary chain
@@ -1435,6 +1473,9 @@ object Streams {
         val local = Prep.deltaLocalFlags(bdf).cache()
         val vec = Dedup.minhashSignatures(
           bdf.select(col("doc_id"), col("text"))).cache()
+        // cached: feeds the live filter, the probe side, the store-side
+        // union and the per-bid bband append
+        val batchBands = Dedup.minhashBands(vec).cache()
         try {
           val mbKeeper = local.groupBy(col("ch"))
             .agg(min(col("doc_id")).as("mb_keeper"))
@@ -1442,14 +1483,52 @@ object Streams {
             "ch STRING").map(_.distinct().withColumn("prev_hit", lit(1)))
           val prevSig = storesBelow(spark, workDir, "bsig_b", bid, sigSchema)
           val allVec = prevSig.foldLeft(v1Sig.unionByName(vec))(_ unionByName _)
-          val lb = Dedup.minhashLiveBands(Dedup.minhashBands(allVec))
+          // arrival-time occupancy census, recomposed over the STAGED
+          // v1 index artifacts: saturated = (bucket already over cap
+          // in v1 alone — the staged v1_sat list) ∪ (v1 count + delta
+          // count over cap, where delta = prev-arrived ∪ this batch).
+          // Only the delta bands shuffle for their counts; v1's staged
+          // per-bucket counts are semi-probed by the delta's bucket
+          // keys and its band table is scanned + anti-filtered — v1 is
+          // never re-exploded or reshuffled per trigger (the round-9
+          // perf seam). The saturated set is provably identical to
+          // minhashLiveBands(minhashBands(v1 ∪ arrived ∪ batch)), so
+          // the drained census stays hash-equal to q_release_delta.
+          // (v1_sat buckets that also appear in delta emit twice; the
+          // anti joins below are duplicate-key-insensitive.)
+          val bandSchema = "doc_id BIGINT, band INT, sig STRING"
+          val prevBands = storesBelow(spark, workDir, "bband_b", bid,
+            bandSchema)
+          val deltaBands =
+            prevBands.foldLeft(batchBands.toDF())(_ unionByName _)
+          val deltaCnt = deltaBands.groupBy(col("band"), col("sig"))
+            .agg(count(lit(1)).as("c_d"))
+          val v1InDelta = spark.read
+            .schema("band INT, sig STRING, c_v1 BIGINT")
+            .parquet(s"$workDir/v1_bcnt")
+            .join(broadcast(deltaCnt.select(col("band"), col("sig"))),
+              Seq("band", "sig"), "left_semi")
+          val saturated = spark.read.schema("band INT, sig STRING")
+              .parquet(s"$workDir/v1_sat")
+            .unionByName(deltaCnt
+              .join(broadcast(v1InDelta), Seq("band", "sig"), "left")
+              .where(coalesce(col("c_v1"), lit(0L)) + col("c_d") >
+                Dedup.MinhashBandCap)
+              .select(col("band"), col("sig")))
+          val satB = broadcast(saturated)
+          val batchLive =
+            batchBands.join(satB, Seq("band", "sig"), "left_anti")
+          val accBands = prevBands.foldLeft(
+              spark.read.schema(bandSchema).parquet(s"$workDir/v1_bands")
+                .unionByName(batchBands))(_ unionByName _)
+          val accLive = accBands.join(satB, Seq("band", "sig"), "left_anti")
           // probe side = this batch's own live bands — small by
           // construction, so it broadcasts (the minhashDedupIngest
           // shape); the accumulated side is only scanned and probed
-          val cand = broadcast(lb
-              .join(vec.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          val cand = broadcast(batchLive
               .select(col("band"), col("sig"), col("doc_id").as("doc1")))
-            .join(lb.select(col("band"), col("sig"), col("doc_id").as("doc2")),
+            .join(accLive
+              .select(col("band"), col("sig"), col("doc_id").as("doc2")),
               Seq("band", "sig"))
             // a v1 neighbor blocks regardless of id (it arrived with
             // the release); a batch neighbor blocks only from below
@@ -1483,9 +1562,13 @@ object Streams {
             .write.mode("overwrite").parquet(s"$workDir/census_b$bid")
           vec.coalesce(4).write.mode("overwrite")
             .parquet(s"$workDir/bsig_b$bid")
+          batchBands.coalesce(4).write.mode("overwrite")
+            .parquet(s"$workDir/bband_b$bid")
           local.select(col("ch")).distinct().coalesce(1)
             .write.mode("overwrite").parquet(s"$workDir/bhash_b$bid")
-        } finally { local.unpersist(); vec.unpersist(); () }
+        } finally {
+          local.unpersist(); vec.unpersist(); batchBands.unpersist(); ()
+        }
         ()
       })
     val partials = storesBelow(spark, workDir, "census_b", Long.MaxValue,
