@@ -66,6 +66,10 @@ object Registry {
       "mg_topk",
       exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "array_lcp_from",
+      exprs => ArrayLcpFrom(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
     // session-local optimizer rule (spark-submit users get it via
     // GraftExtensions.injectOptimizerRule instead)
     val exp = spark.experimental

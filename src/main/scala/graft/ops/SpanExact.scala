@@ -61,17 +61,37 @@ import TextFns._
 object SpanExact {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Suffix-compare horizon: final ranks separate any two suffixes
-    * differing within this many tokens, so it must be ≥ the longest
-    * doc (generator max = 100; guarded loudly at build). Both engines
-    * derive their round count from this ONE constant.
+  /** DEFAULT suffix-compare horizon: final ranks separate any two
+    * suffixes differing within this many tokens, so it must be ≥ the
+    * longest doc (generator max = 100; guarded loudly at build). Both
+    * engines derive their round count from this ONE constant; the
+    * oracle SQL is generated from the default, so the driver gate
+    * always runs at 128.
     */
   val SpanSaMaxLen = 128
 
-  /** log₂([[SpanSaMaxLen]]) doubling rounds, fixed on BOTH engines so
-    * the rank tables are bit-identical.
+  /** log₂([[SpanSaMaxLen]]) doubling rounds at the DEFAULT horizon,
+    * fixed on BOTH engines so the rank tables are bit-identical.
     */
   val SaRounds = 7
+
+  /** Conf key raising the suffix horizon for real corpora (docs of
+    * 10³–10⁵ tokens): any power of two in [2, 1024] — the upper bound
+    * is the doc_id*1024+pos representative packing, which one long
+    * holds only while pos < 1024. The round count derives as log₂, so
+    * a 4× horizon costs exactly 2 extra doubling rounds (the K=log₂
+    * scaling story — exercised by OpsSpec's long-doc fixture at 512).
+    */
+  val SpanSaMaxLenConf = "spark.graft.spanSaMaxLen"
+
+  private def horizon(s: SparkSession): Int = {
+    val h = s.conf.get(SpanSaMaxLenConf, SpanSaMaxLen.toString).toInt
+    require(h >= 2 && h <= 1024 && Integer.bitCount(h) == 1,
+      s"$SpanSaMaxLenConf must be a power of two in [2, 1024], got $h")
+    h
+  }
+
+  private def roundsFor(h: Int): Int = 31 - Integer.numberOfLeadingZeros(h)
 
   /** Minimum exact-match length to count as a dup start / cover
     * positions — q_span_dedup's window width, making the two
@@ -145,58 +165,63 @@ object SpanExact {
 
   /** The (g → dup_len) group table: one row per identical-suffix
     * group with its longest-match length — session-materialized
-    * (Scratch) because the group census (grp/repLen) feeds FOUR
-    * downstream subtrees whose aliasing makes them canonically
-    * unequal (no exchange reuse); materialized, the query's census is
-    * one ranks ⋈ glcp join plus aggregates.
+    * (Scratch) because the group census feeds FOUR downstream
+    * subtrees whose aliasing makes them canonically unequal (no
+    * exchange reuse); materialized, the query's census is one
+    * ranks ⋈ glcp join plus aggregates.
     *
     * dup_len(group) = max(full length if the group holds ≥ 2
     * identical suffixes, LCP with the g−1 group, LCP with the g+1
     * group); each group LCP is a direct leading-equal-token count
-    * over the two representatives' token arrays (codegen
-    * zip_with/aggregate fold — null-safe <=> past one doc's end
-    * compares token vs null → mismatch, so the count stops at the
-    * true LCP; both-null before a mismatch would mean identical
-    * suffixes, impossible across different rank groups).
+    * over the two representatives' token arrays.
+    *
+    * Round-10 shape: the group census (cnt + min packed rep) AND the
+    * adjacent-pair rep table come out of ONE range-sorted pass over
+    * the materialized rank table ([[saGroupPass]]) — final ranks are
+    * globally dense, so a range partitioner gives every partition a
+    * contiguous rank interval and groups never split; consecutive
+    * distinct ranks inside a partition ARE the adjacent pairs, and
+    * the ≤1-per-partition boundary pairs reassemble from half-rows
+    * joined on the left group id. This replaces the round-9
+    * groupBy-census shuffle + g↔g−1 self-join (three shuffles of a
+    * ≈token-count table) with one range sort; the per-pair LCP is the
+    * early-exit codegen [[graft.functions.ArrayLcpFrom]] instead of a
+    * slice/zip_with/aggregate struct fold (no slice copies, stops at
+    * the first mismatching token — adjacent rank groups usually
+    * differ early, the fold always paid the full horizon).
     */
-  private def saGroupLcp(s: SparkSession, dir: String): DataFrame =
-    Scratch.materialize(s, s"span_sa_glcp|$dir") {
-      val ranks = saRanks(s, dir)
+  private def saGroupLcp(s: SparkSession, dir: String): DataFrame = {
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try Scratch.materialize(s, s"span_sa_glcp|$dir|h${horizon(s)}") {
+      graft.functions.Registry.ensure(s)
       val toked = Tables.fanout(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), tokens(col("text")).as("a"))
       val sizes = toked.select(col("doc_id"), size(col("a")).as("n_tokens"))
-      // one row per identical-suffix group; the representative key is
-      // packed (pos < SpanSaMaxLen ≤ 1024 by the build guard) so the
-      // group census is a single min-fold
-      val grp = ranks.groupBy(col("r").as("g"))
-        .agg(count(lit(1)).as("cnt"),
-          min(col("doc_id") * 1024 + col("pos")).as("rp"))
-        .select(col("g"), col("cnt"),
-          expr("rp div 1024").as("d"), (col("rp") % 1024).as("p"))
-      val repLen = grp.join(sizes.select(col("doc_id").as("d"),
+      val pass = saGroupPass(s, dir, persisted).persist()
+      persisted += pass
+      val census = pass.where(col("kind") === 0)
+        .select(col("g"), col("cnt"), col("d1").as("d"), col("p1").as("p"))
+      // boundary half-rows: a partition's LAST group emits (g, rep) and
+      // the NEXT partition's first group emits (g−1, rep) — joining on
+      // g reassembles exactly the cross-partition adjacent pairs (≤ 1
+      // per partition boundary, so both sides are partition-count-sized)
+      val pairs = pass.where(col("kind") === 1)
+          .select(col("g"), col("d1"), col("p1"), col("d2"), col("p2"))
+        .unionByName(pass.where(col("kind") === 4)
+          .select(col("g"), col("d1"), col("p1"))
+          .join(broadcast(pass.where(col("kind") === 5)
+            .select(col("g"), col("d2"), col("p2"))), Seq("g")))
+      val repLen = census.join(sizes.select(col("doc_id").as("d"),
           col("n_tokens").cast("long").as("nt")), Seq("d"))
-        .select(col("g"), col("cnt"), col("d"), col("p"),
-          (col("nt") - col("p")).as("len"))
-      val flags = zip_with(
-        slice(col("a1"), (col("p1") + 1).cast("int"), lit(SpanSaMaxLen)),
-        slice(col("a2"), (col("p2") + 1).cast("int"), lit(SpanSaMaxLen)),
-        (x, y) => when(x <=> y, 1).otherwise(0))
-      val lcpCol = aggregate(flags,
-        struct(lit(0L).as("n"), lit(true).as("ok")),
-        (st, x) => struct(
-          when(st.getField("ok") && x === 1, st.getField("n") + 1L)
-            .otherwise(st.getField("n")).as("n"),
-          (st.getField("ok") && x === 1).as("ok")))
-        .getField("n")
-      val lcp = repLen.select(col("g"), col("d").as("d1"), col("p").as("p1"))
-        .join(repLen.select((col("g") - 1).as("g"), col("d").as("d2"),
-          col("p").as("p2")), Seq("g"))
+        .select(col("g"), col("cnt"), (col("nt") - col("p")).as("len"))
+      val lcp = pairs
         .join(toked.select(col("doc_id").as("d1"), col("a").as("a1")),
           Seq("d1"))
         .join(toked.select(col("doc_id").as("d2"), col("a").as("a2")),
           Seq("d2"))
-        .select(col("g"), lcpCol.as("l"))
+        .select(col("g"), call_function("array_lcp_from",
+          col("a1"), col("p1"), col("a2"), col("p2")).as("l"))
       repLen
         .join(lcp.select(col("g"), col("l").as("l_next")), Seq("g"), "left")
         .join(lcp.select((col("g") + 1).as("g"), col("l").as("l_prev")),
@@ -205,7 +230,73 @@ object SpanExact {
           greatest(when(col("cnt") >= 2, col("len")).otherwise(lit(0L)),
             coalesce(col("l_next"), lit(0L)),
             coalesce(col("l_prev"), lit(0L))).as("dup_len"))
+    } finally { persisted.foreach(_.unpersist()); () }
+  }
+
+  /** One range-sorted pass over the rank table emitting, per
+    * identical-suffix group: its census row (kind 0: g, cnt, min
+    * packed rep split as d1/p1), the in-partition adjacent-pair row
+    * (kind 1: reps of g and g+1), and at partition edges the two half
+    * rows (kind 4: last group's left half at g; kind 5: first group's
+    * right half at g−1) that [[saGroupLcp]] joins back together. The
+    * representative key is packed doc_id*1024+pos (pos <
+    * [[SpanSaMaxLen]] ≤ 1024 by the build guard) so the min-fold is a
+    * single long compare. mapPartitions is the same genuine
+    * per-partition imperative case as [[denseRankPair]].
+    */
+  private def saGroupPass(s: SparkSession, dir: String,
+      persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val ranks = saRanks(s, dir)
+    val nTok = Tables.fanout(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nTok / 100000L + 1L)).toInt
+    val sorted = ranks.repartitionByRange(parts, col("r"))
+      .sortWithinPartitions(col("r")).persist()
+    persisted += sorted
+    val iD = sorted.schema.fieldIndex("doc_id")
+    val iP = sorted.schema.fieldIndex("pos")
+    val iR = sorted.schema.fieldIndex("r")
+    val out = sorted.rdd.mapPartitions { it =>
+      val res = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var g = -1L; var cnt = 0L; var rp = Long.MaxValue
+      var prevG = -1L; var prevRp = 0L
+      def emitGroup(): Unit = if (g >= 0) {
+        res += Row(0, g, cnt, rp / 1024L, rp % 1024L, 0L, 0L)
+        if (prevG >= 0)
+          res += Row(1, prevG, 0L, prevRp / 1024L, prevRp % 1024L,
+            rp / 1024L, rp % 1024L)
+        else
+          res += Row(5, g - 1L, 0L, 0L, 0L, rp / 1024L, rp % 1024L)
+        prevG = g; prevRp = rp
+      }
+      it.foreach { row =>
+        val r = row.getLong(iR)
+        if (r != g) {
+          emitGroup()
+          g = r; cnt = 0L; rp = Long.MaxValue
+        }
+        cnt += 1L
+        val packed = row.getLong(iD) * 1024L + row.getInt(iP)
+        if (packed < rp) rp = packed
+      }
+      emitGroup()
+      if (g >= 0)
+        res += Row(4, g, 0L, rp / 1024L, rp % 1024L, 0L, 0L)
+      res.iterator
     }
+    s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("g", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p2", LongType, nullable = false))))
+  }
 
   /** The (doc_id, pos, r) final suffix rank table —
     * session-materialized (Scratch): the group census and the
@@ -217,7 +308,7 @@ object SpanExact {
     // two passes and the next round's sort read them); all released
     // once the materialized parquet is written
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try Scratch.materialize(s, s"span_sa_ranks|$dir")(
+    try Scratch.materialize(s, s"span_sa_ranks|$dir|h${horizon(s)}")(
       buildRanks(s, dir, persisted))
     finally { persisted.foreach(_.unpersist()); () }
   }
@@ -232,9 +323,11 @@ object SpanExact {
       .agg(max(col("n")), sum(col("n"))).head()
     val maxLen = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
     val nTok = if (mRow.isNullAt(1)) 0L else mRow.getLong(1)
-    require(maxLen <= SpanSaMaxLen,
-      s"a $maxLen-token doc exceeds the $SpanSaMaxLen-token suffix " +
-        "horizon — raise SpanSaMaxLen (and the oracle's round count)")
+    val h = horizon(s)
+    require(maxLen <= h,
+      s"a $maxLen-token doc exceeds the $h-token suffix horizon — " +
+        s"raise $SpanSaMaxLenConf (the round count derives as log₂; " +
+        "the DuckDB oracle is generated at the 128 default only)")
     // the 7 rounds are latency-bound at small corpora (each is a
     // range-sort + two passes): size the rank partitioning to the
     // token stream (≈100k tokens/partition, so sort work spreads
@@ -248,7 +341,7 @@ object SpanExact {
     // token arrays, not from kept r_k tables, so each round's sort
     // moves (doc_id, pos, r, rr) and nothing else
     var df = tok.select(col("doc_id"), col("pos"), h60(col("t")).as("r"))
-    for (k <- 0 until SaRounds) {
+    for (k <- 0 until roundsFor(h)) {
       val paired = df.withColumn("rr",
         coalesce(lead(col("r"), 1 << k).over(w), lit(-1L)))
       df = denseRankPair(paired, "r", "rr", "rnew", parts, persisted)
