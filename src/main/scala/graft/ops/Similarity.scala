@@ -93,10 +93,97 @@ object Similarity {
   val NProbe = 2
 
   /** Out-degree of q_ann_graph's stored neighbor graph (HNSW's M):
-    * each vector keeps its top-4 in-bucket neighbors; the one-hop
-    * expansion multiplies candidate volume by at most this.
+    * each vector keeps its top-G in-bucket neighbors; each expansion
+    * hop multiplies candidate volume by at most this. G=8 at 1 hop is
+    * a CHOSEN operating point from the round-10 frontier sweep
+    * (tools/AnnFrontier at sf0.1, recorded in BENCH_SCALING): vs the
+    * round-9 G=4 default it buys recall@1 0.494 → 0.590 for 1.43×
+    * candidates — the knee of the measured frontier (2-hop variants
+    * reach 0.69/0.91 recall at 2.0×/3.4× candidates; escalate via
+    * [[annGraphSearch]]'s parameters when recall is worth the re-rank
+    * multiplier). Both oracles generate their rn <= G cut from this
+    * one constant, so the hash gate moves with it.
     */
-  val GraphDegree = 4
+  val GraphDegree = 8
+
+  /** The graph-expanded ANN search behind q_ann_graph, parametrized
+    * so the frontier sweep can measure other operating points:
+    * `degree` = stored out-degree (HNSW's M), `hops` = expansion
+    * rounds (each round walks every current candidate's graph edges;
+    * candidate volume multiplies by ≤ degree per hop). The default
+    * (GraphDegree, 1) is byte-identical to the round-9 oracle-gated
+    * plan.
+    */
+  private[graft] def annGraphSearch(s: SparkSession, dir: String,
+      degree: Int = GraphDegree, hops: Int = 1): DataFrame =
+    annGraphCandidates(s, dir, degree, hops)
+      .groupBy(col("vec_id"))
+      .agg(expr("top_k_by_score(cos_sim, nn_id, 1)").as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.doc_id").as("nn_id"),
+        col("t.score").as("cos_sim"))
+      .orderBy(col("vec_id"))
+
+  /** The distinct scored candidate set entering [[annGraphSearch]]'s
+    * re-rank — exposed so the frontier sweep can measure candidate
+    * volume per operating point.
+    */
+  private[graft] def annGraphCandidates(s: SparkSession, dir: String,
+      degree: Int, hops: Int): DataFrame = {
+    CosineSim.register(s)
+    val cand = sharedIvfCand(s, dir)
+    // the stored graph: top-G per vector, bounded heap (no window
+    // over the candidate stream)
+    val graph = cand.groupBy(col("vec_id"))
+      .agg(expr(s"top_k_by_score(cos_sim, nn_id, $degree)").as("top"))
+      .select(col("vec_id").as("hop_id"),
+        explode(col("top")).as("t"))
+      .select(col("hop_id"), col("t.doc_id").as("nn_id"))
+    val emb = embeddings(s, dir)
+    // hop walk: every current candidate's graph neighbors become
+    // candidates of the original query; re-ranked by exact cosine
+    var acc = cand
+    for (_ <- 0 until hops) {
+      val expanded = acc.select(col("vec_id"), col("nn_id").as("hop_id"))
+        .join(graph, Seq("hop_id"))
+        .where(col("nn_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("nn_id")).distinct()
+        .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
+        .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
+          Seq("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+      acc = acc.unionByName(expanded)
+    }
+    acc.distinct()
+  }
+
+  /** Recall@1 of an ANN result (vec_id, nn_id, cos_sim) against the
+    * brute-force truth over the scale-invariant probe sample — the
+    * shared audit harness of q_ann_recall / q_ann_graph_recall and
+    * the frontier sweep.
+    */
+  private[graft] def annRecallOf(s: SparkSession, dir: String,
+      annDf: DataFrame): DataFrame = {
+    CosineSim.register(s)
+    val emb = embeddings(s, dir)
+    val ann = annDf.select(col("vec_id"), col("cos_sim").as("ann_cos"))
+    val n = Tables(s, dir, "embeddings").count()
+    val probes = emb.where(probeSampled(col("vec_id"), n))
+      .select(col("vec_id"), col("v").as("v1"))
+    val truth = emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
+      .crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
+      .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
+    truth.join(ann, Seq("vec_id"), "left")
+      .select((col("ann_cos") === col("true_cos"))
+        .cast("int").as("hit"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("recall_at_1"))
+  }
 
   /** Reciprocal-rank-fusion constant (k=60, the value from Cormack,
     * Clarke & Buettcher's original RRF paper — robust across IR
@@ -581,26 +668,40 @@ object Similarity {
     }
 
   /** Exact all-pairs near-dup is the AUDIT role only — it bounds the
-    * executed IVF scale path (q_dedup_embedding_ivf) from above. Above
-    * `maxRows` the n² pair space and the full-table broadcast are both
-    * unaffordable, so the guard fails fast with the scale path named
-    * instead of letting the broadcast blow the 8 GB ceiling mid-job.
-    * `maxRows` is a parameter only so OpsSpec can hit the guard on the
-    * small fixture; production callers use the default.
+    * executed IVF scale path (q_dedup_embedding_ivf) from above, and
+    * the recall assertion in OpsSpec already quantifies the IVF form,
+    * so by default the audit runs on the [[AuditSliceRows]]
+    * smallest-vec_id SLICE (deterministic, mirrored verbatim in the
+    * DuckDB oracle, a no-op at every driver-gated SF where n ≤ slice).
+    * This keeps the exact-n² wall from scaling with the corpus: at
+    * the builder's 10× scale pass the full form was the single
+    * largest bench entry (69 s for 20k rows ≈ 2·10⁸ pairs) while
+    * auditing nothing the sliced form doesn't. Set
+    * [[ExactDedupFullConf]]=true for the full-table bound; above
+    * `maxRows` (effective rows, slice applied) the n² pair space and
+    * the broadcast are unaffordable, so the guard fails fast with the
+    * scale path named instead of letting the broadcast blow the 8 GB
+    * ceiling mid-job. `maxRows` is a parameter only so OpsSpec can
+    * hit the guard on the small fixture; production callers use the
+    * default.
     */
   private[ops] def dedupEmbeddingExact(
       s: SparkSession, dir: String,
       maxRows: Long = ExactDedupMaxRows): DataFrame = {
     CosineSim.register(s)
+    val full = s.conf.get(ExactDedupFullConf, "false").toBoolean
     // metadata-only parquet row count — no scan, no caching
     val n = Tables(s, dir, "embeddings").count()
-    if (n > maxRows) throw new IllegalStateException(
+    val effective = if (full) n else math.min(n, AuditSliceRows)
+    if (effective > maxRows) throw new IllegalStateException(
       s"q_dedup_embedding is the exact n^2 audit bound and is capped at " +
-        s"$maxRows rows (embeddings has $n). Use q_dedup_embedding_ivf — " +
+        s"$maxRows rows (attempting $effective). Use q_dedup_embedding_ivf — " +
         "the executed IVF scale path with the same threshold semantics " +
         "(candidates from bucket co-membership, pair count bounded by " +
         "sum of squared bucket sizes).")
-    val emb = embeddings(s, dir)
+    val embAll = embeddings(s, dir)
+    val emb = if (full) embAll
+      else embAll.orderBy(col("vec_id")).limit(AuditSliceRows.toInt)
     emb.select(col("vec_id").as("doc1"), col("v").as("v1"))
       .crossJoin(broadcast(
         emb.select(col("vec_id").as("doc2"), col("v").as("v2"))))
@@ -616,6 +717,19 @@ object Similarity {
     * audit run should ever attempt.
     */
   val ExactDedupMaxRows = 100000L
+
+  /** Default audit-slice size for [[dedupEmbeddingExact]]: the 2000
+    * smallest vec_ids (= all of sf0.1 and below, so every driver-gated
+    * SF runs the full table; only larger corpora slice). 2000 rows ≈
+    * 2·10⁶ pairs keeps the audit's wall constant as the corpus grows.
+    * Shared verbatim with the DuckDB oracle's ORDER BY vec_id LIMIT.
+    */
+  val AuditSliceRows = 2000L
+
+  /** Conf opting into the FULL exact-n² bound (still guarded by
+    * [[ExactDedupMaxRows]]) instead of the [[AuditSliceRows]] slice.
+    */
+  val ExactDedupFullConf = "spark.graft.exactDedupFull"
 
   val queries: Map[String, Q] = Map(
     // Embedding-cosine near-duplicate pairs — the dedup-family member
@@ -1217,61 +1331,28 @@ object Similarity {
     // re-rank is one exact cosine per expanded candidate + a bounded
     // top-1 heap — no stage exceeds the candidate volume, nothing is
     // quadratic.
-    "q_ann_graph" -> ((s, dir) => {
-      CosineSim.register(s)
-      val cand = sharedIvfCand(s, dir)
-      // the stored graph: top-G per vector, bounded heap (no window
-      // over the candidate stream)
-      val graph = cand.groupBy(col("vec_id"))
-        .agg(expr(s"top_k_by_score(cos_sim, nn_id, $GraphDegree)").as("top"))
-        .select(col("vec_id").as("hop_id"),
-          explode(col("top")).as("t"))
-        .select(col("hop_id"), col("t.doc_id").as("nn_id"))
-      // one-hop walk: candidate → its graph neighbors become
-      // candidates of the original query
-      val emb = embeddings(s, dir)
-      val expanded = cand.select(col("vec_id"), col("nn_id").as("hop_id"))
-        .join(graph, Seq("hop_id"))
-        .where(col("nn_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("nn_id")).distinct()
-        .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
-        .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
-          Seq("nn_id"))
-        .select(col("vec_id"), col("nn_id"),
-          round(cosine("v1", "v2"), 6).as("cos_sim"))
-      cand.unionByName(expanded).distinct()
-        .groupBy(col("vec_id"))
-        .agg(expr("top_k_by_score(cos_sim, nn_id, 1)").as("top"))
-        .select(col("vec_id"), explode(col("top")).as("t"))
-        .select(col("vec_id"), col("t.doc_id").as("nn_id"),
-          col("t.score").as("cos_sim"))
-        .orderBy(col("vec_id"))
-    }),
+    "q_ann_graph" -> ((s, dir) => annGraphSearch(s, dir)),
+
+    // The measured escalation point of the round-10 frontier
+    // (BENCH_SCALING "Round-10 ANN frontier"): the SAME stored graph
+    // walked TWO hops — candidate volume ≤ degree× per hop (measured
+    // 3.4× total at sf0.1) buying recall@1 0.590 → 0.912. First-class
+    // and oracle-gated so the escalation path users would actually
+    // deploy for recall-critical corpora is hash-checked, not just
+    // swept by the frontier tool.
+    "q_ann_graph2" -> ((s, dir) => annGraphSearch(s, dir, hops = 2)),
+
+    // Recall@1 of the two-hop form against the same brute-force truth
+    // — the third point of the audited family line (IVF, +graph 1-hop,
+    // +graph 2-hop), all hash-checked.
+    "q_ann_graph2_recall" -> ((s, dir) =>
+      annRecallOf(s, dir, annGraphSearch(s, dir, hops = 2))),
 
     // Recall@1 of the graph-expanded ANN against the same brute-force
     // truth as q_ann_recall — the two 1-row audits side by side ARE
     // the family comparison (IVF vs IVF+graph), both hash-checked.
-    "q_ann_graph_recall" -> ((s, dir) => {
-      CosineSim.register(s)
-      val emb = embeddings(s, dir)
-      val ann = queries("q_ann_graph")(s, dir)
-        .select(col("vec_id"), col("cos_sim").as("ann_cos"))
-      val n = Tables(s, dir, "embeddings").count()
-      val probes = emb.where(probeSampled(col("vec_id"), n))
-        .select(col("vec_id"), col("v").as("v1"))
-      val truth = emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
-        .crossJoin(broadcast(probes))
-        .where(col("vec_id") =!= col("nn_id"))
-        .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
-        .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
-      truth.join(ann, Seq("vec_id"), "left")
-        .select((col("ann_cos") === col("true_cos"))
-          .cast("int").as("hit"))
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hits"),
-          round(sum(coalesce(col("hit"), lit(0))).cast("double") /
-            count(lit(1)), 6).as("recall_at_1"))
-    }),
+    "q_ann_graph_recall" -> ((s, dir) =>
+      annRecallOf(s, dir, annGraphSearch(s, dir))),
 
     // Retrieval-quality evaluation of the dense retriever: MRR and
     // recall@10 over the scale-invariant probe sample, with same-label
@@ -1969,7 +2050,9 @@ object Similarity {
          |CROSS JOIN (SELECT unnest(range($Dim)) AS i) i
          |GROUP BY d.lang, i.i ORDER BY lang, pos""".stripMargin,
     "q_dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id
+         |        LIMIT $AuditSliceRows)),
          |c AS (SELECT a.vec_id AS doc1, b.vec_id AS doc2,
          |  ${sqlCos("a.v", "b.v")} AS c
          |FROM e a JOIN e b ON a.vec_id < b.vec_id)
@@ -2153,6 +2236,87 @@ object Similarity {
          |  PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn FROM allc)
          |SELECT vec_id, nn_id, cos_sim FROM r WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+    // The two-hop escalation replayed exactly: same graph, a second
+    // expansion round from the one-hop candidate set, rn=1.
+    "q_ann_graph2" ->
+      s"""WITH $sqlIvfProbed,
+         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM probed a JOIN probed b
+         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+         |    AND a.vec_id <> b.vec_id),
+         |g AS (SELECT vec_id AS hop_id, nn_id FROM (
+         |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
+         |  WHERE rn <= $GraphDegree),
+         |ex AS (SELECT DISTINCT c.vec_id, g.nn_id
+         |  FROM cand c JOIN g ON c.nn_id = g.hop_id
+         |  WHERE g.nn_id <> c.vec_id),
+         |exc AS (SELECT ex.vec_id, ex.nn_id,
+         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+         |  FROM ex JOIN e x ON ex.vec_id = x.vec_id
+         |    JOIN e y ON ex.nn_id = y.vec_id),
+         |allc AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+         |  SELECT vec_id, nn_id, cos_sim FROM cand
+         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc)),
+         |ex2 AS (SELECT DISTINCT a.vec_id, g.nn_id
+         |  FROM allc a JOIN g ON a.nn_id = g.hop_id
+         |  WHERE g.nn_id <> a.vec_id),
+         |exc2 AS (SELECT ex2.vec_id, ex2.nn_id,
+         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+         |  FROM ex2 JOIN e x ON ex2.vec_id = x.vec_id
+         |    JOIN e y ON ex2.nn_id = y.vec_id),
+         |allc2 AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+         |  SELECT vec_id, nn_id, cos_sim FROM allc
+         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc2)),
+         |r AS (SELECT vec_id, nn_id, cos_sim, row_number() OVER (
+         |  PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn FROM allc2)
+         |SELECT vec_id, nn_id, cos_sim FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+    // Same truth side as q_ann_recall, audited ANN = the two-hop form.
+    "q_ann_graph2_recall" ->
+      s"""WITH $sqlIvfProbed,
+         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
+         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM probed a JOIN probed b
+         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+         |    AND a.vec_id <> b.vec_id),
+         |g AS (SELECT vec_id AS hop_id, nn_id FROM (
+         |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
+         |  WHERE rn <= $GraphDegree),
+         |ex AS (SELECT DISTINCT c.vec_id, g.nn_id
+         |  FROM cand c JOIN g ON c.nn_id = g.hop_id
+         |  WHERE g.nn_id <> c.vec_id),
+         |exc AS (SELECT ex.vec_id, ex.nn_id,
+         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+         |  FROM ex JOIN e x ON ex.vec_id = x.vec_id
+         |    JOIN e y ON ex.nn_id = y.vec_id),
+         |allc AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+         |  SELECT vec_id, nn_id, cos_sim FROM cand
+         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc)),
+         |ex2 AS (SELECT DISTINCT a.vec_id, g.nn_id
+         |  FROM allc a JOIN g ON a.nn_id = g.hop_id
+         |  WHERE g.nn_id <> a.vec_id),
+         |exc2 AS (SELECT ex2.vec_id, ex2.nn_id,
+         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+         |  FROM ex2 JOIN e x ON ex2.vec_id = x.vec_id
+         |    JOIN e y ON ex2.nn_id = y.vec_id),
+         |allc2 AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+         |  SELECT vec_id, nn_id, cos_sim FROM allc
+         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc2)),
+         |ann AS (SELECT vec_id, cos_sim AS ann_cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM allc2) WHERE rn = 1),
+         |truth AS (SELECT a.vec_id, max(round(${sqlCos("a.v", "b.v")}, 6)) AS true_cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         |  WHERE ${sqlProbeSampled("a.vec_id")} GROUP BY a.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN ann_cos = true_cos THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS recall_at_1
+         |FROM truth LEFT JOIN ann USING (vec_id)""".stripMargin,
     // Same truth side as q_ann_recall, audited ANN = the graph form.
     "q_ann_graph_recall" ->
       s"""WITH $sqlIvfProbed,
