@@ -432,7 +432,7 @@ object Bench {
         only.isEmpty
       val flagged = results
         .filter { case (n, t) => t > threshold && !n.startsWith("shared_") }
-        .sortBy(-_._2).take(24).map(_._1)
+        .sortBy(-_._2).take(24)
       if (!enabled || flagged.isEmpty) Seq.empty
       else forkRepin(flagged, sfDir, cpus)
     }
@@ -446,8 +446,18 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // total_repin: the first-look total with every re-pinned entry's
+    // time substituted by its contention-free standalone measurement —
+    // the QUOTED number for round-over-round comparison (the r9
+    // contention datum: identical binaries measured 434.5 vs 535.8 s
+    // 90 min apart; first-look totals are weather, the repin map is
+    // the signal).
+    val repinMap = repin.toMap
+    val totalRepin = results
+      .map { case (n, t) => repinMap.getOrElse(n, t) }.filter(_ >= 0).sum
     val repinJson =
-      if (repin.isEmpty) "" else s""","repin":${qsJson(repin)}"""
+      if (repin.isEmpty) ""
+      else s""","total_repin":${r3(totalRepin)},"repin":${qsJson(repin)}"""
     def jline(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(rs)}$repinJson,"sf":"$sfDir"}"""
     val top10 = results.sortBy(-_._2).take(10)
@@ -486,8 +496,9 @@ object Bench {
     * Any failure degrades to "no repin data", never a broken contract
     * line.
     */
-  private def forkRepin(flagged: Seq[String], sfDir: String,
+  private def forkRepin(flaggedTimes: Seq[(String, Double)], sfDir: String,
       cpus: String): Seq[(String, Double)] = {
+    val flagged = flaggedTimes.map(_._1)
     val cp = sys.props.getOrElse("java.class.path", "")
     if (!cp.contains("spark")) {
       System.err.println("[bench] repin skipped: classpath not recoverable")
@@ -509,11 +520,19 @@ object Bench {
     env.put("SPARK_GRAFT_CPUS", cpus)
     env.put("SPARK_GRAFT_ONLY", flagged.mkString(","))
     env.put("SPARK_GRAFT_REPIN", "0")
+    // the fork replays the flagged entries plus their shared index
+    // rebuilds in a cold JVM — scale the timeout with the flagged
+    // first-look total so a larger SF can't silently drop all repin
+    // data at a fixed 900 s (override: SPARK_GRAFT_REPIN_TIMEOUT secs)
+    val timeoutSec = sys.env.get("SPARK_GRAFT_REPIN_TIMEOUT")
+      .map(_.toLong).getOrElse(
+        math.max(900L, (3.0 * flaggedTimes.map(_._2).sum).toLong))
     val t0 = System.nanoTime()
     val p = pb.start()
-    if (!p.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
+    if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
       p.destroyForcibly()
-      System.err.println("[bench] repin fork timed out — no repin data")
+      System.err.println(
+        s"[bench] repin fork timed out (${timeoutSec}s) — no repin data")
       return Seq.empty
     }
     val f = cwd.resolve("BENCH.json")
