@@ -104,14 +104,30 @@ object GraftSink {
     * committed file list. The checksum line covers generation + DDL +
     * segment list, so a torn or hand-edited manifest fails LOUDLY
     * instead of serving a partial table.
+    *
+    * A headerless first line is the LEGACY (pre-segment) format — one
+    * DDL line followed by the cumulative data-file list. Those tables
+    * stay readable: the legacy list parses as generation 0 with no
+    * segment references, and the first commit on top materializes it
+    * into a migration segment (see [[GraftSinkBatchWrite.commit]]),
+    * upgrading the table in place.
     */
   def readManifest(path: String): Option[Manifest] = {
     val f = new java.io.File(path, ManifestName)
     if (!f.exists()) None
     else {
       val lines = java.nio.file.Files.readAllLines(f.toPath)
-      require(lines.size() >= 4 && lines.get(0) == Header,
-        s"$f is not a $Header manifest")
+      require(lines.size() >= 1, s"$f is empty — manifest is corrupt")
+      if (lines.get(0) != Header) {
+        val ddl = lines.get(0)
+        require(scala.util.Try(StructType.fromDDL(ddl)).isSuccess,
+          s"$f is neither a $Header manifest nor a legacy (ddl + files) one")
+        val files = (1 until lines.size()).map(lines.get(_))
+          .filter(_.nonEmpty).toSeq
+        return Some(Manifest(ddl, files, 0L, Seq.empty))
+      }
+      require(lines.size() >= 4,
+        s"$f is not a complete $Header manifest")
       val gen = lines.get(1).stripPrefix("gen=").toLong
       val ck = lines.get(2).stripPrefix("checksum=")
       val ddl = lines.get(3)
@@ -171,6 +187,17 @@ object GraftSink {
     * are untouched, so reads are identical before/after; a crash
     * between publish and cleanup leaks orphan segment files, never
     * wrong rows. Single-writer, like every mutation here.
+    *
+    * READER RACE, stated: because segment flattening split the
+    * manifest from its file lists, a reader that loaded the prior
+    * manifest can crash on a segment this cleanup (or truncate's)
+    * just deleted — the old self-contained manifest had no such
+    * window. The exposure is one manifest-read-to-segment-read gap;
+    * readers retry from the live manifest on a missing segment, or a
+    * production deployment defers the delete by a grace period (the
+    * Iceberg/Delta "vacuum after N hours" discipline). Not fixed
+    * here: the demo's single-writer contract already serializes the
+    * spec's readers with its maintenance ops.
     */
   def compact(path: String): Unit =
     readManifest(path).filter(_.segments.size > 1).foreach { m =>
@@ -270,7 +297,16 @@ class GraftSinkBatchWrite(path: String, schema: StructType,
     val prevGen = prevManifest.map(_.gen).getOrElse(0L)
     val prevSegs =
       if (truncate) Seq.empty
-      else prevManifest.map(_.segments).getOrElse(Seq.empty)
+      else prevManifest.map { m =>
+        // legacy (pre-segment) table: its cumulative file list has no
+        // segment to carry forward — materialize it as a migration
+        // segment once, so this commit's manifest references the old
+        // data like any other generation (a failed commit leaks the
+        // migration segment as a garbage file, never wrong rows)
+        if (m.segments.isEmpty && m.files.nonEmpty)
+          Seq(GraftSink.writeSegment(path, prevGen + 1, m.files))
+        else m.segments
+      }.getOrElse(Seq.empty)
     // this commit's files go into ONE new immutable segment; the
     // manifest carries segment REFERENCES, so an append re-writes a
     // commit-sized file plus a segments-count-sized manifest — never

@@ -239,6 +239,31 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.format("graftsink").load(out).count() == src.count())
   }
 
+  test("graftsink legacy (ddl + files) manifest: readable, append migrates in place") {
+    val out = java.nio.file.Files.createTempDirectory("gsink_legacy").toString
+    val src = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      .where(col("id") <= 50)
+    src.write.format("graftsink").option("path", out).mode("overwrite").save()
+    // rewrite the manifest in the pre-segment v1 format: one DDL line
+    // followed by the cumulative data-file list, no header/gen/checksum
+    val m = GraftSink.readManifest(out).get
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, GraftSink.ManifestName),
+      (m.ddl +: m.files).mkString("\n"))
+    m.segments.foreach(sg => new java.io.File(out, sg).delete())
+    // legacy table reads as-is
+    assert(spark.read.format("graftsink").load(out).count() == src.count())
+    // append on top materializes the legacy list as a migration
+    // segment and publishes a v2 manifest — nothing is lost
+    val more = src.withColumn("id", col("id") + 1000000L)
+    more.write.format("graftsink").option("path", out).mode("append").save()
+    assert(spark.read.format("graftsink").load(out).count() == 2 * src.count())
+    val upgraded = GraftSink.readManifest(out).get
+    assert(upgraded.gen == 1L && upgraded.segments.size == 2,
+      s"expected migration + commit segments, got $upgraded")
+  }
+
   test("graftsink DSv2 append: a mismatched schema is rejected, table untouched") {
     // decode is positional — appending a re-ordered/re-typed frame
     // would silently re-type the carried-forward generation, so the
