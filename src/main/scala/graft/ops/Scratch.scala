@@ -60,13 +60,17 @@ private[ops] object Scratch {
     * reader over the parquet — every later call is a file scan.
     */
   def materialize(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val full = s"${s.sparkContext.applicationId}_$key"
+    // the resolved root is part of the memo identity: re-configuring
+    // spark.graft.scratchDir mid-session must trigger a fresh build
+    // under the new root, not silently serve paths from the old one
+    val r = root(s)
+    val full = s"${s.sparkContext.applicationId}_${r}_$key"
     val lock = locks.computeIfAbsent(full, _ => new Object)
     val path = lock.synchronized {
       memo.getOrElseUpdate(full, {
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(20)
-        val p = s"${root(s)}/$tag"
+        val p = s"$r/$tag"
         build.write.mode("overwrite").parquet(p)
         p
       })

@@ -1777,15 +1777,22 @@ object Streams {
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   /** Conf key naming the shared staging root. The staging protocol
-    * needs a POSIX filesystem (single-file shard promotion via rename,
-    * mtime-ordered micro-batches, per-twin symlinks), so on a cluster
-    * this must be a shared POSIX mount (e.g. NFS) visible to driver
-    * and executors; an object store cannot host it. Unset, a
-    * driver-local temp dir deleted on JVM exit — correct at local[*].
+    * is POSIX-ONLY BY CONTRACT — and the contract is ENFORCED, not
+    * just documented: single-file shard promotion needs atomic
+    * rename, micro-batch ordering needs settable mtimes, and the
+    * shared-shard cache needs symlinks, so on a cluster this must be
+    * a shared POSIX mount (e.g. NFS) visible to driver and executors.
+    * A URI-schemed root (object store) is refused loudly at
+    * resolution, and a path root is PROBED for all three primitives
+    * before first use instead of failing undefined mid-stream
+    * (GraftSink's manifest-gated segment protocol is the
+    * object-store-safe pattern — for committed tables, not for this
+    * replay harness). Unset, a driver-local temp dir deleted on JVM
+    * exit — correct at local[*].
     */
   val StagingDirConf = "spark.graft.stagingDir"
 
-  private def stageRoot(spark: SparkSession): java.nio.file.Path =
+  private[streaming] def stageRoot(spark: SparkSession): java.nio.file.Path =
     stageRoots.getOrElseUpdate(spark.conf.get(StagingDirConf, ""), {
       spark.conf.get(StagingDirConf, "") match {
         case "" =>
@@ -1798,11 +1805,59 @@ object Streams {
           }))
           d
         case configured =>
-          val d = java.nio.file.Paths.get(configured)
+          require(!configured.contains("://") ||
+              configured.startsWith("file://"),
+            s"$StagingDirConf=$configured: the staging protocol needs " +
+              "rename/mtime/symlink semantics — a URI-schemed (object " +
+              "store) root cannot host it; use a shared POSIX mount")
+          val d =
+            if (configured.startsWith("file://"))
+              java.nio.file.Paths.get(java.net.URI.create(configured))
+            else java.nio.file.Paths.get(configured)
           java.nio.file.Files.createDirectories(d)
+          probeStagingRoot(d)
           d
       }
     })
+
+  /** Fail loudly if `d` lacks any of the three POSIX primitives the
+    * staging protocol builds on (see [[StagingDirConf]]). Runs once
+    * per configured root, before any shard is staged.
+    */
+  private[streaming] def probeStagingRoot(d: java.nio.file.Path): Unit = {
+    val probe = java.nio.file.Files.createTempFile(d, "_graft_probe", ".tmp")
+    val moved = d.resolve(
+      s"_graft_probe_moved_${java.util.UUID.randomUUID()}")
+    val link = d.resolve(
+      s"_graft_probe_link_${java.util.UUID.randomUUID()}")
+    try {
+      val t = 1700000000000L // whole seconds: FAT-style mtime rounding ok
+      require(probe.toFile.setLastModified(t) &&
+          probe.toFile.lastModified() == t,
+        s"$StagingDirConf=$d cannot set mtimes — micro-batch ordering " +
+          "would be undefined")
+      try java.nio.file.Files.move(probe, moved,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"$StagingDirConf=$d cannot rename atomically — shard " +
+            "promotion would be non-atomic", e)
+      }
+      try java.nio.file.Files.createSymbolicLink(link, moved)
+      catch {
+        case e @ (_: UnsupportedOperationException |
+                  _: java.io.IOException) =>
+          throw new IllegalStateException(
+            s"$StagingDirConf=$d cannot create symlinks — the shared " +
+              "staged-shard cache needs them", e)
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(moved)
+      java.nio.file.Files.deleteIfExists(probe)
+      ()
+    }
+  }
 
   /** Stage a frame as `n` deterministic single-file shards (split by
     * `event_id % n`) under `workDir/stream`, so a file-source stream
@@ -1827,8 +1882,12 @@ object Streams {
       case Some(k) if upTo.isEmpty && !java.nio.file.Files.exists(link) =>
         // the staged files' schema is part of the identity (two twins
         // may stage the same table under different projections); any
-        // row-level filter must be in the caller's key
-        val full = s"${df.sparkSession.sparkContext.applicationId}|$k|$n|" +
+        // row-level filter must be in the caller's key. The resolved
+        // root is part of it too: re-configuring the staging root
+        // mid-session must rebuild under the new root, not serve
+        // symlinks into the old one
+        val full = s"${df.sparkSession.sparkContext.applicationId}|" +
+          s"${stageRoot(df.sparkSession)}|$k|$n|" +
           s"$keyCol|${df.schema.catalogString}"
         val lock = stageLocks.computeIfAbsent(full, _ => new Object)
         val shared = lock.synchronized {

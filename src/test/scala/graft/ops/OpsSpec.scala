@@ -1793,6 +1793,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(exact.values.sum > 0, "no duplicated spans in testdata — vacuous")
   }
 
+  test("q_span_dedup_exact at a raised 512-token horizon: long docs, 200-token repeat") {
+    import spark.implicits._
+    // the K = log₂(horizon) scaling story EXECUTED: 300-token docs
+    // exceed the 128 default loudly, and at spanSaMaxLen=512 (9
+    // derived doubling rounds) the suffix array finds the exact
+    // 200-token shared run — lengths count down 200..1 from the run
+    // start, 193 starts reach the 8-token floor, coverage = the run
+    val run = (1 to 200).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 50).map(i => s"u$i") ++ Seq(run) ++
+        (1 to 50).map(i => s"v$i")).mkString(" ")),
+      (2L, ((1 to 30).map(i => s"w$i") ++ Seq(run) ++
+        (1 to 70).map(i => s"x$i")).mkString(" ")),
+      (3L, (1 to 300).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("span_exact_long").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    // default horizon refuses 300-token docs with the raise-the-conf hint
+    val e = intercept[IllegalArgumentException](
+      SpanExact.queries("q_span_dedup_exact")(spark, out).collect())
+    assert(e.getMessage.contains(SpanExact.SpanSaMaxLenConf))
+    spark.conf.set(SpanExact.SpanSaMaxLenConf, "512")
+    try {
+      val r = SpanExact.queries("q_span_dedup_exact")(spark, out)
+        .collect().map(x => x.getLong(0) ->
+          (x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+      assert(r(1L) == ((300, 200L, 193L, 200L)), r(1L).toString)
+      assert(r(2L) == ((300, 200L, 193L, 200L)), r(2L).toString)
+      assert(r(3L) == ((300, 0L, 0L, 0L)), r(3L).toString)
+      // spectrum over the same corpus at the raised horizon: the run's
+      // per-position lengths 200..1 band as 64:{200..64}=137,
+      // 32:{63..32}=32, 16:{31..16}=16, 8:{15..8}=8, 4..1 as 4,2,1 —
+      // per doc; all other positions (100 + 100 + 300) are band 0
+      val sp = SpanExact.queries("q_dup_spectrum")(spark, out)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(sp(64L) == 137L * 2, sp.toString)
+      assert(sp(32L) == 32L * 2, sp.toString)
+      assert(sp(16L) == 16L * 2, sp.toString)
+      assert(sp(8L) == 8L * 2, sp.toString)
+      assert(sp(0L) == 100L + 100L + 300L, sp.toString)
+    } finally spark.conf.unset(SpanExact.SpanSaMaxLenConf)
+  }
+
   test("q_dup_spectrum: bands and shares on the crafted span corpus") {
     import spark.implicits._
     // reuse the span-exact fixture geometry: docs 1/2 share a 12-token
@@ -1867,6 +1909,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       val files = Option(new java.io.File(root).listFiles())
         .getOrElse(Array.empty[java.io.File])
       assert(files.nonEmpty, s"nothing materialized under $root")
+    } finally spark.conf.unset(Scratch.ScratchDirConf)
+  }
+
+  test("Scratch memo is root-aware: re-configuring scratchDir rebuilds, not serves stale") {
+    // round-9 advice: the memo key must include the resolved root so a
+    // mid-session conf change triggers a fresh build under the NEW
+    // root instead of silently serving paths from the old one
+    val rootA = Files.createTempDirectory("graft_scratch_a").toString
+    val rootB = Files.createTempDirectory("graft_scratch_b").toString
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def call() = Scratch.materialize(spark, "root_aware_probe") {
+      builds.incrementAndGet()
+      spark.range(3).select(col("id"))
+    }
+    try {
+      spark.conf.set(Scratch.ScratchDirConf, rootA)
+      assert(call().count() == 3L && builds.get() == 1)
+      spark.conf.set(Scratch.ScratchDirConf, rootB)
+      assert(call().count() == 3L)
+      assert(builds.get() == 2, "conf change must rebuild under the new root")
+      assert(Option(new java.io.File(rootB).listFiles())
+        .exists(_.nonEmpty), s"nothing materialized under $rootB")
+      // switching BACK serves the first build (memoized per root)
+      spark.conf.set(Scratch.ScratchDirConf, rootA)
+      assert(call().count() == 3L && builds.get() == 2)
     } finally spark.conf.unset(Scratch.ScratchDirConf)
   }
 }

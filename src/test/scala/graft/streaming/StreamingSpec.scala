@@ -629,6 +629,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(Streams.StagingDirConf)
   }
 
+  test("staging root contract: object-store URI refused, POSIX root probed") {
+    // the POSIX-only contract is ENFORCED (round-10): a URI-schemed
+    // root fails at resolution with the conf named, and a real path
+    // root passes the rename/mtime/symlink probe
+    spark.conf.set(Streams.StagingDirConf, "s3a://bucket/stage")
+    try {
+      val e = intercept[IllegalArgumentException](Streams.stageRoot(spark))
+      assert(e.getMessage.contains(Streams.StagingDirConf) &&
+        e.getMessage.contains("POSIX"), e.getMessage)
+    } finally spark.conf.unset(Streams.StagingDirConf)
+    val good = java.nio.file.Files
+      .createTempDirectory("graft_stage_probe").toString
+    spark.conf.set(Streams.StagingDirConf, good)
+    try {
+      assert(Streams.stageRoot(spark).toString == good)
+      // the probe cleans up after itself
+      assert(new java.io.File(good).listFiles().isEmpty)
+    } finally spark.conf.unset(Streams.StagingDirConf)
+  }
+
   test("foreachBatch release admission: drained census == q_release_delta, restart-safe") {
     // the ingest-time extension must reproduce the batch extension's
     // per-source census exactly (shared flags projection + shared
