@@ -63,6 +63,10 @@ object Registry {
       exprs => TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression(),
       "scala_udf")
     reg.createOrReplaceTempFunction(
+      "kmv_min_k",
+      exprs => KmvMinK(exprs(0), exprs(1)).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
       "mg_topk",
       exprs => MisraGries(exprs(0), exprs(1)).toAggregateExpression(),
       "scala_udf")

@@ -1,0 +1,402 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFns._
+
+/** Corpus-governance statistics: sketch-space cardinalities, the
+  * weighted sample a release ships for human review, and the
+  * noise-layer census a privacy review asks for. Three operator
+  * families a 100 TB corpus needs because the EXACT forms stop being
+  * runnable (a corpus-pair distinct-overlap is a full co-shuffle of
+  * two token streams; a weighted sample-without-replacement naively
+  * sorts the corpus; per-partner count releases need a noise layer):
+  *
+  *  - '''KMV/theta sketches''' ([[graft.functions.KmvMinK]], Bar-Yossef
+  *    et al. RANDOM'02; the DataSketches theta family in production):
+  *    per-source distinct-shingle cardinalities and cross-partition
+  *    set-operation estimates (union / intersection / Jaccard) from
+  *    k-minimum-value sketches — O(k) state per source, map-side
+  *    combinable, and two corpora can be compared WITHOUT co-shuffling
+  *    their content: only the sketches (k longs each) meet. Estimates
+  *    ride the deterministic h60, so both engines compute identical
+  *    sketches and the driver gate is hash-exact; the exact counts are
+  *    computed alongside as the error audit (the q_minhash_error
+  *    discipline: the sketch and its truth in one table).
+  *
+  *  - '''Priority sampling''' (Duffield–Lund–Thorup, JACM'07): the
+  *    top-M weighted sample with the threshold τ and per-item
+  *    Horvitz–Thompson weights max(w, τ) — subset-sum estimates from
+  *    M rows with provably near-optimal variance. Priorities are
+  *    INTEGER-exact: p = (w·10¹²) div u with u the seeded-hash ppm
+  *    draw, so the engines cannot disagree on a boundary (no pow/log
+  *    in the keys; the plan is one map + TakeOrdered(M+1), never a
+  *    global sort).
+  *
+  *  - '''Geometric-mechanism release counts''' (Ghosh–Roughgarden–
+  *    Sundararajan STOC'09 — the universally optimal ε-DP mechanism
+  *    for counts): per-source counts released through two-sided
+  *    geometric noise at α = 1/2 (ε = ln 2), truncated at ±[[DpB]]
+  *    with the tail mass folded into the extremes. α = 1/2 makes every
+  *    probability an exact dyadic rational, so the inverse-CDF is a
+  *    41-arm integer CASE both engines generate from the SAME Scala
+  *    constants — no floating-point CDF to drift. The noise draw here
+  *    is the seeded h60 (what makes the operator testable and the
+  *    release reproducible); a production release swaps the coin for
+  *    a real RNG — determinism is the harness property, privacy comes
+  *    from the mechanism shape, and this census (true beside noised)
+  *    is the pre-release audit view, not the published artifact.
+  */
+object Govern {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** KMV sketch size: relative error ≈ 1/√(k−2) ≈ 6.3% at 256. */
+  val ThetaK = 256
+
+  /** 2^60 — the h60 hash range; KMV density estimates are
+    * (k−1)·2^60 / h_k. Exactly representable as a Double (and as a
+    * product with k−1 ≤ 255: 68 significant bits? no — 255·2^60 has 8
+    * significant bits), so both engines' doubles agree bit-for-bit.
+    */
+  val Pow2_60: Long = 1L << 60
+
+  /** Priority-sample size M (the release ships M rows + τ). */
+  val PriorityM = 100
+
+  /** Integer priority scale: p = (w·Scale) div u, u ∈ [1, 10⁶].
+    * w = n_chars ≤ ~10³ in the testdata, so w·Scale ≤ ~10¹⁵ < 2⁶³;
+    * at real doc sizes the scale drops a digit per weight digit.
+    */
+  val PriorityScale = 1000000000000L
+
+  /** Geometric-mechanism truncation: noise z ∈ [−DpB, DpB], tail mass
+    * beyond folded into the extremes (< 2^−19 per side at α = 1/2).
+    */
+  val DpB = 20
+
+  /** Exact dyadic masses at α = 1/2, scaled by 3·2^DpB: z = 0 has
+    * 2^DpB, |z| = j has 2^(DpB−j), the ±DpB extremes absorb the tail
+    * (mass 2 each). Σ = 3·2^DpB exactly.
+    */
+  private val dpMasses: Seq[(Int, Long)] =
+    (-DpB to DpB).map { z =>
+      val m = if (math.abs(z) == DpB) 2L else 1L << (DpB - math.abs(z))
+      (z, m)
+    }
+
+  /** 3·2^DpB — the draw modulus. */
+  val DpScale: Long = dpMasses.map(_._2).sum
+
+  /** The inverse-CDF as a SQL CASE over a uniform draw `v` ∈
+    * [0, [[DpScale]]) — ONE generated fragment used verbatim by both
+    * engines (the sqlLangCase discipline), so the noise mapping cannot
+    * drift.
+    */
+  def dpNoiseCase(v: String): String = {
+    val cum = dpMasses.scanLeft((0, 0L)) { case ((_, c), (z, m)) => (z, c + m) }
+      .drop(1)
+    cum.init.map { case (z, c) => s"WHEN $v < $c THEN $z" }
+      .mkString("CAST(CASE ", " ", s" ELSE $DpB END AS BIGINT)")
+  }
+
+  /** (k−1)·2^60 as an exact Double — 255·2^60 has 8 significant bits,
+    * far inside the 53-bit mantissa, so `lit` here equals the oracle's
+    * `255 * 1152921504606846976.0` bit-for-bit.
+    */
+  private val KmvNum: Double = (ThetaK - 1).toDouble * Pow2_60.toDouble
+
+  /** Distinct-shingle stream labeled by source: the shared postings
+    * (already distinct per doc) joined to the source column — the
+    * input every sketch below reads. No distinct on (source, h): the
+    * KMV buffer dedups in-sketch, so the posting stream flows straight
+    * into map-side partials.
+    */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedShinglePostings(s, dir)
+      .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+
+  private def estFromMins(mins: org.apache.spark.sql.Column) =
+    when(size(mins) < ThetaK, size(mins).cast("double"))
+      .otherwise(lit(KmvNum) / element_at(mins, ThetaK).cast("double"))
+
+  val queries: Map[String, Q] = Map(
+    // Per-source distinct-shingle cardinality from the KMV sketch,
+    // with the exact count and error beside it (the sketch audit
+    // table). Plan shape: postings ⋈ source (co-keyed), then ONE
+    // aggregate carrying O(k) sketch state per source with map-side
+    // combine — at 100 TB the exact column is the expensive one (it
+    // shuffles distinct hashes); the sketch column alone never moves
+    // more than k longs per source per partition.
+    "q_theta_sketch" -> ((s, dir) =>
+      sourceShingles(s, dir)
+        .groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
+          countDistinct(col("h")).as("exact_distinct"))
+        .select(col("source"),
+          size(col("mins")).as("n_kept"),
+          when(size(col("mins")) >= ThetaK, element_at(col("mins"), ThetaK))
+            .as("theta"),
+          round(estFromMins(col("mins")), 4).as("est_distinct"),
+          col("exact_distinct"))
+        .withColumn("err_pct",
+          round(abs(col("est_distinct") - col("exact_distinct")) /
+            col("exact_distinct") * 100, 4))
+        .orderBy(col("source"))),
+
+    // Sketch-space SET OPERATIONS between two corpus halves (even vs
+    // odd source id): union/intersection/Jaccard estimated from three
+    // k-long sketches — the cross-corpus overlap question ("how much
+    // of crawl B is already in crawl A?") answered WITHOUT co-shuffling
+    // the corpora. θ = min of the two sketch thresholds; intersection
+    // counts shared sketch values below θ (every union-sketch value is
+    // below BOTH thresholds by construction, so membership tests
+    // against the per-half sketches are exact). Exact counts ride
+    // along as the audit. All arrays are ≤ k longs: the combine step
+    // is three broadcast 1-row joins.
+    "q_theta_setops" -> ((s, dir) => {
+      val dh = sourceShingles(s, dir)
+        .select((substring(col("source"), 4, 8).cast("int") % 2).as("grp"),
+          col("h"))
+      val byGrp = dh.groupBy(col("grp"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
+          countDistinct(col("h")).as("exact"))
+        .cache()
+      val a = byGrp.where(col("grp") === 0)
+        .select(col("mins").as("mins_a"), col("exact").as("exact_a"))
+      val b = byGrp.where(col("grp") === 1)
+        .select(col("mins").as("mins_b"), col("exact").as("exact_b"))
+      val u = dh.agg(
+        call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins_u"),
+        countDistinct(col("h")).as("exact_union"))
+      val ei = dh.groupBy(col("h"))
+        .agg(countDistinct(col("grp")).as("ng"))
+        .agg(sum(when(col("ng") === 2, 1L).otherwise(0L)).as("exact_inter"))
+      val thetaOf = (mins: org.apache.spark.sql.Column) =>
+        when(size(mins) >= ThetaK, element_at(mins, ThetaK))
+          .otherwise(lit(Pow2_60))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(u))
+        .crossJoin(broadcast(ei))
+        .withColumn("theta",
+          least(thetaOf(col("mins_a")), thetaOf(col("mins_b"))))
+        .withColumn("i_cnt", size(array_intersect(
+          filter(col("mins_a"), x => x < col("theta")),
+          filter(col("mins_b"), x => x < col("theta")))))
+        .withColumn("j_num", size(array_intersect(
+          array_intersect(col("mins_u"), col("mins_a")), col("mins_b"))))
+        .select(lit(ThetaK).as("k"),
+          round(estFromMins(col("mins_a")), 4).as("est_a"),
+          round(estFromMins(col("mins_b")), 4).as("est_b"),
+          round(estFromMins(col("mins_u")), 4).as("est_union"),
+          round(col("i_cnt").cast("double") * lit(Pow2_60.toDouble) /
+            col("theta").cast("double"), 4).as("est_inter"),
+          round(col("j_num").cast("double") /
+            size(col("mins_u")).cast("double"), 6).as("est_jaccard"),
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_inter"))
+    }),
+
+    // The top-M priority sample: keep the M largest integer priorities
+    // p = (w·10¹²) div u; τ = the (M+1)-th. Every item's
+    // Horvitz–Thompson weight is max(w, τ/10⁶) — Σ over any subset of
+    // the sample estimates that subset's true Σw. Plan: one map over
+    // the corpus then TakeOrderedAndProject(M+1) — the sample never
+    // sorts more than M+1 rows globally.
+    "q_priority_sample" -> ((s, dir) => {
+      val top = prioritized(s, dir)
+        .orderBy(col("p").desc, col("doc_id")).limit(PriorityM + 1).cache()
+      val tau = top.agg(count(lit(1)).as("n"), min(col("p")).as("pmin"))
+        .select(when(col("n") === PriorityM + 1, col("pmin"))
+          .otherwise(lit(0L)).as("tau"))
+      top.orderBy(col("p").desc, col("doc_id")).limit(PriorityM)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"), col("p"),
+          round(greatest(col("w").cast("double"),
+            col("tau").cast("double") / 1e6), 6).as("ht_w"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The estimator audit: Σ of the sample's HT weights vs the exact
+    // corpus Σw, one row. The Σ folds DECIMAL(28,6) (ht_w is exact to
+    // 6 places after its round), so partial-sum order cannot move the
+    // result — the DECIMAL-exact-fold discipline.
+    "q_priority_estimate" -> ((s, dir) => {
+      val top = prioritized(s, dir)
+        .orderBy(col("p").desc, col("doc_id")).limit(PriorityM + 1).cache()
+      val tau = top.agg(count(lit(1)).as("n"), min(col("p")).as("pmin"))
+        .select(when(col("n") === PriorityM + 1, col("pmin"))
+          .otherwise(lit(0L)).as("tau"))
+      val est = top.orderBy(col("p").desc, col("doc_id")).limit(PriorityM)
+        .crossJoin(broadcast(tau))
+        .select(col("tau"),
+          round(greatest(col("w").cast("double"),
+            col("tau").cast("double") / 1e6), 6)
+            .cast("decimal(28,6)").as("ht_w"))
+        .groupBy(col("tau")).agg(sum(col("ht_w")).as("est_total"))
+      val exact = Tables(s, dir, "documents")
+        .agg(sum(col("n_chars")).as("exact_total"))
+      est.crossJoin(broadcast(exact))
+        .select(lit(PriorityM).as("m"),
+          round(col("tau").cast("double") / 1e6, 6).as("tau_w"),
+          col("est_total"), col("exact_total"),
+          round(abs(col("est_total").cast("double") - col("exact_total")) /
+            col("exact_total") * 100, 4).as("err_pct"))
+    }),
+
+    // Per-source counts through the truncated geometric mechanism —
+    // the noise-layer census a release's privacy review reads (true
+    // count, drawn noise, released count; negatives clamp to 0, the
+    // standard post-processing). One aggregate + one map; the CASE is
+    // the generated [[dpNoiseCase]] both engines share.
+    "q_dp_release" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("true_count"))
+        .withColumn("v",
+          pmod(h60(concat(lit("dp:"), col("source"))), lit(DpScale)))
+        .withColumn("noise", expr(dpNoiseCase("v")))
+        .select(col("source"), col("true_count"), col("noise"),
+          greatest(col("true_count") + col("noise"), lit(0L)).as("dp_count"))
+        .orderBy(col("source"))))
+
+  /** (doc_id, w, p): the integer priority map — w = n_chars, u = the
+    * seeded-hash ppm draw in [1, 10⁶], p = (w·10¹²) div u. Integer
+    * division (`div`) in both engines: no FP boundary anywhere in the
+    * ordering key.
+    */
+  private def prioritized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (pmod(h60(concat(lit("prio:"), col("doc_id").cast("string"))),
+          lit(1000000L)) + 1L).as("u"))
+      .withColumn("p", expr(s"(w * $PriorityScale) div u"))
+      .drop("u")
+
+  // ---- DuckDB oracles ----
+
+  /** Shared oracle fragment: distinct shingle hashes labeled by
+    * source — `bys` (source, h).
+    */
+  private def sqlSourceShingles: String =
+    s"""${sqlShingleCtes("documents")},
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |bys AS (SELECT d.source, h FROM shh JOIN documents d USING (doc_id))""".stripMargin
+
+  private val sqlKmvNum = s"${ThetaK - 1} * ${Pow2_60}.0"
+
+  val oracles: Map[String, String] = Map(
+    "q_theta_sketch" ->
+      s"""WITH $sqlSourceShingles,
+         |dh AS (SELECT DISTINCT source, h FROM bys),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM dh),
+         |agg AS (SELECT source,
+         |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS n_kept,
+         |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta,
+         |    count(*) AS exact_distinct
+         |  FROM rk GROUP BY source),
+         |est AS (SELECT source, n_kept, theta,
+         |    round(CASE WHEN n_kept < $ThetaK THEN CAST(n_kept AS DOUBLE)
+         |      ELSE $sqlKmvNum / theta END, 4) AS est_distinct,
+         |    exact_distinct
+         |  FROM agg)
+         |SELECT source, n_kept, theta, est_distinct, exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
+         |    AS err_pct
+         |FROM est ORDER BY source""".stripMargin,
+    "q_theta_setops" ->
+      s"""WITH $sqlSourceShingles,
+         |dh AS (SELECT DISTINCT (CAST(substr(source, 4) AS INT) % 2) AS grp, h
+         |  FROM bys),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM dh WHERE grp = 0),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM dh WHERE grp = 1),
+         |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM dh) uu),
+         |ka AS (SELECT count(*) AS n,
+         |    coalesce(max(CASE WHEN rn = $ThetaK THEN h END), ${Pow2_60}) AS th
+         |  FROM ra WHERE rn <= $ThetaK),
+         |kb AS (SELECT count(*) AS n,
+         |    coalesce(max(CASE WHEN rn = $ThetaK THEN h END), ${Pow2_60}) AS th
+         |  FROM rb WHERE rn <= $ThetaK),
+         |ku AS (SELECT count(*) AS n,
+         |    max(CASE WHEN rn = $ThetaK THEN h END) AS th
+         |  FROM ru WHERE rn <= $ThetaK),
+         |th AS (SELECT least(ka.th, kb.th) AS t FROM ka, kb),
+         |icnt AS (SELECT count(*) AS c
+         |  FROM ra JOIN rb USING (h), th
+         |  WHERE ra.rn <= $ThetaK AND rb.rn <= $ThetaK AND h < t),
+         |jn AS (SELECT count(*) AS c
+         |  FROM ru JOIN ra USING (h) JOIN rb USING (h)
+         |  WHERE ru.rn <= $ThetaK AND ra.rn <= $ThetaK AND rb.rn <= $ThetaK),
+         |ex AS (SELECT
+         |    count(DISTINCT CASE WHEN grp = 0 THEN h END) AS ea,
+         |    count(DISTINCT CASE WHEN grp = 1 THEN h END) AS eb,
+         |    count(DISTINCT h) AS eu
+         |  FROM dh),
+         |ei AS (SELECT count(*) AS c FROM
+         |  (SELECT h FROM dh GROUP BY h HAVING count(DISTINCT grp) = 2) q)
+         |SELECT $ThetaK AS k,
+         |  round(CASE WHEN ka.n < $ThetaK THEN CAST(ka.n AS DOUBLE)
+         |    ELSE $sqlKmvNum / ka.th END, 4) AS est_a,
+         |  round(CASE WHEN kb.n < $ThetaK THEN CAST(kb.n AS DOUBLE)
+         |    ELSE $sqlKmvNum / kb.th END, 4) AS est_b,
+         |  round(CASE WHEN ku.n < $ThetaK THEN CAST(ku.n AS DOUBLE)
+         |    ELSE $sqlKmvNum / ku.th END, 4) AS est_union,
+         |  round(icnt.c * ${Pow2_60}.0 / th.t, 4) AS est_inter,
+         |  round(CAST(jn.c AS DOUBLE) / ku.n, 6) AS est_jaccard,
+         |  ex.ea AS exact_a, ex.eb AS exact_b, ex.eu AS exact_union,
+         |  ei.c AS exact_inter
+         |FROM ka, kb, ku, th, icnt, jn, ex, ei""".stripMargin,
+    "q_priority_sample" ->
+      s"""WITH $sqlPrioritized,
+         |rk AS (SELECT doc_id, w, p,
+         |    row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+         |  FROM pr),
+         |tau AS (SELECT coalesce(max(CASE WHEN rn = ${PriorityM + 1} THEN p END),
+         |    0) AS tau
+         |  FROM rk)
+         |SELECT doc_id, w, p,
+         |  round(greatest(CAST(w AS DOUBLE), tau / 1000000.0), 6) AS ht_w
+         |FROM rk, tau WHERE rn <= $PriorityM ORDER BY doc_id""".stripMargin,
+    "q_priority_estimate" ->
+      s"""WITH $sqlPrioritized,
+         |rk AS (SELECT doc_id, w, p,
+         |    row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+         |  FROM pr),
+         |tau AS (SELECT coalesce(max(CASE WHEN rn = ${PriorityM + 1} THEN p END),
+         |    0) AS tau
+         |  FROM rk),
+         |est AS (SELECT sum(CAST(round(greatest(CAST(w AS DOUBLE),
+         |      tau / 1000000.0), 6) AS DECIMAL(28,6))) AS est_total
+         |  FROM rk, tau WHERE rn <= $PriorityM),
+         |ex AS (SELECT CAST(sum(n_chars) AS BIGINT) AS exact_total
+         |  FROM documents)
+         |SELECT $PriorityM AS m,
+         |  round(tau / 1000000.0, 6) AS tau_w,
+         |  est_total, exact_total,
+         |  round(abs(CAST(est_total AS DOUBLE) - exact_total) /
+         |    exact_total * 100, 4) AS err_pct
+         |FROM est, tau, ex""".stripMargin,
+    "q_dp_release" ->
+      s"""WITH c AS (SELECT source, count(*) AS true_count
+         |  FROM documents GROUP BY source),
+         |cv AS (SELECT source, true_count,
+         |    ${sqlH60("'dp:' || source")} % $DpScale AS v
+         |  FROM c),
+         |n AS (SELECT source, true_count, ${dpNoiseCase("v")} AS noise
+         |  FROM cv)
+         |SELECT source, true_count, noise,
+         |  greatest(true_count + noise, 0) AS dp_count
+         |FROM n ORDER BY source""".stripMargin)
+
+  /** Oracle twin of [[prioritized]]. */
+  private def sqlPrioritized: String =
+    s"""pr AS (SELECT doc_id, n_chars AS w,
+       |    (n_chars * $PriorityScale) //
+       |      (${sqlH60("'prio:' || CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+       |      AS p
+       |  FROM documents)""".stripMargin
+}
