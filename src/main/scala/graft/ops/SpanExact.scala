@@ -99,6 +99,13 @@ object SpanExact {
     */
   val SpanExactMin: Int = Dedup.SpanW
 
+  /** Contamination span threshold: 13 tokens — the GPT-3/PaLM
+    * eval-decontamination standard (Brown et al. arXiv:2005.14165
+    * appendix C uses 13-gram overlap). An eval doc is contaminated
+    * when any ≥13-token span occurs verbatim in the training half.
+    */
+  val ContamSpanMin = 13
+
   val queries: Map[String, Q] = Map(
     "q_span_dedup_exact" -> ((s, dir) => {
       val ranks = saRanks(s, dir)
@@ -160,8 +167,184 @@ object SpanExact {
           round(col("n_positions").cast("double") / col("n_total"), 6)
             .as("share"))
         .orderBy(col("band"))
+    }),
+
+    // EXACT eval-set decontamination — the suffix-array form of the
+    // contamination question q_contamination answers with 3-gram
+    // shingles: for every eval doc (doc_id % 50 == 0, the same held-out
+    // convention), the length of the LONGEST span occurring verbatim
+    // anywhere in the TRAINING half, plus the count of positions
+    // starting a ≥13-token overlap (the GPT-3 13-gram standard,
+    // [[ContamSpanMin]]). Max overlap with ANY train suffix = max of
+    // the LCPs with the NEAREST train group above/below in suffix-rank
+    // order (the classical SA fact), and those are range-min chains
+    // over the adjacent-group LCP table — computed by [[trainChainScan]],
+    // a two-pass range-sorted scan (per-partition summaries fold on the
+    // driver, one row per partition — the denseRankPair discipline),
+    // never a global window. A group containing a train suffix means
+    // verbatim suffix identity: overlap = the full suffix length.
+    // Rides the session-materialized rank table; the group chain is its
+    // own Scratch intermediate. At 100 TB: the SA build dominates
+    // (shared, K=log₂ rounds); the chain adds one range sort of the
+    // ≤|groups| table and two O(1)-state scans.
+    "q_contam_span" -> ((s, dir) => {
+      val cg = contamGroups(s, dir)
+      val sizes = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .where(col("doc_id") % 50 === 0)
+      val ov = saRanks(s, dir).where(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("pos"), col("r").as("g"))
+        .join(cg, Seq("g"))
+        .join(sizes, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("cnt_train") > 0,
+            col("n_tokens").cast("long") - col("pos"))
+            .otherwise(greatest(col("down"), col("up"), lit(0L))).as("ov"))
+      ov.groupBy(col("doc_id"))
+        .agg(first(col("n_tokens")).as("n_tokens"),
+          max(col("ov")).as("max_overlap"),
+          sum(when(col("ov") >= ContamSpanMin, 1L).otherwise(0L))
+            .as("n_contam_starts"))
+        .withColumn("contaminated", col("max_overlap") >= ContamSpanMin)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** The (g → cnt_train, down, up) contamination chain table,
+    * session-materialized: per identical-suffix group, the number of
+    * TRAIN members and the LCP with the nearest train-containing group
+    * below (`down`) / above (`up`) in rank order (−1 = none exists).
+    * Built from one [[saGroupPass]] over the shared rank table (the
+    * census now carries the train count), the adjacent-pair LCPs via
+    * [[graft.functions.ArrayLcpFrom]], and two [[trainChainScan]]s.
+    */
+  private def contamGroups(s: SparkSession, dir: String): DataFrame = {
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try Scratch.materialize(s, s"span_sa_contam|$dir|h${horizon(s)}") {
+      graft.functions.Registry.ensure(s)
+      val toked = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+      val pass = saGroupPass(s, dir, persisted).persist()
+      persisted += pass
+      val census = pass.where(col("kind") === 0)
+        .select(col("g"), col("ct"))
+      val pairs = pass.where(col("kind") === 1)
+          .select(col("g"), col("d1"), col("p1"), col("d2"), col("p2"))
+        .unionByName(pass.where(col("kind") === 4)
+          .select(col("g"), col("d1"), col("p1"))
+          .join(broadcast(pass.where(col("kind") === 5)
+            .select(col("g"), col("d2"), col("p2"))), Seq("g")))
+      // (g → LCP of groups g and g+1), keyed by the LEFT group
+      val lcp = pairs
+        .join(toked.select(col("doc_id").as("d1"), col("a").as("a1")),
+          Seq("d1"))
+        .join(toked.select(col("doc_id").as("d2"), col("a").as("a2")),
+          Seq("d2"))
+        .select(col("g"), call_function("array_lcp_from",
+          col("a1"), col("p1"), col("a2"), col("p2")).as("l"))
+        .persist()
+      persisted += lcp
+      val seq = census
+        .join(lcp.select((col("g") + 1).as("g"), col("l").as("lp")),
+          Seq("g"), "left")
+        .join(lcp.select(col("g"), col("l").as("ln")), Seq("g"), "left")
+        .select(col("g"), (col("ct") > 0).as("is_train"),
+          coalesce(col("lp"), lit(-1L)).as("lp"),
+          coalesce(col("ln"), lit(-1L)).as("ln"))
+        .persist()
+      persisted += seq
+      val nGroups = seq.count()
+      val parts = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, nGroups / 100000L + 1L)).toInt
+      val down = trainChainScan(
+        seq.select(col("g"), col("is_train"), col("lp").as("lcp")),
+        asc = true, parts, "down", persisted)
+      val up = trainChainScan(
+        seq.select(col("g"), col("is_train"), col("ln").as("lcp")),
+        asc = false, parts, "up", persisted)
+      census.select(col("g"), col("ct").as("cnt_train"))
+        .join(down, Seq("g"))
+        .join(up, Seq("g"))
+    } finally { persisted.foreach(_.unpersist()); () }
+  }
+
+  /** Distributed "LCP chain to the nearest train group" scan over the
+    * group table in rank order (asc = the `down` chain, desc = `up`):
+    *
+    *   D(g) = lcp(g)                 if the previous group is train
+    *        = min(D(prev), lcp(g))   otherwise (−1 "none" propagates)
+    *
+    * where lcp(g) is the adjacent-pair LCP between g and its
+    * predecessor in scan order. A global window would serialize the
+    * group table; this is the two-pass discipline of [[denseRankPair]]:
+    * range-sort by g, pass 1 folds each partition to ONE summary row
+    * (has-train?, the constant outgoing state when it does, the full
+    * LCP min + emptiness when it doesn't), the driver composes the
+    * ≤|partitions| summaries left-to-right into per-partition entry
+    * states, pass 2 re-scans with the right entry state. O(1) state
+    * per row, output (g, <out>) with −1 = no train group exists on
+    * that side.
+    */
+  private def trainChainScan(df: DataFrame, asc: Boolean, parts: Int,
+      out: String,
+      persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val s = df.sparkSession
+    val key = if (asc) col("g").asc else col("g").desc
+    val sorted = df.repartitionByRange(parts, key)
+      .sortWithinPartitions(key).persist()
+    persisted += sorted
+    val iG = sorted.schema.fieldIndex("g")
+    val iT = sorted.schema.fieldIndex("is_train")
+    val iL = sorted.schema.fieldIndex("lcp")
+    // pass 1: one summary row per partition —
+    // (n, hasTrain, constD, lastIsTrain, fullMin)
+    val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var hasTrain = false; var lastIsTrain = false
+      var d = -1L; var prevTrain = false; var fullMin = Long.MaxValue
+      it.foreach { r =>
+        val t = r.getBoolean(iT); val l = r.getLong(iL)
+        d = if (prevTrain) l else if (d >= 0) math.min(d, l) else -1L
+        if (l >= 0 && l < fullMin) fullMin = l
+        prevTrain = t
+        if (t) hasTrain = true
+        lastIsTrain = t
+        n += 1L
+      }
+      Iterator.single((pid, (n, hasTrain, d, lastIsTrain, fullMin)))
+    }.collect().sortBy(_._1).map(_._2)
+    // driver fold: entry state (D of the previous row, was it train)
+    val entries = new Array[(Long, Boolean)](sums.length)
+    var st = (-1L, false)
+    for (i <- sums.indices) {
+      entries(i) = st
+      val (n, hasTrain, constD, lastIsTrain, fullMin) = sums(i)
+      st =
+        if (n == 0L) st
+        else if (hasTrain) (constD, lastIsTrain)
+        else {
+          val x = if (st._2) fullMin
+            else if (st._1 >= 0)
+              math.min(st._1, if (fullMin == Long.MaxValue) st._1 else fullMin)
+            else -1L
+          (x, lastIsTrain)
+        }
+    }
+    // pass 2: the same scan, seeded with the composed entry state
+    val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var (d, prevTrain) = entries(pid)
+      it.map { r =>
+        val t = r.getBoolean(iT); val l = r.getLong(iL)
+        d = if (prevTrain) l else if (d >= 0) math.min(d, l) else -1L
+        prevTrain = t
+        Row(r.getLong(iG), d)
+      }
+    }
+    s.createDataFrame(ranked, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(out, LongType, nullable = false))))
+  }
 
   /** The (g → dup_len) group table: one row per identical-suffix
     * group with its longest-match length — session-materialized
@@ -261,30 +444,32 @@ object SpanExact {
     val iR = sorted.schema.fieldIndex("r")
     val out = sorted.rdd.mapPartitions { it =>
       val res = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var g = -1L; var cnt = 0L; var rp = Long.MaxValue
+      var g = -1L; var cnt = 0L; var ct = 0L; var rp = Long.MaxValue
       var prevG = -1L; var prevRp = 0L
       def emitGroup(): Unit = if (g >= 0) {
-        res += Row(0, g, cnt, rp / 1024L, rp % 1024L, 0L, 0L)
+        res += Row(0, g, cnt, ct, rp / 1024L, rp % 1024L, 0L, 0L)
         if (prevG >= 0)
-          res += Row(1, prevG, 0L, prevRp / 1024L, prevRp % 1024L,
+          res += Row(1, prevG, 0L, 0L, prevRp / 1024L, prevRp % 1024L,
             rp / 1024L, rp % 1024L)
         else
-          res += Row(5, g - 1L, 0L, 0L, 0L, rp / 1024L, rp % 1024L)
+          res += Row(5, g - 1L, 0L, 0L, 0L, 0L, rp / 1024L, rp % 1024L)
         prevG = g; prevRp = rp
       }
       it.foreach { row =>
         val r = row.getLong(iR)
         if (r != g) {
           emitGroup()
-          g = r; cnt = 0L; rp = Long.MaxValue
+          g = r; cnt = 0L; ct = 0L; rp = Long.MaxValue
         }
         cnt += 1L
-        val packed = row.getLong(iD) * 1024L + row.getInt(iP)
+        val d = row.getLong(iD)
+        if (d % 50L != 0L) ct += 1L // TRAIN member (eval = doc_id%50==0)
+        val packed = d * 1024L + row.getInt(iP)
         if (packed < rp) rp = packed
       }
       emitGroup()
       if (g >= 0)
-        res += Row(4, g, 0L, rp / 1024L, rp % 1024L, 0L, 0L)
+        res += Row(4, g, 0L, 0L, rp / 1024L, rp % 1024L, 0L, 0L)
       res.iterator
     }
     s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
@@ -292,6 +477,7 @@ object SpanExact {
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("g", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ct", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("d1", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("p1", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("d2", LongType, nullable = false),
@@ -484,7 +670,57 @@ object SpanExact {
        |    (SELECT sum(n_positions) FROM c), 6) AS share
        |FROM c ORDER BY band""".stripMargin
 
+  /** Oracle replay of the contamination chain: the same rank/LCP CTEs,
+    * train counts per group, then the down/up chains as running mins
+    * over "segments opened by a train group" — `seg` counts train
+    * groups up to each row, so a masked min within the segment IS the
+    * adjacent-LCP chain back to the nearest train group (the opener's
+    * own LCP masked out: the chain starts AT it, not before it).
+    * Global windows are fine oracle-side.
+    */
+  private def contamSpanOracle: String = {
+    val K = SaRounds
+    s"""WITH $saCtes,
+       |gt AS (SELECT r$K AS gg,
+       |    count(*) FILTER (WHERE doc_id % 50 <> 0) AS cnt_train
+       |  FROM t$K GROUP BY 1),
+       |sq AS (SELECT gt.gg, (gt.cnt_train > 0) AS is_train,
+       |    pv.l AS lp, nx.l AS ln
+       |  FROM gt LEFT JOIN lcp pv ON pv.gg = gt.gg - 1
+       |    LEFT JOIN lcp nx ON nx.gg = gt.gg),
+       |sg AS (SELECT gg, is_train, lp, ln,
+       |    count(CASE WHEN is_train THEN 1 END)
+       |      OVER (ORDER BY gg) AS segd,
+       |    count(CASE WHEN is_train THEN 1 END)
+       |      OVER (ORDER BY gg DESC) AS segu
+       |  FROM sq),
+       |dn AS (SELECT gg, CASE WHEN segd >= 1 THEN
+       |    min(CASE WHEN is_train THEN NULL ELSE lp END)
+       |      OVER (PARTITION BY segd ORDER BY gg) END AS d
+       |  FROM sg),
+       |up AS (SELECT gg, CASE WHEN segu >= 1 THEN
+       |    min(CASE WHEN is_train THEN NULL ELSE ln END)
+       |      OVER (PARTITION BY segu ORDER BY gg DESC) END AS u
+       |  FROM sg),
+       |tp AS (SELECT doc_id, pos, r$K AS gg FROM t$K WHERE doc_id % 50 = 0),
+       |ov AS (SELECT tp.doc_id,
+       |    CASE WHEN gt.cnt_train > 0 THEN sz.n - tp.pos
+       |      ELSE greatest(coalesce(dn.d, 0), coalesce(up.u, 0), 0)
+       |      END AS ov
+       |  FROM tp JOIN gt USING (gg) JOIN sz USING (doc_id)
+       |    LEFT JOIN dn USING (gg) LEFT JOIN up USING (gg)),
+       |cns AS (SELECT doc_id, max(ov) AS max_overlap,
+       |    count(*) FILTER (WHERE ov >= $ContamSpanMin) AS n_contam_starts
+       |  FROM ov GROUP BY doc_id)
+       |SELECT sz.doc_id, CAST(sz.n AS INT) AS n_tokens,
+       |  cns.max_overlap, cns.n_contam_starts,
+       |  cns.max_overlap >= $ContamSpanMin AS contaminated
+       |FROM sz JOIN cns USING (doc_id)
+       |WHERE sz.doc_id % 50 = 0 ORDER BY sz.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_span_dedup_exact" -> spanExactOracle,
-    "q_dup_spectrum" -> dupSpectrumOracle)
+    "q_dup_spectrum" -> dupSpectrumOracle,
+    "q_contam_span" -> contamSpanOracle)
 }

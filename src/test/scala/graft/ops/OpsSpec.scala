@@ -1777,6 +1777,67 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(4L) == ((8, 4L, 0L, 0L)), r(4L).toString)
   }
 
+  test("q_contam_span: exact train-overlap census on a crafted split") {
+    import spark.implicits._
+    // eval doc 0 (doc_id % 50 == 0) embeds a verbatim 15-token span
+    // from train doc 1; eval docs 50 and 100 share nothing with train
+    // and are exact duplicates of EACH OTHER — eval-eval duplication
+    // must not count as contamination (only train members set the
+    // group's cnt_train)
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val evalDup = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"ea eb ec $span ed ee"),
+      (50L, evalDup),
+      (100L, evalDup),
+      (1L, s"ta tb $span tc td"),
+      (2L, (1 to 10).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("contam_span_fix").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    val r = SpanExact.queries("q_contam_span")(spark, out)
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getLong(2), x.getLong(3), x.getBoolean(4))).toMap
+    // positions 3,4,5 start overlaps 15,14,13 — exactly 3 qualifying
+    assert(r(0L) == ((20, 15L, 3L, true)), r(0L).toString)
+    assert(r(50L) == ((10, 0L, 0L, false)), r(50L).toString)
+    assert(r(100L) == ((10, 0L, 0L, false)), r(100L).toString)
+    assert(!r.contains(1L) && !r.contains(2L), "train docs must not appear")
+  }
+
+  test("q_contam_span agrees with a brute-force overlap scan (testdata)") {
+    // independent truth: for every eval position, the longest prefix
+    // match against ALL train suffixes, computed by the dumb O(n·m)
+    // scan on the collected sf0.001 corpus
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.ops.TextFns.tokens(org.apache.spark.sql.functions.col("text"))
+          .as("a"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    val train = toks.filter(_._1 % 50 != 0).values.toArray
+    def longest(a: Array[String], i: Int): Int = {
+      var best = 0
+      train.foreach { b =>
+        var j = 0
+        while (j < b.length) {
+          var l = 0
+          while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+          if (l > best) best = l
+          j += 1
+        }
+      }
+      best
+    }
+    val got = SpanExact.queries("q_contam_span")(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val evalIds = toks.keys.filter(_ % 50 == 0).toSeq.sorted
+    evalIds.foreach { id =>
+      val a = toks(id)
+      val want = a.indices.map(longest(a, _)).max.toLong
+      assert(got(id) == want, s"doc $id: sa=${got(id)} brute=$want")
+    }
+  }
+
   test("q_span_dedup_exact coverage == q_span_dedup's W=8 coverage (testdata)") {
     // a position is inside a duplicated ≥8-token exact span iff it is
     // inside a duplicated 8-window — the two censuses must agree on
