@@ -121,6 +121,23 @@ object Govern {
     when(size(mins) < ThetaK, size(mins).cast("double"))
       .otherwise(lit(KmvNum) / element_at(mins, ThetaK).cast("double"))
 
+  /** The sketch census projection — (source, mins, exact_distinct) →
+    * the q_theta_sketch output columns. ONE definition shared by the
+    * batch query and the streaming twin's drain census, so the two
+    * paths cannot drift and the twin shares the batch oracle verbatim.
+    */
+  def thetaCensus(skExact: DataFrame): DataFrame =
+    skExact
+      .select(col("source"),
+        size(col("mins")).as("n_kept"),
+        when(size(col("mins")) >= ThetaK, element_at(col("mins"), ThetaK))
+          .as("theta"),
+        round(estFromMins(col("mins")), 4).as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_pct",
+        round(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct") * 100, 4))
+
   val queries: Map[String, Q] = Map(
     // Per-source distinct-shingle cardinality from the KMV sketch,
     // with the exact count and error beside it (the sketch audit
@@ -130,20 +147,22 @@ object Govern {
     // shuffles distinct hashes); the sketch column alone never moves
     // more than k longs per source per partition.
     "q_theta_sketch" -> ((s, dir) =>
-      sourceShingles(s, dir)
+      thetaCensus(sourceShingles(s, dir)
         .groupBy(col("source"))
         .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
-          countDistinct(col("h")).as("exact_distinct"))
-        .select(col("source"),
-          size(col("mins")).as("n_kept"),
-          when(size(col("mins")) >= ThetaK, element_at(col("mins"), ThetaK))
-            .as("theta"),
-          round(estFromMins(col("mins")), 4).as("est_distinct"),
-          col("exact_distinct"))
-        .withColumn("err_pct",
-          round(abs(col("est_distinct") - col("exact_distinct")) /
-            col("exact_distinct") * 100, 4))
+          countDistinct(col("h")).as("exact_distinct")))
         .orderBy(col("source"))),
+
+    // EXECUTES on the streaming engine: the per-source cardinality
+    // monitor at ingest — per-micro-batch KMV partials merged at drain
+    // (associative, batch-order-free), census via the SAME
+    // [[thetaCensus]] projection, graded by q_theta_sketch's oracle
+    // verbatim. See [[graft.streaming.Streams.thetaIngest]].
+    "q_stream_theta" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_theta").toString
+      graft.streaming.Streams.thetaIngest(s, dir, work)
+    }),
 
     // Sketch-space SET OPERATIONS between two corpus halves (even vs
     // odd source id): union/intersection/Jaccard estimated from three
@@ -285,26 +304,10 @@ object Govern {
   private val sqlKmvNum = s"${ThetaK - 1} * ${Pow2_60}.0"
 
   val oracles: Map[String, String] = Map(
-    "q_theta_sketch" ->
-      s"""WITH $sqlSourceShingles,
-         |dh AS (SELECT DISTINCT source, h FROM bys),
-         |rk AS (SELECT source, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-         |  FROM dh),
-         |agg AS (SELECT source,
-         |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS n_kept,
-         |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta,
-         |    count(*) AS exact_distinct
-         |  FROM rk GROUP BY source),
-         |est AS (SELECT source, n_kept, theta,
-         |    round(CASE WHEN n_kept < $ThetaK THEN CAST(n_kept AS DOUBLE)
-         |      ELSE $sqlKmvNum / theta END, 4) AS est_distinct,
-         |    exact_distinct
-         |  FROM agg)
-         |SELECT source, n_kept, theta, est_distinct, exact_distinct,
-         |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
-         |    AS err_pct
-         |FROM est ORDER BY source""".stripMargin,
+    // the streaming twin's drained census equals the batch sketch
+    // (associative KMV merge) — graded by the identical replay
+    "q_stream_theta" -> thetaSketchOracle,
+    "q_theta_sketch" -> thetaSketchOracle,
     "q_theta_setops" ->
       s"""WITH $sqlSourceShingles,
          |dh AS (SELECT DISTINCT (CAST(substr(source, 4) AS INT) % 2) AS grp, h
@@ -391,6 +394,30 @@ object Govern {
          |SELECT source, true_count, noise,
          |  greatest(true_count + noise, 0) AS dp_count
          |FROM n ORDER BY source""".stripMargin)
+
+  /** The sketch-census replay — row_number over distinct hashes IS the
+    * KMV, so one SQL grades both the batch query and the drained twin.
+    */
+  private def thetaSketchOracle: String =
+    s"""WITH $sqlSourceShingles,
+       |dh AS (SELECT DISTINCT source, h FROM bys),
+       |rk AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM dh),
+       |agg AS (SELECT source,
+       |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS n_kept,
+       |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta,
+       |    count(*) AS exact_distinct
+       |  FROM rk GROUP BY source),
+       |est AS (SELECT source, n_kept, theta,
+       |    round(CASE WHEN n_kept < $ThetaK THEN CAST(n_kept AS DOUBLE)
+       |      ELSE $sqlKmvNum / theta END, 4) AS est_distinct,
+       |    exact_distinct
+       |  FROM agg)
+       |SELECT source, n_kept, theta, est_distinct, exact_distinct,
+       |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
+       |    AS err_pct
+       |FROM est ORDER BY source""".stripMargin
 
   /** Oracle twin of [[prioritized]]. */
   private def sqlPrioritized: String =

@@ -1235,6 +1235,76 @@ object Streams {
     spark.read.parquet(s"$workDir/flag_b*").orderBy(col("doc_id"))
   }
 
+  /** Streaming per-source cardinality monitor — the foreachBatch
+    * deployment of q_theta_sketch: every arriving micro-batch of docs
+    * computes its own per-source KMV sketch partial (the SAME
+    * kmv_min_k aggregate as the batch path, O(k) longs per source)
+    * plus its distinct postings slice (the exact-audit store), each
+    * written to one overwritten per-bid directory (the at-least-once
+    * retry discipline). KMV merge is associative/commutative and
+    * insensitive to batch order — the k smallest distinct hashes of a
+    * union are contained in the union of per-batch k-min sets — so
+    * the drained merge of sketch partials equals the batch sketch
+    * EXACTLY and the census shares q_theta_sketch's oracle verbatim.
+    * At 100 TB this is the production monitor shape: per trigger the
+    * batch shuffles only its own postings; the standing state a
+    * release would keep is sources × k longs (the sketch partials) —
+    * the exact-audit postings store is the harness's truth column,
+    * not something a monitor ships.
+    */
+  def thetaIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    thetaStage(spark, dir, workDir, shards)
+    thetaRun(spark, dir, workDir)
+  }
+
+  /** The canonical staged documents shard set (shared family staging —
+    * same projection and cache key as the contamination twin).
+    */
+  private[streaming] def thetaStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit =
+    contaminationStage(spark, dir, workDir, shards, upTo)
+
+  private[streaming] def thetaRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.{Dedup, Govern}
+    graft.functions.Registry.ensure(spark)
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    drain(spark, stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val b = batch.toDF()
+        val posts = Dedup.shingleHashes(b.select(col("doc_id"), col("text")))
+          .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .cache()
+        try {
+          posts.groupBy(col("source"))
+            .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+              .as("mins"))
+            .write.mode("overwrite").parquet(s"$workDir/sk_b$bid")
+          posts.select(col("source"), col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$workDir/ph_b$bid")
+        } finally { posts.unpersist(); () }
+        ()
+      })
+    // drain-time census: merge the per-bid sketch partials (explode +
+    // re-aggregate — the KMV merge), exact audit over the accumulated
+    // postings store, SAME census projection as the batch path
+    val merged = spark.read.parquet(s"$workDir/sk_b*")
+      .select(col("source"), explode(col("mins")).as("h"))
+      .groupBy(col("source"))
+      .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+        .as("mins"))
+    val exact = spark.read.parquet(s"$workDir/ph_b*")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    Govern.thetaCensus(merged.join(exact, Seq("source")))
+      .orderBy(col("source"))
+  }
+
   /** Streaming right-to-be-forgotten guard — the foreachBatch
     * deployment of q_forget's events leg (purge-at-ingest): the
     * deletion list is fixed before the stream starts (a regulatory

@@ -542,6 +542,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch theta monitor: drained sketch merge == batch sketch") {
+    val work = java.nio.file.Files.createTempDirectory("graft_theta_spec").toString
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getInt(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getDouble(3),
+      r.getLong(4), r.getDouble(5))
+    val streamed = Streams.thetaIngest(spark, dir, work)
+      .collect().map(key).toSet
+    val batch = graft.ops.Govern.queries("q_theta_sketch")(spark, dir)
+      .collect().map(key).toSet
+    // the KMV merge of per-batch partials must equal the one-pass
+    // batch sketch EXACTLY — associativity, not approximation
+    assert(streamed == batch && streamed.nonEmpty)
+    val dirs = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sk_b"))
+    assert(dirs.length == 3)
+  }
+
+  test("foreachBatch theta monitor: kill after 2 of 3 batches, restart == batch sketch") {
+    val work = java.nio.file.Files.createTempDirectory("graft_theta_resume").toString
+    Streams.thetaStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.thetaRun(spark, dir, work)   // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/sk_b1").exists())
+    Streams.thetaStage(spark, dir, work, 3)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getInt(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getDouble(3),
+      r.getLong(4), r.getDouble(5))
+    val streamed = Streams.thetaRun(spark, dir, work).collect().map(key).toSet
+    assert(new java.io.File(s"$work/sk_b2").exists())
+    assert(!new java.io.File(s"$work/sk_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.Govern.queries("q_theta_sketch")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch contamination guard: kill after 2 of 3 batches, restart == batch scan") {
     val work = java.nio.file.Files.createTempDirectory("graft_contam_resume").toString
     Streams.contaminationStage(spark, dir, work, 3, upTo = Some(2))
