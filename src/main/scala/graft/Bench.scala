@@ -338,7 +338,7 @@ object Bench {
     // index q_span_dedup_exact's census scans — billed separately so
     // the query measures its incremental census cost (the build is
     // what a production exact-dedup job materializes once per corpus)
-    val saFamily = Set("q_span_dedup_exact", "q_dup_spectrum")
+    val saFamily = Set("q_span_dedup_exact", "q_dup_spectrum", "q_contam_span")
     val sharedSa: Seq[(String, Double)] =
       if (names.exists(saFamily.contains)) {
         val t = timed("shared_span_sa") {
@@ -346,7 +346,14 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
         }
         System.err.println(f"[bench] shared_span_sa           $t%9.3f s")
-        Seq("shared_span_sa" -> t)
+        // the fused group pass + adjacent-group LCP table — shared by
+        // the dup_len census AND the contamination chain (round-10)
+        val t2 = timed("shared_span_adj") {
+          graft.ops.SpanExact.saAdjacency(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_span_adj          $t2%9.3f s")
+        Seq("shared_span_sa" -> t, "shared_span_adj" -> t2)
       } else Seq.empty
     // the capped SimHash band table shared by the pair query and its
     // recall audit

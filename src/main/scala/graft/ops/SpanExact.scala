@@ -223,29 +223,9 @@ object SpanExact {
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try Scratch.materialize(s, s"span_sa_contam|$dir|h${horizon(s)}") {
       graft.functions.Registry.ensure(s)
-      val toked = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_id"), tokens(col("text")).as("a"))
-      val pass = saGroupPass(s, dir, persisted).persist()
-      persisted += pass
-      val census = pass.where(col("kind") === 0)
+      val census = sharedPass(s, dir).where(col("kind") === 0)
         .select(col("g"), col("ct"))
-      val pairs = pass.where(col("kind") === 1)
-          .select(col("g"), col("d1"), col("p1"), col("d2"), col("p2"))
-        .unionByName(pass.where(col("kind") === 4)
-          .select(col("g"), col("d1"), col("p1"))
-          .join(broadcast(pass.where(col("kind") === 5)
-            .select(col("g"), col("d2"), col("p2"))), Seq("g")))
-      // (g → LCP of groups g and g+1), keyed by the LEFT group
-      val lcp = pairs
-        .join(toked.select(col("doc_id").as("d1"), col("a").as("a1")),
-          Seq("d1"))
-        .join(toked.select(col("doc_id").as("d2"), col("a").as("a2")),
-          Seq("d2"))
-        .select(col("g"), call_function("array_lcp_from",
-          col("a1"), col("p1"), col("a2"), col("p2")).as("l"))
-        .persist()
-      persisted += lcp
+      val lcp = saAdjacency(s, dir)
       val seq = census
         .join(lcp.select((col("g") + 1).as("g"), col("l").as("lp")),
           Seq("g"), "left")
@@ -269,6 +249,53 @@ object SpanExact {
         .join(up, Seq("g"))
     } finally { persisted.foreach(_.unpersist()); () }
   }
+
+  /** The [[saGroupPass]] output as a session-materialized shared
+    * intermediate: the group census (with train counts) and the
+    * adjacent-pair rep rows feed THREE families (the dup_len table,
+    * the contamination chain, and the adjacent LCPs they both join) —
+    * materialized, the range sort over the rank table runs once per
+    * session instead of once per consumer.
+    */
+  private def sharedPass(s: SparkSession, dir: String): DataFrame = {
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try Scratch.materialize(s, s"span_sa_pass|$dir|h${horizon(s)}")(
+      saGroupPass(s, dir, persisted))
+    finally { persisted.foreach(_.unpersist()); () }
+  }
+
+  /** The adjacent-group LCP table (g → leading equal tokens between
+    * groups g and g+1), session-materialized — shared by the dup_len
+    * census ([[saGroupLcp]]: max with the g±1 neighbors) and the
+    * contamination chains ([[contamGroups]]: range-min links). One
+    * early-exit [[graft.functions.ArrayLcpFrom]] pass over the
+    * ≤|groups| pair table, never recomputed per consumer.
+    */
+  private[graft] def saAdjacency(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"span_sa_adjlcp|$dir|h${horizon(s)}") {
+      graft.functions.Registry.ensure(s)
+      val pass = sharedPass(s, dir)
+      val toked = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+      // boundary half-rows: a partition's LAST group emits (g, rep) and
+      // the NEXT partition's first group emits (g−1, rep) — joining on
+      // g reassembles exactly the cross-partition adjacent pairs (≤ 1
+      // per partition boundary, so both sides are partition-count-sized)
+      val pairs = pass.where(col("kind") === 1)
+          .select(col("g"), col("d1"), col("p1"), col("d2"), col("p2"))
+        .unionByName(pass.where(col("kind") === 4)
+          .select(col("g"), col("d1"), col("p1"))
+          .join(broadcast(pass.where(col("kind") === 5)
+            .select(col("g"), col("d2"), col("p2"))), Seq("g")))
+      pairs
+        .join(toked.select(col("doc_id").as("d1"), col("a").as("a1")),
+          Seq("d1"))
+        .join(toked.select(col("doc_id").as("d2"), col("a").as("a2")),
+          Seq("d2"))
+        .select(col("g"), call_function("array_lcp_from",
+          col("a1"), col("p1"), col("a2"), col("p2")).as("l"))
+    }
 
   /** Distributed "LCP chain to the nearest train group" scan over the
     * group table in rank order (asc = the `down` chain, desc = `up`):
@@ -373,38 +400,18 @@ object SpanExact {
     * the first mismatching token — adjacent rank groups usually
     * differ early, the fold always paid the full horizon).
     */
-  private def saGroupLcp(s: SparkSession, dir: String): DataFrame = {
-    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try Scratch.materialize(s, s"span_sa_glcp|$dir|h${horizon(s)}") {
+  private def saGroupLcp(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"span_sa_glcp|$dir|h${horizon(s)}") {
       graft.functions.Registry.ensure(s)
-      val toked = Tables.fanout(Tables(s, dir, "documents")
+      val sizes = Tables.fanout(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")))
-        .select(col("doc_id"), tokens(col("text")).as("a"))
-      val sizes = toked.select(col("doc_id"), size(col("a")).as("n_tokens"))
-      val pass = saGroupPass(s, dir, persisted).persist()
-      persisted += pass
-      val census = pass.where(col("kind") === 0)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      val census = sharedPass(s, dir).where(col("kind") === 0)
         .select(col("g"), col("cnt"), col("d1").as("d"), col("p1").as("p"))
-      // boundary half-rows: a partition's LAST group emits (g, rep) and
-      // the NEXT partition's first group emits (g−1, rep) — joining on
-      // g reassembles exactly the cross-partition adjacent pairs (≤ 1
-      // per partition boundary, so both sides are partition-count-sized)
-      val pairs = pass.where(col("kind") === 1)
-          .select(col("g"), col("d1"), col("p1"), col("d2"), col("p2"))
-        .unionByName(pass.where(col("kind") === 4)
-          .select(col("g"), col("d1"), col("p1"))
-          .join(broadcast(pass.where(col("kind") === 5)
-            .select(col("g"), col("d2"), col("p2"))), Seq("g")))
       val repLen = census.join(sizes.select(col("doc_id").as("d"),
           col("n_tokens").cast("long").as("nt")), Seq("d"))
         .select(col("g"), col("cnt"), (col("nt") - col("p")).as("len"))
-      val lcp = pairs
-        .join(toked.select(col("doc_id").as("d1"), col("a").as("a1")),
-          Seq("d1"))
-        .join(toked.select(col("doc_id").as("d2"), col("a").as("a2")),
-          Seq("d2"))
-        .select(col("g"), call_function("array_lcp_from",
-          col("a1"), col("p1"), col("a2"), col("p2")).as("l"))
+      val lcp = saAdjacency(s, dir)
       repLen
         .join(lcp.select(col("g"), col("l").as("l_next")), Seq("g"), "left")
         .join(lcp.select((col("g") + 1).as("g"), col("l").as("l_prev")),
@@ -413,8 +420,7 @@ object SpanExact {
           greatest(when(col("cnt") >= 2, col("len")).otherwise(lit(0L)),
             coalesce(col("l_next"), lit(0L)),
             coalesce(col("l_prev"), lit(0L))).as("dup_len"))
-    } finally { persisted.foreach(_.unpersist()); () }
-  }
+    }
 
   /** One range-sorted pass over the rank table emitting, per
     * identical-suffix group: its census row (kind 0: g, cnt, min
