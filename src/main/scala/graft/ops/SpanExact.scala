@@ -188,7 +188,7 @@ object SpanExact {
     // (shared, K=log₂ rounds); the chain adds one range sort of the
     // ≤|groups| table and two O(1)-state scans.
     "q_contam_span" -> ((s, dir) => {
-      val cg = contamGroups(s, dir)
+      val cg = contamGroups(s, dir, toTrain = true)
       val sizes = Tables.fanout(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
@@ -198,7 +198,7 @@ object SpanExact {
         .join(cg, Seq("g"))
         .join(sizes, Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens"),
-          when(col("cnt_train") > 0,
+          when(col("cnt_target") > 0,
             col("n_tokens").cast("long") - col("pos"))
             .otherwise(greatest(col("down"), col("up"), lit(0L))).as("ov"))
       ov.groupBy(col("doc_id"))
@@ -208,6 +208,44 @@ object SpanExact {
             .as("n_contam_starts"))
         .withColumn("contaminated", col("max_overlap") >= ContamSpanMin)
         .orderBy(col("doc_id"))
+    }),
+
+    // The ACTIONABLE side of span decontamination: which TRAIN docs
+    // contain a ≥13-token span of the eval set — the set a training
+    // run drops (q_decontaminate's question, answered by exact spans
+    // instead of any-shared-3-gram, so boilerplate shingle collisions
+    // stop costing training docs). Same chain machinery with the
+    // target flipped to EVAL-containing groups; the census mirrors
+    // q_decontaminate verbatim — per-source train/dropped/kept counts
+    // with the order-free bit_xor receipt over kept content keys, so
+    // the physical drop is re-verifiable after the fact.
+    "q_decontam_span" -> ((s, dir) => {
+      val cg = contamGroups(s, dir, toTrain = false)
+      val perDoc = saRanks(s, dir).where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("pos"), col("r").as("g"))
+        .join(cg, Seq("g"))
+        .join(Tables.fanout(Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+          .where(col("doc_id") % 50 =!= 0), Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("cnt_target") > 0,
+            col("n_tokens").cast("long") - col("pos"))
+            .otherwise(greatest(col("down"), col("up"), lit(0L))).as("ov"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("ov")) >= ContamSpanMin).as("hit"))
+      Tables(s, dir, "documents")
+        .where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("source"),
+          h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"))
+        .join(perDoc, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("hit"), 1L).otherwise(0L)).as("n_kept"),
+          expr("bit_xor(CASE WHEN NOT hit THEN h ELSE CAST(0 AS BIGINT) END)")
+            .as("kept_checksum"))
+        .orderBy(col("source"))
     })
   )
 
@@ -219,18 +257,27 @@ object SpanExact {
     * census now carries the train count), the adjacent-pair LCPs via
     * [[graft.functions.ArrayLcpFrom]], and two [[trainChainScan]]s.
     */
-  private def contamGroups(s: SparkSession, dir: String): DataFrame = {
+  /** `toTrain = true` chains every group to its nearest
+    * TRAIN-containing neighbor (what an EVAL doc's overlap question
+    * needs); `false` chains to the nearest EVAL-containing neighbor
+    * (the train-side drop question). Output column `cnt_target` is the
+    * group's member count on the TARGET side.
+    */
+  private def contamGroups(s: SparkSession, dir: String,
+      toTrain: Boolean): DataFrame = {
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try Scratch.materialize(s, s"span_sa_contam|$dir|h${horizon(s)}") {
+    val tag = if (toTrain) "t" else "e"
+    try Scratch.materialize(s, s"span_sa_contam|$dir|h${horizon(s)}|$tag") {
       graft.functions.Registry.ensure(s)
+      val targetCnt = if (toTrain) col("ct") else col("cnt") - col("ct")
       val census = sharedPass(s, dir).where(col("kind") === 0)
-        .select(col("g"), col("ct"))
+        .select(col("g"), targetCnt.as("tc"))
       val lcp = saAdjacency(s, dir)
       val seq = census
         .join(lcp.select((col("g") + 1).as("g"), col("l").as("lp")),
           Seq("g"), "left")
         .join(lcp.select(col("g"), col("l").as("ln")), Seq("g"), "left")
-        .select(col("g"), (col("ct") > 0).as("is_train"),
+        .select(col("g"), (col("tc") > 0).as("is_train"),
           coalesce(col("lp"), lit(-1L)).as("lp"),
           coalesce(col("ln"), lit(-1L)).as("ln"))
         .persist()
@@ -244,7 +291,7 @@ object SpanExact {
       val up = trainChainScan(
         seq.select(col("g"), col("is_train"), col("ln").as("lcp")),
         asc = false, parts, "up", persisted)
-      census.select(col("g"), col("ct").as("cnt_train"))
+      census.select(col("g"), col("tc").as("cnt_target"))
         .join(down, Seq("g"))
         .join(up, Seq("g"))
     } finally { persisted.foreach(_.unpersist()); () }
@@ -684,37 +731,46 @@ object SpanExact {
     * own LCP masked out: the chain starts AT it, not before it).
     * Global windows are fine oracle-side.
     */
-  private def contamSpanOracle: String = {
+  /** The chain CTE block parametrized by which side is the TARGET
+    * (`targetPred` selects target members; the probe side is its
+    * complement): gt (per-group target counts), dn/up (nearest-target
+    * LCP chains), ov (per-probe-position overlap).
+    */
+  private def contamChainCtes(targetPred: String, probePred: String): String = {
     val K = SaRounds
-    s"""WITH $saCtes,
-       |gt AS (SELECT r$K AS gg,
-       |    count(*) FILTER (WHERE doc_id % 50 <> 0) AS cnt_train
+    s"""gt AS (SELECT r$K AS gg,
+       |    count(*) FILTER (WHERE $targetPred) AS cnt_target
        |  FROM t$K GROUP BY 1),
-       |sq AS (SELECT gt.gg, (gt.cnt_train > 0) AS is_train,
+       |sq AS (SELECT gt.gg, (gt.cnt_target > 0) AS is_tgt,
        |    pv.l AS lp, nx.l AS ln
        |  FROM gt LEFT JOIN lcp pv ON pv.gg = gt.gg - 1
        |    LEFT JOIN lcp nx ON nx.gg = gt.gg),
-       |sg AS (SELECT gg, is_train, lp, ln,
-       |    count(CASE WHEN is_train THEN 1 END)
+       |sg AS (SELECT gg, is_tgt, lp, ln,
+       |    count(CASE WHEN is_tgt THEN 1 END)
        |      OVER (ORDER BY gg) AS segd,
-       |    count(CASE WHEN is_train THEN 1 END)
+       |    count(CASE WHEN is_tgt THEN 1 END)
        |      OVER (ORDER BY gg DESC) AS segu
        |  FROM sq),
        |dn AS (SELECT gg, CASE WHEN segd >= 1 THEN
-       |    min(CASE WHEN is_train THEN NULL ELSE lp END)
+       |    min(CASE WHEN is_tgt THEN NULL ELSE lp END)
        |      OVER (PARTITION BY segd ORDER BY gg) END AS d
        |  FROM sg),
        |up AS (SELECT gg, CASE WHEN segu >= 1 THEN
-       |    min(CASE WHEN is_train THEN NULL ELSE ln END)
+       |    min(CASE WHEN is_tgt THEN NULL ELSE ln END)
        |      OVER (PARTITION BY segu ORDER BY gg DESC) END AS u
        |  FROM sg),
-       |tp AS (SELECT doc_id, pos, r$K AS gg FROM t$K WHERE doc_id % 50 = 0),
+       |tp AS (SELECT doc_id, pos, r$K AS gg FROM t$K WHERE $probePred),
        |ov AS (SELECT tp.doc_id,
-       |    CASE WHEN gt.cnt_train > 0 THEN sz.n - tp.pos
+       |    CASE WHEN gt.cnt_target > 0 THEN sz.n - tp.pos
        |      ELSE greatest(coalesce(dn.d, 0), coalesce(up.u, 0), 0)
        |      END AS ov
        |  FROM tp JOIN gt USING (gg) JOIN sz USING (doc_id)
-       |    LEFT JOIN dn USING (gg) LEFT JOIN up USING (gg)),
+       |    LEFT JOIN dn USING (gg) LEFT JOIN up USING (gg))""".stripMargin
+  }
+
+  private def contamSpanOracle: String =
+    s"""WITH $saCtes,
+       |${contamChainCtes("doc_id % 50 <> 0", "doc_id % 50 = 0")},
        |cns AS (SELECT doc_id, max(ov) AS max_overlap,
        |    count(*) FILTER (WHERE ov >= $ContamSpanMin) AS n_contam_starts
        |  FROM ov GROUP BY doc_id)
@@ -723,10 +779,26 @@ object SpanExact {
        |  cns.max_overlap >= $ContamSpanMin AS contaminated
        |FROM sz JOIN cns USING (doc_id)
        |WHERE sz.doc_id % 50 = 0 ORDER BY sz.doc_id""".stripMargin
-  }
+
+  private def decontamSpanOracle: String =
+    s"""WITH $saCtes,
+       |${contamChainCtes("doc_id % 50 = 0", "doc_id % 50 <> 0")},
+       |pd AS (SELECT doc_id,
+       |    (max(ov) >= $ContamSpanMin) AS hit
+       |  FROM ov GROUP BY doc_id),
+       |tr AS (SELECT d.doc_id, d.source, pd.hit,
+       |    ${sqlH60("'d:' || CAST(d.doc_id AS VARCHAR)")} AS h
+       |  FROM documents d JOIN pd USING (doc_id)
+       |  WHERE d.doc_id % 50 <> 0)
+       |SELECT source, count(*) AS n_train,
+       |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_kept,
+       |  bit_xor(CASE WHEN NOT hit THEN h ELSE 0 END) AS kept_checksum
+       |FROM tr GROUP BY source ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_span_dedup_exact" -> spanExactOracle,
     "q_dup_spectrum" -> dupSpectrumOracle,
-    "q_contam_span" -> contamSpanOracle)
+    "q_contam_span" -> contamSpanOracle,
+    "q_decontam_span" -> decontamSpanOracle)
 }

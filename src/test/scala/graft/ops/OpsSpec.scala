@@ -1804,6 +1804,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!r.contains(1L) && !r.contains(2L), "train docs must not appear")
   }
 
+  test("q_decontam_span: the train-side drop census mirrors the eval-side flags") {
+    import spark.implicits._
+    // same split as the q_contam_span fixture: train doc 1 carries the
+    // eval span (must drop), train doc 2 is clean (must keep); sources
+    // split the two so the census shows one drop and one keep
+    val span = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"ea eb ec $span ed ee", "sA"),
+      (1L, s"ta tb $span tc td", "sA"),
+      (2L, (1 to 10).map(i => s"z$i").mkString(" "), "sB")).toDF(
+      "doc_id", "text", "source")
+    val out = Files.createTempDirectory("decontam_span_fix").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    val r = SpanExact.queries("q_decontam_span")(spark, out)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("sA") == ((1L, 1L, 0L)), r("sA").toString) // doc 1 dropped
+    assert(r("sB") == ((1L, 0L, 1L)), r("sB").toString) // doc 2 kept
+  }
+
   test("q_contam_span agrees with a brute-force overlap scan (testdata)") {
     // independent truth: for every eval position, the longest prefix
     // match against ALL train suffixes, computed by the dumb O(n·m)
