@@ -216,6 +216,54 @@ object Govern {
           col("exact_inter"))
     }),
 
+    // The cross-source duplication MATRIX: bottom-k Jaccard estimates
+    // for ALL source pairs from the per-source sketches, with the
+    // exact values as the audit — the census that decides dedup
+    // priorities across crawl dumps. At 100 TB the estimate side
+    // touches only |sources| sketches of k longs (the pair table is
+    // |sources|²/2 rows of array math, driver-scale); the exact side
+    // is the inverted self-join the sketch exists to avoid, carried
+    // here as the harness truth. Per pair the union sketch is the k
+    // smallest of the two sketch sets (array_union → sort → slice) and
+    // J = |{x ∈ U : x ∈ A ∧ x ∈ B}| / |U| — every U value is below
+    // both thetas, so the membership tests are exact.
+    "q_theta_matrix" -> ((s, dir) => {
+      val dh = sourceShingles(s, dir)
+        .select(col("source"), col("h")).distinct().cache()
+      val sk = dh.groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"))
+        .cache()
+      val est = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+        .crossJoin(broadcast(
+          sk.select(col("source").as("src_b"), col("mins").as("mb"))))
+        .where(col("src_a") < col("src_b"))
+        .withColumn("u", slice(array_sort(array_union(col("ma"), col("mb"))),
+          1, ThetaK))
+        .select(col("src_a"), col("src_b"),
+          round(size(array_intersect(array_intersect(col("u"), col("ma")),
+              col("mb"))).cast("double") / size(col("u")).cast("double"), 6)
+            .as("est_jaccard"))
+      val sz = dh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val ei = dh.select(col("source").as("src_a"), col("h"))
+        .join(dh.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+      val exact = ei
+        .join(sz.select(col("source").as("src_a"), col("n").as("na")),
+          Seq("src_a"))
+        .join(sz.select(col("source").as("src_b"), col("n").as("nb")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")),
+            6).as("exact_jaccard"))
+      est.join(exact, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("est_jaccard"),
+          coalesce(col("exact_jaccard"), lit(0.0)).as("exact_jaccard"))
+        .withColumn("err_abs",
+          round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // The top-M priority sample: keep the M largest integer priorities
     // p = (w·10¹²) div u; τ = the (M+1)-th. Every item's
     // Horvitz–Thompson weight is max(w, τ/10⁶) — Σ over any subset of
@@ -308,6 +356,45 @@ object Govern {
     // (associative KMV merge) — graded by the identical replay
     "q_stream_theta" -> thetaSketchOracle,
     "q_theta_sketch" -> thetaSketchOracle,
+    "q_theta_matrix" ->
+      s"""WITH $sqlSourceShingles,
+         |dh AS (SELECT DISTINCT source, h FROM bys),
+         |rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM dh),
+         |sk AS (SELECT source, h FROM rk WHERE rn <= $ThetaK),
+         |prs AS (SELECT x.source AS sa, y.source AS sb
+         |  FROM (SELECT DISTINCT source FROM dh) x
+         |  JOIN (SELECT DISTINCT source FROM dh) y ON x.source < y.source),
+         |uk AS (SELECT sa, sb, h,
+         |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT p.sa, p.sb, s.h
+         |    FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)) q),
+         |un AS (SELECT sa, sb, h FROM uk WHERE rn <= $ThetaK),
+         |ucnt AS (SELECT sa, sb, count(*) AS nu FROM un GROUP BY 1, 2),
+         |jn AS (SELECT un.sa, un.sb, count(*) AS c
+         |  FROM un JOIN sk a ON a.source = un.sa AND a.h = un.h
+         |    JOIN sk b ON b.source = un.sb AND b.h = un.h
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT source, count(*) AS n FROM dh GROUP BY source),
+         |ei AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i
+         |  FROM dh a JOIN dh b USING (h) WHERE a.source < b.source
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT ei.sa, ei.sb,
+         |    round(CAST(ei.i AS DOUBLE) / (za.n + zb.n - ei.i), 6) AS ej
+         |  FROM ei JOIN sz za ON za.source = ei.sa
+         |    JOIN sz zb ON zb.source = ei.sb)
+         |SELECT p.sa AS src_a, p.sb AS src_b,
+         |  round(CAST(coalesce(jn.c, 0) AS DOUBLE) / ucnt.nu, 6)
+         |    AS est_jaccard,
+         |  coalesce(ex.ej, 0.0) AS exact_jaccard,
+         |  round(abs(round(CAST(coalesce(jn.c, 0) AS DOUBLE) / ucnt.nu, 6) -
+         |    coalesce(ex.ej, 0.0)), 6) AS err_abs
+         |FROM prs p
+         |JOIN ucnt ON ucnt.sa = p.sa AND ucnt.sb = p.sb
+         |LEFT JOIN jn ON jn.sa = p.sa AND jn.sb = p.sb
+         |LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_theta_setops" ->
       s"""WITH $sqlSourceShingles,
          |dh AS (SELECT DISTINCT (CAST(substr(source, 4) AS INT) % 2) AS grp, h

@@ -60,6 +60,27 @@ class GovernSpec extends AnyFunSuite with SparkSpec {
     assert(so.getAs[Long]("exact_inter") == so.getAs[Long]("exact_union"))
   }
 
+  test("theta matrix: identical halves give jaccard exactly 1; testdata err bounded") {
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven")
+    val dir = docsDir(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "src0") } ++
+      texts.zipWithIndex.map { case (t, i) => (100L + i, t, "src1") })
+    val m = Govern.queries("q_theta_matrix")(spark, dir).collect()
+    assert(m.length == 1) // one pair
+    assert(m.head.getAs[Double]("est_jaccard") == 1.0)
+    assert(m.head.getAs[Double]("exact_jaccard") == 1.0)
+    assert(m.head.getAs[Double]("err_abs") == 0.0)
+    val td = Govern.queries("q_theta_matrix")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(td.length == 190) // 20 choose 2
+    // bottom-k Jaccard at k=256: generous 4-sigma-ish absolute bound
+    td.foreach(r => assert(r.getAs[Double]("err_abs") < 0.12,
+      s"${r.getAs[String]("src_a")}/${r.getAs[String]("src_b")}: " +
+        r.getAs[Double]("err_abs").toString))
+  }
+
   test("theta sketch error stays inside the k=256 envelope on testdata") {
     val rows = Govern.queries("q_theta_sketch")(spark, "/root/testdata/sf0.001")
       .collect()
