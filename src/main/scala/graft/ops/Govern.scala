@@ -175,8 +175,12 @@ object Govern {
     // along as the audit. All arrays are ≤ k longs: the combine step
     // is three broadcast 1-row joins.
     "q_theta_setops" -> ((s, dir) => {
+      // Half-split on the numeric tail of the `srcN` source-id
+      // convention. UNBOUNDED substring on BOTH engines (oracle:
+      // substr(source, 4)) — a length-capped form here would silently
+      // diverge from the oracle on source ids longer than 11 chars.
       val dh = sourceShingles(s, dir)
-        .select((substring(col("source"), 4, 8).cast("int") % 2).as("grp"),
+        .select((expr("cast(substring(source, 4) as int)") % 2).as("grp"),
           col("h"))
       val byGrp = dh.groupBy(col("grp"))
         .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
@@ -269,7 +273,13 @@ object Govern {
     // Horvitz–Thompson weight is max(w, τ/10⁶) — Σ over any subset of
     // the sample estimates that subset's true Σw. Plan: one map over
     // the corpus then TakeOrderedAndProject(M+1) — the sample never
-    // sorts more than M+1 rows globally.
+    // sorts more than M+1 rows globally. The HT weight ships in
+    // MICRO-units as a BIGINT (τ already is one: p = w·10¹²/u with
+    // u ≤ 10⁶, so τ's unit is 10⁻⁶·w): max(w, τ/10⁶) =
+    // greatest(w·10⁶, τ)/10⁶ with no double anywhere — the r10
+    // q_priority_estimate red row was a boundary double converting to
+    // DECIMAL differently across DuckDB builds, so the whole family is
+    // integer-exact end to end now (the graft.util.Exact discipline).
     "q_priority_sample" -> ((s, dir) => {
       val top = prioritized(s, dir)
         .orderBy(col("p").desc, col("doc_id")).limit(PriorityM + 1).cache()
@@ -279,15 +289,15 @@ object Govern {
       top.orderBy(col("p").desc, col("doc_id")).limit(PriorityM)
         .crossJoin(broadcast(tau))
         .select(col("doc_id"), col("w"), col("p"),
-          round(greatest(col("w").cast("double"),
-            col("tau").cast("double") / 1e6), 6).as("ht_w"))
+          greatest(col("w") * lit(1000000L), col("tau")).as("ht_w_micro"))
         .orderBy(col("doc_id"))
     }),
 
     // The estimator audit: Σ of the sample's HT weights vs the exact
-    // corpus Σw, one row. The Σ folds DECIMAL(28,6) (ht_w is exact to
-    // 6 places after its round), so partial-sum order cannot move the
-    // result — the DECIMAL-exact-fold discipline.
+    // corpus Σw, one row. Everything is BIGINT micro-units: the Σ of
+    // ≤ M exact longs, the corpus Σw scaled by 10⁶, and the relative
+    // error as integer parts-per-million via `div` — partial-sum order
+    // and engine FP rounding cannot move a single bit.
     "q_priority_estimate" -> ((s, dir) => {
       val top = prioritized(s, dir)
         .orderBy(col("p").desc, col("doc_id")).limit(PriorityM + 1).cache()
@@ -297,18 +307,16 @@ object Govern {
       val est = top.orderBy(col("p").desc, col("doc_id")).limit(PriorityM)
         .crossJoin(broadcast(tau))
         .select(col("tau"),
-          round(greatest(col("w").cast("double"),
-            col("tau").cast("double") / 1e6), 6)
-            .cast("decimal(28,6)").as("ht_w"))
-        .groupBy(col("tau")).agg(sum(col("ht_w")).as("est_total"))
+          greatest(col("w") * lit(1000000L), col("tau")).as("ht_w_micro"))
+        .groupBy(col("tau")).agg(sum(col("ht_w_micro")).as("est_total_micro"))
       val exact = Tables(s, dir, "documents")
         .agg(sum(col("n_chars")).as("exact_total"))
       est.crossJoin(broadcast(exact))
         .select(lit(PriorityM).as("m"),
-          round(col("tau").cast("double") / 1e6, 6).as("tau_w"),
-          col("est_total"), col("exact_total"),
-          round(abs(col("est_total").cast("double") - col("exact_total")) /
-            col("exact_total") * 100, 4).as("err_pct"))
+          col("tau").as("tau_w_micro"),
+          col("est_total_micro"), col("exact_total"),
+          expr("abs(est_total_micro - exact_total * 1000000) div exact_total")
+            .as("err_ppm"))
     }),
 
     // Per-source counts through the truncated geometric mechanism —
@@ -446,10 +454,10 @@ object Govern {
          |    row_number() OVER (ORDER BY p DESC, doc_id) AS rn
          |  FROM pr),
          |tau AS (SELECT coalesce(max(CASE WHEN rn = ${PriorityM + 1} THEN p END),
-         |    0) AS tau
+         |    CAST(0 AS BIGINT)) AS tau
          |  FROM rk)
          |SELECT doc_id, w, p,
-         |  round(greatest(CAST(w AS DOUBLE), tau / 1000000.0), 6) AS ht_w
+         |  greatest(CAST(w AS BIGINT) * 1000000, tau) AS ht_w_micro
          |FROM rk, tau WHERE rn <= $PriorityM ORDER BY doc_id""".stripMargin,
     "q_priority_estimate" ->
       s"""WITH $sqlPrioritized,
@@ -457,18 +465,18 @@ object Govern {
          |    row_number() OVER (ORDER BY p DESC, doc_id) AS rn
          |  FROM pr),
          |tau AS (SELECT coalesce(max(CASE WHEN rn = ${PriorityM + 1} THEN p END),
-         |    0) AS tau
+         |    CAST(0 AS BIGINT)) AS tau
          |  FROM rk),
-         |est AS (SELECT sum(CAST(round(greatest(CAST(w AS DOUBLE),
-         |      tau / 1000000.0), 6) AS DECIMAL(28,6))) AS est_total
+         |est AS (SELECT CAST(sum(greatest(CAST(w AS BIGINT) * 1000000, tau))
+         |      AS BIGINT) AS est_total_micro
          |  FROM rk, tau WHERE rn <= $PriorityM),
          |ex AS (SELECT CAST(sum(n_chars) AS BIGINT) AS exact_total
          |  FROM documents)
          |SELECT $PriorityM AS m,
-         |  round(tau / 1000000.0, 6) AS tau_w,
-         |  est_total, exact_total,
-         |  round(abs(CAST(est_total AS DOUBLE) - exact_total) /
-         |    exact_total * 100, 4) AS err_pct
+         |  tau AS tau_w_micro,
+         |  est_total_micro, exact_total,
+         |  abs(est_total_micro - exact_total * 1000000) // exact_total
+         |    AS err_ppm
          |FROM est, tau, ex""".stripMargin,
     "q_dp_release" ->
       s"""WITH c AS (SELECT source, count(*) AS true_count

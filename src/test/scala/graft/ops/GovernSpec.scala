@@ -96,12 +96,12 @@ class GovernSpec extends AnyFunSuite with SparkSpec {
     val sample = Govern.queries("q_priority_sample")(spark, dir).collect()
     assert(sample.length == 10) // everything kept
     sample.foreach(r => // tau = 0: the HT weight is the true weight
-      assert(r.getAs[Double]("ht_w") == r.getAs[Long]("w").toDouble))
+      assert(r.getAs[Long]("ht_w_micro") == r.getAs[Long]("w") * 1000000L))
     val est = Govern.queries("q_priority_estimate")(spark, dir).head()
-    assert(est.getAs[Double]("tau_w") == 0.0)
-    assert(est.getAs[java.math.BigDecimal]("est_total").doubleValue() ==
-      est.getAs[Long]("exact_total").toDouble)
-    assert(est.getAs[Double]("err_pct") == 0.0)
+    assert(est.getAs[Long]("tau_w_micro") == 0L)
+    assert(est.getAs[Long]("est_total_micro") ==
+      est.getAs[Long]("exact_total") * 1000000L)
+    assert(est.getAs[Long]("err_ppm") == 0L)
   }
 
   test("priority sample keeps exactly M rows with the M largest priorities") {
@@ -110,11 +110,11 @@ class GovernSpec extends AnyFunSuite with SparkSpec {
     assert(sample.length == Govern.PriorityM)
     val minKept = sample.map(_.getAs[Long]("p")).min
     val est = Govern.queries("q_priority_estimate")(spark, dir).head()
-    val tau = math.round(est.getAs[Double]("tau_w") * 1e6)
+    val tau = est.getAs[Long]("tau_w_micro")
     assert(tau <= minKept, s"tau $tau must be <= smallest kept priority $minKept")
-    // every HT weight >= its true weight (max(w, tau) dominates w)
+    // every HT weight >= its true weight (max(w·10⁶, tau) dominates)
     sample.foreach(r =>
-      assert(r.getAs[Double]("ht_w") >= r.getAs[Long]("w").toDouble))
+      assert(r.getAs[Long]("ht_w_micro") >= r.getAs[Long]("w") * 1000000L))
   }
 
   test("geometric mechanism: exact dyadic masses, monotone inverse-CDF, clamping") {
