@@ -75,19 +75,37 @@ object SpanExact {
     */
   val SaRounds = 7
 
+  /** Representative packing: a suffix-group representative travels as
+    * ONE long, rep = doc_id·[[RepPack]] + pos, so the group min-fold
+    * in [[saGroupPass]] is a single compare and the census row stays
+    * primitive. 2^20 holds positions to ~1M tokens — past the 10³–10⁵
+    * tokens of real documents — and leaves doc_id a 2^43 budget
+    * (enforced loudly at build beside the horizon guard; a corpus
+    * keyed by 64-bit hashes would switch the rep to a (doc_id, pos)
+    * struct and a struct-min fold, trading the primitive compare).
+    * Through round 10 this was 1024, which silently CAPPED the
+    * horizon; the constant is interpolated into the oracle SQL so
+    * both engines always pack identically.
+    */
+  val RepPack: Long = 1L << 20
+
+  /** Max doc_id the packed representative can hold: 2^63 / RepPack. */
+  val RepMaxDocId: Long = Long.MaxValue / RepPack
+
   /** Conf key raising the suffix horizon for real corpora (docs of
-    * 10³–10⁵ tokens): any power of two in [2, 1024] — the upper bound
-    * is the doc_id*1024+pos representative packing, which one long
-    * holds only while pos < 1024. The round count derives as log₂, so
-    * a 4× horizon costs exactly 2 extra doubling rounds (the K=log₂
-    * scaling story — exercised by OpsSpec's long-doc fixture at 512).
+    * 10³–10⁵ tokens): any power of two in [2, 2^20] — the upper bound
+    * is the doc_id·[[RepPack]]+pos representative packing, which one
+    * long holds only while pos < RepPack. The round count derives as
+    * log₂, so a 4× horizon costs exactly 2 extra doubling rounds (the
+    * K=log₂ scaling story — exercised by OpsSpec's long-doc fixtures
+    * at 512 and, past the old 1024 cap, at 2048).
     */
   val SpanSaMaxLenConf = "spark.graft.spanSaMaxLen"
 
   private def horizon(s: SparkSession): Int = {
     val h = s.conf.get(SpanSaMaxLenConf, SpanSaMaxLen.toString).toInt
-    require(h >= 2 && h <= 1024 && Integer.bitCount(h) == 1,
-      s"$SpanSaMaxLenConf must be a power of two in [2, 1024], got $h")
+    require(h >= 2 && h <= RepPack && Integer.bitCount(h) == 1,
+      s"$SpanSaMaxLenConf must be a power of two in [2, $RepPack], got $h")
     h
   }
 
@@ -105,6 +123,18 @@ object SpanExact {
     * when any ≥13-token span occurs verbatim in the training half.
     */
   val ContamSpanMin = 13
+
+  /** The held-out eval-split convention: doc_id % EvalSplitMod == 0 is
+    * EVAL, everything else TRAIN — the same 2% slice every
+    * decontamination operator in the repo uses (Dedup.evalShingles,
+    * Prep's contamination views, the q_contam_span/q_decontam_span
+    * oracles). [[saGroupPass]] bakes the per-group TRAIN count into
+    * the shared pass, so the constant is part of that artifact's
+    * identity: it is interpolated into the Scratch key — change the
+    * convention and stale session-materialized counts can never be
+    * served silently.
+    */
+  val EvalSplitMod = 50L
 
   val queries: Map[String, Q] = Map(
     "q_span_dedup_exact" -> ((s, dir) => {
@@ -306,7 +336,8 @@ object SpanExact {
     */
   private def sharedPass(s: SparkSession, dir: String): DataFrame = {
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    try Scratch.materialize(s, s"span_sa_pass|$dir|h${horizon(s)}")(
+    try Scratch.materialize(s,
+      s"span_sa_pass|$dir|h${horizon(s)}|e$EvalSplitMod")(
       saGroupPass(s, dir, persisted))
     finally { persisted.foreach(_.unpersist()); () }
   }
@@ -475,8 +506,8 @@ object SpanExact {
     * (kind 1: reps of g and g+1), and at partition edges the two half
     * rows (kind 4: last group's left half at g; kind 5: first group's
     * right half at g−1) that [[saGroupLcp]] joins back together. The
-    * representative key is packed doc_id*1024+pos (pos <
-    * [[SpanSaMaxLen]] ≤ 1024 by the build guard) so the min-fold is a
+    * representative key is packed doc_id·[[RepPack]]+pos (pos <
+    * horizon ≤ RepPack by the build guard) so the min-fold is a
     * single long compare. mapPartitions is the same genuine
     * per-partition imperative case as [[denseRankPair]].
     */
@@ -500,12 +531,12 @@ object SpanExact {
       var g = -1L; var cnt = 0L; var ct = 0L; var rp = Long.MaxValue
       var prevG = -1L; var prevRp = 0L
       def emitGroup(): Unit = if (g >= 0) {
-        res += Row(0, g, cnt, ct, rp / 1024L, rp % 1024L, 0L, 0L)
+        res += Row(0, g, cnt, ct, rp / RepPack, rp % RepPack, 0L, 0L)
         if (prevG >= 0)
-          res += Row(1, prevG, 0L, 0L, prevRp / 1024L, prevRp % 1024L,
-            rp / 1024L, rp % 1024L)
+          res += Row(1, prevG, 0L, 0L, prevRp / RepPack, prevRp % RepPack,
+            rp / RepPack, rp % RepPack)
         else
-          res += Row(5, g - 1L, 0L, 0L, 0L, 0L, rp / 1024L, rp % 1024L)
+          res += Row(5, g - 1L, 0L, 0L, 0L, 0L, rp / RepPack, rp % RepPack)
         prevG = g; prevRp = rp
       }
       it.foreach { row =>
@@ -516,13 +547,13 @@ object SpanExact {
         }
         cnt += 1L
         val d = row.getLong(iD)
-        if (d % 50L != 0L) ct += 1L // TRAIN member (eval = doc_id%50==0)
-        val packed = d * 1024L + row.getInt(iP)
+        if (d % EvalSplitMod != 0L) ct += 1L // TRAIN member (eval below)
+        val packed = d * RepPack + row.getInt(iP)
         if (packed < rp) rp = packed
       }
       emitGroup()
       if (g >= 0)
-        res += Row(4, g, 0L, 0L, rp / 1024L, rp % 1024L, 0L, 0L)
+        res += Row(4, g, 0L, 0L, rp / RepPack, rp % RepPack, 0L, 0L)
       res.iterator
     }
     s.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
@@ -559,14 +590,19 @@ object SpanExact {
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val mRow = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n")), sum(col("n"))).head()
+      .agg(max(col("n")), sum(col("n")), max(col("doc_id"))).head()
     val maxLen = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
     val nTok = if (mRow.isNullAt(1)) 0L else mRow.getLong(1)
+    val maxId = if (mRow.isNullAt(2)) 0L else mRow.getLong(2)
     val h = horizon(s)
     require(maxLen <= h,
       s"a $maxLen-token doc exceeds the $h-token suffix horizon — " +
         s"raise $SpanSaMaxLenConf (the round count derives as log₂; " +
         "the DuckDB oracle is generated at the 128 default only)")
+    require(maxId <= RepMaxDocId,
+      s"doc_id $maxId exceeds the packed-representative budget " +
+        s"$RepMaxDocId (= 2^63 / RepPack) — re-key the corpus or switch " +
+        "the representative to a (doc_id, pos) struct")
     // the 7 rounds are latency-bound at small corpora (each is a
     // range-sort + two passes): size the rank partitioning to the
     // token stream (≈100k tokens/partition, so sort work spreads
@@ -659,11 +695,11 @@ object SpanExact {
        |  FROM tk, generate_series(1, $SpanSaMaxLen) g(i) WHERE i <= len(a)),
        |$rounds,
        |rep AS (SELECT r$K AS gg, CAST(count(*) AS BIGINT) AS cnt,
-       |    min(doc_id * 1024 + pos) AS rp
+       |    min(doc_id * $RepPack + pos) AS rp
        |  FROM t$K GROUP BY r$K),
-       |rlen AS (SELECT gg, cnt, rp // 1024 AS d, rp % 1024 AS p,
-       |    sz.n - rp % 1024 AS len
-       |  FROM rep JOIN sz ON sz.doc_id = rp // 1024),
+       |rlen AS (SELECT gg, cnt, rp // $RepPack AS d, rp % $RepPack AS p,
+       |    sz.n - rp % $RepPack AS len
+       |  FROM rep JOIN sz ON sz.doc_id = rp // $RepPack),
        |adj AS (SELECT a.gg, a.d AS d1, a.p AS p1, b.d AS d2, b.p AS p2
        |  FROM rlen a JOIN rlen b ON b.gg = a.gg + 1),
        |mm AS (SELECT adj.gg, u

@@ -345,4 +345,61 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
       assert(!sql.toLowerCase.contains("parquet."), s"$k embeds a path")
     }
   }
+
+  test("output lint: high-scale double→DECIMAL casts are frozen to the fold whitelist") {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val dir = "/root/testdata/sf0.001"
+    // The r10 red row (q_priority_estimate): routing a double through
+    // CAST(... AS DECIMAL(28,6)) hash-broke against one DuckDB build —
+    // double→DECIMAL conversion at high scale is not engine-portable
+    // (a value needing all fractional digits sits one ulp from the
+    // quantization boundary, and different builds can land on
+    // different sides). The portable patterns are (a) integer /
+    // micro-unit BIGINT arithmetic end to end (the r11 priority-family
+    // fix), or (b) the graft.util.Exact cent discipline: DECIMAL scale
+    // ≤ 2 over values that ARE exact 2-decimal quantities, where the
+    // nearest-cent quantization has ~2^46 ulps of margin.
+    //
+    // The queries below predate the lint and use the decimal-FOLD
+    // discipline for inherently real-valued math (entropy, PSI,
+    // pagerank mass, DoReMi weights...): both engines cast the SAME
+    // bit-identical doubles to the SAME decimal type, so the fold is
+    // order-independent and the only residual exposure is conversion
+    // agreement at the quantization boundary — empirical (oracle-gated
+    // hash-exact every round since each landed), not proven. The set
+    // is FROZEN: a new query may not add a scale ≥ 3 double→DECIMAL
+    // cast — use integer units instead of growing this list.
+    val foldWhitelist = Set(
+      "q_bitext_mine", "q_calibration", "q_doremi_step", "q_drift_psi",
+      "q_embedding_drift", "q_entropy", "q_minhash_error",
+      "q_mix_temperature", "q_pagerank_step", "q_perplexity_buckets",
+      "q_quality_ablate", "q_query_expansion", "q_retrieval_eval",
+      "q_stream_doremi", "q_stream_drift", "q_watermark_detect", "q_zipf")
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        val hits = plan.flatMap { node =>
+          node.expressions.flatMap(_.collect {
+            case c: Cast
+                if c.dataType.isInstanceOf[DecimalType] &&
+                  (c.child.dataType == DoubleType ||
+                    c.child.dataType == FloatType) &&
+                  c.dataType.asInstanceOf[DecimalType].scale >= 3 =>
+              s"cast(${c.child.dataType.simpleString} as " +
+                s"${c.dataType.simpleString})"
+          })
+        }
+        if (hits.isEmpty) Seq.empty else Seq(name -> hits.distinct)
+    }
+    val unlisted = flagged.filterNot { case (n, _) => foldWhitelist(n) }
+    assert(unlisted.isEmpty,
+      s"NEW high-scale double→DECIMAL casts (make these integer-exact " +
+        s"instead of whitelisting): " +
+        unlisted.map { case (n, h) => s"$n: ${h.mkString(", ")}" }
+          .mkString("\n  ", "\n  ", ""))
+    // keep the whitelist honest: an entry that no longer casts must go
+    val stale = foldWhitelist -- flagged.map(_._1).toSet
+    assert(stale.isEmpty, s"whitelist entries no longer flagged: $stale")
+  }
 }

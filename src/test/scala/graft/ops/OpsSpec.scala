@@ -1916,6 +1916,43 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(SpanExact.SpanSaMaxLenConf)
   }
 
+  test("q_span_dedup_exact past the old 1024 packing cap: 1500-token docs at horizon 2048") {
+    import spark.implicits._
+    // round 10 packed the group representative as doc_id·1024+pos,
+    // silently capping the horizon at 1024 tokens; the widened
+    // doc_id·2^20+pos packing lifts the ceiling to ~1M tokens. Prove
+    // it EXECUTES past the old cap: 1500-token docs sharing a
+    // 300-token run, horizon 2048 (11 derived doubling rounds),
+    // against hand-computed truth — run lengths count down 300..1
+    // from the run start, 293 starts reach the 8-token floor,
+    // coverage = the run.
+    val run = (1 to 300).map(i => s"R$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 600).map(i => s"u$i") ++ Seq(run) ++
+        (1 to 600).map(i => s"v$i")).mkString(" ")),
+      (2L, ((1 to 400).map(i => s"w$i") ++ Seq(run) ++
+        (1 to 800).map(i => s"x$i")).mkString(" ")),
+      (3L, (1 to 1100).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Files.createTempDirectory("span_exact_xlong").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    // the OLD cap (1024) refuses these docs; only the widened packing
+    // admits a horizon that holds them
+    spark.conf.set(SpanExact.SpanSaMaxLenConf, "1024")
+    try {
+      val e = intercept[IllegalArgumentException](
+        SpanExact.queries("q_span_dedup_exact")(spark, out).collect())
+      assert(e.getMessage.contains(SpanExact.SpanSaMaxLenConf))
+      spark.conf.set(SpanExact.SpanSaMaxLenConf, "2048")
+      val r = SpanExact.queries("q_span_dedup_exact")(spark, out)
+        .collect().map(x => x.getLong(0) ->
+          (x.getInt(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+      assert(r(1L) == ((1500, 300L, 293L, 300L)), r(1L).toString)
+      assert(r(2L) == ((1500, 300L, 293L, 300L)), r(2L).toString)
+      assert(r(3L) == ((1100, 0L, 0L, 0L)), r(3L).toString)
+    } finally spark.conf.unset(SpanExact.SpanSaMaxLenConf)
+  }
+
   test("q_dup_spectrum: bands and shares on the crafted span corpus") {
     import spark.implicits._
     // reuse the span-exact fixture geometry: docs 1/2 share a 12-token
