@@ -106,17 +106,39 @@ object Similarity {
     */
   val GraphDegree = 8
 
+  /** Path-score pre-rank cut for the 2-hop graph escalation: each
+    * hop's expanded frontier keeps only the R best candidates per
+    * query RANKED BY max over parents of cos(q, parent) +
+    * cos(parent, nn) — both terms already computed exactly (the
+    * frontier row's score and the stored graph edge's weight), so the
+    * cut costs NO new vector math and the frontier rows stay
+    * vector-free until the ≤ R·n survivors pay the exact-cosine
+    * re-rank. The r10 escalation re-ranked its whole 3.4×-candidate
+    * frontier exactly (the entire sf1 bench tail). A PQ/SDC pre-rank
+    * was tried first and MEASURED OUT (AnnFrontier, sf0.1): at
+    * PqM = 4 recall@1 collapsed 0.912 → 0.43 at R = 32, and even a
+    * 16-subspace quantizer only reached 0.52 — product-quantized
+    * distance is near-noise on near-orthogonal random vectors (the
+    * q_matryoshka honest-finding precedent), while the path score
+    * rides the exact neighborhood structure the graph walk itself
+    * exploits. Recall is re-audited by q_ann_graph2_recall (the
+    * hash-gated row moved WITH this constant — the trade is measured,
+    * not assumed).
+    */
+  val GraphPreRankR = 32
+
   /** The graph-expanded ANN search behind q_ann_graph, parametrized
     * so the frontier sweep can measure other operating points:
     * `degree` = stored out-degree (HNSW's M), `hops` = expansion
-    * rounds (each round walks every current candidate's graph edges;
-    * candidate volume multiplies by ≤ degree per hop). The default
-    * (GraphDegree, 1) is byte-identical to the round-9 oracle-gated
-    * plan.
+    * rounds (each round walks the previous frontier's graph edges;
+    * candidate volume multiplies by ≤ degree per hop), `preRank` = 0
+    * for the exact-everything form or R for the SDC-pre-ranked cut
+    * ([[GraphPreRankR]]). The default (GraphDegree, 1, 0) is
+    * byte-identical to the round-9 oracle-gated plan.
     */
   private[graft] def annGraphSearch(s: SparkSession, dir: String,
-      degree: Int = GraphDegree, hops: Int = 1): DataFrame =
-    annGraphCandidates(s, dir, degree, hops)
+      degree: Int = GraphDegree, hops: Int = 1, preRank: Int = 0): DataFrame =
+    annGraphCandidates(s, dir, degree, hops, preRank)
       .groupBy(col("vec_id"))
       .agg(expr("top_k_by_score(cos_sim, nn_id, 1)").as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
@@ -127,33 +149,69 @@ object Similarity {
   /** The distinct scored candidate set entering [[annGraphSearch]]'s
     * re-rank — exposed so the frontier sweep can measure candidate
     * volume per operating point.
+    *
+    * The hop walk is FRONTIER-based: hop h expands only hop h−1's
+    * surviving pairs (hop 0 = the IVF candidate set). Without a
+    * pre-rank this yields the same candidate SET as expanding the
+    * whole accumulator (re-expanding older pairs re-derives pairs the
+    * distinct already holds — the r10 negative experiment), while
+    * with `preRank` = R the frontier is cut to the R best-by-path-
+    * score new candidates per query BEFORE the exact re-rank:
+    * enumeration stays vector-free (3 small columns per row) and the
+    * exact-cosine volume tracks R·n instead of the full degree^hops
+    * growth.
     */
   private[graft] def annGraphCandidates(s: SparkSession, dir: String,
-      degree: Int, hops: Int): DataFrame = {
+      degree: Int, hops: Int, preRank: Int = 0): DataFrame = {
     CosineSim.register(s)
+    graft.functions.Registry.ensure(s)
     val cand = sharedIvfCand(s, dir)
-    // the stored graph: top-G per vector, bounded heap (no window
-    // over the candidate stream)
+    // the stored graph: top-G per vector WITH the edge weight (the
+    // exact cosine the IVF index already paid for), bounded heap —
+    // no window over the candidate stream
     val graph = cand.groupBy(col("vec_id"))
       .agg(expr(s"top_k_by_score(cos_sim, nn_id, $degree)").as("top"))
       .select(col("vec_id").as("hop_id"),
         explode(col("top")).as("t"))
-      .select(col("hop_id"), col("t.doc_id").as("nn_id"))
+      .select(col("hop_id"), col("t.doc_id").as("nn_id"),
+        col("t.score").as("edge_cos"))
     val emb = embeddings(s, dir)
-    // hop walk: every current candidate's graph neighbors become
-    // candidates of the original query; re-ranked by exact cosine
     var acc = cand
+    var frontier = cand
     for (_ <- 0 until hops) {
-      val expanded = acc.select(col("vec_id"), col("nn_id").as("hop_id"))
-        .join(graph, Seq("hop_id"))
-        .where(col("nn_id") =!= col("vec_id"))
-        .select(col("vec_id"), col("nn_id")).distinct()
+      val pairs =
+        if (preRank > 0)
+          // path score = cos(q, parent) + cos(parent, nn), max over
+          // parents — two already-exact terms, no vector touched;
+          // bounded-heap top-R per query by (path desc, nn_id asc)
+          frontier.select(col("vec_id"), col("nn_id").as("hop_id"),
+              col("cos_sim").as("hop_cos"))
+            .join(graph, Seq("hop_id"))
+            .where(col("nn_id") =!= col("vec_id"))
+            .groupBy(col("vec_id"), col("nn_id"))
+            .agg(max(col("hop_cos") + col("edge_cos")).as("path"))
+            .groupBy(col("vec_id"))
+            .agg(expr(s"top_k_by_score(path, nn_id, $preRank)").as("top"))
+            .select(col("vec_id"), explode(col("top")).as("t"))
+            .select(col("vec_id"), col("t.doc_id").as("nn_id"))
+        else
+          frontier.select(col("vec_id"), col("nn_id").as("hop_id"))
+            .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
+            .where(col("nn_id") =!= col("vec_id"))
+            .select(col("vec_id"), col("nn_id")).distinct()
+      // plain equi-joins on the vector side: a SHUFFLE_HASH hint was
+      // measured here and REJECTED (sf1: 126 → 328 s, 9.8 → 44.6 GB
+      // shuffle — the hint pins both joins to pre-AQE shuffle plans
+      // and forfeits the runtime join re-planning that was doing the
+      // real work); let AQE pick
+      val expanded = pairs
         .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
         .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
           Seq("nn_id"))
         .select(col("vec_id"), col("nn_id"),
           round(cosine("v1", "v2"), 6).as("cos_sim"))
       acc = acc.unionByName(expanded)
+      frontier = expanded
     }
     acc.distinct()
   }
@@ -1336,10 +1394,16 @@ object Similarity {
     // The measured escalation point of the round-10 frontier
     // (BENCH_SCALING "Round-10 ANN frontier"): the SAME stored graph
     // walked TWO hops — candidate volume ≤ degree× per hop (measured
-    // 3.4× total at sf0.1) buying recall@1 0.590 → 0.912. First-class
-    // and oracle-gated so the escalation path users would actually
-    // deploy for recall-critical corpora is hash-checked, not just
-    // swept by the frontier tool.
+    // 3.4× total at sf0.1) buying recall@1 0.590 → 0.912. EXACT by
+    // measurement, not by default: round 11 swept three approximate
+    // pre-ranks (PQ/SDC at 4 and 16 subspaces, exact path score) and
+    // every ~0.5M-candidate cut landed on the same recall-per-volume
+    // line (0.39–0.52) — on near-orthogonal vectors the 2-hop recall
+    // IS the exact-scored volume, so the cut that keeps the wall down
+    // is the frontier walk + shuffle-hash vector joins, never a
+    // candidate prune (BENCH_SCALING "Round-11 pre-rank sweep").
+    // First-class and oracle-gated so the escalation path users would
+    // actually deploy for recall-critical corpora is hash-checked.
     "q_ann_graph2" -> ((s, dir) => annGraphSearch(s, dir, hops = 2)),
 
     // Recall@1 of the two-hop form against the same brute-force truth
@@ -1772,6 +1836,44 @@ object Similarity {
     * consumers ignore the column. cap/nShards arithmetic is all
     * integer, so the shard assignment replays Spark's exactly.
     */
+  /** The two-hop exact candidate chain (through `allc2`, the final
+    * distinct scored candidate set) shared by the q_ann_graph2 pair
+    * of oracles — the FRONTIER walk: hop 2 expands hop 1's scored
+    * pairs (exc1), not the whole accumulator; the candidate SET is
+    * provably identical (hop 2's re-expansion of cand re-derives
+    * exactly exc1's pairs, which the final distinct already holds)
+    * while the replay skips re-scoring them. Constants generated from
+    * the same GraphDegree the Spark side uses.
+    */
+  private def sqlGraph2Cands: String =
+    s"""cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
+       |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
+       |  FROM probed a JOIN probed b
+       |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
+       |    AND a.vec_id <> b.vec_id),
+       |g AS (SELECT vec_id AS hop_id, nn_id FROM (
+       |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
+       |  WHERE rn <= $GraphDegree),
+       |ex1 AS (SELECT DISTINCT c.vec_id, g.nn_id
+       |  FROM cand c JOIN g ON c.nn_id = g.hop_id
+       |  WHERE g.nn_id <> c.vec_id),
+       |exc1 AS (SELECT ex1.vec_id, ex1.nn_id,
+       |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+       |  FROM ex1 JOIN e x ON ex1.vec_id = x.vec_id
+       |    JOIN e y ON ex1.nn_id = y.vec_id),
+       |ex2 AS (SELECT DISTINCT a.vec_id, g.nn_id
+       |  FROM exc1 a JOIN g ON a.nn_id = g.hop_id
+       |  WHERE g.nn_id <> a.vec_id),
+       |exc2 AS (SELECT ex2.vec_id, ex2.nn_id,
+       |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
+       |  FROM ex2 JOIN e x ON ex2.vec_id = x.vec_id
+       |    JOIN e y ON ex2.nn_id = y.vec_id),
+       |allc2 AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
+       |  SELECT vec_id, nn_id, cos_sim FROM cand
+       |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc1
+       |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc2))""".stripMargin
+
   private def sqlIvfProbed: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |prm AS (SELECT count(*) AS n,
@@ -2240,35 +2342,7 @@ object Similarity {
     // expansion round from the one-hop candidate set, rn=1.
     "q_ann_graph2" ->
       s"""WITH $sqlIvfProbed,
-         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
-         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
-         |  FROM probed a JOIN probed b
-         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
-         |    AND a.vec_id <> b.vec_id),
-         |g AS (SELECT vec_id AS hop_id, nn_id FROM (
-         |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
-         |  WHERE rn <= $GraphDegree),
-         |ex AS (SELECT DISTINCT c.vec_id, g.nn_id
-         |  FROM cand c JOIN g ON c.nn_id = g.hop_id
-         |  WHERE g.nn_id <> c.vec_id),
-         |exc AS (SELECT ex.vec_id, ex.nn_id,
-         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
-         |  FROM ex JOIN e x ON ex.vec_id = x.vec_id
-         |    JOIN e y ON ex.nn_id = y.vec_id),
-         |allc AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
-         |  SELECT vec_id, nn_id, cos_sim FROM cand
-         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc)),
-         |ex2 AS (SELECT DISTINCT a.vec_id, g.nn_id
-         |  FROM allc a JOIN g ON a.nn_id = g.hop_id
-         |  WHERE g.nn_id <> a.vec_id),
-         |exc2 AS (SELECT ex2.vec_id, ex2.nn_id,
-         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
-         |  FROM ex2 JOIN e x ON ex2.vec_id = x.vec_id
-         |    JOIN e y ON ex2.nn_id = y.vec_id),
-         |allc2 AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
-         |  SELECT vec_id, nn_id, cos_sim FROM allc
-         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc2)),
+         |$sqlGraph2Cands,
          |r AS (SELECT vec_id, nn_id, cos_sim, row_number() OVER (
          |  PARTITION BY vec_id ORDER BY cos_sim DESC, nn_id) AS rn FROM allc2)
          |SELECT vec_id, nn_id, cos_sim FROM r WHERE rn = 1
@@ -2276,35 +2350,7 @@ object Similarity {
     // Same truth side as q_ann_recall, audited ANN = the two-hop form.
     "q_ann_graph2_recall" ->
       s"""WITH $sqlIvfProbed,
-         |cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS nn_id,
-         |    round(${sqlCos("a.v", "b.v")}, 6) AS cos_sim
-         |  FROM probed a JOIN probed b
-         |    ON a.anchor_id = b.anchor_id AND a.shard = b.shard
-         |    AND a.vec_id <> b.vec_id),
-         |g AS (SELECT vec_id AS hop_id, nn_id FROM (
-         |  SELECT vec_id, nn_id, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cos_sim DESC, nn_id) AS rn FROM cand)
-         |  WHERE rn <= $GraphDegree),
-         |ex AS (SELECT DISTINCT c.vec_id, g.nn_id
-         |  FROM cand c JOIN g ON c.nn_id = g.hop_id
-         |  WHERE g.nn_id <> c.vec_id),
-         |exc AS (SELECT ex.vec_id, ex.nn_id,
-         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
-         |  FROM ex JOIN e x ON ex.vec_id = x.vec_id
-         |    JOIN e y ON ex.nn_id = y.vec_id),
-         |allc AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
-         |  SELECT vec_id, nn_id, cos_sim FROM cand
-         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc)),
-         |ex2 AS (SELECT DISTINCT a.vec_id, g.nn_id
-         |  FROM allc a JOIN g ON a.nn_id = g.hop_id
-         |  WHERE g.nn_id <> a.vec_id),
-         |exc2 AS (SELECT ex2.vec_id, ex2.nn_id,
-         |    round(${sqlCos("x.v", "y.v")}, 6) AS cos_sim
-         |  FROM ex2 JOIN e x ON ex2.vec_id = x.vec_id
-         |    JOIN e y ON ex2.nn_id = y.vec_id),
-         |allc2 AS (SELECT DISTINCT vec_id, nn_id, cos_sim FROM (
-         |  SELECT vec_id, nn_id, cos_sim FROM allc
-         |  UNION ALL SELECT vec_id, nn_id, cos_sim FROM exc2)),
+         |$sqlGraph2Cands,
          |ann AS (SELECT vec_id, cos_sim AS ann_cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos_sim DESC, nn_id) AS rn FROM allc2) WHERE rn = 1),

@@ -48,18 +48,22 @@ object AnnFrontier {
       .collect().head.getDouble(2)
     println(s"""{"config":"ivf_baseline","recall_at_1":$ivfRecall}""")
 
-    for ((degree, hops) <- Seq((4, 1), (8, 1), (4, 2), (8, 2))) {
+    // pre = 0 is the exact-everything form; pre = R is the round-11
+    // SDC pre-rank (top-R per query by integer PQ distance before the
+    // exact re-rank) — swept so GraphPreRankR is a CHOSEN point
+    for ((degree, hops, pre) <- Seq((4, 1, 0), (8, 1, 0), (4, 2, 0),
+        (8, 2, 0), (8, 2, 64), (8, 2, 32), (8, 2, 16))) {
       val (_, searchSec) = timed {
-        Similarity.annGraphSearch(spark, sfDir, degree, hops)
+        Similarity.annGraphSearch(spark, sfDir, degree, hops, pre)
           .write.format("noop").mode("overwrite").save()
       }
       val nCand = Similarity
-        .annGraphCandidates(spark, sfDir, degree, hops).count()
+        .annGraphCandidates(spark, sfDir, degree, hops, pre).count()
       val recall = Similarity
         .annRecallOf(spark, sfDir,
-          Similarity.annGraphSearch(spark, sfDir, degree, hops))
+          Similarity.annGraphSearch(spark, sfDir, degree, hops, pre))
         .collect().head.getDouble(2)
-      println(f"""{"config":"G=$degree,hops=$hops","recall_at_1":$recall,"n_cand":$nCand,"search_sec":$searchSec%.3f}""")
+      println(f"""{"config":"G=$degree,hops=$hops,pre=$pre","recall_at_1":$recall,"n_cand":$nCand,"search_sec":$searchSec%.3f}""")
     }
     spark.stop()
   }

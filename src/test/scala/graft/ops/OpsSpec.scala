@@ -1982,6 +1982,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!r.contains(16L) && !r.contains(32L) && !r.contains(64L))
   }
 
+  test("graph2 path pre-rank param: candidates subset the exact walk, top-1 bounded both sides") {
+    val dir = "/root/testdata/sf0.001"
+    // the pre-ranked walk can only PRUNE: each hop's survivors are a
+    // subset of the exact frontier expansion, so the candidate set and
+    // the per-query top-1 are dominated by the exact 2-hop form —
+    // while still dominating the IVF-only baseline (cand ⊆ acc)
+    val pre = Similarity.annGraphCandidates(spark, dir,
+        Similarity.GraphDegree, 2, Similarity.GraphPreRankR)
+      .select("vec_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.annGraphCandidates(spark, dir,
+        Similarity.GraphDegree, 2)
+      .select("vec_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre.subsetOf(full),
+      s"pre-ranked walk invented ${(pre -- full).size} pairs")
+    assert(pre.size < full.size, "pre-rank pruned nothing — vacuous")
+    val top = (q: org.apache.spark.sql.DataFrame) => q.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val preTop = top(Similarity.annGraphSearch(spark, dir,
+      Similarity.GraphDegree, 2, Similarity.GraphPreRankR))
+    val fullTop = top(Similarity.annGraphSearch(spark, dir,
+      Similarity.GraphDegree, 2))
+    val ivfTop = top(Similarity.queries("q_sim_ann")(spark, dir)
+      .select("vec_id", "nn_id", "cos_sim"))
+    preTop.foreach { case (v, c) =>
+      assert(c <= fullTop(v), s"vec $v: pre top-1 $c beats exact ${fullTop(v)}")
+      ivfTop.get(v).foreach(i =>
+        assert(c >= i, s"vec $v: pre top-1 $c below IVF baseline $i"))
+    }
+  }
+
   test("q_ann_graph: expansion candidates are a superset, recall can only improve") {
     val dir = "/root/testdata/sf0.001"
     def recall(q: String) = Similarity.queries(q)(spark, dir)
