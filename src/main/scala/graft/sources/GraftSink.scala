@@ -217,6 +217,7 @@ object GraftSink {
         case StringType =>
           java.net.URLEncoder.encode(row.getString(i), "UTF-8")
         case DateType => row.getInt(i).toString
+        case TimestampType => row.getLong(i).toString // epoch micros
         case dt => throw new IllegalArgumentException(
           s"graftsink demo supports atomic types only, got $dt")
       }
@@ -235,6 +236,7 @@ object GraftSink {
         case StringType =>
           UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
         case DateType => java.lang.Integer.valueOf(s)
+        case TimestampType => java.lang.Long.valueOf(s) // epoch micros
         case dt => throw new IllegalArgumentException(s"unsupported $dt")
       }
     }

@@ -1890,6 +1890,64 @@ object Streams {
       }
     })
 
+  /** Resolve [[StagingDirConf]] for the MANIFEST staging route
+    * ([[stageShardsManifestCached]]): no symlink, no settable-mtime,
+    * no per-shard-rename requirement — so no POSIX probe. Only plain
+    * file IO plus GraftSink's single manifest-publish rename are
+    * needed; a URI-schemed root is still refused because this build's
+    * IO is java.nio (a production deployment swaps the IO for the
+    * object-store client and the publish rename for a conditional
+    * put, keeping the identical manifest protocol — see
+    * [[graft.sources.GraftStageSource]]).
+    */
+  private[streaming] def manifestStageRoot(spark: SparkSession): java.nio.file.Path =
+    stageRoots.getOrElseUpdate(
+      "manifest|" + spark.conf.get(StagingDirConf, ""), {
+        spark.conf.get(StagingDirConf, "") match {
+          case "" => stageRoot(spark) // driver-local temp, probe is moot
+          case configured =>
+            require(!configured.contains("://") ||
+                configured.startsWith("file://"),
+              s"$StagingDirConf=$configured: this build stages through " +
+                "java.nio — an object-store root needs the IO swapped " +
+                "for its client (the manifest protocol itself is " +
+                "object-store-safe; see GraftStageSource)")
+            val d =
+              if (configured.startsWith("file://"))
+                java.nio.file.Paths.get(java.net.URI.create(configured))
+              else java.nio.file.Paths.get(configured)
+            java.nio.file.Files.createDirectories(d)
+            d
+        }
+      })
+
+  /** The staged-shard cache, MANIFEST route: the same memo + per-key
+    * lock discipline as [[stageShards]]' cached branch, but the
+    * shards are GraftStage shard files gated by a manifest and the
+    * caller reads the returned directory with
+    * `format("graftstage")` — order from the manifest (not mtimes),
+    * visibility from the manifest (not rename atomicity), sharing by
+    * PATH (no symlink anywhere). This is the staging shape whose
+    * semantics survive an object store; the symlink fast path above
+    * stays for POSIX roots.
+    */
+  private[streaming] def stageShardsManifestCached(df: DataFrame,
+      key: String, n: Int, keyCol: String = "event_id"): String = {
+    val root = manifestStageRoot(df.sparkSession)
+    val full = s"${df.sparkSession.sparkContext.applicationId}|manifest|" +
+      s"$root|$key|$n|$keyCol|${df.schema.catalogString}"
+    val lock = stageLocks.computeIfAbsent(full, _ => new Object)
+    lock.synchronized {
+      stageMemo.getOrElseUpdate(full, {
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(full.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(20)
+        graft.sources.GraftStage.stage(df,
+          root.resolve(s"m_$tag").toString, n, keyCol)
+      })
+    }
+  }
+
   /** Fail loudly if `d` lacks any of the three POSIX primitives the
     * staging protocol builds on (see [[StagingDirConf]]). Runs once
     * per configured root, before any shard is staged.

@@ -684,6 +684,77 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(Streams.StagingDirConf)
   }
 
+  test("graftstage manifest staging: ordered replay, prefix-gated visibility, resume — no mtime/symlink") {
+    // the OBJECT-STORE-SAFE staging route: order from the manifest
+    // (never mtimes), visibility from the manifest (never per-file
+    // rename atomicity), sharing by path (never symlinks). Files for
+    // 6 shards are written UP FRONT; only the manifested prefix is
+    // visible; publishing the full manifest at gen 2 appends batches
+    // to a checkpointed stream.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_manifest_stage").toString
+    spark.conf.set(Streams.StagingDirConf, root)
+    try {
+      val ev = graft.Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .limit(300)
+      // the cached route: same key twice → same staged dir, no symlink
+      val staged = Streams.stageShardsManifestCached(ev, "events-6", 6)
+      assert(Streams.stageShardsManifestCached(ev, "events-6", 6) == staged)
+      assert(staged.startsWith(root), s"$staged not under $root")
+      val anyLink = new java.io.File(staged).listFiles()
+        .exists(f => java.nio.file.Files.isSymbolicLink(f.toPath))
+      assert(!anyLink, "manifest staging must not create symlinks")
+      // batch read parity through the manifest
+      val back = spark.read.format("graftstage").load(staged)
+      assert(back.count() == 300)
+      assert(back.agg(sum(col("event_id"))).head().getLong(0) ==
+        ev.agg(sum(col("event_id"))).head().getLong(0))
+      // prefix-gated visibility: re-publish only the first 4 shards
+      val m = graft.sources.GraftSink.readManifest(staged).get
+      graft.sources.GraftStage.publish(staged, m.ddl, m.files.take(4),
+        m.gen + 1)
+      val prefixRows = spark.read.format("graftstage").load(staged).count()
+      assert(prefixRows < 300, "unmanifested shard files leaked into reads")
+      // drain the 4-shard prefix: one shard per micro-batch, in
+      // manifest order (shard i holds event_id % 6 == i)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_manifest_wk").toString
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+      def drain(): Unit = {
+        val q = spark.readStream.format("graftstage").load(staged)
+          .writeStream
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val mods = b.select((col("event_id") % 6).as("m"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            seen.synchronized { seen += ((bid, mods)); () }
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      drain()
+      val run1 = seen.sortBy(_._1).toSeq
+      assert(run1.map(_._1) == (0L until 4L), run1.toString)
+      run1.zipWithIndex.foreach { case ((_, mods), i) =>
+        assert(mods.subsetOf(Set(i.toLong)), s"batch $i saw shards $mods")
+      }
+      // publish the FULL manifest at the next generation ("two more
+      // shards arrived") and resume from the same checkpoint: only
+      // the newly visible shards replay
+      seen.clear()
+      graft.sources.GraftStage.publish(staged, m.ddl, m.files, m.gen + 2)
+      drain()
+      val run2 = seen.sortBy(_._1).toSeq
+      assert(run2.map(_._1) == (4L until 6L), run2.toString)
+      run2.zipWithIndex.foreach { case ((_, mods), i) =>
+        assert(mods.subsetOf(Set(i + 4L)), s"batch ${i + 4} saw $mods")
+      }
+    } finally spark.conf.unset(Streams.StagingDirConf)
+  }
+
   test("foreachBatch release admission: drained census == q_release_delta, restart-safe") {
     // the ingest-time extension must reproduce the batch extension's
     // per-source census exactly (shared flags projection + shared
