@@ -356,6 +356,19 @@ object Bench {
         System.err.println(f"[bench] shared_span_adj          $t2%9.3f s")
         Seq("shared_span_sa" -> t, "shared_span_adj" -> t2)
       } else Seq.empty
+    // the per-source KMV sketch artifact (round-11): one postings
+    // aggregate shared by all three theta sketch legs
+    val thetaFamily = Set("q_theta_sketch", "q_theta_setops",
+      "q_theta_matrix")
+    val sharedTheta: Seq[(String, Double)] =
+      if (names.exists(thetaFamily.contains)) {
+        val t = timed("shared_theta_sketch") {
+          graft.ops.Govern.sharedThetaSketches(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_theta_sketch      $t%9.3f s")
+        Seq("shared_theta_sketch" -> t)
+      } else Seq.empty
     // the capped SimHash band table shared by the pair query and its
     // recall audit
     val shFamily = Set("q_dedup_simhash", "q_simhash_recall")
@@ -371,7 +384,7 @@ object Bench {
     val shared: Seq[(String, Double)] =
       sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
         sharedIvfCand ++ sharedPhash ++ sharedDsir ++ sharedSem ++
-        sharedMh ++ sharedSa ++ sharedSh ++ (
+        sharedMh ++ sharedSa ++ sharedTheta ++ sharedSh ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

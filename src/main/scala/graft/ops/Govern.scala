@@ -117,6 +117,32 @@ object Govern {
       .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
         Seq("doc_id"))
 
+  /** THE per-source governance sketch artifact: (source, mins,
+    * exact_distinct), session-materialized (the Scratch discipline) —
+    * one postings pass builds it, and every sketch leg of the family
+    * CONSUMES it by KMV merge instead of re-aggregating the stream:
+    * q_theta_sketch reads it verbatim, q_theta_setops merges the
+    * member sources per half (min-k of a union IS the min-k of the
+    * per-source min-k sets — each global top-k value is inside its
+    * own source's top-k — so the merged sketch is bit-identical to
+    * the one-pass aggregate and the oracles don't move), and
+    * q_theta_matrix takes its per-source sketches directly. This is
+    * the mergeable-state property the release store ships:
+    * [[graft.streaming.Streams.releaseStage]] persists v1's copy
+    * (`v1_theta`) beside the band artifacts, and StreamingSpec proves
+    * store-merge ≡ full recompute. The exact column rides along as
+    * the one-pass audit (it does NOT merge — distinct counts aren't
+    * additive — which is precisely why the sketch exists).
+    */
+  private[graft] def sharedThetaSketches(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(s, s"theta_sketch|$dir") {
+      graft.functions.Registry.ensure(s)
+      sourceShingles(s, dir)
+        .groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
+          countDistinct(col("h")).as("exact_distinct"))
+    }
+
   private def estFromMins(mins: org.apache.spark.sql.Column) =
     when(size(mins) < ThetaK, size(mins).cast("double"))
       .otherwise(lit(KmvNum) / element_at(mins, ThetaK).cast("double"))
@@ -145,13 +171,11 @@ object Govern {
     // aggregate carrying O(k) sketch state per source with map-side
     // combine — at 100 TB the exact column is the expensive one (it
     // shuffles distinct hashes); the sketch column alone never moves
-    // more than k longs per source per partition.
+    // more than k longs per source per partition. The aggregate is
+    // the session-materialized [[sharedThetaSketches]] artifact, read
+    // here and merged by the other family members.
     "q_theta_sketch" -> ((s, dir) =>
-      thetaCensus(sourceShingles(s, dir)
-        .groupBy(col("source"))
-        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
-          countDistinct(col("h")).as("exact_distinct")))
-        .orderBy(col("source"))),
+      thetaCensus(sharedThetaSketches(s, dir)).orderBy(col("source"))),
 
     // EXECUTES on the streaming engine: the per-source cardinality
     // monitor at ingest — per-micro-batch KMV partials merged at drain
@@ -182,17 +206,27 @@ object Govern {
       val dh = sourceShingles(s, dir)
         .select((expr("cast(substring(source, 4) as int)") % 2).as("grp"),
           col("h"))
-      val byGrp = dh.groupBy(col("grp"))
-        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"),
-          countDistinct(col("h")).as("exact"))
-        .cache()
+      // sketch legs come from MERGING the per-source artifact (k longs
+      // per source meet — never the postings; the cross-corpus
+      // comparison the sketch exists for), bit-identical to the
+      // one-pass aggregate; the exact audits still scan the stream —
+      // distinct counts don't merge, which is the point of the table
+      val grpSk = sharedThetaSketches(s, dir)
+        .select((expr("cast(substring(source, 4) as int)") % 2).as("grp"),
+          explode(col("mins")).as("h"))
+        .groupBy(col("grp"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"))
+      val byGrp = grpSk.join(
+        dh.groupBy(col("grp")).agg(countDistinct(col("h")).as("exact")),
+        Seq("grp")).cache()
       val a = byGrp.where(col("grp") === 0)
         .select(col("mins").as("mins_a"), col("exact").as("exact_a"))
       val b = byGrp.where(col("grp") === 1)
         .select(col("mins").as("mins_b"), col("exact").as("exact_b"))
-      val u = dh.agg(
-        call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins_u"),
-        countDistinct(col("h")).as("exact_union"))
+      val u = sharedThetaSketches(s, dir)
+        .select(explode(col("mins")).as("h"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins_u"))
+        .crossJoin(dh.agg(countDistinct(col("h")).as("exact_union")))
       val ei = dh.groupBy(col("h"))
         .agg(countDistinct(col("grp")).as("ng"))
         .agg(sum(when(col("ng") === 2, 1L).otherwise(0L)).as("exact_inter"))
@@ -234,9 +268,9 @@ object Govern {
     "q_theta_matrix" -> ((s, dir) => {
       val dh = sourceShingles(s, dir)
         .select(col("source"), col("h")).distinct().cache()
-      val sk = dh.groupBy(col("source"))
-        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK)).as("mins"))
-        .cache()
+      // per-source sketches straight from the materialized artifact;
+      // dh stays for the exact-audit legs only
+      val sk = sharedThetaSketches(s, dir).select(col("source"), col("mins"))
       val est = sk.select(col("source").as("src_a"), col("mins").as("ma"))
         .crossJoin(broadcast(
           sk.select(col("source").as("src_b"), col("mins").as("mb"))))

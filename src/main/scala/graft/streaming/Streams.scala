@@ -1464,6 +1464,21 @@ object Streams {
         java.nio.file.Paths.get(s"$workDir/v1_sig")))
       Dedup.minhashSignatures(v1.select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(s"$workDir/v1_sig")
+    // the release also ships its GOVERNANCE sketch: v1's per-source
+    // KMV minima (k longs per source — mergeable state, so the next
+    // release's sketch folds in by re-aggregating the union of minima
+    // instead of rescanning v1; StreamingSpec proves store-merge ≡
+    // full recompute against graft.ops.Govern.sharedThetaSketches)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_theta"))) {
+      graft.functions.Registry.ensure(spark)
+      Dedup.shingleHashes(v1.select(col("doc_id"), col("text")))
+        .join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"),
+          lit(graft.ops.Govern.ThetaK)).as("mins"))
+        .write.mode("overwrite").parquet(s"$workDir/v1_theta")
+    }
     // a release ships its index artifacts: v1's band table, the
     // per-bucket occupancy counts, and the already-saturated bucket
     // list are staged ONCE (derived from the v1_sig store so the two

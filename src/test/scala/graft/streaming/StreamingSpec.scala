@@ -755,6 +755,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset(Streams.StagingDirConf)
   }
 
+  test("release store ships the governance sketch: v1_theta merged with the batch half == full recompute") {
+    // KMV sketches are mergeable state: min-k of a union is the min-k
+    // of the per-part min-k sets. So the release store's v1_theta
+    // artifact folds with a fresh sketch of the arriving half by
+    // re-aggregating the union of minima — NO rescan of v1 — and the
+    // result must be BIT-IDENTICAL to the full-corpus artifact
+    // (graft.ops.Govern.sharedThetaSketches). This is the loop the
+    // governance family and the release store close.
+    import graft.ops.{Dedup, Govern}
+    graft.functions.Registry.ensure(spark)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_v1theta").toString
+    Streams.releaseStage(spark, dir, work, 3)
+    val v1Sk = spark.read.schema("source STRING, mins ARRAY<BIGINT>")
+      .parquet(s"$work/v1_theta")
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val half = docs.where(col("doc_id") % 4 === 0)
+    val halfSk = Dedup.shingleHashes(half.select(col("doc_id"), col("text")))
+      .join(half.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+        .as("mins"))
+    val merged = v1Sk.select(col("source"), explode(col("mins")).as("h"))
+      .unionByName(halfSk.select(col("source"), explode(col("mins")).as("h")))
+      .groupBy(col("source"))
+      .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+        .as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val full = Govern.sharedThetaSketches(spark, dir)
+      .select(col("source"), col("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(full.nonEmpty && merged.keySet == full.keySet)
+    full.foreach { case (src, mins) =>
+      assert(merged(src) == mins, s"$src: store-merge diverged from recompute")
+    }
+  }
+
   test("foreachBatch release admission: drained census == q_release_delta, restart-safe") {
     // the ingest-time extension must reproduce the batch extension's
     // per-source census exactly (shared flags projection + shared
