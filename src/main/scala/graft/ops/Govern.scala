@@ -302,6 +302,53 @@ object Govern {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // The CROSS-RELEASE governance delta: how many NEW distinct
+    // shingles does the arriving release add per source — answered
+    // SKETCH-ONLY from mergeable KMV state (v1's staged sketch ⊕ a
+    // fresh sketch of the arrivals, re-aggregating k minima per
+    // source; est_new = est(merged) − est(v1)), the question a crawl
+    // pipeline asks before paying for a release ("is dump N+1 mostly
+    // dump N?"). The same doc_id % 4 release split releaseStage
+    // stages, so the staged `v1_theta` artifact IS this query's v1
+    // leg. The exact columns are the anti-join audit — the co-shuffle
+    // of (source, h) postings the sketch exists to avoid, carried as
+    // the harness truth.
+    "q_theta_delta" -> ((s, dir) => {
+      val posts = sourceShingles(s, dir)
+      val v1 = posts.where(col("doc_id") % 4 =!= 0)
+      val nb = posts.where(col("doc_id") % 4 === 0)
+      val skV1 = v1.groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK))
+          .as("mins_v1"))
+      val skNb = nb.groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK))
+          .as("mins_b"))
+      val merged = skV1.select(col("source"), explode(col("mins_v1")).as("h"))
+        .unionByName(
+          skNb.select(col("source"), explode(col("mins_b")).as("h")))
+        .groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(ThetaK))
+          .as("mins_full"))
+      val exV1 = v1.select(col("source"), col("h")).distinct()
+      val exactV1 = exV1.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_v1"))
+      val exactNew = nb.select(col("source"), col("h")).distinct()
+        .join(exV1, Seq("source", "h"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("exact_new"))
+      skV1.join(merged, Seq("source"))
+        .select(col("source"),
+          round(estFromMins(col("mins_v1")), 4).as("est_v1"),
+          round(estFromMins(col("mins_full")), 4).as("est_full"),
+          round(estFromMins(col("mins_full")) -
+            estFromMins(col("mins_v1")), 4).as("est_new"))
+        .join(exactV1, Seq("source"))
+        .join(exactNew, Seq("source"), "left")
+        .select(col("source"), col("est_v1"), col("est_full"),
+          col("est_new"), col("exact_v1"),
+          coalesce(col("exact_new"), lit(0L)).as("exact_new"))
+        .orderBy(col("source"))
+    }),
+
     // The top-M priority sample: keep the M largest integer priorities
     // p = (w·10¹²) div u; τ = the (M+1)-th. Every item's
     // Horvitz–Thompson weight is max(w, τ/10⁶) — Σ over any subset of
@@ -482,6 +529,55 @@ object Govern {
          |  ex.ea AS exact_a, ex.eb AS exact_b, ex.eu AS exact_union,
          |  ei.c AS exact_inter
          |FROM ka, kb, ku, th, icnt, jn, ex, ei""".stripMargin,
+    // the identical split + KMV replay: per-half row_number sketches,
+    // merged = re-rank of the union of kept minima (the KMV merge law)
+    "q_theta_delta" ->
+      s"""WITH ${sqlShingleCtes("documents")},
+         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+         |byd AS (SELECT d.source, d.doc_id, h
+         |  FROM shh JOIN documents d USING (doc_id)),
+         |v1 AS (SELECT DISTINCT source, h FROM byd WHERE doc_id % 4 <> 0),
+         |nb AS (SELECT DISTINCT source, h FROM byd WHERE doc_id % 4 = 0),
+         |rv AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM v1),
+         |rb AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM nb),
+         |skv AS (SELECT source,
+         |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS nk,
+         |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta
+         |  FROM rv GROUP BY source),
+         |mu AS (SELECT DISTINCT source, h FROM (
+         |  SELECT source, h FROM rv WHERE rn <= $ThetaK
+         |  UNION ALL SELECT source, h FROM rb WHERE rn <= $ThetaK)),
+         |rm AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM mu),
+         |skm AS (SELECT source,
+         |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS nk,
+         |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta
+         |  FROM rm GROUP BY source),
+         |ev1 AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_v1
+         |  FROM v1 GROUP BY source),
+         |en AS (SELECT nb.source, CAST(count(*) AS BIGINT) AS exact_new
+         |  FROM nb LEFT JOIN v1 ON v1.source = nb.source AND v1.h = nb.h
+         |  WHERE v1.h IS NULL GROUP BY nb.source)
+         |SELECT skv.source,
+         |  round(CASE WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
+         |    ELSE $sqlKmvNum / skv.theta END, 4) AS est_v1,
+         |  round(CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
+         |    ELSE $sqlKmvNum / skm.theta END, 4) AS est_full,
+         |  round((CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
+         |      ELSE $sqlKmvNum / skm.theta END) -
+         |    (CASE WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
+         |      ELSE $sqlKmvNum / skv.theta END), 4) AS est_new,
+         |  ev1.exact_v1,
+         |  coalesce(en.exact_new, CAST(0 AS BIGINT)) AS exact_new
+         |FROM skv JOIN skm ON skm.source = skv.source
+         |JOIN ev1 ON ev1.source = skv.source
+         |LEFT JOIN en ON en.source = skv.source
+         |ORDER BY skv.source""".stripMargin,
     "q_priority_sample" ->
       s"""WITH $sqlPrioritized,
          |rk AS (SELECT doc_id, w, p,

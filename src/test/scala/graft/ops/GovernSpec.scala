@@ -90,6 +90,31 @@ class GovernSpec extends AnyFunSuite with SparkSpec {
       s"${r.getAs[String]("source")}: ${r.getAs[Double]("err_pct")}%"))
   }
 
+  test("theta delta: re-shipped content adds nothing; novel content is counted exactly below k") {
+    // v1 = doc_id % 4 != 0, release = % 4 == 0 (the releaseStage
+    // split). Doc 4 re-ships doc 1's text → zero new shingles; doc 8
+    // is novel → its distinct shingles are the exact_new, and below
+    // k = 256 the sketch estimate equals the truth.
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight"
+    val tC = "red green blue yellow purple orange pink white"
+    val dir = docsDir(Seq(
+      (1L, tA, "src0"), (2L, tB, "src0"), (4L, tA, "src0"),
+      (9L, tA, "src1"), (10L, tB, "src1"), (8L, tC, "src1")))
+    val rows = Govern.queries("q_theta_delta")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s0 = rows("src0") // release re-ships known text
+    assert(s0.getAs[Long]("exact_new") == 0L)
+    assert(s0.getAs[Double]("est_new") == 0.0)
+    assert(s0.getAs[Double]("est_v1") == s0.getAs[Long]("exact_v1").toDouble)
+    val s1 = rows("src1") // release adds novel text
+    assert(s1.getAs[Long]("exact_new") > 0L)
+    // below k the merged sketch is exact too: est_new == exact_new
+    assert(s1.getAs[Double]("est_new") == s1.getAs[Long]("exact_new").toDouble)
+    assert(s1.getAs[Double]("est_full") ==
+      s1.getAs[Long]("exact_v1").toDouble + s1.getAs[Long]("exact_new"))
+  }
+
   test("priority sample: corpus smaller than M+1 means tau=0 and HT=identity") {
     val dir = docsDir((0L until 10L).map(i =>
       (i, s"document number $i with body text", "src0")))
