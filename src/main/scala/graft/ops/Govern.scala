@@ -335,16 +335,24 @@ object Govern {
       val exactNew = nb.select(col("source"), col("h")).distinct()
         .join(exV1, Seq("source", "h"), "left_anti")
         .groupBy(col("source")).agg(count(lit(1)).as("exact_new"))
-      skV1.join(merged, Seq("source"))
+      // base = the MERGED sketch (covers every source with any docs):
+      // a source with no v1 half is entirely new — est_v1 = 0 from an
+      // empty sketch, never a dropped row (the blind spot would hide
+      // exactly the sources the novelty census exists to surface)
+      val noMins = array().cast("array<bigint>")
+      merged.join(skV1, Seq("source"), "left")
         .select(col("source"),
-          round(estFromMins(col("mins_v1")), 4).as("est_v1"),
+          round(estFromMins(coalesce(col("mins_v1"), noMins)), 4)
+            .as("est_v1"),
           round(estFromMins(col("mins_full")), 4).as("est_full"),
           round(estFromMins(col("mins_full")) -
-            estFromMins(col("mins_v1")), 4).as("est_new"))
-        .join(exactV1, Seq("source"))
+            estFromMins(coalesce(col("mins_v1"), noMins)), 4)
+            .as("est_new"))
+        .join(exactV1, Seq("source"), "left")
         .join(exactNew, Seq("source"), "left")
         .select(col("source"), col("est_v1"), col("est_full"),
-          col("est_new"), col("exact_v1"),
+          col("est_new"),
+          coalesce(col("exact_v1"), lit(0L)).as("exact_v1"),
           coalesce(col("exact_new"), lit(0L)).as("exact_new"))
         .orderBy(col("source"))
     }),
@@ -563,21 +571,23 @@ object Govern {
          |en AS (SELECT nb.source, CAST(count(*) AS BIGINT) AS exact_new
          |  FROM nb LEFT JOIN v1 ON v1.source = nb.source AND v1.h = nb.h
          |  WHERE v1.h IS NULL GROUP BY nb.source)
-         |SELECT skv.source,
-         |  round(CASE WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
+         |SELECT skm.source,
+         |  round(CASE WHEN skv.source IS NULL THEN 0.0
+         |    WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
          |    ELSE $sqlKmvNum / skv.theta END, 4) AS est_v1,
          |  round(CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
          |    ELSE $sqlKmvNum / skm.theta END, 4) AS est_full,
          |  round((CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
          |      ELSE $sqlKmvNum / skm.theta END) -
-         |    (CASE WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
+         |    (CASE WHEN skv.source IS NULL THEN 0.0
+         |      WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
          |      ELSE $sqlKmvNum / skv.theta END), 4) AS est_new,
-         |  ev1.exact_v1,
+         |  coalesce(ev1.exact_v1, CAST(0 AS BIGINT)) AS exact_v1,
          |  coalesce(en.exact_new, CAST(0 AS BIGINT)) AS exact_new
-         |FROM skv JOIN skm ON skm.source = skv.source
-         |JOIN ev1 ON ev1.source = skv.source
-         |LEFT JOIN en ON en.source = skv.source
-         |ORDER BY skv.source""".stripMargin,
+         |FROM skm LEFT JOIN skv ON skv.source = skm.source
+         |LEFT JOIN ev1 ON ev1.source = skm.source
+         |LEFT JOIN en ON en.source = skm.source
+         |ORDER BY skm.source""".stripMargin,
     "q_priority_sample" ->
       s"""WITH $sqlPrioritized,
          |rk AS (SELECT doc_id, w, p,

@@ -100,9 +100,15 @@ class GovernSpec extends AnyFunSuite with SparkSpec {
     val tC = "red green blue yellow purple orange pink white"
     val dir = docsDir(Seq(
       (1L, tA, "src0"), (2L, tB, "src0"), (4L, tA, "src0"),
-      (9L, tA, "src1"), (10L, tB, "src1"), (8L, tC, "src1")))
+      (9L, tA, "src1"), (10L, tB, "src1"), (8L, tC, "src1"),
+      (12L, tC, "src2"))) // src2 exists ONLY in the release half
     val rows = Govern.queries("q_theta_delta")(spark, dir)
       .collect().map(r => r.getString(0) -> r).toMap
+    val s2 = rows("src2") // a brand-new source must SURFACE, not drop
+    assert(s2.getAs[Long]("exact_v1") == 0L)
+    assert(s2.getAs[Double]("est_v1") == 0.0)
+    assert(s2.getAs[Long]("exact_new") > 0L)
+    assert(s2.getAs[Double]("est_new") == s2.getAs[Double]("est_full"))
     val s0 = rows("src0") // release re-ships known text
     assert(s0.getAs[Long]("exact_new") == 0L)
     assert(s0.getAs[Double]("est_new") == 0.0)
