@@ -400,12 +400,17 @@ object Govern {
         .groupBy(col("tau")).agg(sum(col("ht_w_micro")).as("est_total_micro"))
       val exact = Tables(s, dir, "documents")
         .agg(sum(col("n_chars")).as("exact_total"))
+      // the ×10⁶ rescale runs in DECIMAL(38,0): a BIGINT multiply
+      // silently wraps in Spark (non-ANSI) once Σ n_chars passes
+      // ~9.2e12 while DuckDB errors loudly — the engines would
+      // diverge exactly at the corpus sizes this family is for
       est.crossJoin(broadcast(exact))
         .select(lit(PriorityM).as("m"),
           col("tau").as("tau_w_micro"),
           col("est_total_micro"), col("exact_total"),
-          expr("abs(est_total_micro - exact_total * 1000000) div exact_total")
-            .as("err_ppm"))
+          expr("abs(cast(est_total_micro as decimal(38,0)) - " +
+            "cast(exact_total as decimal(38,0)) * 1000000) " +
+            "div exact_total").as("err_ppm"))
     }),
 
     // Per-source counts through the truncated geometric mechanism —
@@ -615,8 +620,9 @@ object Govern {
          |SELECT $PriorityM AS m,
          |  tau AS tau_w_micro,
          |  est_total_micro, exact_total,
-         |  abs(est_total_micro - exact_total * 1000000) // exact_total
-         |    AS err_ppm
+         |  CAST(abs(CAST(est_total_micro AS HUGEINT) -
+         |    CAST(exact_total AS HUGEINT) * 1000000) // exact_total
+         |    AS BIGINT) AS err_ppm
          |FROM est, tau, ex""".stripMargin,
     "q_dp_release" ->
       s"""WITH c AS (SELECT source, count(*) AS true_count

@@ -130,11 +130,13 @@ object Similarity {
   /** The graph-expanded ANN search behind q_ann_graph, parametrized
     * so the frontier sweep can measure other operating points:
     * `degree` = stored out-degree (HNSW's M), `hops` = expansion
-    * rounds (each round walks the previous frontier's graph edges;
+    * rounds (each round walks the current candidates' graph edges;
     * candidate volume multiplies by ≤ degree per hop), `preRank` = 0
-    * for the exact-everything form or R for the SDC-pre-ranked cut
-    * ([[GraphPreRankR]]). The default (GraphDegree, 1, 0) is
-    * byte-identical to the round-9 oracle-gated plan.
+    * for the exact-everything form or R for the PATH-SCORE frontier
+    * cut ([[GraphPreRankR]]: top-R per query by max over parents of
+    * cos(q, parent) + cos(parent, nn), both terms already exact). The
+    * default (GraphDegree, 1, 0) is byte-identical to the round-9
+    * oracle-gated plan.
     */
   private[graft] def annGraphSearch(s: SparkSession, dir: String,
       degree: Int = GraphDegree, hops: Int = 1, preRank: Int = 0): DataFrame =
@@ -150,16 +152,18 @@ object Similarity {
     * re-rank — exposed so the frontier sweep can measure candidate
     * volume per operating point.
     *
-    * The hop walk is FRONTIER-based: hop h expands only hop h−1's
-    * surviving pairs (hop 0 = the IVF candidate set). Without a
-    * pre-rank this yields the same candidate SET as expanding the
-    * whole accumulator (re-expanding older pairs re-derives pairs the
-    * distinct already holds — the r10 negative experiment), while
-    * with `preRank` = R the frontier is cut to the R best-by-path-
-    * score new candidates per query BEFORE the exact re-rank:
+    * With `preRank` = R the walk is FRONTIER-based — hop h expands
+    * only hop h−1's R surviving pairs per query (hop 0 = the IVF
+    * candidate set), cut by path score BEFORE the exact re-rank:
     * enumeration stays vector-free (3 small columns per row) and the
     * exact-cosine volume tracks R·n instead of the full degree^hops
-    * growth.
+    * growth. With preRank = 0 the hop expands the whole ACCUMULATOR —
+    * byte-identical to the r10 oracle-gated plan; a frontier-only
+    * exact walk produces the same candidate SET (re-expanding older
+    * pairs re-derives pairs the distinct already holds) but measured
+    * ~15% slower at sf1 twice (145 vs 126 s subset, 164 vs 143 s
+    * in-run — the fresh exc1 exchange replaces a reused one), so the
+    * exact path keeps the accumulator shape.
     */
   private[graft] def annGraphCandidates(s: SparkSession, dir: String,
       degree: Int, hops: Int, preRank: Int = 0): DataFrame = {
@@ -180,7 +184,12 @@ object Similarity {
     var frontier = cand
     for (_ <- 0 until hops) {
       val pairs =
-        if (preRank > 0)
+        if (preRank <= 0)
+          acc.select(col("vec_id"), col("nn_id").as("hop_id"))
+            .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
+            .where(col("nn_id") =!= col("vec_id"))
+            .select(col("vec_id"), col("nn_id")).distinct()
+        else
           // path score = cos(q, parent) + cos(parent, nn), max over
           // parents — two already-exact terms, no vector touched;
           // bounded-heap top-R per query by (path desc, nn_id asc)
@@ -194,11 +203,6 @@ object Similarity {
             .agg(expr(s"top_k_by_score(path, nn_id, $preRank)").as("top"))
             .select(col("vec_id"), explode(col("top")).as("t"))
             .select(col("vec_id"), col("t.doc_id").as("nn_id"))
-        else
-          frontier.select(col("vec_id"), col("nn_id").as("hop_id"))
-            .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
-            .where(col("nn_id") =!= col("vec_id"))
-            .select(col("vec_id"), col("nn_id")).distinct()
       // plain equi-joins on the vector side: a SHUFFLE_HASH hint was
       // measured here and REJECTED (sf1: 126 → 328 s, 9.8 → 44.6 GB
       // shuffle — the hint pins both joins to pre-AQE shuffle plans

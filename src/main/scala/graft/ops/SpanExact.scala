@@ -125,14 +125,16 @@ object SpanExact {
   val ContamSpanMin = 13
 
   /** The held-out eval-split convention: doc_id % EvalSplitMod == 0 is
-    * EVAL, everything else TRAIN — the same 2% slice every
-    * decontamination operator in the repo uses (Dedup.evalShingles,
-    * Prep's contamination views, the q_contam_span/q_decontam_span
-    * oracles). [[saGroupPass]] bakes the per-group TRAIN count into
-    * the shared pass, so the constant is part of that artifact's
-    * identity: it is interpolated into the Scratch key — change the
-    * convention and stale session-materialized counts can never be
-    * served silently.
+    * EVAL, everything else TRAIN. Within THIS file the constant is
+    * load-bearing — every span-family builder, both contamination
+    * oracles, and [[saGroupPass]]'s baked-in TRAIN counts interpolate
+    * it, and it is part of the shared pass's Scratch key so a changed
+    * value can never serve stale session-materialized counts. The
+    * SAME 2% convention is pinned as a literal 50 elsewhere
+    * (Dedup.evalShingles, Prep's contamination views and their
+    * oracles): changing the corpus-wide convention means changing it
+    * THERE TOO — this constant keeps the span family internally
+    * consistent, it does not repoint the other families.
     */
   val EvalSplitMod = 50L
 
@@ -222,8 +224,8 @@ object SpanExact {
       val sizes = Tables.fanout(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-        .where(col("doc_id") % 50 === 0)
-      val ov = saRanks(s, dir).where(col("doc_id") % 50 === 0)
+        .where(col("doc_id") % EvalSplitMod === 0)
+      val ov = saRanks(s, dir).where(col("doc_id") % EvalSplitMod === 0)
         .select(col("doc_id"), col("pos"), col("r").as("g"))
         .join(cg, Seq("g"))
         .join(sizes, Seq("doc_id"))
@@ -251,13 +253,13 @@ object SpanExact {
     // the physical drop is re-verifiable after the fact.
     "q_decontam_span" -> ((s, dir) => {
       val cg = contamGroups(s, dir, toTrain = false)
-      val perDoc = saRanks(s, dir).where(col("doc_id") % 50 =!= 0)
+      val perDoc = saRanks(s, dir).where(col("doc_id") % EvalSplitMod =!= 0)
         .select(col("doc_id"), col("pos"), col("r").as("g"))
         .join(cg, Seq("g"))
         .join(Tables.fanout(Tables(s, dir, "documents")
             .select(col("doc_id"), col("text")))
           .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-          .where(col("doc_id") % 50 =!= 0), Seq("doc_id"))
+          .where(col("doc_id") % EvalSplitMod =!= 0), Seq("doc_id"))
         .select(col("doc_id"),
           when(col("cnt_target") > 0,
             col("n_tokens").cast("long") - col("pos"))
@@ -265,7 +267,7 @@ object SpanExact {
         .groupBy(col("doc_id"))
         .agg((max(col("ov")) >= ContamSpanMin).as("hit"))
       Tables(s, dir, "documents")
-        .where(col("doc_id") % 50 =!= 0)
+        .where(col("doc_id") % EvalSplitMod =!= 0)
         .select(col("doc_id"), col("source"),
           h60(concat(lit("d:"), col("doc_id").cast("string"))).as("h"))
         .join(perDoc, Seq("doc_id"))
@@ -806,7 +808,8 @@ object SpanExact {
 
   private def contamSpanOracle: String =
     s"""WITH $saCtes,
-       |${contamChainCtes("doc_id % 50 <> 0", "doc_id % 50 = 0")},
+       |${contamChainCtes(s"doc_id % $EvalSplitMod <> 0",
+            s"doc_id % $EvalSplitMod = 0")},
        |cns AS (SELECT doc_id, max(ov) AS max_overlap,
        |    count(*) FILTER (WHERE ov >= $ContamSpanMin) AS n_contam_starts
        |  FROM ov GROUP BY doc_id)
@@ -814,18 +817,19 @@ object SpanExact {
        |  cns.max_overlap, cns.n_contam_starts,
        |  cns.max_overlap >= $ContamSpanMin AS contaminated
        |FROM sz JOIN cns USING (doc_id)
-       |WHERE sz.doc_id % 50 = 0 ORDER BY sz.doc_id""".stripMargin
+       |WHERE sz.doc_id % $EvalSplitMod = 0 ORDER BY sz.doc_id""".stripMargin
 
   private def decontamSpanOracle: String =
     s"""WITH $saCtes,
-       |${contamChainCtes("doc_id % 50 = 0", "doc_id % 50 <> 0")},
+       |${contamChainCtes(s"doc_id % $EvalSplitMod = 0",
+            s"doc_id % $EvalSplitMod <> 0")},
        |pd AS (SELECT doc_id,
        |    (max(ov) >= $ContamSpanMin) AS hit
        |  FROM ov GROUP BY doc_id),
        |tr AS (SELECT d.doc_id, d.source, pd.hit,
        |    ${sqlH60("'d:' || CAST(d.doc_id AS VARCHAR)")} AS h
        |  FROM documents d JOIN pd USING (doc_id)
-       |  WHERE d.doc_id % 50 <> 0)
+       |  WHERE d.doc_id % $EvalSplitMod <> 0)
        |SELECT source, count(*) AS n_train,
        |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_dropped,
        |  CAST(count(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_kept,

@@ -167,16 +167,22 @@ object GraftStage {
       .repartition(n, col("__shard"))
       .queryExecution.toRdd.mapPartitions { it =>
         val sch = StructType.fromDDL(ddl)
-        val out = scala.collection.mutable.Map.empty[Int, (String, java.io.PrintWriter)]
+        // BufferedWriter, NOT PrintWriter: PrintWriter swallows
+        // IOExceptions (sets a flag), so a disk-full mid-task would
+        // let publish() manifest a silently truncated shard — the
+        // same loud-failure rule GraftSinkWriter states
+        val out = scala.collection.mutable.Map.empty[Int, (String, java.io.BufferedWriter)]
         it.foreach { row =>
           val sh = row.getInt(si)
           val (_, w) = out.getOrElseUpdate(sh, {
             val name = s"shard_${sh}_${java.util.UUID.randomUUID()}.gstage"
-            (name, new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8"))
+            (name, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              new java.io.FileOutputStream(new java.io.File(dir, name)),
+              java.nio.charset.StandardCharsets.UTF_8)))
           })
-          w.println(GraftSink.encode(row, sch))
+          w.write(GraftSink.encode(row, sch)); w.newLine()
         }
-        out.foreach(_._2._2.close())
+        out.foreach(_._2._2.close()) // close() throws on buffered IO failure
         out.iterator.map { case (sh, (name, _)) => (sh, name) }
       }.collect().toMap
     (0 until n).map { i =>
@@ -204,14 +210,25 @@ object GraftStage {
   }
 
   /** stageFiles + full publish — the one-call form for callers that
-    * stage a complete corpus.
+    * stage a complete corpus. A staged replay dir is IMMUTABLE by
+    * contract (the memo key encodes corpus + n + schema): an existing
+    * n-shard manifest short-circuits, and an existing manifest with a
+    * DIFFERENT shard count refuses loudly — re-publishing at gen 1
+    * under a live higher-generation manifest would regress the
+    * generation and replay different data under a checkpointed
+    * stream's committed offsets.
     */
   def stage(df: DataFrame, dir: String, n: Int,
-      keyCol: String = "event_id"): String = {
-    if (GraftSink.readManifest(dir).exists(_.files.size == n)) dir
-    else {
-      publish(dir, df.schema.toDDL, stageFiles(df, dir, n, keyCol), 1L)
-      dir
+      keyCol: String = "event_id"): String =
+    GraftSink.readManifest(dir) match {
+      case Some(m) if m.files.size == n => dir
+      case Some(m) => throw new IllegalStateException(
+        s"$dir already holds a ${m.files.size}-shard manifest at " +
+          s"gen ${m.gen} — staged replay dirs are immutable; use a " +
+          s"fresh dir for an $n-shard stage (or publish() explicitly " +
+          "for the append workflow)")
+      case None =>
+        publish(dir, df.schema.toDDL, stageFiles(df, dir, n, keyCol), 1L)
+        dir
     }
-  }
 }

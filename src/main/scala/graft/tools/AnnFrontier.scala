@@ -49,8 +49,10 @@ object AnnFrontier {
     println(s"""{"config":"ivf_baseline","recall_at_1":$ivfRecall}""")
 
     // pre = 0 is the exact-everything form; pre = R is the round-11
-    // SDC pre-rank (top-R per query by integer PQ distance before the
-    // exact re-rank) — swept so GraphPreRankR is a CHOSEN point
+    // PATH-SCORE pre-rank (top-R per query by max parent-path cosine
+    // sum before the exact re-rank; the PQ/SDC forms were measured
+    // out — BENCH_SCALING "Round-11 pre-rank sweep") — swept so
+    // GraphPreRankR is a CHOSEN point
     for ((degree, hops, pre) <- Seq((4, 1, 0), (8, 1, 0), (4, 2, 0),
         (8, 2, 0), (8, 2, 64), (8, 2, 32), (8, 2, 16))) {
       val (_, searchSec) = timed {
