@@ -164,6 +164,34 @@ object Govern {
         round(abs(col("est_distinct") - col("exact_distinct")) /
           col("exact_distinct") * 100, 4))
 
+  /** The q_theta_delta census projection — (source, mins_v1) ⊕
+    * (source, mins_full) ⊕ the two exact-audit legs → the output
+    * columns, base = the MERGED sketch so a source with no v1 half
+    * surfaces with est_v1 = 0 instead of dropping. ONE definition
+    * shared by the batch query and the streaming twin's drain census
+    * (the [[thetaCensus]] discipline), so the two paths cannot drift
+    * and the twin shares the batch oracle verbatim.
+    */
+  def thetaDeltaCensus(skV1: DataFrame, merged: DataFrame,
+      exactV1: DataFrame, exactNew: DataFrame): DataFrame = {
+    val noMins = array().cast("array<bigint>")
+    merged.join(skV1, Seq("source"), "left")
+      .select(col("source"),
+        round(estFromMins(coalesce(col("mins_v1"), noMins)), 4)
+          .as("est_v1"),
+        round(estFromMins(col("mins_full")), 4).as("est_full"),
+        round(estFromMins(col("mins_full")) -
+          estFromMins(coalesce(col("mins_v1"), noMins)), 4)
+          .as("est_new"))
+      .join(exactV1, Seq("source"), "left")
+      .join(exactNew, Seq("source"), "left")
+      .select(col("source"), col("est_v1"), col("est_full"),
+        col("est_new"),
+        coalesce(col("exact_v1"), lit(0L)).as("exact_v1"),
+        coalesce(col("exact_new"), lit(0L)).as("exact_new"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-source distinct-shingle cardinality from the KMV sketch,
     // with the exact count and error beside it (the sketch audit
@@ -335,26 +363,21 @@ object Govern {
       val exactNew = nb.select(col("source"), col("h")).distinct()
         .join(exV1, Seq("source", "h"), "left_anti")
         .groupBy(col("source")).agg(count(lit(1)).as("exact_new"))
-      // base = the MERGED sketch (covers every source with any docs):
-      // a source with no v1 half is entirely new — est_v1 = 0 from an
-      // empty sketch, never a dropped row (the blind spot would hide
-      // exactly the sources the novelty census exists to surface)
-      val noMins = array().cast("array<bigint>")
-      merged.join(skV1, Seq("source"), "left")
-        .select(col("source"),
-          round(estFromMins(coalesce(col("mins_v1"), noMins)), 4)
-            .as("est_v1"),
-          round(estFromMins(col("mins_full")), 4).as("est_full"),
-          round(estFromMins(col("mins_full")) -
-            estFromMins(coalesce(col("mins_v1"), noMins)), 4)
-            .as("est_new"))
-        .join(exactV1, Seq("source"), "left")
-        .join(exactNew, Seq("source"), "left")
-        .select(col("source"), col("est_v1"), col("est_full"),
-          col("est_new"),
-          coalesce(col("exact_v1"), lit(0L)).as("exact_v1"),
-          coalesce(col("exact_new"), lit(0L)).as("exact_new"))
-        .orderBy(col("source"))
+      thetaDeltaCensus(skV1, merged, exactV1, exactNew)
+    }),
+
+    // EXECUTES on the streaming engine: the cross-release novelty
+    // monitor at ingest — v1's sketch + postings stores stage ONCE
+    // (the v1_theta release-artifact discipline), each arriving
+    // micro-batch writes its own per-bid sketch partial, and the
+    // drain merges v1_theta ⊕ arrival partials per source (k longs
+    // each — v1 is never rescanned per trigger). Census via the SAME
+    // [[thetaDeltaCensus]] projection, graded by q_theta_delta's
+    // oracle verbatim. See [[graft.streaming.Streams.thetaDeltaIngest]].
+    "q_stream_theta_delta" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_theta_delta").toString
+      graft.streaming.Streams.thetaDeltaIngest(s, dir, work)
     }),
 
     // The top-M priority sample: keep the M largest integer priorities
@@ -543,56 +566,11 @@ object Govern {
          |  ei.c AS exact_inter
          |FROM ka, kb, ku, th, icnt, jn, ex, ei""".stripMargin,
     // the identical split + KMV replay: per-half row_number sketches,
-    // merged = re-rank of the union of kept minima (the KMV merge law)
-    "q_theta_delta" ->
-      s"""WITH ${sqlShingleCtes("documents")},
-         |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
-         |byd AS (SELECT d.source, d.doc_id, h
-         |  FROM shh JOIN documents d USING (doc_id)),
-         |v1 AS (SELECT DISTINCT source, h FROM byd WHERE doc_id % 4 <> 0),
-         |nb AS (SELECT DISTINCT source, h FROM byd WHERE doc_id % 4 = 0),
-         |rv AS (SELECT source, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-         |  FROM v1),
-         |rb AS (SELECT source, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-         |  FROM nb),
-         |skv AS (SELECT source,
-         |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS nk,
-         |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta
-         |  FROM rv GROUP BY source),
-         |mu AS (SELECT DISTINCT source, h FROM (
-         |  SELECT source, h FROM rv WHERE rn <= $ThetaK
-         |  UNION ALL SELECT source, h FROM rb WHERE rn <= $ThetaK)),
-         |rm AS (SELECT source, h,
-         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-         |  FROM mu),
-         |skm AS (SELECT source,
-         |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS nk,
-         |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta
-         |  FROM rm GROUP BY source),
-         |ev1 AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_v1
-         |  FROM v1 GROUP BY source),
-         |en AS (SELECT nb.source, CAST(count(*) AS BIGINT) AS exact_new
-         |  FROM nb LEFT JOIN v1 ON v1.source = nb.source AND v1.h = nb.h
-         |  WHERE v1.h IS NULL GROUP BY nb.source)
-         |SELECT skm.source,
-         |  round(CASE WHEN skv.source IS NULL THEN 0.0
-         |    WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
-         |    ELSE $sqlKmvNum / skv.theta END, 4) AS est_v1,
-         |  round(CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
-         |    ELSE $sqlKmvNum / skm.theta END, 4) AS est_full,
-         |  round((CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
-         |      ELSE $sqlKmvNum / skm.theta END) -
-         |    (CASE WHEN skv.source IS NULL THEN 0.0
-         |      WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
-         |      ELSE $sqlKmvNum / skv.theta END), 4) AS est_new,
-         |  coalesce(ev1.exact_v1, CAST(0 AS BIGINT)) AS exact_v1,
-         |  coalesce(en.exact_new, CAST(0 AS BIGINT)) AS exact_new
-         |FROM skm LEFT JOIN skv ON skv.source = skm.source
-         |LEFT JOIN ev1 ON ev1.source = skm.source
-         |LEFT JOIN en ON en.source = skm.source
-         |ORDER BY skm.source""".stripMargin,
+    // merged = re-rank of the union of kept minima (the KMV merge
+    // law); the streaming twin's drained merge is associative, so ONE
+    // SQL grades both paths (the thetaSketchOracle discipline)
+    "q_theta_delta" -> thetaDeltaOracle,
+    "q_stream_theta_delta" -> thetaDeltaOracle,
     "q_priority_sample" ->
       s"""WITH $sqlPrioritized,
          |rk AS (SELECT doc_id, w, p,
@@ -659,6 +637,62 @@ object Govern {
        |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
        |    AS err_pct
        |FROM est ORDER BY source""".stripMargin
+
+  /** The cross-release delta replay — the identical doc_id % 4 split,
+    * per-half row_number sketches, merged = re-rank of the union of
+    * kept minima (the KMV merge law). The streaming twin's drained
+    * merge is associative, so this ONE SQL grades both the batch
+    * query and q_stream_theta_delta.
+    */
+  private def thetaDeltaOracle: String =
+    s"""WITH ${sqlShingleCtes("documents")},
+       |shh AS (SELECT DISTINCT doc_id, ${sqlH60("s")} AS h FROM sh),
+       |byd AS (SELECT d.source, d.doc_id, h
+       |  FROM shh JOIN documents d USING (doc_id)),
+       |v1 AS (SELECT DISTINCT source, h FROM byd WHERE doc_id % 4 <> 0),
+       |nb AS (SELECT DISTINCT source, h FROM byd WHERE doc_id % 4 = 0),
+       |rv AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM v1),
+       |rb AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM nb),
+       |skv AS (SELECT source,
+       |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS nk,
+       |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta
+       |  FROM rv GROUP BY source),
+       |mu AS (SELECT DISTINCT source, h FROM (
+       |  SELECT source, h FROM rv WHERE rn <= $ThetaK
+       |  UNION ALL SELECT source, h FROM rb WHERE rn <= $ThetaK)),
+       |rm AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM mu),
+       |skm AS (SELECT source,
+       |    CAST(count(*) FILTER (WHERE rn <= $ThetaK) AS INT) AS nk,
+       |    max(CASE WHEN rn = $ThetaK THEN h END) AS theta
+       |  FROM rm GROUP BY source),
+       |ev1 AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_v1
+       |  FROM v1 GROUP BY source),
+       |en AS (SELECT nb.source, CAST(count(*) AS BIGINT) AS exact_new
+       |  FROM nb LEFT JOIN v1 ON v1.source = nb.source AND v1.h = nb.h
+       |  WHERE v1.h IS NULL GROUP BY nb.source)
+       |SELECT skm.source,
+       |  round(CASE WHEN skv.source IS NULL THEN 0.0
+       |    WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
+       |    ELSE $sqlKmvNum / skv.theta END, 4) AS est_v1,
+       |  round(CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
+       |    ELSE $sqlKmvNum / skm.theta END, 4) AS est_full,
+       |  round((CASE WHEN skm.nk < $ThetaK THEN CAST(skm.nk AS DOUBLE)
+       |      ELSE $sqlKmvNum / skm.theta END) -
+       |    (CASE WHEN skv.source IS NULL THEN 0.0
+       |      WHEN skv.nk < $ThetaK THEN CAST(skv.nk AS DOUBLE)
+       |      ELSE $sqlKmvNum / skv.theta END), 4) AS est_new,
+       |  coalesce(ev1.exact_v1, CAST(0 AS BIGINT)) AS exact_v1,
+       |  coalesce(en.exact_new, CAST(0 AS BIGINT)) AS exact_new
+       |FROM skm LEFT JOIN skv ON skv.source = skm.source
+       |LEFT JOIN ev1 ON ev1.source = skm.source
+       |LEFT JOIN en ON en.source = skm.source
+       |ORDER BY skm.source""".stripMargin
 
   /** Oracle twin of [[prioritized]]. */
   private def sqlPrioritized: String =

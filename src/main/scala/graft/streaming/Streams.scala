@@ -1305,6 +1305,108 @@ object Streams {
       .orderBy(col("source"))
   }
 
+  /** EXECUTES on the streaming engine: the CROSS-RELEASE novelty
+    * monitor at ingest — the q_theta_delta question ("how much of the
+    * arriving release is new per source?") answered while the release
+    * streams in. v1's governance stores stage ONCE (the `v1_theta`
+    * release-artifact discipline: per-source KMV sketch + the
+    * distinct-postings exact-audit store, deterministic, kept on
+    * restart); each arriving micro-batch writes its own per-bid
+    * sketch partial and postings slice; the drain census merges
+    * v1_theta ⊕ the arrival partials per source — k longs each, v1 is
+    * NEVER rescanned per trigger — and computes the exact audit
+    * against the static v1 store. Census via the SAME
+    * [[graft.ops.Govern.thetaDeltaCensus]] projection, graded by
+    * q_theta_delta's oracle verbatim (KMV merge is associative and
+    * batch-order-free). At 100 TB the monitor's standing state is
+    * sources × k longs plus the v1 postings store the exact audit
+    * reads at drain.
+    */
+  def thetaDeltaIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    thetaDeltaStage(spark, dir, workDir, shards)
+    thetaDeltaRun(spark, dir, workDir)
+  }
+
+  /** v1's standing governance stores (sketch + distinct postings —
+    * built once, kept on restart) + the arriving release half
+    * (doc_id % 4 == 0, releaseStage's split) staged as doc shards.
+    */
+  private[streaming] def thetaDeltaStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    import graft.ops.{Dedup, Govern}
+    graft.functions.Registry.ensure(spark)
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val v1 = docs.where(col("doc_id") % 4 =!= 0)
+    def posts(df: DataFrame) =
+      Dedup.shingleHashes(df.select(col("doc_id"), col("text")))
+        .join(df.select(col("doc_id"), col("source")), Seq("doc_id"))
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_theta")))
+      posts(v1).groupBy(col("source"))
+        .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+          .as("mins"))
+        .write.mode("overwrite").parquet(s"$workDir/v1_theta")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_ph")))
+      posts(v1).select(col("source"), col("h")).distinct()
+        .write.mode("overwrite").parquet(s"$workDir/v1_ph")
+    stageShards(docs.where(col("doc_id") % 4 === 0), workDir, shards,
+      upTo, keyCol = "doc_id",
+      cacheKey = if (upTo.isEmpty) Some(s"$dir|documents_rel4") else None)
+    ()
+  }
+
+  private[streaming] def thetaDeltaRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    import graft.ops.{Dedup, Govern}
+    graft.functions.Registry.ensure(spark)
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    drain(spark, stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val b = batch.toDF()
+        val posts = Dedup.shingleHashes(b.select(col("doc_id"), col("text")))
+          .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .cache()
+        try {
+          posts.groupBy(col("source"))
+            .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+              .as("mins"))
+            .write.mode("overwrite").parquet(s"$workDir/dsk_b$bid")
+          posts.select(col("source"), col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$workDir/dph_b$bid")
+        } finally { posts.unpersist(); () }
+        ()
+      })
+    // drain census: staged v1 sketch ⊕ per-bid arrival partials (the
+    // KMV merge), exact audit against the static v1 postings store —
+    // the SAME census projection as the batch query
+    val v1Sk = spark.read.schema("source STRING, mins ARRAY<BIGINT>")
+      .parquet(s"$workDir/v1_theta")
+      .select(col("source"), col("mins").as("mins_v1"))
+    val merged = v1Sk.select(col("source"), explode(col("mins_v1")).as("h"))
+      .unionByName(spark.read.schema("source STRING, mins ARRAY<BIGINT>")
+        .parquet(s"$workDir/dsk_b*")
+        .select(col("source"), explode(col("mins")).as("h")))
+      .groupBy(col("source"))
+      .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+        .as("mins_full"))
+    val exV1 = spark.read.schema("source STRING, h BIGINT")
+      .parquet(s"$workDir/v1_ph")
+    val exactV1 = exV1.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_v1"))
+    val exactNew = spark.read.schema("source STRING, h BIGINT")
+      .parquet(s"$workDir/dph_b*").distinct()
+      .join(exV1, Seq("source", "h"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_new"))
+    Govern.thetaDeltaCensus(v1Sk, merged, exactV1, exactNew)
+  }
+
   /** Streaming right-to-be-forgotten guard — the foreachBatch
     * deployment of q_forget's events leg (purge-at-ingest): the
     * deletion list is fixed before the stream starts (a regulatory

@@ -577,6 +577,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch theta-delta monitor: kill after 2 of 3 batches, restart == batch census") {
+    // the cross-release novelty monitor resumes from its checkpoint:
+    // v1's staged sketch + postings stores are deterministic (kept),
+    // the committed batches' partials are on disk, and the resumed
+    // run processes ONLY the new shard — drained census == the batch
+    // q_theta_delta row-for-row (shared projection + shared oracle)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_tdelta_resume").toString
+    Streams.thetaDeltaStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.thetaDeltaRun(spark, dir, work) // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/dsk_b1").exists())
+    assert(new java.io.File(s"$work/v1_theta").exists(),
+      "the release must ship its governance sketch artifact")
+    Streams.thetaDeltaStage(spark, dir, work, 3)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0),
+      r.getDouble(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4), r.getLong(5))
+    val streamed = Streams.thetaDeltaRun(spark, dir, work)
+      .collect().map(key).toSet
+    assert(new java.io.File(s"$work/dsk_b2").exists())
+    assert(!new java.io.File(s"$work/dsk_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.Govern.queries("q_theta_delta")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch contamination guard: kill after 2 of 3 batches, restart == batch scan") {
     val work = java.nio.file.Files.createTempDirectory("graft_contam_resume").toString
     Streams.contaminationStage(spark, dir, work, 3, upTo = Some(2))
