@@ -791,6 +791,55 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // Fill-in-the-middle transform (Bavarian et al. arXiv:2207.14255,
+    // "Efficient Training of Language Models to Fill in the Middle"):
+    // each selected document splits at two deterministic cut points
+    // into (prefix, middle, suffix) and reorders to the PSM layout —
+    // <PRE> prefix <SUF> suffix <MID> middle — so an autoregressive
+    // model learns infilling from plain left-to-right training. The
+    // coin (the paper's FIM rate, 0.5 here) and both cuts ride the
+    // seeded h60, so the transform is reproducible and both engines
+    // hash the identical reordered stream; cuts are uniform over
+    // [0, n] (empty prefix/middle/suffix all legal, per the paper).
+    // One map over the corpus — no shuffle, no join; at 100 TB this
+    // is a pure projection the scan pipeline fuses.
+    "q_fim_split" -> ((s, dir) =>
+      Tables.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("a"))
+        .withColumn("n", size(col("a")))
+        .withColumn("applied",
+          pmod(h60(concat(lit("fimr:"), col("doc_id").cast("string"))),
+            lit(2L)) === 0 && col("n") >= 2)
+        .withColumn("u1",
+          pmod(h60(concat(lit("fim1:"), col("doc_id").cast("string"))),
+            col("n").cast("long") + 1L))
+        .withColumn("u2",
+          pmod(h60(concat(lit("fim2:"), col("doc_id").cast("string"))),
+            col("n").cast("long") + 1L))
+        .withColumn("cut1",
+          when(col("applied"), least(col("u1"), col("u2")))
+            .otherwise(lit(0L)))
+        .withColumn("cut2",
+          when(col("applied"), greatest(col("u1"), col("u2")))
+            .otherwise(lit(0L)))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("applied").as("fim_applied"),
+          col("cut1"), col("cut2"),
+          (col("cut2") - col("cut1")).as("len_middle"),
+          md5(when(col("applied"),
+            concat_ws(" ", concat(
+              array(lit("<PRE>")),
+              slice(col("a"), lit(1), col("cut1").cast("int")),
+              array(lit("<SUF>")),
+              slice(col("a"), col("cut2").cast("int") + 1,
+                col("n") - col("cut2").cast("int")),
+              array(lit("<MID>")),
+              slice(col("a"), col("cut1").cast("int") + 1,
+                (col("cut2") - col("cut1")).cast("int")))))
+            .otherwise(concat_ws(" ", col("a")))).as("psm_hash"))
+        .orderBy(col("doc_id"))),
+
     // SFT chat packing — the fine-tuning twin of q_pack_sequences.
     // Each document is read as a deterministic multi-turn conversation
     // (fixed [[ChatTurnLen]]-token turns; turn 0 = system, odd turns =
@@ -1997,6 +2046,32 @@ object TextAnalysis {
          |  CAST(n_straddled AS BIGINT) AS n_straddled,
          |  round(CAST(n_straddled AS DOUBLE) / n_docs, 6) AS straddle_rate
          |FROM a ORDER BY lang""".stripMargin,
+    // the identical coin + cuts (h60 is nonnegative, so % == pmod) and
+    // the identical PSM token stream via 1-based inclusive slicing
+    "q_fim_split" ->
+      s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS a FROM documents),
+         |b AS (SELECT doc_id, a, CAST(len(a) AS INT) AS n,
+         |    ${sqlH60("'fimr:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+         |      AND len(a) >= 2 AS applied,
+         |    ${sqlH60("'fim1:' || CAST(doc_id AS VARCHAR)")} % (len(a) + 1)
+         |      AS u1,
+         |    ${sqlH60("'fim2:' || CAST(doc_id AS VARCHAR)")} % (len(a) + 1)
+         |      AS u2
+         |  FROM tk),
+         |c AS (SELECT doc_id, a, n, applied,
+         |    CASE WHEN applied THEN least(u1, u2)
+         |      ELSE CAST(0 AS BIGINT) END AS cut1,
+         |    CASE WHEN applied THEN greatest(u1, u2)
+         |      ELSE CAST(0 AS BIGINT) END AS cut2
+         |  FROM b)
+         |SELECT doc_id, n AS n_tokens, applied AS fim_applied,
+         |  cut1, cut2, cut2 - cut1 AS len_middle,
+         |  md5(CASE WHEN applied THEN array_to_string(
+         |      ['<PRE>'] || a[1:CAST(cut1 AS INT)] ||
+         |      ['<SUF>'] || a[CAST(cut2 + 1 AS INT):n] ||
+         |      ['<MID>'] || a[CAST(cut1 + 1 AS INT):CAST(cut2 AS INT)], ' ')
+         |    ELSE array_to_string(a, ' ') END) AS psm_hash
+         |FROM c ORDER BY doc_id""".stripMargin,
     // Same turn geometry (ChatTurnLen-token spans, system/user/
     // assistant role cycle), same lang-cumsum packing, same chunk
     // arithmetic — all integer until the two final divisions.

@@ -238,6 +238,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fim split: cut geometry, passthrough fingerprint, rate near the 0.5 coin") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.queries("q_fim_split")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.nonEmpty)
+    // geometry: 0 <= cut1 <= cut2 <= n, len_middle = cut2 - cut1;
+    // passthrough rows pin the cuts at 0
+    rows.foreach { case (id, n, applied, c1, c2, mid, _) =>
+      assert(mid == c2 - c1, s"doc $id")
+      if (applied) assert(0 <= c1 && c1 <= c2 && c2 <= n, s"doc $id")
+      else assert(c1 == 0 && c2 == 0, s"doc $id")
+    }
+    // a passthrough fingerprint is md5 of the plain token stream; an
+    // applied one always differs (the sentinels are in the stream)
+    val texts = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def plainMd5(t: String): String = {
+      val joined = t.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    rows.foreach { case (id, _, applied, _, _, _, h) =>
+      if (applied) assert(h != plainMd5(texts(id)), s"doc $id not reordered")
+      else assert(h == plainMd5(texts(id)), s"doc $id passthrough drift")
+    }
+    // the h60 coin sits near the paper's 0.5 FIM rate
+    val rate = rows.count(_._3).toDouble / rows.length
+    assert(rate > 0.35 && rate < 0.65, s"fim rate $rate")
+  }
+
   test("embedding drift: PSI bins conserve the posting census and near-zero on parity halves") {
     val dir = "/root/testdata/sf0.001"
     val n = graft.Tables(spark, dir, "embeddings").count()
