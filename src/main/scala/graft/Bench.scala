@@ -369,6 +369,18 @@ object Bench {
         System.err.println(f"[bench] shared_theta_sketch      $t%9.3f s")
         Seq("shared_theta_sketch" -> t)
       } else Seq.empty
+    // the deterministic preference-pair table shared by the pair dump
+    // and the arena leaderboard (round-11 late)
+    val prefFamily = Set("q_pref_pairs", "q_arena_bt")
+    val sharedPref: Seq[(String, Double)] =
+      if (names.exists(prefFamily.contains)) {
+        val t = timed("shared_pref_pairs") {
+          graft.ops.Pref.prefPairs(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        System.err.println(f"[bench] shared_pref_pairs        $t%9.3f s")
+        Seq("shared_pref_pairs" -> t)
+      } else Seq.empty
     // the capped SimHash band table shared by the pair query and its
     // recall audit
     val shFamily = Set("q_dedup_simhash", "q_simhash_recall")
@@ -384,7 +396,7 @@ object Bench {
     val shared: Seq[(String, Double)] =
       sharedPostings ++ sharedPerplexity ++ sharedBm25 ++ sharedIvf ++ sharedPq ++
         sharedIvfCand ++ sharedPhash ++ sharedDsir ++ sharedSem ++
-        sharedMh ++ sharedSa ++ sharedTheta ++ sharedSh ++ (
+        sharedMh ++ sharedSa ++ sharedTheta ++ sharedPref ++ sharedSh ++ (
       if (names.exists(family.contains)) {
         val t = timed("shared_jaccard_pairs") {
           graft.ops.Dedup.sharedJaccardPairs(spark, sfDir, 0.6)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Behavioral, CustomAgg, Extras, Joins, Relational, Stats, Temporal, TemporalJoins, WindowsSetsScalars}
 import graft.analytics.Typed
-import graft.ops.{Baskets, Dedup, Govern, Multimodal, Prep, Similarity, Skew, SpanExact, TextAnalysis}
+import graft.ops.{Baskets, Dedup, Govern, Multimodal, Pref, Prep, Similarity, Skew, SpanExact, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory and
   * the per-module scaladoc for reference citations. Every implemented
@@ -31,6 +31,7 @@ object SparkEntry {
       (SpanExact.queries, SpanExact.oracles),
       (Skew.queries, Skew.oracles),
       (Prep.queries, Prep.oracles),
+      (Pref.queries, Pref.oracles),
       (Typed.queries, Typed.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),

@@ -107,6 +107,42 @@ object Prep {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))),
 
+    // Token-budget mixture assembly — the executable "fill the mix to
+    // N tokens" pass that follows the weight computation
+    // (q_mix_weights/q_unimax decide SHARES; this emits the DOCS): a
+    // uniform per-source token budget of total/(2·n_sources), docs
+    // admitted in seeded-hash order (so any re-run, resume, or
+    // backfill assembles the SAME corpus) until the source's running
+    // token count would pass the budget. Low-resource sources
+    // saturate (everything admitted); over-represented ones truncate
+    // — the balanced-mix shape of a real pretraining assembly. Scale:
+    // one map pass (tokenize + hash), one |1|-row broadcast for the
+    // budget, one cumulative-sum window partitioned BY SOURCE. A
+    // single mega-source makes that partition wide; the fix at 100 TB
+    // is the standard two-pass split (per-shard partial token sums →
+    // per-shard start offsets → shard-local cumsum), same admitted
+    // set, documented here rather than pre-built because the window
+    // form IS the declarative contract.
+    "q_budget_fill" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).as("n_tok"),
+          h60(concat(lit("fill:"), col("doc_id").cast("string"))).as("h"))
+      val tot = base.agg(sum(col("n_tok")).as("total_tok"),
+        countDistinct(col("source")).as("n_sources"))
+      val order = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      base.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total_tok div (2 * n_sources)"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pos", row_number().over(order))
+        .where(col("cum_tok") <= col("budget"))
+        .select(col("source"), col("pos"), col("doc_id"), col("n_tok"),
+          col("cum_tok"), col("budget"))
+        .orderBy(col("source"), col("pos"))
+    }),
+
     // Dedup-AWARE train/val/test split: assignment hashes the near-dup
     // CLUSTER label (the connected-component representative), not the
     // document, so a doc and all its near-duplicates land in the SAME
@@ -935,6 +971,23 @@ object Prep {
         |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
         |    AS INT) AS pos
         |FROM g ORDER BY shard, pos""".stripMargin,
+    "q_budget_fill" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    CAST(len(${sqlTokens("text")}) AS INT) AS n_tok,
+         |    ${sqlH60("'fill:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM b),
+         |c AS (SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tok,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      AS INT) AS pos,
+         |    total_tok // (2 * n_sources) AS budget
+         |  FROM b CROSS JOIN t)
+         |SELECT source, pos, doc_id, n_tok, cum_tok, budget
+         |FROM c WHERE cum_tok <= budget ORDER BY source, pos""".stripMargin,
     // Same recursive-reachability component labels as the
     // q_dedup_components oracle, then the split hashes the component
     // representative exactly as the Spark side does.
