@@ -237,6 +237,35 @@ object TextAnalysis {
   }
   private[ops] val SymPat = "[^a-z0-9\\s]"
 
+  /** The UniMax ascending waterfill (closed form — see the q_unimax
+    * commentary), shared by the allocation report and its executable
+    * materializer q_epoch_expand so the two can never drift: per-lang
+    * rows carrying (lang, chars, cap, idx, cum_prev, budget, nl, k,
+    * ck). All columns BIGINT; the windows run over the |langs|-row
+    * aggregate (bounded-summary contract).
+    */
+  private def unimaxWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cap"), col("lang"))
+    val per = Tables(s, dir, "documents").groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("chars")).where(col("chars") > 0)
+    val tot = per.agg(sum(col("chars")).as("budget"),
+      count(lit(1)).as("nl"))
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("cap", col("chars") * lit(UnimaxEpochs))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("cum_prev", coalesce(
+        sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val kf = ranked.agg(min(when(
+      col("cap") * (col("nl") - col("idx") + 1) >
+        col("budget") - col("cum_prev"), col("idx"))).as("kfail"))
+    val withK = ranked.crossJoin(broadcast(kf))
+      .withColumn("k", coalesce(col("kfail") - 1, col("nl")))
+    val ck = withK.agg(coalesce(
+      sum(when(col("idx") <= col("k"), col("cap"))), lit(0L)).as("ck"))
+    withK.crossJoin(broadcast(ck))
+  }
+
   private[ops] def nMatches(c: Column, pat: String): Column =
     size(regexp_extract_all(c, lit(pat), lit(0)))
 
@@ -398,6 +427,28 @@ object TextAnalysis {
        |     AND len(regexp_extract_all(lower(text), '$FrPat')) >= len(regexp_extract_all(lower(text), '$EsPat')) THEN 'fr'
        |    WHEN len(regexp_extract_all(lower(text), '$EsPat')) > len(regexp_extract_all(lower(text), '$EnPat')) THEN 'es'
        |    ELSE 'en' END""".stripMargin
+
+  /** CTE chain `per → tot → rk → kf → kk → ck` replaying
+    * [[unimaxWaterfill]] verbatim — shared by the q_unimax and
+    * q_epoch_expand oracles.
+    */
+  private def sqlUnimaxCtes: String =
+    s"""per AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
+       |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS budget,
+       |  CAST(count(*) AS BIGINT) AS nl FROM per),
+       |rk AS (SELECT lang, chars, chars * $UnimaxEpochs AS cap, budget, nl,
+       |  CAST(row_number() OVER (ORDER BY chars * $UnimaxEpochs, lang)
+       |    AS BIGINT) AS idx,
+       |  coalesce(sum(chars * $UnimaxEpochs) OVER (
+       |    ORDER BY chars * $UnimaxEpochs, lang
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |  FROM per CROSS JOIN tot),
+       |kf AS (SELECT min(CASE WHEN cap * (nl - idx + 1) > budget - cum_prev
+       |  THEN idx END) AS kfail FROM rk),
+       |kk AS (SELECT coalesce(kfail - 1, (SELECT nl FROM tot)) AS k FROM kf),
+       |ck AS (SELECT coalesce(sum(CASE WHEN idx <= k THEN cap END), 0) AS ck
+       |  FROM rk CROSS JOIN kk)""".stripMargin
 
   private[ops] def sqlScore(nTok: String, nStop: String, nPunct: String,
       nDigit: String, len: String): String =
@@ -1225,26 +1276,8 @@ object TextAnalysis {
     // over the |langs|-row aggregate (bounded-summary contract, see
     // ContractSpec whitelist) — at 100 TB the only real work is the
     // per-lang char sum, which partials map-side.
-    "q_unimax" -> ((s, dir) => {
-      val w = Window.orderBy(col("cap"), col("lang"))
-      val per = Tables(s, dir, "documents").groupBy(col("lang"))
-        .agg(sum(col("n_chars")).as("chars")).where(col("chars") > 0)
-      val tot = per.agg(sum(col("chars")).as("budget"),
-        count(lit(1)).as("nl"))
-      val ranked = per.crossJoin(broadcast(tot))
-        .withColumn("cap", col("chars") * lit(UnimaxEpochs))
-        .withColumn("idx", row_number().over(w).cast("long"))
-        .withColumn("cum_prev", coalesce(
-          sum(col("cap")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      val kf = ranked.agg(min(when(
-        col("cap") * (col("nl") - col("idx") + 1) >
-          col("budget") - col("cum_prev"), col("idx"))).as("kfail"))
-      val withK = ranked.crossJoin(broadcast(kf))
-        .withColumn("k", coalesce(col("kfail") - 1, col("nl")))
-      val ck = withK.agg(coalesce(
-        sum(when(col("idx") <= col("k"), col("cap"))), lit(0L)).as("ck"))
-      withK.crossJoin(broadcast(ck))
+    "q_unimax" -> ((s, dir) =>
+      unimaxWaterfill(s, dir)
         .withColumn("alloc_raw",
           when(col("idx") <= col("k"), col("cap").cast("double"))
             .otherwise((col("budget") - col("ck")).cast("double") /
@@ -1253,7 +1286,42 @@ object TextAnalysis {
           (col("idx") <= col("k")).as("capped"),
           round(col("alloc_raw"), 6).as("alloc"),
           round(col("alloc_raw") / col("chars"), 6).as("epochs"))
-        .orderBy(col("lang"))
+        .orderBy(col("lang"))),
+
+    // The EXECUTABLE epoch materializer — q_unimax decides per-lang
+    // char allocations; this emits the epoched corpus a trainer
+    // actually reads: every doc repeats floor(epochs) times plus one
+    // more when its seeded hash lands under the fractional part (so a
+    // re-run materializes the SAME mix, and the expected char count
+    // per lang equals the allocation). All arithmetic is integer —
+    // the allocation truncates to a BIGINT char budget and the
+    // per-lang epoch rate is an exact ppm computed as
+    // div·10⁶ + (rem·10⁶) div chars, which holds to ~9·10¹² chars per
+    // language before the intermediate product needs a wider split.
+    // Scale shape: the waterfill is |langs|-row work, the rate join is
+    // a broadcast, and the explode is the output itself (bounded by
+    // UnimaxEpochs × corpus) — one map-side pass, no shuffle before
+    // the presentation sort.
+    "q_epoch_expand" -> ((s, dir) => {
+      val rate = unimaxWaterfill(s, dir)
+        .withColumn("alloc_int",
+          when(col("idx") <= col("k"), col("cap"))
+            .otherwise(expr("(budget - ck) div (nl - k)")))
+        .select(col("lang"), expr(
+          "(alloc_int div chars) * 1000000 + ((alloc_int % chars) * 1000000) div chars")
+          .as("epochs_ppm"))
+      Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(broadcast(rate), Seq("lang"))
+        .withColumn("base", expr("epochs_ppm div 1000000"))
+        .withColumn("extra",
+          (h60(concat(lit("epoch:"), col("doc_id").cast("string"))) % 1000000L <
+            col("epochs_ppm") % 1000000L).cast("long"))
+        .withColumn("n_copies", col("base") + col("extra"))
+        .where(col("n_copies") > 0)
+        .select(col("lang"), col("doc_id"), col("n_copies"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+        .select(col("lang"), col("doc_id"), col("copy"), col("n_copies"))
+        .orderBy(col("lang"), col("doc_id"), col("copy"))
     }),
 
     // Statistical-watermark detection (Kirchenbauer et al. 2023,
@@ -2334,22 +2402,7 @@ object TextAnalysis {
     // The ascending-waterfill closed form replayed verbatim: BIGINT
     // throughout, one double division at the end.
     "q_unimax" ->
-      s"""WITH per AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
-         |  FROM documents GROUP BY lang HAVING sum(n_chars) > 0),
-         |tot AS (SELECT CAST(sum(chars) AS BIGINT) AS budget,
-         |  CAST(count(*) AS BIGINT) AS nl FROM per),
-         |rk AS (SELECT lang, chars, chars * $UnimaxEpochs AS cap, budget, nl,
-         |  CAST(row_number() OVER (ORDER BY chars * $UnimaxEpochs, lang)
-         |    AS BIGINT) AS idx,
-         |  coalesce(sum(chars * $UnimaxEpochs) OVER (
-         |    ORDER BY chars * $UnimaxEpochs, lang
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
-         |  FROM per CROSS JOIN tot),
-         |kf AS (SELECT min(CASE WHEN cap * (nl - idx + 1) > budget - cum_prev
-         |  THEN idx END) AS kfail FROM rk),
-         |kk AS (SELECT coalesce(kfail - 1, (SELECT nl FROM tot)) AS k FROM kf),
-         |ck AS (SELECT coalesce(sum(CASE WHEN idx <= k THEN cap END), 0) AS ck
-         |  FROM rk CROSS JOIN kk),
+      s"""WITH $sqlUnimaxCtes,
          |fin AS (SELECT lang, chars, cap, idx <= k AS capped,
          |  CASE WHEN idx <= k THEN CAST(cap AS DOUBLE)
          |    ELSE CAST(budget - ck AS DOUBLE) / (nl - k) END AS alloc_raw
@@ -2357,6 +2410,26 @@ object TextAnalysis {
          |SELECT lang, chars, cap, capped, round(alloc_raw, 6) AS alloc,
          |  round(alloc_raw / chars, 6) AS epochs
          |FROM fin ORDER BY lang""".stripMargin,
+    // Same waterfill CTEs, integer allocation, exact ppm epoch rate
+    // and md5 fractional coin as the Spark side.
+    "q_epoch_expand" ->
+      s"""WITH $sqlUnimaxCtes,
+         |al AS (SELECT lang, chars,
+         |  CAST(CASE WHEN idx <= k THEN cap
+         |    ELSE (budget - ck) // (nl - k) END AS BIGINT) AS alloc_int
+         |  FROM rk CROSS JOIN kk CROSS JOIN ck),
+         |ep AS (SELECT lang, (alloc_int // chars) * 1000000 +
+         |  ((alloc_int % chars) * 1000000) // chars AS epochs_ppm FROM al),
+         |j AS (SELECT d.lang, d.doc_id, epochs_ppm // 1000000 AS base,
+         |  CASE WHEN ${sqlH60("'epoch:' || CAST(doc_id AS VARCHAR)")}
+         |      % 1000000 < epochs_ppm % 1000000 THEN 1 ELSE 0 END AS extra
+         |  FROM documents d JOIN ep USING (lang)),
+         |x AS (SELECT lang, doc_id, base + extra AS n_copies FROM j
+         |  WHERE base + extra > 0)
+         |SELECT lang, doc_id, CAST(g.copy AS BIGINT) AS copy, n_copies
+         |FROM x, generate_series(1, $UnimaxEpochs) g(copy)
+         |WHERE g.copy <= n_copies
+         |ORDER BY lang, doc_id, copy""".stripMargin,
     // Same md5 green predicate, same n ≥ WatermarkMinPairs floor, same
     // DECIMAL(28,6) order-free mean. ONE text for the batch census and
     // its ingest-time twin.

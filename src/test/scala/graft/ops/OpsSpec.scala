@@ -1439,6 +1439,30 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "allocations exhaust the budget exactly")
   }
 
+  test("epoch expand: capped langs repeat exactly, fractional rate coins by hash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("epochx").toString
+    // same waterfill instance as the unimax test: zh/de capped at 2
+    // epochs, en gets 60 of 100 chars → rate 0.6 = 600000 ppm
+    Seq((1L, "a" * 100, "en"), (2L, "b" * 30, "de"), (3L, "c" * 10, "zh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.queries("q_epoch_expand")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out.filter(_._1 == "de") == Seq(("de", 2L, 1L, 2L), ("de", 2L, 2L, 2L)))
+    assert(out.filter(_._1 == "zh") == Seq(("zh", 3L, 1L, 2L), ("zh", 3L, 2L, 2L)))
+    // en doc 1: one copy iff md5-hash ppm of "epoch:1" < 600000
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("epoch:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val coin = java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    val en = out.filter(_._1 == "en")
+    if (coin < 600000L) assert(en == Seq(("en", 1L, 1L, 1L)))
+    else assert(en.isEmpty)
+  }
+
   test("watermark detect: greedily greened text flags, natural text does not") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
