@@ -1027,6 +1027,32 @@ object Similarity {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // One fixed-point power-iteration step toward the top principal
+    // direction of the (uncentered) embedding second moment — the
+    // all-but-the-top / whitening primitive (Mu & Viswanath 2018,
+    // arXiv:1702.01417): u = Gᵀ(G·v₀) with the all-ones probe v₀,
+    // computed over the corpus quantized to integers (floor(x·2¹⁰) —
+    // floor, not round, so both engines truncate identically). Every
+    // sum is exact BIGINT, so the iterate is order-free — the
+    // q_pagerank_step one-exact-step discipline applied to linear
+    // algebra. Scale: one map pass computes each row's probe dot
+    // s_i = Σ_k q_ik, the Dim-cell explode partial-aggregates
+    // map-side into Dim output rows; nothing quadratic. Headroom:
+    // |qv·s| ≤ 2²⁶ per cell keeps the BIGINT sum safe past 10¹¹
+    // rows; shrink the quantization scale beyond that. True
+    // (centered) PCA composes with q_embedding_centroid: subtract
+    // the mean before quantizing.
+    "q_pca_step" -> ((s, dir) => {
+      val q = embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
+        .withColumn("s", aggregate(col("q"), lit(0L), (acc, x) => acc + x))
+      q.select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
+        .groupBy(col("dim"))
+        .agg(sum(col("qv") * col("s")).as("u"))
+        .orderBy(col("dim"))
+    }),
+
     // SemDeDup-shaped semantic dedup: assign every vector to a
     // deterministic cluster (the q_kmeans_step quantizer assignment),
     // then drop any vector that has a SAME-CLUSTER neighbor with
@@ -2114,6 +2140,18 @@ object Similarity {
          |  CAST(CASE WHEN mx > mn THEN round((x - mn) / (mx - mn) * 127.0, 0)
          |       ELSE 0.0 END AS INT) AS q
          |FROM cells JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
+    // Same floor-quantization, probe dot and BIGINT sums as the Spark
+    // side; the Dim-cell unnest is the oracle's explode.
+    "q_pca_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM e),
+         |qs AS (SELECT vec_id, q,
+         |    CAST(list_aggregate(q, 'sum') AS BIGINT) AS s FROM q),
+         |cells AS (SELECT CAST(i.i AS INT) AS dim, q[i.i + 1] AS qv, s
+         |  FROM qs CROSS JOIN (SELECT unnest(range($Dim)) AS i) i)
+         |SELECT dim, CAST(sum(qv * s) AS BIGINT) AS u
+         |FROM cells GROUP BY dim ORDER BY dim""".stripMargin,
     "q_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

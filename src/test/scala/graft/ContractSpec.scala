@@ -53,11 +53,13 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     // q_cluster_balance ranks the bucket-size SUMMARY (B=√n rows, the
     // q_sequence_gaps bounded-summary contract), never the postings.
     // q_unimax's waterfill windows run over the per-LANGUAGE aggregate
-    // (≤|langs| rows); q_ks_test's ecdf cumsum runs over the 20-row
-    // bin summary — both the q_sequence_gaps bounded-summary contract.
+    // (≤|langs| rows) — and q_epoch_expand rides the SAME shared
+    // waterfill chain; q_ks_test's ecdf cumsum runs over the 20-row
+    // bin summary — all the q_sequence_gaps bounded-summary contract.
     val boundedGlobalWindow = Set("q_topk_other", "q_batch_number",
       "q_sequence_gaps", "q_mannwhitney", "q_zipf", "q_cooccur",
-      "q_rrf_fusion", "q_cluster_balance", "q_unimax", "q_ks_test")
+      "q_rrf_fusion", "q_cluster_balance", "q_unimax", "q_epoch_expand",
+      "q_ks_test")
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // concrete plan tree (AQE wraps stages and hides children from collect)

@@ -1463,6 +1463,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     else assert(en.isEmpty)
   }
 
+  test("pca step: fixed-point power iterate equals an exact local replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.queries("q_pca_step")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1024).toLong))
+    val expect = (0 until 64)
+      .map(k => k -> vecs.map(q => q(k) * q.sum).sum).toMap
+    assert(got == expect)
+    assert(got.size == 64)
+  }
+
   test("watermark detect: greedily greened text flags, natural text does not") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
