@@ -433,6 +433,32 @@ object Similarity {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  private def pcaOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM e),
+       |qs AS (SELECT vec_id, q,
+       |    CAST(list_aggregate(q, 'sum') AS BIGINT) AS s FROM q),
+       |cells AS (SELECT CAST(i.i AS INT) AS dim, q[i.i + 1] AS qv, s
+       |  FROM qs CROSS JOIN (SELECT unnest(range($Dim)) AS i) i)
+       |SELECT dim, CAST(sum(qv * s) AS BIGINT) AS u
+       |FROM cells GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** The q_pca_step body over any (v: array<double>) frame — the
+    * Dim-row integer partial Σᵢ q_ik·(Σ_j q_ij), exact BIGINT end to
+    * end, shared by the batch query and the ingest twin q_stream_pca
+    * (per-micro-batch partials fold associatively because every cell
+    * is an exact integer).
+    */
+  private[graft] def pcaPartial(emb: DataFrame): DataFrame = {
+    val q = emb
+      .select(transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
+      .withColumn("s", aggregate(col("q"), lit(0L), (acc, x) => acc + x))
+    q.select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv") * col("s")).as("u"))
+  }
+
   /** SemDeDup seed-centroid count (Abbas et al.: cluster, then drop
     * within-cluster near-identical embeddings): ⌈√n⌉ with a floor of
     * 8 — cluster size is ~√n, so the within-cluster pair product is
@@ -1042,15 +1068,20 @@ object Similarity {
     // rows; shrink the quantization scale beyond that. True
     // (centered) PCA composes with q_embedding_centroid: subtract
     // the mean before quantizing.
-    "q_pca_step" -> ((s, dir) => {
-      val q = embeddings(s, dir)
-        .select(col("vec_id"),
-          transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
-        .withColumn("s", aggregate(col("q"), lit(0L), (acc, x) => acc + x))
-      q.select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
-        .groupBy(col("dim"))
-        .agg(sum(col("qv") * col("s")).as("u"))
-        .orderBy(col("dim"))
+    "q_pca_step" -> ((s, dir) =>
+      pcaPartial(embeddings(s, dir)).orderBy(col("dim"))),
+
+    // EXECUTES on the streaming engine: the power-iterate monitor at
+    // ingest — each arriving micro-batch computes its own Dim-row
+    // integer partial via the SAME [[pcaPartial]]; partials are exact
+    // BIGINTs, so the drain-time fold is associative and
+    // batch-order-free and the drained iterate equals the batch
+    // q_pca_step bit-for-bit — graded by its oracle verbatim. See
+    // [[graft.streaming.Streams.pcaIngest]].
+    "q_stream_pca" -> ((s, dir) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_pca").toString
+      graft.streaming.Streams.pcaIngest(s, dir, work)
     }),
 
     // SemDeDup-shaped semantic dedup: assign every vector to a
@@ -2141,17 +2172,11 @@ object Similarity {
          |       ELSE 0.0 END AS INT) AS q
          |FROM cells JOIN st USING (pos) ORDER BY vec_id, pos""".stripMargin,
     // Same floor-quantization, probe dot and BIGINT sums as the Spark
-    // side; the Dim-cell unnest is the oracle's explode.
-    "q_pca_step" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id,
-         |    list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM e),
-         |qs AS (SELECT vec_id, q,
-         |    CAST(list_aggregate(q, 'sum') AS BIGINT) AS s FROM q),
-         |cells AS (SELECT CAST(i.i AS INT) AS dim, q[i.i + 1] AS qv, s
-         |  FROM qs CROSS JOIN (SELECT unnest(range($Dim)) AS i) i)
-         |SELECT dim, CAST(sum(qv * s) AS BIGINT) AS u
-         |FROM cells GROUP BY dim ORDER BY dim""".stripMargin,
+    // side; the Dim-cell unnest is the oracle's explode. ONE text for
+    // the batch step and its ingest-time twin (exact-integer partials
+    // make the streamed fold equal the one-pass sum).
+    "q_pca_step" -> pcaOracle,
+    "q_stream_pca" -> pcaOracle,
     "q_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -994,6 +994,54 @@ object Streams {
     * state is the append-only postings store (the index itself), never
     * rescanned during ingest.
     */
+  /** EXECUTES on the streaming engine: the power-iterate monitor at
+    * ingest — each arriving micro-batch of vectors writes its own
+    * Dim-row integer partial (the SAME
+    * [[graft.ops.Similarity.pcaPartial]] projection the batch
+    * q_pca_step hash-gates); the drain sums partials per dimension.
+    * Every partial is an exact BIGINT, so the fold is associative and
+    * batch-order-free: the drained iterate equals the one-pass batch
+    * step bit-for-bit, and the twin shares its oracle verbatim.
+    * Standing state is Dim longs per committed batch — nothing
+    * corpus-sized, nothing rescanned per trigger.
+    */
+  def pcaIngest(spark: SparkSession, dir: String, workDir: String,
+      shards: Int = 3): DataFrame = {
+    pcaStage(spark, dir, workDir, shards)
+    pcaRun(spark, dir, workDir)
+  }
+
+  private[streaming] def pcaStage(spark: SparkSession, dir: String,
+      workDir: String, shards: Int, upTo: Option[Int] = None): Unit = {
+    val emb = graft.ops.Similarity.embeddings(spark, dir)
+    require(emb.limit(1).count() > 0,
+      "embeddings table is empty — nothing to iterate")
+    stageShards(emb, workDir, shards, upTo, keyCol = "vec_id",
+      cacheKey = Some(s"$dir|embeddings"))
+    ()
+  }
+
+  private[streaming] def pcaRun(spark: SparkSession, dir: String,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    drain(spark, stream.writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // per-bid overwrite: foreachBatch is at-least-once, the
+        // overwrite makes a replayed batch idempotent (the ivfRun
+        // versioned-state discipline)
+        graft.ops.Similarity.pcaPartial(batch.toDF())
+          .write.mode("overwrite").parquet(s"$workDir/pca_b$bid")
+        ()
+      })
+    spark.read.parquet(s"$workDir/pca_b*")
+      .groupBy(col("dim")).agg(sum(col("u")).as("u"))
+      .orderBy(col("dim"))
+  }
+
   def ivfIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = {
     import graft.ops.Similarity

@@ -577,6 +577,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch pca monitor: drained integer partials == batch iterate") {
+    val work = java.nio.file.Files.createTempDirectory("graft_pca_spec").toString
+    val streamed = Streams.pcaIngest(spark, dir, work)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Similarity.queries("q_pca_step")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exact-integer partials: the fold must equal the one-pass sum
+    // EXACTLY, not approximately
+    assert(streamed == batch && streamed.nonEmpty)
+    val dirs = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pca_b"))
+    assert(dirs.length == 3)
+  }
+
+  test("foreachBatch pca monitor: kill after 2 of 3 batches, restart == batch iterate") {
+    val work = java.nio.file.Files.createTempDirectory("graft_pca_resume").toString
+    Streams.pcaStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.pcaRun(spark, dir, work)   // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/pca_b1").exists())
+    Streams.pcaStage(spark, dir, work, 3)
+    val streamed = Streams.pcaRun(spark, dir, work)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(new java.io.File(s"$work/pca_b2").exists())
+    assert(!new java.io.File(s"$work/pca_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.Similarity.queries("q_pca_step")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch theta-delta monitor: kill after 2 of 3 batches, restart == batch census") {
     // the cross-release novelty monitor resumes from its checkpoint:
     // v1's staged sketch + postings stores are deterministic (kept),
