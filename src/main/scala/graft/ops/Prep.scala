@@ -116,13 +116,16 @@ object Prep {
     // token count would pass the budget. Low-resource sources
     // saturate (everything admitted); over-represented ones truncate
     // — the balanced-mix shape of a real pretraining assembly. Scale:
-    // one map pass (tokenize + hash), one |1|-row broadcast for the
-    // budget, one cumulative-sum window partitioned BY SOURCE. A
-    // single mega-source makes that partition wide; the fix at 100 TB
-    // is the standard two-pass split (per-shard partial token sums →
-    // per-shard start offsets → shard-local cumsum), same admitted
-    // set, documented here rather than pre-built because the window
-    // form IS the declarative contract.
+    // TWO map passes over the scan (the budget aggregate and the fill
+    // branch each tokenize — the q_quantize_embedding stats+apply
+    // trade: rescanning beats pinning an n-row token cache; a 100 TB
+    // run materializes `base` once instead), one |1|-row broadcast
+    // for the budget, one cumulative-sum window partitioned BY
+    // SOURCE. A single mega-source makes that partition wide; the fix
+    // at 100 TB is the standard two-pass split (per-shard partial
+    // token sums → per-shard start offsets → shard-local cumsum),
+    // same admitted set, documented here rather than pre-built
+    // because the window form IS the declarative contract.
     "q_budget_fill" -> ((s, dir) => {
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),

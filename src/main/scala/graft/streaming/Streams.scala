@@ -978,22 +978,6 @@ object Streams {
     doremiRun(spark, workDir)
   }
 
-  /** Streaming vector-index ingest — the foreachBatch deployment of
-    * the two-level IVF quantizer: the quantizer is trained OFFLINE
-    * (graft.ops.Similarity.ivfQuantizer — anchors fixed before the
-    * stream starts, exactly how production vector stores run), then
-    * each micro-batch of arriving vectors routes coarse→fine with the
-    * SAME [[graft.ops.Similarity.ivfAssign]] code the batch path uses
-    * and appends its (vec_id, anchor_id) postings to the index store.
-    * Assignment is per-vector independent, so the drained store equals
-    * the batch ivfProbed assignment row-for-row — the returned
-    * per-anchor census (member count + order-free bit_xor of member
-    * ids) is replayed by the oracle from the batch CTE chain, making
-    * streaming ≡ batch hash-checked. Per batch the work is
-    * |batch|·(c + p·m/c) cosines against broadcast anchor tables;
-    * state is the append-only postings store (the index itself), never
-    * rescanned during ingest.
-    */
   /** EXECUTES on the streaming engine: the power-iterate monitor at
     * ingest — each arriving micro-batch of vectors writes its own
     * Dim-row integer partial (the SAME
@@ -1008,7 +992,7 @@ object Streams {
   def pcaIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = {
     pcaStage(spark, dir, workDir, shards)
-    pcaRun(spark, dir, workDir)
+    pcaRun(spark, workDir)
   }
 
   private[streaming] def pcaStage(spark: SparkSession, dir: String,
@@ -1021,7 +1005,11 @@ object Streams {
     ()
   }
 
-  private[streaming] def pcaRun(spark: SparkSession, dir: String,
+  /** Drain whatever vector shards are staged — everything the fold
+    * needs lives under `workDir` (the doremiRun signature rule: no
+    * corpus dir, so a caller can't believe the drain rescans it).
+    */
+  private[streaming] def pcaRun(spark: SparkSession,
       workDir: String): DataFrame = withStatePartitions(spark) {
     val srcDir = java.nio.file.Paths.get(workDir, "stream").toString
     val schema = spark.read.parquet(srcDir).schema
@@ -1042,6 +1030,22 @@ object Streams {
       .orderBy(col("dim"))
   }
 
+  /** Streaming vector-index ingest — the foreachBatch deployment of
+    * the two-level IVF quantizer: the quantizer is trained OFFLINE
+    * (graft.ops.Similarity.ivfQuantizer — anchors fixed before the
+    * stream starts, exactly how production vector stores run), then
+    * each micro-batch of arriving vectors routes coarse→fine with the
+    * SAME [[graft.ops.Similarity.ivfAssign]] code the batch path uses
+    * and appends its (vec_id, anchor_id) postings to the index store.
+    * Assignment is per-vector independent, so the drained store equals
+    * the batch ivfProbed assignment row-for-row — the returned
+    * per-anchor census (member count + order-free bit_xor of member
+    * ids) is replayed by the oracle from the batch CTE chain, making
+    * streaming ≡ batch hash-checked. Per batch the work is
+    * |batch|·(c + p·m/c) cosines against broadcast anchor tables;
+    * state is the append-only postings store (the index itself), never
+    * rescanned during ingest.
+    */
   def ivfIngest(spark: SparkSession, dir: String, workDir: String,
       shards: Int = 3): DataFrame = {
     import graft.ops.Similarity

@@ -594,10 +594,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   test("foreachBatch pca monitor: kill after 2 of 3 batches, restart == batch iterate") {
     val work = java.nio.file.Files.createTempDirectory("graft_pca_resume").toString
     Streams.pcaStage(spark, dir, work, 3, upTo = Some(2))
-    Streams.pcaRun(spark, dir, work)   // run 1: batches 0,1 commit
+    Streams.pcaRun(spark, work)   // run 1: batches 0,1 commit
     assert(new java.io.File(s"$work/pca_b1").exists())
     Streams.pcaStage(spark, dir, work, 3)
-    val streamed = Streams.pcaRun(spark, dir, work)
+    val streamed = Streams.pcaRun(spark, work)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(new java.io.File(s"$work/pca_b2").exists())
     assert(!new java.io.File(s"$work/pca_b3").exists(),
