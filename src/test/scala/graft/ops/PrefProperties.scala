@@ -61,6 +61,46 @@ object PrefProperties extends Properties("ops.pref") with SparkSpec {
       got == btLocal(games)
     }
 
+  // random tiny corpora: empty texts (0-token docs admit without
+  // consuming budget), skewed sources, single-source truncation
+  private val genDocs: Gen[List[(Long, String, String)]] =
+    Gen.nonEmptyListOf(for {
+      n <- Gen.chooseNum(0, 6)
+      src <- Gen.oneOf("s1", "s2", "s3")
+    } yield (n, src)).map(_.zipWithIndex.map { case ((n, src), i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "), src) })
+
+  private def h60Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  property("q_budget_fill == the literal hash-order replay on any corpus") =
+    forAll(genDocs) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("bfill").toString
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Prep.queries("q_budget_fill")(spark, dir).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Int]("pos"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tok"))).toSeq
+      val toks = docs.map { case (id, t, s) =>
+        (id, s, t.split("\\s+").count(_.nonEmpty)) }
+      val budget = toks.map(_._3.toLong).sum /
+        (2L * toks.map(_._2).distinct.length)
+      val expect = toks.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        val ordered = ds.sortBy(d => (h60Local("fill:" + d._1), d._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).zipWithIndex.collect {
+          case (((id, _, _), cum), i) if cum <= budget =>
+            (src, i + 1, id, cum)
+        }
+      }.sortBy(e => (e._1, e._2))
+      got == expect
+    }
+
   property("k-fold game log: win/s1 exactly invariant, bt within truncation band") =
     forAll(genGames, Gen.chooseNum(2, 4)) { (games, k) =>
       def ratings(g: Seq[(String, String)]) =
