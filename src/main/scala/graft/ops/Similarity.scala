@@ -1071,6 +1071,27 @@ object Similarity {
     "q_pca_step" -> ((s, dir) =>
       pcaPartial(embeddings(s, dir)).orderBy(col("dim"))),
 
+    // The per-vector projection coordinate along the power iterate —
+    // the APPLY side of q_pca_step (score = qᵢ·u, exact BIGINT): the
+    // number all-but-the-top thresholds to find vectors dominated by
+    // the top direction, and the input to the ABTT subtraction. Two
+    // scans (iterate build + apply — the q_quantize_embedding
+    // stats+apply trade); the apply is one broadcast of Dim longs
+    // into a per-vector partial aggregate, no shuffle wider than the
+    // output. Headroom: |q·u| ≤ Dim·2¹⁰·(n·2²⁶) — safe past 10⁹ rows,
+    // rescale the quantization beyond.
+    "q_pca_project" -> ((s, dir) => {
+      val u = pcaPartial(embeddings(s, dir))
+      val cells = embeddings(s, dir)
+        .select(col("vec_id"), posexplode(
+          transform(col("v"), x => floor(x * 1024).cast("long")))
+          .as(Seq("dim", "qv")))
+      cells.join(broadcast(u), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qv") * col("u")).as("c"))
+        .orderBy(col("vec_id"))
+    }),
+
     // EXECUTES on the streaming engine: the power-iterate monitor at
     // ingest — each arriving micro-batch computes its own Dim-row
     // integer partial via the SAME [[pcaPartial]]; partials are exact
@@ -2177,6 +2198,21 @@ object Similarity {
     // make the streamed fold equal the one-pass sum).
     "q_pca_step" -> pcaOracle,
     "q_stream_pca" -> pcaOracle,
+    // Same quantize/probe/iterate CTEs, then the per-vector dot with
+    // the Dim-row iterate.
+    "q_pca_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM e),
+         |qs AS (SELECT vec_id, q,
+         |    CAST(list_aggregate(q, 'sum') AS BIGINT) AS s FROM q),
+         |cells AS (SELECT vec_id, CAST(i.i AS INT) AS dim, q[i.i + 1] AS qv, s
+         |  FROM qs CROSS JOIN (SELECT unnest(range($Dim)) AS i) i),
+         |u AS (SELECT dim, CAST(sum(qv * s) AS BIGINT) AS u
+         |  FROM cells GROUP BY dim)
+         |SELECT vec_id, CAST(sum(qv * u) AS BIGINT) AS c
+         |FROM cells JOIN u USING (dim) GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
     "q_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -1474,6 +1474,16 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .map(k => k -> vecs.map(q => q(k) * q.sum).sum).toMap
     assert(got == expect)
     assert(got.size == 64)
+    // the apply side: every vector's coordinate along that iterate
+    val proj = Similarity.queries("q_pca_project")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expProj = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong)
+        r.getLong(0) -> q.zipWithIndex.map { case (x, k) => x * expect(k) }.sum
+      }.sortBy(_._1)
+    assert(proj.toSeq == expProj.toSeq)
   }
 
   test("watermark detect: greedily greened text flags, natural text does not") {
