@@ -1386,6 +1386,33 @@ object TextAnalysis {
         .orderBy(col("lang"))
     }),
 
+    // Distinct-n diversity census — the synthetic-data audit (the
+    // distinct-n metric of Li et al. 2016, arXiv:1510.03055): per
+    // source, the fraction of 1/2/3-gram instances that are unique.
+    // Model-generated or heavily templated corpora collapse the
+    // higher-n ratios long before unigram stats move, so this is the
+    // per-source red flag q_data_card rolls up. distinct_ppm is an
+    // exact integer ratio. Scale: one tokenize pass feeds three
+    // explodes; count(DISTINCT gram) per (source, n) is the honest
+    // exact cost (it shuffles distinct grams — the same contract as
+    // q_vocab_stats); the KMV theta family is the sketch path when a
+    // 100 TB run wants this approximate.
+    "q_distinct_ngrams" -> ((s, dir) => {
+      val docs = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("source"), col("text")))
+        .select(col("source"), tokens(col("text")).as("a"))
+      val grams = Seq(1, 2, 3).map { n =>
+        docs.select(col("source"), lit(n).as("n"),
+          explode(shingles(col("a"), n)).as("g"))
+      }.reduce(_ unionAll _)
+      grams.groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("total"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), col("n"), col("total"), col("n_distinct"),
+          expr("(n_distinct * 1000000) div total").as("distinct_ppm"))
+        .orderBy(col("source"), col("n"))
+    }),
+
     "q_vocab_stats" -> ((s, dir) => {
       val tc = Tables.fanout(Tables(s, dir, "documents")
           .select(col("source"), col("text")))
@@ -2446,6 +2473,21 @@ object TextAnalysis {
          |    / count(*), 6) AS oov_rate
          |FROM tok LEFT JOIN v ON tok.t = v.t
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_distinct_ngrams" ->
+      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
+         |g1 AS (SELECT source, 1 AS n, a[i] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a)),
+         |g2 AS (SELECT source, 2 AS n, a[i] || ' ' || a[i+1] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 1),
+         |g3 AS (SELECT source, 3 AS n, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 2),
+         |ag AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |  UNION ALL SELECT * FROM g3)
+         |SELECT source, n, CAST(count(*) AS BIGINT) AS total,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+         |  (CAST(count(DISTINCT g) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS distinct_ppm
+         |FROM ag GROUP BY source, n ORDER BY source, n""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tc AS (SELECT source, t, count(*) AS cnt
          |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents)

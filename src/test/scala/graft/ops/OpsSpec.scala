@@ -1463,6 +1463,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     else assert(en.isEmpty)
   }
 
+  test("distinct ngrams: diversity census equals an exact local replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.queries("q_distinct_ngrams")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val expect = (for {
+      n <- Seq(1, 2, 3)
+      (src, toks) <- docs
+      g <- toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
+    } yield ((src, n), g)).groupBy(_._1).map { case (k, gs) =>
+      val total = gs.size.toLong
+      val dis = gs.map(_._2).distinct.size.toLong
+      k -> ((total, dis, dis * 1000000L / total))
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("pca step: fixed-point power iterate equals an exact local replay") {
     val dir = "/root/testdata/sf0.001"
     val got = Similarity.queries("q_pca_step")(spark, dir).collect()
