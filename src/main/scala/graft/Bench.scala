@@ -177,7 +177,21 @@ object Bench {
       // round-9: suffix-array exact span dedup, the streaming release
       // admission twin, the graph-expanded ANN family + its recall audit
       "q_span_dedup_exact", "q_stream_release",
-      "q_ann_graph", "q_ann_graph_recall", "q_dup_spectrum")
+      "q_ann_graph", "q_ann_graph_recall", "q_dup_spectrum",
+      // rounds 10–11 landed 20 operators that only the builder's own
+      // SPARK_GRAFT_ALL pass and BENCH_SCALING pins measured; the
+      // driver's BENCH artifact is the auditable record, so round 12
+      // adds one representative per family (r11 verdict item 1):
+      // governance sketches + the cross-release delta and its twin,
+      // the priority/dp release pair, the suffix-array contamination
+      // census, the 2-hop ANN walk + its recall audit, the preference
+      // trio, the mixture assembly pair, streaming PCA, and the
+      // distinct-n census
+      "q_theta_sketch", "q_theta_delta", "q_stream_theta_delta",
+      "q_priority_estimate", "q_dp_release", "q_contam_span",
+      "q_ann_graph2", "q_ann_graph2_recall",
+      "q_pref_pairs", "q_arena_bt", "q_budget_fill", "q_epoch_expand",
+      "q_stream_pca", "q_distinct_ngrams", "q_fim_split")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =
@@ -201,7 +215,12 @@ object Bench {
     // (the pair-list build itself is one of them).
     val postingsFamily = family ++ Set("q_dedup_minhash", "q_jaccard_prefix",
       "q_minhash_error", "q_containment", "q_contamination",
-      "q_ngram_novelty", "q_release_delta")
+      "q_ngram_novelty", "q_release_delta",
+      // the theta family reads sourceShingles = postings ⋈ source, so
+      // the postings build must be billed up front, not inside
+      // shared_theta_sketch / the delta's sketch legs
+      "q_theta_sketch", "q_theta_setops", "q_theta_matrix",
+      "q_theta_delta", "q_stream_theta_delta")
     val sharedPostings: Seq[(String, Double)] =
       if (names.exists(postingsFamily.contains)) {
         val t = timed("shared_shingle_postings") {
@@ -246,7 +265,8 @@ object Bench {
       "q_contrastive_pairs", "q_knn_graph", "q_semantic_outliers",
       "q_cluster_balance", "q_embedding_drift",
       "q_ivf_retrain", "q_stream_ivf_retrain",
-      "q_ann_graph", "q_ann_graph_recall")
+      "q_ann_graph", "q_ann_graph_recall",
+      "q_ann_graph2", "q_ann_graph2_recall")
     val sharedIvf: Seq[(String, Double)] =
       if (names.exists(ivfFamily.contains)) {
         val t = timed("shared_ivf_probed") {
@@ -260,7 +280,8 @@ object Bench {
     // the IVF candidate-pair edge list (the index's candidate output):
     // one bucket self-join + cosine pass shared by the ANN family
     val ivfCandFamily = Set("q_sim_ann", "q_ann_recall", "q_ann_graph",
-      "q_ann_graph_recall", "q_knn_graph")
+      "q_ann_graph_recall", "q_ann_graph2", "q_ann_graph2_recall",
+      "q_knn_graph")
     val sharedIvfCand: Seq[(String, Double)] =
       if (names.exists(ivfCandFamily.contains)) {
         val t = timed("shared_ivf_cand") {

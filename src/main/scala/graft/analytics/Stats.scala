@@ -355,8 +355,7 @@ object Stats {
     // ts-split + ref-edge binning in SQL — streaming ≡ batch is
     // hash-checked, the same pairing discipline as q_stream_mv_merge.
     "q_stream_drift" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_drift").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_drift")
       psiFrame(s, graft.streaming.Streams.driftIngest(s, dir, work))
     })
   )

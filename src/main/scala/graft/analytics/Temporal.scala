@@ -218,7 +218,7 @@ object Temporal {
     // by (ts, event_id); associative+commutative merge ⇒ arrival-order
     // invariant ⇒ equals the batch last-row-per-key window query.
     "q_stream_upsert" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_sups").toString
+      val work = graft.util.WorkDirs.temp("graft_sups")
       graft.streaming.Streams.upsertIngest(s, dir, work)
         .orderBy(col("user_id"))
     }),
@@ -230,7 +230,7 @@ object Temporal {
     // Row-local against an immutable dim ⇒ arrival-order invariant ⇒
     // shares q_asof_join's oracle.
     "q_stream_asof" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_sasof").toString
+      val work = graft.util.WorkDirs.temp("graft_sasof")
       graft.streaming.Streams.asofEnrichIngest(s, dir, work)
         .orderBy(col("event_id"))
     }),
@@ -242,7 +242,7 @@ object Temporal {
     // same contract q_mv_merge asserts across two batches, here across
     // three genuine micro-batches with a versioned write-then-swap).
     "q_stream_mv_merge" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_smv").toString
+      val work = graft.util.WorkDirs.temp("graft_smv")
       graft.streaming.Streams.mvMergeIngest(s, dir, work)
         .select(col("event_type"), col("n"),
           col("total").cast("double").as("total"), col("mn"), col("mx"),

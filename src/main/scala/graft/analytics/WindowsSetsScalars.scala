@@ -208,7 +208,7 @@ object WindowsSetsScalars {
     // scan hash-mismatches against the parquet-derived oracle. The
     // write stays distributed (one CSV part per partition).
     "q_csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      val tmp = graft.util.WorkDirs.temp("graft_csv_rt")
       val docs = Tables(s, dir, "documents")
       docs.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true").schema(docs.schema).csv(tmp)
@@ -226,7 +226,7 @@ object WindowsSetsScalars {
     // manifest-visibility lossiness in the V2 write path
     // hash-mismatches against the parquet-derived oracle.
     "q_sink_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString
+      val tmp = graft.util.WorkDirs.temp("graft_sink_rt")
       Tables(s, dir, "orders")
         .select(col("o_orderkey").as("id"), col("o_custkey"),
           col("o_totalprice"), col("o_orderpriority"))

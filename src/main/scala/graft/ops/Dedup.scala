@@ -1167,8 +1167,7 @@ object Dedup {
     // oracle replays it from the batch MinHash pipeline and streaming ≡
     // batch is hash-checked, not just asserted.
     "q_stream_minhash" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_minhash").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_minhash")
       graft.streaming.Streams.minhashDedupIngest(s, dir, work)
         .orderBy(col("doc_id"))
     }),
@@ -1348,8 +1347,7 @@ object Dedup {
     // projection AND the oracle with q_contamination (docs never
     // straddle batches, so the drained union equals the batch query).
     "q_stream_contamination" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_contam").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_contam")
       graft.streaming.Streams.contaminationIngest(s, dir, work)
     }),
 

@@ -211,8 +211,7 @@ object Govern {
     // [[thetaCensus]] projection, graded by q_theta_sketch's oracle
     // verbatim. See [[graft.streaming.Streams.thetaIngest]].
     "q_stream_theta" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_theta").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_theta")
       graft.streaming.Streams.thetaIngest(s, dir, work)
     }),
 
@@ -375,8 +374,7 @@ object Govern {
     // [[thetaDeltaCensus]] projection, graded by q_theta_delta's
     // oracle verbatim. See [[graft.streaming.Streams.thetaDeltaIngest]].
     "q_stream_theta_delta" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_theta_delta").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_theta_delta")
       graft.streaming.Streams.thetaDeltaIngest(s, dir, work)
     }),
 

@@ -665,8 +665,7 @@ object Multimodal {
     // oracle verbatim ⇒ streaming ≡ batch is hash-checked. See
     // Streams.crossmodalIngest for the state story.
     "q_stream_crossmodal" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_xm").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_xm")
       graft.streaming.Streams.crossmodalIngest(s, dir, work)
     }),
 

@@ -337,8 +337,7 @@ object Prep {
     // Checked by the events slice of q_forget's oracle; restart
     // safety is per-bid idempotent partials (StreamingSpec).
     "q_stream_forget" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_forget").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_forget")
       graft.streaming.Streams.forgetIngest(s, dir, work)
     }),
 
@@ -517,8 +516,7 @@ object Prep {
     // and this entry shares the batch oracle verbatim. Kill/resume
     // in StreamingSpec.
     "q_stream_release" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_release").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_release")
       graft.streaming.Streams.releaseIngest(s, dir, work)
     })
   )

@@ -1078,8 +1078,16 @@ object Similarity {
     // scans (iterate build + apply — the q_quantize_embedding
     // stats+apply trade); the apply is one broadcast of Dim longs
     // into a per-vector partial aggregate, no shuffle wider than the
-    // output. Headroom: |q·u| ≤ Dim·2¹⁰·(n·2²⁶) — safe past 10⁹ rows,
-    // rescale the quantization beyond.
+    // output. Headroom: |q·u| ≤ Dim·2¹⁰·(n·2²⁶) = n·2⁴² (Dim = 2⁶),
+    // which meets the signed-64 ceiling at n ≈ 2²¹ ≈ 2×10⁶ rows —
+    // beyond that, halve the quantization scale per 4× rows (the
+    // iterate bound n·2²⁶ itself is fine past 10¹¹; the PROJECTION is
+    // the binding term because it multiplies the iterate by another
+    // Dim·2¹⁰). On unit-normalized embeddings the practical bound is
+    // ~2¹⁶× looser (‖u‖₁ concentrates near n·2¹⁰/√Dim only when mass
+    // aligns with one direction), but the worst case is what the
+    // BIGINT contract must survive, so the 2×10⁶ figure is the one
+    // the operator quotes.
     "q_pca_project" -> ((s, dir) => {
       val u = pcaPartial(embeddings(s, dir))
       val cells = embeddings(s, dir)
@@ -1100,8 +1108,7 @@ object Similarity {
     // q_pca_step bit-for-bit — graded by its oracle verbatim. See
     // [[graft.streaming.Streams.pcaIngest]].
     "q_stream_pca" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_pca").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_pca")
       graft.streaming.Streams.pcaIngest(s, dir, work)
     }),
 
@@ -1289,8 +1296,7 @@ object Similarity {
     // Per-bid idempotent flag writes; restart tested.
     "q_stream_outliers" -> ((s, dir) => {
       CosineSim.register(s)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_outliers").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_outliers")
       graft.streaming.Streams.outliersIngest(s, dir, work)
     }),
 
@@ -1315,8 +1321,7 @@ object Similarity {
     // the oracle replays probed-minus-moved-plus-new.
     "q_stream_ivf_retrain" -> ((s, dir) => {
       CosineSim.register(s)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_ivf_rt").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_ivf_rt")
       graft.streaming.Streams.ivfRetrainIngest(s, dir, work)
     }),
 
@@ -1799,8 +1804,7 @@ object Similarity {
     // hash-checked. See Streams.ivfIngest for the state story.
     "q_stream_ivf" -> ((s, dir) => {
       CosineSim.register(s)
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_ivf").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_ivf")
       graft.streaming.Streams.ivfIngest(s, dir, work)
     })
   )

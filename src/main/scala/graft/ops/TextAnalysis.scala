@@ -1353,8 +1353,7 @@ object TextAnalysis {
     // equals the batch census bit-for-bit — ONE oracle text grades
     // both.
     "q_stream_watermark" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_watermark").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_watermark")
       graft.streaming.Streams.watermarkIngest(s, dir, work)
         .orderBy(col("source"))
     }),
@@ -1859,8 +1858,7 @@ object TextAnalysis {
     // per bid; restart safety is per-bid idempotent overwrites
     // (StreamingSpec kill/restart test).
     "q_stream_doremi" -> ((s, dir) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_doremi").toString
+      val work = graft.util.WorkDirs.temp("graft_stream_doremi")
       graft.streaming.Streams.doremiIngest(s, dir, work)
     }),
 

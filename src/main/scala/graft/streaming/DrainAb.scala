@@ -30,8 +30,7 @@ object DrainAb {
     def run(twin: String, mode: String): Double = {
       spark.conf.set(Streams.AvailableNowConf,
         (mode == "availableNow").toString)
-      val work = java.nio.file.Files
-        .createTempDirectory(s"drain_ab_$twin").toString
+      val work = graft.util.WorkDirs.temp(s"drain_ab_$twin")
       twin match {
         case "forget" => Streams.forgetStage(spark, sfDir, work, 3)
         case "watermark" =>

@@ -384,7 +384,7 @@ object Streams {
     // empty frames, so the tail flush silently never fires
     require(!bounds.isNullAt(0), "events table is empty — nothing to sessionize")
     val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-    val work = java.nio.file.Files.createTempDirectory("graft_sess_to")
+    val work = java.nio.file.Paths.get(graft.util.WorkDirs.temp("graft_sess_to"))
     val streamDir = work.resolve("stream")
     val span = math.max(1L, maxUs - minUs + 1)
     val t0 = System.currentTimeMillis() - 600000
@@ -556,7 +556,7 @@ object Streams {
     val ev = graft.Tables(spark, dir, "events") // ts normalized to micros
       .where(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val work = java.nio.file.Files.createTempDirectory("graft_loj")
+    val work = java.nio.file.Paths.get(graft.util.WorkDirs.temp("graft_loj"))
     val streamDir = work.resolve("stream")
     def stage(df: DataFrame, name: String, mtime: Long): Unit =
       stageFile(df, streamDir, name, mtime)
@@ -2667,7 +2667,7 @@ object Streams {
       val q = perUser.toDF().writeStream.outputMode("update")
         .format("memory").queryName(table)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_tws").toString)
+          graft.util.WorkDirs.temp("graft_tws"))
         .start()
       try q.processAllAvailable() finally q.stop()
       // The update-mode memory sink accumulates one row per user per
