@@ -191,7 +191,12 @@ object Bench {
       "q_priority_estimate", "q_dp_release", "q_contam_span",
       "q_ann_graph2", "q_ann_graph2_recall",
       "q_pref_pairs", "q_arena_bt", "q_budget_fill", "q_epoch_expand",
-      "q_stream_pca", "q_distinct_ngrams", "q_fim_split")
+      "q_stream_pca", "q_distinct_ngrams", "q_fim_split",
+      // round-12: the sketch twin of the distinct-n census (the
+      // 100 TB path — KMV state instead of the distinct-gram shuffle),
+      // the unrolled power-iteration operator, and the ABTT residual
+      // materialization
+      "q_distinct_ngrams_theta", "q_pca_iterate", "q_abtt_apply")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

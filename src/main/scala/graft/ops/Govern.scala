@@ -143,7 +143,7 @@ object Govern {
           countDistinct(col("h")).as("exact_distinct"))
     }
 
-  private def estFromMins(mins: org.apache.spark.sql.Column) =
+  private[ops] def estFromMins(mins: org.apache.spark.sql.Column) =
     when(size(mins) < ThetaK, size(mins).cast("double"))
       .otherwise(lit(KmvNum) / element_at(mins, ThetaK).cast("double"))
 

@@ -37,11 +37,22 @@ import TextAnalysis._
 object Pref {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Matchmaking buckets — the "prompt" granularity of the synthetic
-    * pairs. Fixed so the oracle replays the exact draw; a production
-    * run sizes it ~corpus/1024 to keep the per-bucket window bounded.
+  /** Matchmaking-bucket floor — the bucket count at every gated SF
+    * (≤ 50k docs through sf1, where n/1024 < 64), so the oracle draw
+    * there never moves.
     */
   val PairBuckets = 64L
+
+  /** Bucket count for an n-doc corpus: max(64, n/1024) — the
+    * [[Similarity.semSeedCount]] precedent (r11 verdict item 5). A
+    * bare constant made each bucket's ranking window corpus/64 — the
+    * q_knn_graph bare-label disease at 100 TB; growing the count with
+    * the corpus bounds every window partition at ~1024 rows at any
+    * scale. The ORACLE replays the same greatest(64, count/1024)
+    * formula, so the gate stays hash-exact even at a scale where the
+    * count departs the floor.
+    */
+  def pairBuckets(n: Long): Long = math.max(PairBuckets, n / 1024L)
 
   /** The deterministic pair table: per bucket, docs rank by seeded
     * hash and adjacent ranks (1,2), (3,4), … face off; the higher
@@ -53,11 +64,17 @@ object Pref {
     * what a production run does: the pair table IS the dataset
     * artifact, the leaderboard is a report over it.
     */
-  private[graft] def prefPairs(s: SparkSession, dir: String): DataFrame =
-    Scratch.materialize(s, s"pref_pairs|$dir|b$PairBuckets")(
-      buildPrefPairs(s, dir))
+  private[graft] def prefPairs(s: SparkSession, dir: String): DataFrame = {
+    // metadata-only count sizing the bucket space (the probeSampled
+    // discipline); part of the Scratch key so a corpus crossing a
+    // bucket boundary can never serve a stale draw
+    val b = pairBuckets(Tables(s, dir, "documents").count())
+    Scratch.materialize(s, s"pref_pairs|$dir|b$b")(
+      buildPrefPairs(s, dir, b))
+  }
 
-  private def buildPrefPairs(s: SparkSession, dir: String): DataFrame = {
+  private def buildPrefPairs(s: SparkSession, dir: String,
+      nBuckets: Long): DataFrame = {
     val lt = lower(col("text"))
     val scored = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -71,7 +88,7 @@ object Pref {
           col("n_digit"), col("len")) * 1000000).as("score_ppm"),
         h60(concat(lit("pair:"), col("doc_id").cast("string"))).as("h"))
     val ranked = scored
-      .withColumn("bucket", col("h") % PairBuckets)
+      .withColumn("bucket", col("h") % nBuckets)
       .withColumn("rb", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))))
       .withColumn("pid", expr("(rb - 1) div 2"))
@@ -164,10 +181,12 @@ object Pref {
              "len")}) * 1000000) AS BIGINT) AS score_ppm,
        |    ${sqlH60("'pair:' || CAST(doc_id AS VARCHAR)")} AS h
        |  FROM m),
-       |rk AS (SELECT *, h % $PairBuckets AS bucket,
-       |    row_number() OVER (PARTITION BY h % $PairBuckets
+       |nb AS (SELECT greatest($PairBuckets,
+       |    CAST(count(*) AS BIGINT) // 1024) AS b FROM documents),
+       |rk AS (SELECT sc.*, h % b AS bucket,
+       |    row_number() OVER (PARTITION BY h % b
        |      ORDER BY h, doc_id) AS rb
-       |  FROM sc),
+       |  FROM sc CROSS JOIN nb),
        |pa AS (SELECT bucket, (rb - 1) // 2 AS pid, doc_id AS a_doc,
        |    source AS a_src, score_ppm AS a_ppm FROM rk WHERE rb % 2 = 1),
        |pb AS (SELECT bucket, (rb - 1) // 2 AS pid, doc_id AS b_doc,

@@ -444,6 +444,38 @@ object Similarity {
        |SELECT dim, CAST(sum(qv * s) AS BIGINT) AS u
        |FROM cells GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** Unrolled replay of [[pcaQuantIterate]] + [[pcaStepWith]] through
+    * `rounds` power steps (the KmIters unrolled-oracle discipline):
+    * CTEs u1..uR are the raw Dim-row iterates, m/w pairs the exact
+    * integer re-quantizations between them. `//` is DuckDB's
+    * truncating integer division = Spark's `div` (verified on
+    * negatives), so the chain replays bit-for-bit. Callers close the
+    * WITH and select from u`rounds` (q_pca_iterate) or quantize once
+    * more (q_abtt_apply).
+    */
+  private def pcaIterCtes(rounds: Int): String = {
+    val base =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 1024) AS BIGINT)) AS q FROM e),
+         |qs AS (SELECT vec_id, q,
+         |    CAST(list_aggregate(q, 'sum') AS BIGINT) AS s FROM q),
+         |cells AS (SELECT vec_id, CAST(i.i AS INT) AS dim, q[i.i + 1] AS qv
+         |  FROM qs CROSS JOIN (SELECT unnest(range($Dim)) AS i) i),
+         |u1 AS (SELECT dim, CAST(sum(qv * s) AS BIGINT) AS u
+         |  FROM cells JOIN qs USING (vec_id) GROUP BY dim)""".stripMargin
+    val later = (2 to rounds).map { r =>
+      s"""m${r - 1} AS (SELECT max(abs(u)) AS m FROM u${r - 1}),
+         |w${r - 1} AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |  FROM u${r - 1}, m${r - 1}),
+         |s$r AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS s
+         |  FROM cells JOIN w${r - 1} USING (dim) GROUP BY vec_id),
+         |u$r AS (SELECT dim, CAST(sum(qv * s.s) AS BIGINT) AS u
+         |  FROM cells JOIN s$r s USING (vec_id) GROUP BY dim)""".stripMargin
+    }
+    (base +: later).mkString(",\n")
+  }
+
   /** The q_pca_step body over any (v: array<double>) frame — the
     * Dim-row integer partial Σᵢ q_ik·(Σ_j q_ij), exact BIGINT end to
     * end, shared by the batch query and the ingest twin q_stream_pca
@@ -458,6 +490,65 @@ object Similarity {
       .groupBy(col("dim"))
       .agg(sum(col("qv") * col("s")).as("u"))
   }
+
+  /** Power-iteration rounds for q_pca_iterate / q_abtt_apply —
+    * unrolled verbatim in their oracles (the KmIters discipline), so
+    * keep the two in sync through this constant.
+    */
+  val PcaIters = 3
+
+  /** Re-quantization scale for the per-round iterate: û ∈ [−1024,
+    * 1024], so every later round's arithmetic is n-INDEPENDENT —
+    * s_i = qᵢ·û ≤ Dim·2¹⁰·2¹⁰ = 2²⁶ per row and the next iterate
+    * cell ≤ n·2³⁶: BIGINT-safe past 10⁷ rows at this scale (halve it
+    * per 4× beyond), vs the raw chain whose magnitudes would square
+    * per round.
+    */
+  val PcaUScale = 1024L
+
+  /** One power step against a FIXED quantized probe û (a Dim-long
+    * literal — the broadcast): u_k = Σᵢ q_ik·(qᵢ·û). Map-only probe
+    * dot (zip_with over the row array — no join), then the same
+    * Dim-row map-side-combined partial as [[pcaPartial]].
+    */
+  private def pcaStepWith(emb: DataFrame, uq: Array[Long]): DataFrame = {
+    val uLit = array(uq.map(lit(_)).toIndexedSeq: _*)
+    emb
+      .select(transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
+      .withColumn("s", aggregate(zip_with(col("q"), uLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv") * col("s")).as("u"))
+  }
+
+  /** The quantized iterate after `rounds` power steps (round 1 = the
+    * all-ones probe, i.e. [[pcaPartial]]): each round's Dim-row
+    * iterate rescales to [[PcaUScale]] via EXACT integer division
+    * ((u·1024) div max|u|, truncation-toward-zero in both engines —
+    * verified (-7) div 2 = -3 = DuckDB (-7)//2) and collects to the
+    * driver as the next round's broadcast literal — Dim longs, the
+    * K·Dim-centroid bounded-collect precedent. Session-memoized per
+    * (dir, rounds): q_pca_iterate consumes rounds−1, q_abtt_apply
+    * consumes rounds, and the shared prefix runs once.
+    */
+  private val pcaIterMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), Array[Long]]
+
+  private[ops] def pcaQuantIterate(s: SparkSession, dir: String,
+      rounds: Int): Array[Long] =
+    pcaIterMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, rounds), {
+      val emb = embeddings(s, dir)
+      def quant(u: DataFrame): Array[Long] = {
+        val m = u.agg(max(abs(col("u"))).as("m"))
+        u.crossJoin(broadcast(m))
+          .select(col("dim"),
+            expr(s"(u * $PcaUScale) div greatest(m, 1)").as("uq"))
+          .orderBy(col("dim")).collect().map(_.getLong(1))
+      }
+      if (rounds <= 1) quant(pcaPartial(emb))
+      else quant(pcaStepWith(emb, pcaQuantIterate(s, dir, rounds - 1)))
+    })
 
   /** SemDeDup seed-centroid count (Abbas et al.: cluster, then drop
     * within-cluster near-identical embeddings): ⌈√n⌉ with a floor of
@@ -1110,6 +1201,54 @@ object Similarity {
     "q_stream_pca" -> ((s, dir) => {
       val work = graft.util.WorkDirs.temp("graft_stream_pca")
       graft.streaming.Streams.pcaIngest(s, dir, work)
+    }),
+
+    // The OPERATOR a pipeline actually runs (r11 verdict item 7):
+    // [[PcaIters]] fixed-point power-iteration rounds toward the top
+    // principal direction — q_pca_step unrolled with the per-round
+    // iterate re-quantized to [[PcaUScale]] and re-broadcast as a
+    // Dim-long literal (the q_kmeans unrolled-rounds precedent).
+    // Exact BIGINT throughout: the rescale is integer division
+    // (truncation identical in both engines), so every round is
+    // order-free and the oracle replays the chain verbatim. Scale
+    // shape per round: ONE map pass (probe dot via zip_with — no
+    // join, no shuffle) + one Dim-row map-side-combined aggregate +
+    // one Dim-row driver collect; R rounds = R corpus scans, nothing
+    // wider than Dim rows ever shuffles or sits on the driver.
+    // Output = the FINAL round's raw iterate (same shape as
+    // q_pca_step, so the two are directly comparable).
+    "q_pca_iterate" -> ((s, dir) =>
+      pcaStepWith(embeddings(s, dir),
+        pcaQuantIterate(s, dir, PcaIters - 1)).orderBy(col("dim"))),
+
+    // The ABTT apply (Mu & Viswanath 2018: remove the top direction
+    // from every embedding) — the subtraction q_pca_project scores:
+    // r_ik = q_ik·(û·û) − (qᵢ·û)·û_k, i.e. the exact integer residual
+    // of qᵢ against the [[PcaIters]]-round quantized iterate û,
+    // scaled by û·û so NO division ever happens (the residual is
+    // exact and both engines agree bit-for-bit; downstream consumers
+    // carry the common û·û ≤ Dim·2²⁰ factor or divide once at the
+    // boundary). Headroom is n-INDEPENDENT: |r| ≤ 2·2¹⁰·Dim·2²⁰ =
+    // 2³⁷ per cell regardless of corpus size. Scale shape: the
+    // iterate build (R bounded scans, above) + ONE map pass emitting
+    // the n·Dim residual cells — the materialized all-but-the-top
+    // corpus a retrieval pipeline writes; no shuffle except the
+    // presentation sort.
+    "q_abtt_apply" -> ((s, dir) => {
+      val uq = pcaQuantIterate(s, dir, PcaIters)
+      val uu = uq.map(x => x * x).sum
+      val uLit = array(uq.map(lit(_)).toIndexedSeq: _*)
+      embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
+        .withColumn("c", aggregate(zip_with(col("q"), uLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("vec_id"), col("c"),
+          posexplode(col("q")).as(Seq("dim", "qv")))
+        .select(col("vec_id"), col("dim"),
+          (col("qv") * lit(uu) -
+            col("c") * element_at(uLit, col("dim") + 1)).as("r"))
+        .orderBy(col("vec_id"), col("dim"))
     }),
 
     // SemDeDup-shaped semantic dedup: assign every vector to a
@@ -2202,6 +2341,25 @@ object Similarity {
     // make the streamed fold equal the one-pass sum).
     "q_pca_step" -> pcaOracle,
     "q_stream_pca" -> pcaOracle,
+    // The unrolled PcaIters-round chain; the final SELECT is the raw
+    // last-round iterate, matching q_pca_step's shape.
+    "q_pca_iterate" ->
+      s"""WITH ${pcaIterCtes(PcaIters)}
+         |SELECT dim, u FROM u$PcaIters ORDER BY dim""".stripMargin,
+    // Same chain + one final quantization, then the exact integer
+    // residual r = qv·(û·û) − (q·û)·û_k per cell.
+    "q_abtt_apply" ->
+      s"""WITH ${pcaIterCtes(PcaIters)},
+         |mf AS (SELECT max(abs(u)) AS m FROM u$PcaIters),
+         |wf AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |  FROM u$PcaIters, mf),
+         |uu AS (SELECT CAST(sum(uq * uq) AS BIGINT) AS uu FROM wf),
+         |cc AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS c
+         |  FROM cells JOIN wf USING (dim) GROUP BY vec_id)
+         |SELECT cells.vec_id, cells.dim,
+         |  CAST(qv * uu - cc.c * wf.uq AS BIGINT) AS r
+         |FROM cells JOIN cc USING (vec_id) JOIN wf USING (dim) CROSS JOIN uu
+         |ORDER BY cells.vec_id, cells.dim""".stripMargin,
     // Same quantize/probe/iterate CTEs, then the per-vector dot with
     // the Dim-row iterate.
     "q_pca_project" ->

@@ -1391,11 +1391,12 @@ object TextAnalysis {
     // Model-generated or heavily templated corpora collapse the
     // higher-n ratios long before unigram stats move, so this is the
     // per-source red flag q_data_card rolls up. distinct_ppm is an
-    // exact integer ratio. Scale: one tokenize pass feeds three
-    // explodes; count(DISTINCT gram) per (source, n) is the honest
-    // exact cost (it shuffles distinct grams — the same contract as
-    // q_vocab_stats); the KMV theta family is the sketch path when a
-    // 100 TB run wants this approximate.
+    // exact integer ratio. This exact form is the AUDIT: its
+    // count(DISTINCT gram) per (source, n) shuffles every distinct
+    // gram (the q_vocab_stats contract) and is what the gated SFs
+    // certify; the query a 100 TB run actually ships is
+    // q_distinct_ngrams_theta below — same census from k-long KMV
+    // state, nothing wider than k longs per (source, n) on the wire.
     "q_distinct_ngrams" -> ((s, dir) => {
       val docs = Tables.fanout(Tables(s, dir, "documents")
           .select(col("source"), col("text")))
@@ -1409,6 +1410,48 @@ object TextAnalysis {
           countDistinct(col("g")).as("n_distinct"))
         .select(col("source"), col("n"), col("total"), col("n_distinct"),
           expr("(n_distinct * 1000000) div total").as("distinct_ppm"))
+        .orderBy(col("source"), col("n"))
+    }),
+
+    // The sketch twin of q_distinct_ngrams — the 100 TB path (r11
+    // verdict item 4): the same per-(source, n) distinct-gram census
+    // from KMV theta state ([[graft.functions.KmvMinK]], the
+    // q_theta_sketch discipline) instead of the exact
+    // count(DISTINCT gram) shuffle. Plan shape: the same tokenize +
+    // three-explode pass, one h60 per gram, then ONE aggregate
+    // carrying ≤ ThetaK longs per (source, n) group with map-side
+    // combine — the distinct-hash shuffle the exact form pays never
+    // happens; only k minima per group per partition move. The exact
+    // column (countDistinct over the same hashes, so both engines
+    // count the same universe) rides along as the gated-SF audit with
+    // err_pct beside it, exactly like q_theta_sketch; a production
+    // run drops it and keeps the mergeable sketch, which also makes
+    // the census release-incremental (KMV merge law — see
+    // q_theta_delta).
+    "q_distinct_ngrams_theta" -> ((s, dir) => {
+      graft.functions.Registry.ensure(s)
+      val docs = Tables.fanout(Tables(s, dir, "documents")
+          .select(col("source"), col("text")))
+        .select(col("source"), tokens(col("text")).as("a"))
+      val grams = Seq(1, 2, 3).map { n =>
+        docs.select(col("source"), lit(n).as("n"),
+          explode(shingles(col("a"), n)).as("g"))
+      }.reduce(_ unionAll _)
+      grams.select(col("source"), col("n"), h60(col("g")).as("h"))
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("total"),
+          call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
+            .as("mins"),
+          countDistinct(col("h")).as("exact_distinct"))
+        .select(col("source"), col("n"), col("total"),
+          size(col("mins")).as("n_kept"),
+          when(size(col("mins")) >= Govern.ThetaK,
+            element_at(col("mins"), Govern.ThetaK)).as("theta"),
+          round(Govern.estFromMins(col("mins")), 4).as("est_distinct"),
+          col("exact_distinct"))
+        .withColumn("err_pct",
+          round(abs(col("est_distinct") - col("exact_distinct")) /
+            col("exact_distinct") * 100, 4))
         .orderBy(col("source"), col("n"))
     }),
 
@@ -2486,6 +2529,45 @@ object TextAnalysis {
          |  (CAST(count(DISTINCT g) AS BIGINT) * 1000000)
          |    // CAST(count(*) AS BIGINT) AS distinct_ppm
          |FROM ag GROUP BY source, n ORDER BY source, n""".stripMargin,
+    // The KMV replay over the same gram stream (the thetaSketchOracle
+    // discipline): row_number over distinct hashes per (source, n) IS
+    // the bottom-k sketch.
+    "q_distinct_ngrams_theta" ->
+      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
+         |g1 AS (SELECT source, 1 AS n, a[i] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a)),
+         |g2 AS (SELECT source, 2 AS n, a[i] || ' ' || a[i+1] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 1),
+         |g3 AS (SELECT source, 3 AS n, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 2),
+         |ag AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |  UNION ALL SELECT * FROM g3),
+         |hh AS (SELECT source, n, ${sqlH60("g")} AS h FROM ag),
+         |tot AS (SELECT source, n, CAST(count(*) AS BIGINT) AS total
+         |  FROM hh GROUP BY source, n),
+         |dh AS (SELECT DISTINCT source, n, h FROM hh),
+         |rk AS (SELECT source, n, h,
+         |    row_number() OVER (PARTITION BY source, n ORDER BY h) AS rn
+         |  FROM dh),
+         |agg AS (SELECT source, n,
+         |    CAST(count(*) FILTER (WHERE rn <= ${Govern.ThetaK}) AS INT)
+         |      AS n_kept,
+         |    max(CASE WHEN rn = ${Govern.ThetaK} THEN h END) AS theta,
+         |    count(*) AS exact_distinct
+         |  FROM rk GROUP BY source, n),
+         |est AS (SELECT source, n, n_kept, theta,
+         |    round(CASE WHEN n_kept < ${Govern.ThetaK}
+         |      THEN CAST(n_kept AS DOUBLE)
+         |      ELSE ${Govern.ThetaK - 1} * ${Govern.Pow2_60}.0 / theta END, 4)
+         |      AS est_distinct,
+         |    exact_distinct
+         |  FROM agg)
+         |SELECT est.source, est.n, total, n_kept, theta, est_distinct,
+         |  exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
+         |    AS err_pct
+         |FROM est JOIN tot ON est.source = tot.source AND est.n = tot.n
+         |ORDER BY est.source, est.n""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tc AS (SELECT source, t, count(*) AS cnt
          |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents)

@@ -1484,6 +1484,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("distinct ngrams theta: sketch census equals an exact local KMV replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.queries("q_distinct_ngrams_theta")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(6), r.getDouble(7)))).toMap
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
+    val k = Govern.ThetaK
+    val expect = (for {
+      n <- Seq(1, 2, 3)
+      (src, toks) <- docs
+      g <- toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
+    } yield ((src, n), h60(g))).groupBy(_._1).map { case (key, hs) =>
+      val total = hs.size.toLong
+      val dis = hs.map(_._2).distinct.sorted
+      val kept = dis.take(k)
+      key -> ((total, kept.size,
+        if (dis.size >= k) Some(kept.last) else None,
+        dis.size.toLong))
+    }
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (key, (total, nKept, theta, exact)) =>
+      val (gTotal, gKept, gTheta, gExact, errPct) = got(key)
+      assert((gTotal, gKept, gTheta, gExact) == ((total, nKept, theta, exact)),
+        s"$key sketch state mismatch")
+      // below k the estimate IS the exact count (err 0); at/above k
+      // the KMV envelope: sigma ~ 1/sqrt(k-2) = 6.3%, 4 sigma headroom
+      if (nKept < k) assert(errPct == 0.0, s"$key: $errPct")
+      else assert(errPct < 25.0, s"$key: $errPct%")
+    }
+  }
+
   test("pca step: fixed-point power iterate equals an exact local replay") {
     val dir = "/root/testdata/sf0.001"
     val got = Similarity.queries("q_pca_step")(spark, dir).collect()
@@ -1505,6 +1547,53 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
         r.getLong(0) -> q.zipWithIndex.map { case (x, k) => x * expect(k) }.sum
       }.sortBy(_._1)
     assert(proj.toSeq == expProj.toSeq)
+  }
+
+  test("pca iterate + abtt apply equal an exact local replay; residuals exactly orthogonal") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1024).toLong))
+      .sortBy(_._1)
+    def stepWith(sOf: Seq[Long] => Long): Array[Long] = {
+      val u = Array.fill(64)(0L)
+      vecs.foreach { case (_, q) =>
+        val s = sOf(q)
+        for (k <- 0 until 64) u(k) += q(k) * s
+      }
+      u
+    }
+    // Scala's / truncates toward zero — the same convention as Spark
+    // div and DuckDB // (verified on negatives)
+    def quant(u: Array[Long]): Array[Long] = {
+      val m = math.max(u.map(math.abs).max, 1L)
+      u.map(x => x * Similarity.PcaUScale / m)
+    }
+    val u1 = stepWith(_.sum) // round 1: the all-ones probe
+    val u2 = stepWith { q => val w = quant(u1)
+      q.zipWithIndex.map { case (x, k) => x * w(k) }.sum }
+    val u3 = stepWith { q => val w = quant(u2)
+      q.zipWithIndex.map { case (x, k) => x * w(k) }.sum }
+    val got = Similarity.queries("q_pca_iterate")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 64).map(k => k -> u3(k)).toMap)
+    val uq = quant(u3)
+    val uu = uq.map(x => x * x).sum
+    val gotR = Similarity.queries("q_abtt_apply")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val expR = vecs.flatMap { case (id, q) =>
+      val c = q.zipWithIndex.map { case (x, k) => x * uq(k) }.sum
+      (0 until 64).map(k => (id.toLong, k) -> (q(k) * uu - c * uq(k)))
+    }.toMap
+    assert(gotR == expR && gotR.size == vecs.length * 64)
+    // the ABTT identity: r·û = c·(û·û) − c·(û·û) = 0 EXACTLY for every
+    // vector — integer arithmetic makes the orthogonality perfect, not
+    // approximate
+    vecs.foreach { case (id, _) =>
+      val dot = (0 until 64).map(k => gotR((id, k)) * uq(k)).sum
+      assert(dot == 0L, s"vec $id residual not orthogonal: $dot")
+    }
   }
 
   test("watermark detect: greedily greened text flags, natural text does not") {

@@ -33,11 +33,22 @@ class PrefSpec extends AnyFunSuite with SparkSpec {
         assert(r.getAs[Long]("chosen_doc") < r.getAs[Long]("rejected_doc"))
     }
     // pairing is maximal per bucket: pairs == Σ floor(bucket_size / 2)
-    val n = graft.Tables(spark, Dir, "documents")
-      .select(col("doc_id")).collect()
-      .map(r => h60("pair:" + r.getLong(0)) % Pref.PairBuckets)
+    val ids = graft.Tables(spark, Dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val b = Pref.pairBuckets(ids.length.toLong)
+    assert(b == Pref.PairBuckets) // gated SFs sit on the floor
+    val n = ids.map(id => h60("pair:" + id) % b)
       .groupBy(identity).map(_._2.size / 2).sum
     assert(rows.length == n)
+  }
+
+  test("pairBuckets grows with the corpus, floor preserved at gated SFs") {
+    assert(Pref.pairBuckets(500L) == 64L)     // sf0.001/sf0.01
+    assert(Pref.pairBuckets(5000L) == 64L)    // sf0.1
+    assert(Pref.pairBuckets(50000L) == 64L)   // sf1 (50000/1024 = 48 < 64)
+    assert(Pref.pairBuckets(65536L) == 64L)   // the boundary
+    assert(Pref.pairBuckets(1 << 20) == 1024L)
+    assert(Pref.pairBuckets(1L << 30) == (1L << 20)) // ~1024 rows/bucket
   }
 
   test("btFromGames pins the integer-ppm Bradley-Terry MM iterations") {
@@ -93,5 +104,34 @@ class PrefSpec extends AnyFunSuite with SparkSpec {
     }.sortBy(e => (e._1, e._2))
     assert(got.toSeq == expect)
     assert(expect.nonEmpty && expect.size < docs.length) // truncation bites
+  }
+
+  test("q_budget_fill two-pass cumsum admits the identical set (gated corpus + mega-source)") {
+    import spark.implicits._
+    def rows(dir: String) = {
+      val r = Prep.queries("q_budget_fill")(spark, dir).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Int]("pos"),
+          r.getAs[Long]("doc_id"), r.getAs[Int]("n_tok"),
+          r.getAs[Long]("cum_tok"), r.getAs[Long]("budget"))).toSeq
+      assert(r.nonEmpty); r
+    }
+    def twoPass[A](body: => A): A = {
+      spark.conf.set(Prep.BudgetFillTwoPassConf, "true")
+      try body finally spark.conf.unset(Prep.BudgetFillTwoPassConf)
+    }
+    // the gated corpus: window form ≡ two-pass form, row for row
+    val win = rows(Dir)
+    assert(twoPass(rows(Dir)) == win)
+    // a crafted mega-source (one source dominating — the partition
+    // the two-pass exists to split) with token counts varied enough
+    // that cum_tok crosses shard boundaries mid-budget
+    val dir = java.nio.file.Files.createTempDirectory("bf2p").toString
+    (0 until 400).map { i =>
+      val src = if (i % 20 == 0) "minor" else "mega"
+      (i.toLong, Seq.fill(1 + i % 7)("w").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w2 = rows(dir)
+    assert(twoPass(rows(dir)) == w2)
   }
 }
