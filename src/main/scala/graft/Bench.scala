@@ -196,7 +196,8 @@ object Bench {
       // 100 TB path — KMV state instead of the distinct-gram shuffle),
       // the unrolled power-iteration operator, and the ABTT residual
       // materialization
-      "q_distinct_ngrams_theta", "q_pca_iterate", "q_abtt_apply")
+      "q_distinct_ngrams_theta", "q_pca_iterate", "q_abtt_apply",
+      "q_stream_ngram_theta")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -627,6 +627,38 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The hashed 1/2/3-gram instance stream (source, n, h) over a
+    * (source, text) frame — ONE definition shared by the batch
+    * q_distinct_ngrams_theta aggregate and the streaming twin's
+    * per-micro-batch partials, so the two cannot drift on
+    * tokenization, shingling, or the hash.
+    */
+  private[graft] def ngramHashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), tokens(col("text")).as("a"))
+    Seq(1, 2, 3).map { n =>
+      tok.select(col("source"), lit(n).as("n"),
+        explode(shingles(col("a"), n)).as("g"))
+    }.reduce(_ unionAll _)
+      .select(col("source"), col("n"), h60(col("g")).as("h"))
+  }
+
+  /** The sketch-census projection over a per-(source, n) aggregate
+    * with (total, mins, exact_distinct) — the [[Govern.thetaCensus]]
+    * discipline: one definition shared by the batch query and the
+    * drained twin so both grade against the one oracle text.
+    */
+  private[graft] def ngramThetaCensus(agg: DataFrame): DataFrame =
+    agg.select(col("source"), col("n"), col("total"),
+        size(col("mins")).as("n_kept"),
+        when(size(col("mins")) >= Govern.ThetaK,
+          element_at(col("mins"), Govern.ThetaK)).as("theta"),
+        round(Govern.estFromMins(col("mins")), 4).as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("err_pct",
+        round(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct") * 100, 4))
+      .orderBy(col("source"), col("n"))
+
   val queries: Map[String, Q] = Map(
     // Global token frequency, top 20. (fanout: the regex/explode work
     // dwarfs the pre-explode shuffle of the raw text — see Tables.fanout.)
@@ -1430,29 +1462,29 @@ object TextAnalysis {
     // q_theta_delta).
     "q_distinct_ngrams_theta" -> ((s, dir) => {
       graft.functions.Registry.ensure(s)
-      val docs = Tables.fanout(Tables(s, dir, "documents")
-          .select(col("source"), col("text")))
-        .select(col("source"), tokens(col("text")).as("a"))
-      val grams = Seq(1, 2, 3).map { n =>
-        docs.select(col("source"), lit(n).as("n"),
-          explode(shingles(col("a"), n)).as("g"))
-      }.reduce(_ unionAll _)
-      grams.select(col("source"), col("n"), h60(col("g")).as("h"))
-        .groupBy(col("source"), col("n"))
+      val g = ngramHashes(Tables.fanout(Tables(s, dir, "documents")
+        .select(col("source"), col("text"))))
+      ngramThetaCensus(g.groupBy(col("source"), col("n"))
         .agg(count(lit(1)).as("total"),
           call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
             .as("mins"),
-          countDistinct(col("h")).as("exact_distinct"))
-        .select(col("source"), col("n"), col("total"),
-          size(col("mins")).as("n_kept"),
-          when(size(col("mins")) >= Govern.ThetaK,
-            element_at(col("mins"), Govern.ThetaK)).as("theta"),
-          round(Govern.estFromMins(col("mins")), 4).as("est_distinct"),
-          col("exact_distinct"))
-        .withColumn("err_pct",
-          round(abs(col("est_distinct") - col("exact_distinct")) /
-            col("exact_distinct") * 100, 4))
-        .orderBy(col("source"), col("n"))
+          countDistinct(col("h")).as("exact_distinct")))
+    }),
+
+    // EXECUTES on the streaming engine: the distinct-n diversity
+    // monitor at ingest — the mergeability that justifies the sketch,
+    // exercised: each arriving micro-batch writes its own per-
+    // (source, n) KMV partial + instance count (k longs + one long
+    // per group), the drain re-aggregates the union of kept minima
+    // (the KMV merge law — associative, batch-order-free), and the
+    // census is the SAME [[ngramThetaCensus]] projection, graded by
+    // q_distinct_ngrams_theta's oracle verbatim. The exact audit
+    // reads the accumulated per-bid distinct-hash slices — the
+    // gated-SF harness truth the production monitor drops. See
+    // [[graft.streaming.Streams.ngramThetaIngest]].
+    "q_stream_ngram_theta" -> ((s, dir) => {
+      val work = graft.util.WorkDirs.temp("graft_stream_ngram_theta")
+      graft.streaming.Streams.ngramThetaIngest(s, dir, work)
     }),
 
     "q_vocab_stats" -> ((s, dir) => {
@@ -2110,6 +2142,46 @@ object TextAnalysis {
          |  round(u / CAST(t AS DOUBLE), 6) AS weight
          |FROM u2 CROSS JOIN tu ORDER BY source""".stripMargin
 
+  /** The KMV replay over the same gram stream — see the note at the
+    * q_distinct_ngrams_theta oracle entry.
+    */
+  private def ngramThetaOracle: String =
+    s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
+         |g1 AS (SELECT source, 1 AS n, a[i] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a)),
+         |g2 AS (SELECT source, 2 AS n, a[i] || ' ' || a[i+1] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 1),
+         |g3 AS (SELECT source, 3 AS n, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 2),
+         |ag AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |  UNION ALL SELECT * FROM g3),
+         |hh AS (SELECT source, n, ${sqlH60("g")} AS h FROM ag),
+         |tot AS (SELECT source, n, CAST(count(*) AS BIGINT) AS total
+         |  FROM hh GROUP BY source, n),
+         |dh AS (SELECT DISTINCT source, n, h FROM hh),
+         |rk AS (SELECT source, n, h,
+         |    row_number() OVER (PARTITION BY source, n ORDER BY h) AS rn
+         |  FROM dh),
+         |agg AS (SELECT source, n,
+         |    CAST(count(*) FILTER (WHERE rn <= ${Govern.ThetaK}) AS INT)
+         |      AS n_kept,
+         |    max(CASE WHEN rn = ${Govern.ThetaK} THEN h END) AS theta,
+         |    count(*) AS exact_distinct
+         |  FROM rk GROUP BY source, n),
+         |est AS (SELECT source, n, n_kept, theta,
+         |    round(CASE WHEN n_kept < ${Govern.ThetaK}
+         |      THEN CAST(n_kept AS DOUBLE)
+         |      ELSE ${Govern.ThetaK - 1} * ${Govern.Pow2_60}.0 / theta END, 4)
+         |      AS est_distinct,
+         |    exact_distinct
+         |  FROM agg)
+         |SELECT est.source, est.n, total, n_kept, theta, est_distinct,
+         |  exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
+         |    AS err_pct
+         |FROM est JOIN tot ON est.source = tot.source AND est.n = tot.n
+         |ORDER BY est.source, est.n""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_classifier_score" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
@@ -2531,43 +2603,11 @@ object TextAnalysis {
          |FROM ag GROUP BY source, n ORDER BY source, n""".stripMargin,
     // The KMV replay over the same gram stream (the thetaSketchOracle
     // discipline): row_number over distinct hashes per (source, n) IS
-    // the bottom-k sketch.
-    "q_distinct_ngrams_theta" ->
-      s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS a FROM documents),
-         |g1 AS (SELECT source, 1 AS n, a[i] AS g
-         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a)),
-         |g2 AS (SELECT source, 2 AS n, a[i] || ' ' || a[i+1] AS g
-         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 1),
-         |g3 AS (SELECT source, 3 AS n, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
-         |  FROM tk, generate_series(1, 512) s(i) WHERE i <= len(a) - 2),
-         |ag AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
-         |  UNION ALL SELECT * FROM g3),
-         |hh AS (SELECT source, n, ${sqlH60("g")} AS h FROM ag),
-         |tot AS (SELECT source, n, CAST(count(*) AS BIGINT) AS total
-         |  FROM hh GROUP BY source, n),
-         |dh AS (SELECT DISTINCT source, n, h FROM hh),
-         |rk AS (SELECT source, n, h,
-         |    row_number() OVER (PARTITION BY source, n ORDER BY h) AS rn
-         |  FROM dh),
-         |agg AS (SELECT source, n,
-         |    CAST(count(*) FILTER (WHERE rn <= ${Govern.ThetaK}) AS INT)
-         |      AS n_kept,
-         |    max(CASE WHEN rn = ${Govern.ThetaK} THEN h END) AS theta,
-         |    count(*) AS exact_distinct
-         |  FROM rk GROUP BY source, n),
-         |est AS (SELECT source, n, n_kept, theta,
-         |    round(CASE WHEN n_kept < ${Govern.ThetaK}
-         |      THEN CAST(n_kept AS DOUBLE)
-         |      ELSE ${Govern.ThetaK - 1} * ${Govern.Pow2_60}.0 / theta END, 4)
-         |      AS est_distinct,
-         |    exact_distinct
-         |  FROM agg)
-         |SELECT est.source, est.n, total, n_kept, theta, est_distinct,
-         |  exact_distinct,
-         |  round(abs(est_distinct - exact_distinct) / exact_distinct * 100, 4)
-         |    AS err_pct
-         |FROM est JOIN tot ON est.source = tot.source AND est.n = tot.n
-         |ORDER BY est.source, est.n""".stripMargin,
+    // the bottom-k sketch. ONE text grades the batch query AND the
+    // drained ingest twin (the KMV merge is associative, so the
+    // streamed fold equals the one-pass aggregate).
+    "q_distinct_ngrams_theta" -> ngramThetaOracle,
+    "q_stream_ngram_theta" -> ngramThetaOracle,
     "q_vocab_stats" ->
       s"""WITH tc AS (SELECT source, t, count(*) AS cnt
          |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS t FROM documents)

@@ -577,6 +577,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch ngram-theta monitor: drained sketch merge == batch census") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ngt_spec").toString
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getInt(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5),
+      r.getLong(6), r.getDouble(7))
+    val streamed = Streams.ngramThetaIngest(spark, dir, work)
+      .collect().map(key).toSet
+    val batch = graft.ops.TextAnalysis
+      .queries("q_distinct_ngrams_theta")(spark, dir)
+      .collect().map(key).toSet
+    // per-(source, n) totals are additive and the KMV merge of the
+    // per-batch minima re-ranks to the one-pass sketch EXACTLY
+    assert(streamed == batch && streamed.nonEmpty)
+    val dirs = new java.io.File(work).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ngsk_b"))
+    assert(dirs.length == 3)
+  }
+
+  test("foreachBatch ngram-theta monitor: kill after 2 of 3 batches, restart == batch census") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ngt_resume").toString
+    Streams.thetaStage(spark, dir, work, 3, upTo = Some(2))
+    Streams.ngramThetaRun(spark, dir, work) // run 1: batches 0,1 commit
+    assert(new java.io.File(s"$work/ngsk_b1").exists())
+    Streams.thetaStage(spark, dir, work, 3)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getInt(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5),
+      r.getLong(6), r.getDouble(7))
+    val streamed = Streams.ngramThetaRun(spark, dir, work)
+      .collect().map(key).toSet
+    assert(new java.io.File(s"$work/ngsk_b2").exists())
+    assert(!new java.io.File(s"$work/ngsk_b3").exists(),
+      "resumed run must process ONLY the new shard")
+    val batch = graft.ops.TextAnalysis
+      .queries("q_distinct_ngrams_theta")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch pca monitor: drained integer partials == batch iterate") {
     val work = java.nio.file.Files.createTempDirectory("graft_pca_spec").toString
     val streamed = Streams.pcaIngest(spark, dir, work)
