@@ -197,7 +197,7 @@ object Bench {
       // the unrolled power-iteration operator, and the ABTT residual
       // materialization
       "q_distinct_ngrams_theta", "q_pca_iterate", "q_abtt_apply",
-      "q_stream_ngram_theta")
+      "q_stream_ngram_theta", "q_pca_deflate")
     // ONLY selects from the FULL inventory (it names exactly what to
     // run); the headline subset is only the no-env default.
     val base =

@@ -476,6 +476,30 @@ object Similarity {
     (base +: later).mkString(",\n")
   }
 
+  /** The same unrolled round chain over an ARBITRARY integer cell
+    * relation `cells(vec_id, dim, qv)` with every CTE name prefixed
+    * `p` — the deflate oracle runs it over the rescaled residual
+    * cells exactly as [[pcaIterCtes]] runs it over the quantized
+    * embeddings. Callers select from `<p>u<rounds>`.
+    */
+  private def pcaRoundsOver(cells: String, p: String, rounds: Int): String = {
+    val base =
+      s"""${p}s1 AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS s
+         |  FROM $cells GROUP BY vec_id),
+         |${p}u1 AS (SELECT dim, CAST(sum(qv * s.s) AS BIGINT) AS u
+         |  FROM $cells JOIN ${p}s1 s USING (vec_id) GROUP BY dim)""".stripMargin
+    val later = (2 to rounds).map { r =>
+      s"""${p}m${r - 1} AS (SELECT max(abs(u)) AS m FROM ${p}u${r - 1}),
+         |${p}w${r - 1} AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |  FROM ${p}u${r - 1}, ${p}m${r - 1}),
+         |${p}s$r AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS s
+         |  FROM $cells JOIN ${p}w${r - 1} USING (dim) GROUP BY vec_id),
+         |${p}u$r AS (SELECT dim, CAST(sum(qv * s.s) AS BIGINT) AS u
+         |  FROM $cells JOIN ${p}s$r s USING (vec_id) GROUP BY dim)""".stripMargin
+    }
+    (base +: later).mkString(",\n")
+  }
+
   /** The q_pca_step body over any (v: array<double>) frame — the
     * Dim-row integer partial Σᵢ q_ik·(Σ_j q_ij), exact BIGINT end to
     * end, shared by the batch query and the ingest twin q_stream_pca
@@ -507,19 +531,52 @@ object Similarity {
   val PcaUScale = 1024L
 
   /** One power step against a FIXED quantized probe û (a Dim-long
-    * literal — the broadcast): u_k = Σᵢ q_ik·(qᵢ·û). Map-only probe
-    * dot (zip_with over the row array — no join), then the same
-    * Dim-row map-side-combined partial as [[pcaPartial]].
+    * literal — the broadcast): u_k = Σᵢ q_ik·(qᵢ·û), over ANY frame
+    * with an integer-cell row array `q`. Map-only probe dot (zip_with
+    * over the row array — no join), then the same Dim-row
+    * map-side-combined partial as [[pcaPartial]].
     */
-  private def pcaStepWith(emb: DataFrame, uq: Array[Long]): DataFrame = {
+  private def pcaStepWithQ(qdf: DataFrame, uq: Array[Long]): DataFrame = {
     val uLit = array(uq.map(lit(_)).toIndexedSeq: _*)
-    emb
-      .select(transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
+    qdf
       .withColumn("s", aggregate(zip_with(col("q"), uLit, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
       .select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy(col("dim"))
       .agg(sum(col("qv") * col("s")).as("u"))
+  }
+
+  /** Round-1 partial (the all-ones probe) over a `q`-array frame —
+    * [[pcaPartial]]'s body minus the embedding quantization.
+    */
+  private def pcaPartialQ(qdf: DataFrame): DataFrame = {
+    val q = qdf
+      .withColumn("s", aggregate(col("q"), lit(0L), (acc, x) => acc + x))
+    q.select(col("s"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(sum(col("qv") * col("s")).as("u"))
+  }
+
+  /** The quantized embedding row array (vec_id, q) all PCA-family
+    * operators start from.
+    */
+  private def embQ(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("v"), x => floor(x * 1024).cast("long")).as("q"))
+
+  private def pcaStepWith(emb: DataFrame, uq: Array[Long]): DataFrame =
+    pcaStepWithQ(embQ(emb).select(col("q")), uq)
+
+  /** Rescale a Dim-row raw iterate to [[PcaUScale]] — exact integer
+    * division (truncation identical in both engines), collected as the
+    * next round's broadcast literal (Dim longs — bounded).
+    */
+  private def quantCollect(u: DataFrame): Array[Long] = {
+    val m = u.agg(max(abs(col("u"))).as("m"))
+    u.crossJoin(broadcast(m))
+      .select(col("dim"),
+        expr(s"(u * $PcaUScale) div greatest(m, 1)").as("uq"))
+      .orderBy(col("dim")).collect().map(_.getLong(1))
   }
 
   /** The quantized iterate after `rounds` power steps (round 1 = the
@@ -539,16 +596,48 @@ object Similarity {
       rounds: Int): Array[Long] =
     pcaIterMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, rounds), {
       val emb = embeddings(s, dir)
-      def quant(u: DataFrame): Array[Long] = {
-        val m = u.agg(max(abs(col("u"))).as("m"))
-        u.crossJoin(broadcast(m))
-          .select(col("dim"),
-            expr(s"(u * $PcaUScale) div greatest(m, 1)").as("uq"))
-          .orderBy(col("dim")).collect().map(_.getLong(1))
-      }
-      if (rounds <= 1) quant(pcaPartial(emb))
-      else quant(pcaStepWith(emb, pcaQuantIterate(s, dir, rounds - 1)))
+      if (rounds <= 1) quantCollect(pcaPartial(emb))
+      else quantCollect(pcaStepWith(emb, pcaQuantIterate(s, dir, rounds - 1)))
     })
+
+  /** The EXACT integer ABTT residual rows (vec_id, r: array<long>) of
+    * the quantized corpus against a quantized iterate û — the array
+    * form of q_abtt_apply's cells: r_k = q_k·(û·û) − (q·û)·û_k.
+    */
+  private def abttResidualQ(emb: DataFrame, uq: Array[Long]): DataFrame = {
+    val uu = uq.map(x => x * x).sum
+    val uLit = array(uq.map(lit(_)).toIndexedSeq: _*)
+    embQ(emb)
+      .withColumn("c", aggregate(zip_with(col("q"), uLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"),
+        zip_with(col("q"), uLit,
+          (qk, uk) => qk * lit(uu) - col("c") * uk).as("r"))
+  }
+
+  /** The quantized DEFLATED corpus (vec_id, q): ABTT residuals
+    * rescaled to ±[[PcaUScale]] by the global max-|cell| — exact
+    * integer division on both engines — so the second direction's
+    * power rounds run with the SAME n-independent magnitude bounds as
+    * the first's. Session-materialized (the Scratch discipline): the
+    * residual is what a top-D pipeline stores between deflation steps,
+    * and both the deflate iterate's rounds scan it instead of
+    * recomputing the residual per round.
+    */
+  private def deflatedQ(s: SparkSession, dir: String): DataFrame = {
+    val uq1 = pcaQuantIterate(s, dir, PcaIters)
+    Scratch.materialize(s, s"pca_deflated|$dir|r$PcaIters") {
+      val rdf = abttResidualQ(embeddings(s, dir), uq1)
+      // global max |cell|: ONE long collected (bounded) — the literal
+      // keeps the rescale a map-only pass
+      val mVal = math.max(1L, rdf
+        .select(aggregate(col("r"), lit(0L),
+          (acc, x) => greatest(acc, abs(x))).as("rowMax"))
+        .agg(max(col("rowMax"))).head().getLong(0))
+      rdf.select(col("vec_id"),
+        expr(s"transform(r, x -> (x * $PcaUScale) div ${mVal}L)").as("q"))
+    }
+  }
 
   /** SemDeDup seed-centroid count (Abbas et al.: cluster, then drop
     * within-cluster near-identical embeddings): ⌈√n⌉ with a floor of
@@ -1249,6 +1338,28 @@ object Similarity {
           (col("qv") * lit(uu) -
             col("c") * element_at(uLit, col("dim") + 1)).as("r"))
         .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // The DEFLATION step that makes ABTT's top-D loop executable
+    // (Mu & Viswanath remove the top D directions, D ≈ 2–3, not just
+    // one): the second principal direction = the [[PcaIters]]-round
+    // power iterate over the DEFLATED corpus — the q_abtt_apply
+    // residuals rescaled to ±2¹⁰ by the global max cell (exact
+    // integer division, the one collected long) and then run through
+    // the IDENTICAL unrolled round chain as q_pca_iterate. Every
+    // magnitude bound resets on re-quantization, so direction D costs
+    // the same as direction 1 and the loop composes indefinitely:
+    // store residuals, re-quantize, iterate — which is exactly what
+    // the session-materialized deflated corpus does. Residual rows
+    // are EXACTLY ⊥ û₁ (the q_abtt_apply invariant), so the second
+    // iterate's alignment with û₁ is bounded by the rescale floor
+    // alone (asserted small in OpsSpec, alongside the exact local
+    // replay).
+    "q_pca_deflate" -> ((s, dir) => {
+      val qdf = deflatedQ(s, dir)
+      val r1 = quantCollect(pcaPartialQ(qdf))
+      val r2 = quantCollect(pcaStepWithQ(qdf, r1))
+      pcaStepWithQ(qdf, r2).orderBy(col("dim"))
     }),
 
     // SemDeDup-shaped semantic dedup: assign every vector to a
@@ -2360,6 +2471,26 @@ object Similarity {
          |  CAST(qv * uu - cc.c * wf.uq AS BIGINT) AS r
          |FROM cells JOIN cc USING (vec_id) JOIN wf USING (dim) CROSS JOIN uu
          |ORDER BY cells.vec_id, cells.dim""".stripMargin,
+    // The abtt residual cells, rescaled to ±1024 by the global max
+    // (greatest(m, 1) replays the Spark side's max(1, m) literal),
+    // then the IDENTICAL round chain over the deflated cells.
+    "q_pca_deflate" ->
+      s"""WITH ${pcaIterCtes(PcaIters)},
+         |mf AS (SELECT max(abs(u)) AS m FROM u$PcaIters),
+         |wf AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |  FROM u$PcaIters, mf),
+         |uu AS (SELECT CAST(sum(uq * uq) AS BIGINT) AS uu FROM wf),
+         |cc AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS c
+         |  FROM cells JOIN wf USING (dim) GROUP BY vec_id),
+         |rc AS (SELECT cells.vec_id, cells.dim,
+         |    CAST(qv * uu - cc.c * wf.uq AS BIGINT) AS rv
+         |  FROM cells JOIN cc USING (vec_id) JOIN wf USING (dim)
+         |  CROSS JOIN uu),
+         |rm AS (SELECT max(abs(rv)) AS m FROM rc),
+         |rq AS (SELECT vec_id, dim, (rv * $PcaUScale) // greatest(m, 1) AS qv
+         |  FROM rc, rm),
+         |${pcaRoundsOver("rq", "d", PcaIters)}
+         |SELECT dim, u FROM du$PcaIters ORDER BY dim""".stripMargin,
     // Same quantize/probe/iterate CTEs, then the per-vector dot with
     // the Dim-row iterate.
     "q_pca_project" ->

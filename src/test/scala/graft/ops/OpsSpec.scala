@@ -1594,6 +1594,38 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       val dot = (0 until 64).map(k => gotR((id, k)) * uq(k)).sum
       assert(dot == 0L, s"vec $id residual not orthogonal: $dot")
     }
+    // the deflation step: rescale the residual cells by the global max
+    // (exact integer division) and run the SAME three rounds — the
+    // second principal direction
+    val mAll = math.max(1L, gotR.values.map(math.abs).max)
+    val rq = vecs.map { case (id, _) =>
+      (0 until 64).map(k => gotR((id, k)) * Similarity.PcaUScale / mAll)
+    }
+    def stepR(sOf: IndexedSeq[Long] => Long): Array[Long] = {
+      val u = Array.fill(64)(0L)
+      rq.foreach { row =>
+        val s = sOf(row)
+        for (k <- 0 until 64) u(k) += row(k) * s
+      }
+      u
+    }
+    val d1 = stepR(_.sum)
+    val d2 = stepR { row => val w = quant(d1)
+      row.zipWithIndex.map { case (x, k) => x * w(k) }.sum }
+    val d3 = stepR { row => val w = quant(d2)
+      row.zipWithIndex.map { case (x, k) => x * w(k) }.sum }
+    val gotD = Similarity.queries("q_pca_deflate")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotD == (0 until 64).map(k => k -> d3(k)).toMap)
+    // near-orthogonality to the first direction: residual ROWS are
+    // exactly ⊥ û, so only the ±1024 rescale floor misaligns the
+    // second iterate — cos(u2, û) must be tiny, nowhere near the ~1 a
+    // non-deflated iterate would show (it would reconverge to û)
+    def norm(v: Iterable[Long]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    val cosAlign = math.abs(
+      (0 until 64).map(k => gotD(k).toDouble * uq(k)).sum) /
+      math.max(norm(gotD.values) * norm(uq), 1.0)
+    assert(cosAlign < 0.05, s"second direction aligned with first: $cosAlign")
   }
 
   test("watermark detect: greedily greened text flags, natural text does not") {

@@ -83,9 +83,17 @@ object PrefProperties extends Properties("ops.pref") with SparkSpec {
         .withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val got = Prep.queries("q_budget_fill")(spark, dir).collect()
+      def run() = Prep.queries("q_budget_fill")(spark, dir).collect()
         .map(r => (r.getAs[String]("source"), r.getAs[Int]("pos"),
           r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tok"))).toSeq
+      val got = run()
+      // the two-pass shard-offset form must admit the identical set on
+      // ANY corpus, not just the gated ones (segment concatenation is
+      // associative — this is the property that makes the escape hatch
+      // safe to flip at 100 TB)
+      spark.conf.set(Prep.BudgetFillTwoPassConf, "true")
+      val got2 = try run()
+        finally spark.conf.unset(Prep.BudgetFillTwoPassConf)
       val toks = docs.map { case (id, t, s) =>
         (id, s, t.split("\\s+").count(_.nonEmpty)) }
       val budget = toks.map(_._3.toLong).sum /
@@ -98,7 +106,7 @@ object PrefProperties extends Properties("ops.pref") with SparkSpec {
             (src, i + 1, id, cum)
         }
       }.sortBy(e => (e._1, e._2))
-      got == expect
+      got == expect && got2 == expect
     }
 
   property("k-fold game log: win/s1 exactly invariant, bt within truncation band") =
