@@ -449,7 +449,9 @@ object Similarity {
     * CTEs u1..uR are the raw Dim-row iterates, m/w pairs the exact
     * integer re-quantizations between them. `//` is DuckDB's
     * truncating integer division = Spark's `div` (verified on
-    * negatives), so the chain replays bit-for-bit. Callers close the
+    * negatives), and the u·1024 multiply widens to HUGEINT exactly as
+    * [[quantCollect]] widens to DECIMAL(38,0) — overflow-free on both
+    * engines — so the chain replays bit-for-bit. Callers close the
     * WITH and select from u`rounds` (q_pca_iterate) or quantize once
     * more (q_abtt_apply).
     */
@@ -466,7 +468,8 @@ object Similarity {
          |  FROM cells JOIN qs USING (vec_id) GROUP BY dim)""".stripMargin
     val later = (2 to rounds).map { r =>
       s"""m${r - 1} AS (SELECT max(abs(u)) AS m FROM u${r - 1}),
-         |w${r - 1} AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |w${r - 1} AS (SELECT dim,
+         |    CAST((u::HUGEINT * $PcaUScale) // greatest(m, 1) AS BIGINT) AS uq
          |  FROM u${r - 1}, m${r - 1}),
          |s$r AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS s
          |  FROM cells JOIN w${r - 1} USING (dim) GROUP BY vec_id),
@@ -490,7 +493,8 @@ object Similarity {
          |  FROM $cells JOIN ${p}s1 s USING (vec_id) GROUP BY dim)""".stripMargin
     val later = (2 to rounds).map { r =>
       s"""${p}m${r - 1} AS (SELECT max(abs(u)) AS m FROM ${p}u${r - 1}),
-         |${p}w${r - 1} AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |${p}w${r - 1} AS (SELECT dim,
+         |    CAST((u::HUGEINT * $PcaUScale) // greatest(m, 1) AS BIGINT) AS uq
          |  FROM ${p}u${r - 1}, ${p}m${r - 1}),
          |${p}s$r AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS s
          |  FROM $cells JOIN ${p}w${r - 1} USING (dim) GROUP BY vec_id),
@@ -524,9 +528,13 @@ object Similarity {
   /** Re-quantization scale for the per-round iterate: û ∈ [−1024,
     * 1024], so every later round's arithmetic is n-INDEPENDENT —
     * s_i = qᵢ·û ≤ Dim·2¹⁰·2¹⁰ = 2²⁶ per row and the next iterate
-    * cell ≤ n·2³⁶: BIGINT-safe past 10⁷ rows at this scale (halve it
-    * per 4× beyond), vs the raw chain whose magnitudes would square
-    * per round.
+    * cell ≤ n·2³⁶, vs the raw chain whose magnitudes would square
+    * per round. Binding worst case: the round-≥2 iterate SUM n·2³⁶
+    * meets the signed-64 ceiling at n ≈ 2²⁷ ≈ 1.3×10⁸ rows — halve
+    * this scale per 4× rows beyond. The rescale (u·1024) div m that
+    * would otherwise bind ~1000× earlier (n·2⁴⁶ → n ≈ 1.3×10⁵) is
+    * widened to DECIMAL(38,0)/HUGEINT in [[quantCollect]] and the
+    * oracle CTEs, so the iterate sum is the only binding term.
     */
   val PcaUScale = 1024L
 
@@ -569,13 +577,18 @@ object Similarity {
 
   /** Rescale a Dim-row raw iterate to [[PcaUScale]] — exact integer
     * division (truncation identical in both engines), collected as the
-    * next round's broadcast literal (Dim longs — bounded).
+    * next round's broadcast literal (Dim longs — bounded). The
+    * multiply is widened to DECIMAL(38,0) (HUGEINT in the oracle) so
+    * u·1024 cannot wrap a signed 64 even at the worst-case iterate
+    * magnitude n·2³⁶ — the quotient itself is ≤ 1024 by construction,
+    * so the result is always a safe long.
     */
   private def quantCollect(u: DataFrame): Array[Long] = {
     val m = u.agg(max(abs(col("u"))).as("m"))
     u.crossJoin(broadcast(m))
       .select(col("dim"),
-        expr(s"(u * $PcaUScale) div greatest(m, 1)").as("uq"))
+        expr(s"(cast(u as decimal(38,0)) * $PcaUScale) div greatest(m, 1)")
+          .as("uq"))
       .orderBy(col("dim")).collect().map(_.getLong(1))
   }
 
@@ -1311,7 +1324,14 @@ object Similarity {
         pcaQuantIterate(s, dir, PcaIters - 1)).orderBy(col("dim"))),
 
     // The ABTT apply (Mu & Viswanath 2018: remove the top direction
-    // from every embedding) — the subtraction q_pca_project scores:
+    // from every embedding). Deliberate simplification vs the paper:
+    // ABTT centers the corpus (subtracts the mean) before extracting
+    // components; this operator iterates on the UNCENTERED q·qᵀ —
+    // extending q_pca_step, whose doc shows how to compose true
+    // centered PCA via q_embedding_centroid — so the removed
+    // direction absorbs the mean component, which is itself the
+    // dominant nuisance direction ABTT targets. The subtraction
+    // q_pca_project scores:
     // r_ik = q_ik·(û·û) − (qᵢ·û)·û_k, i.e. the exact integer residual
     // of qᵢ against the [[PcaIters]]-round quantized iterate û,
     // scaled by û·û so NO division ever happens (the residual is
@@ -1355,11 +1375,14 @@ object Similarity {
     // iterate's alignment with û₁ is bounded by the rescale floor
     // alone (asserted small in OpsSpec, alongside the exact local
     // replay).
+    // Round count folds from [[PcaIters]] (not hardcoded) so a
+    // constant bump moves operator and oracle together.
     "q_pca_deflate" -> ((s, dir) => {
       val qdf = deflatedQ(s, dir)
-      val r1 = quantCollect(pcaPartialQ(qdf))
-      val r2 = quantCollect(pcaStepWithQ(qdf, r1))
-      pcaStepWithQ(qdf, r2).orderBy(col("dim"))
+      val uq = (2 until PcaIters).foldLeft(quantCollect(pcaPartialQ(qdf))) {
+        (u, _) => quantCollect(pcaStepWithQ(qdf, u))
+      }
+      pcaStepWithQ(qdf, uq).orderBy(col("dim"))
     }),
 
     // SemDeDup-shaped semantic dedup: assign every vector to a
@@ -2462,7 +2485,8 @@ object Similarity {
     "q_abtt_apply" ->
       s"""WITH ${pcaIterCtes(PcaIters)},
          |mf AS (SELECT max(abs(u)) AS m FROM u$PcaIters),
-         |wf AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |wf AS (SELECT dim,
+         |    CAST((u::HUGEINT * $PcaUScale) // greatest(m, 1) AS BIGINT) AS uq
          |  FROM u$PcaIters, mf),
          |uu AS (SELECT CAST(sum(uq * uq) AS BIGINT) AS uu FROM wf),
          |cc AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS c
@@ -2477,7 +2501,8 @@ object Similarity {
     "q_pca_deflate" ->
       s"""WITH ${pcaIterCtes(PcaIters)},
          |mf AS (SELECT max(abs(u)) AS m FROM u$PcaIters),
-         |wf AS (SELECT dim, (u * $PcaUScale) // greatest(m, 1) AS uq
+         |wf AS (SELECT dim,
+         |    CAST((u::HUGEINT * $PcaUScale) // greatest(m, 1) AS BIGINT) AS uq
          |  FROM u$PcaIters, mf),
          |uu AS (SELECT CAST(sum(uq * uq) AS BIGINT) AS uu FROM wf),
          |cc AS (SELECT vec_id, CAST(sum(qv * uq) AS BIGINT) AS c

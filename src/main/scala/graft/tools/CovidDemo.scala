@@ -19,7 +19,8 @@ object CovidDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dir = Files.createTempDirectory("covid-demo")
+    // hook-cleaned WorkDirs root — demo runs leave no /tmp residue
+    val dir = java.nio.file.Paths.get(graft.util.WorkDirs.temp("covid-demo"))
     val csv = args.headOption.getOrElse {
       val pad = ",x" * CovidSchema.passthroughColumns.size
       val body = Seq(

@@ -1628,6 +1628,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(cosAlign < 0.05, s"second direction aligned with first: $cosAlign")
   }
 
+  test("pca rescale: DECIMAL(38,0)-widened (u*1024) div m survives magnitudes " +
+    "that wrap the raw 64-bit multiply") {
+    import spark.implicits._
+    // u near the worst-case round-2 iterate magnitude n·2³⁶: the raw
+    // long multiply u*1024 wraps (u > 2⁵³), the widened form must not
+    val big = (1L << 60) + 12345L
+    val rows = Seq((0, big), (1, -big), (2, big / 2), (3, 7L))
+      .toDF("dim", "u")
+    val got = rows
+      .select(col("dim"), expr(
+        s"(cast(u as decimal(38,0)) * 1024) div greatest(${big}L, 1)").as("uq"))
+      .orderBy(col("dim")).collect().map(_.getLong(1))
+    // exact truncating quotients of (u·1024)/big, computed via BigInt
+    val exp = Seq(big, -big, big / 2, 7L)
+      .map(u => ((BigInt(u) * 1024) / BigInt(big)).toLong)
+    assert(got.toSeq == exp)
+    // and the raw formula really does wrap here — the regression this
+    // guards against (silent Spark wrap vs DuckDB raise)
+    assert(big * 1024L != BigInt(big) * 1024)
+  }
+
   test("watermark detect: greedily greened text flags, natural text does not") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
