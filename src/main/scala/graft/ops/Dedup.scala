@@ -57,9 +57,18 @@ object Dedup {
     * computes the identical md5-derived minima, so batch and stream
     * signatures cannot drift.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hm = shingleHashes(docs)
-      .select(col("doc_id"), (col("h") % P).as("hm"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesOfHashes(shingleHashes(docs))
+
+  /** Signature build over an ALREADY-COMPUTED (doc_id, h) shingle-hash
+    * table — the [[minhashSignatures]] body below its shingle pass,
+    * split out so callers that need BOTH the hash table and the
+    * signatures (the release-staging v1 builds) tokenize the corpus
+    * once instead of twice. Bit-identical: `minhashSignatures(docs) ==
+    * minhashSignaturesOfHashes(shingleHashes(docs))` by construction.
+    */
+  def minhashSignaturesOfHashes(hashes: DataFrame): DataFrame = {
+    val hm = hashes.select(col("doc_id"), (col("h") % P).as("hm"))
     val mhAggs = (0 until K).map(i =>
       min((lit(aCoef(i)) * col("hm") + lit(bCoef(i))) % P).as(s"mh_$i"))
     hm.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)

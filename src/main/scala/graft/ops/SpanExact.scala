@@ -618,11 +618,33 @@ object SpanExact {
     // token arrays, not from kept r_k tables, so each round's sort
     // moves (doc_id, pos, r, rr) and nothing else
     var df = tok.select(col("doc_id"), col("pos"), h60(col("t")).as("r"))
-    for (k <- 0 until roundsFor(h)) {
+    // Early exit (r13, guide §1.2 "remove unnecessary passes") — the
+    // classical prefix-doubling termination test: each round's dense
+    // relabel only REFINES the rank partition (equal (r, rr) pairs
+    // stay together, unequal r never merges), so the group count is
+    // monotone non-decreasing, and a round that splits NO group
+    // (count unchanged) proves every group's members share their rr —
+    // by induction their suffixes agree at ALL longer offsets, so
+    // every remaining round is the identity relabel (same values, not
+    // just the same partition: a stable round orders by (r, rr) ≡ by
+    // r, and the dense rank of an already-dense r is r). Skipping the
+    // identity rounds changes no rank bit; the oracle runs all
+    // SaRounds rounds and its identity rounds change nothing either —
+    // OpsSpec pins rank equality against the full-round loop. Rank
+    // uniqueness (distinct == rows) is the no-further-split case
+    // detected one round sooner, so test both.
+    var k = 0
+    var prevDistinct = -1L
+    var converged = false
+    while (k < roundsFor(h) && !converged) {
       val paired = df.withColumn("rr",
         coalesce(lead(col("r"), 1 << k).over(w), lit(-1L)))
-      df = denseRankPair(paired, "r", "rr", "rnew", parts, persisted)
-        .select(col("doc_id"), col("pos"), col("rnew").as("r"))
+      val (ranked, nDistinct, nRows) =
+        denseRankPair(paired, "r", "rr", "rnew", parts, persisted)
+      df = ranked.select(col("doc_id"), col("pos"), col("rnew").as("r"))
+      converged = nDistinct == nRows || nDistinct == prevDistinct
+      prevDistinct = nDistinct
+      k += 1
     }
     df
   }
@@ -642,22 +664,27 @@ object SpanExact {
     */
   private def denseRankPair(df: DataFrame, c1: String, c2: String,
       out: String, parts: Int,
-      persisted: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+      persisted: scala.collection.mutable.ListBuffer[DataFrame])
+      : (DataFrame, Long, Long) = {
     val s = df.sparkSession
     val sorted = df.repartitionByRange(parts, col(c1), col(c2))
       .sortWithinPartitions(col(c1), col(c2)).persist()
     persisted += sorted
     val i1 = sorted.schema.fieldIndex(c1)
     val i2 = sorted.schema.fieldIndex(c2)
+    // one tiny row per partition to the driver: distinct-pair count
+    // (the rank offsets) AND row count (free in the same pass — it is
+    // what lets the doubling loop detect rank uniqueness and stop)
     val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var n = 0L; var seen = false; var l1 = 0L; var l2 = 0L
+      var n = 0L; var rows = 0L; var seen = false; var l1 = 0L; var l2 = 0L
       it.foreach { r =>
+        rows += 1
         val a = r.getLong(i1); val b = r.getLong(i2)
         if (!seen || a != l1 || b != l2) { n += 1; seen = true; l1 = a; l2 = b }
       }
-      Iterator.single((pid, n))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+      Iterator.single((pid, n, rows))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(out, LongType, nullable = false)
     val ranked = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var r = offsets(pid)
@@ -668,7 +695,7 @@ object SpanExact {
         Row.fromSeq(row.toSeq :+ r)
       }
     }
-    s.createDataFrame(ranked, schema)
+    (s.createDataFrame(ranked, schema), offsets.last, counts.map(_._3).sum)
   }
 
   /** DuckDB replay: the identical doubling loop as dense_rank()

@@ -66,7 +66,19 @@ object Streams {
     * after; production sizes this to stream volume (it is fixed at
     * the FIRST start of a stateful query by the checkpoint anyway).
     */
+  /** Conf override for [[StatePartitions]] — production sizes this to
+    * stream volume (shuffle partitions during a drain; a stateful
+    * query pins it into its checkpoint at first start).
+    */
+  val StatePartitionsConf = "spark.graft.streaming.statePartitions"
+
   private val StatePartitions = 4
+
+  /** Conf override for the per-twin AQE choice during a drain (see
+    * [[withStatePartitions]]): unset = each twin's measured default;
+    * "true"/"false" forces AQE on/off for every drain.
+    */
+  val DrainAqeConf = "spark.graft.streaming.drainAqe"
 
   /** Largest micro-batch shingle-posting table (rows, two BIGINTs
     * each) the crossmodal ingest guard will broadcast as the probe
@@ -74,17 +86,41 @@ object Streams {
     * ingest burst can never blow the driver/executor broadcast limit.
     */
   private val CrossmodalBroadcastMaxRows = 2000000L
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+  /** Drain-scoped conf window: right-sized state partitioning for
+    * every twin, plus — where the call site passes `aqeOff = true` —
+    * AQE disabled for the foreachBatch batch queries inside the drain.
+    *
+    * AQE history (measure, don't assume): round 8 tried AQE OFF
+    * globally here and REVERTED it (q_stream_crossmodal regressed
+    * 7.6 → 11.5 s on its then-current plan). Round 13 re-measured
+    * per-twin with an interleaved A/B (ProfileRelease harness, fresh
+    * work dir per rep, staging untimed): the release drain is 2.4 s
+    * FASTER with AQE off (median 8.2 vs 10.6 s — its per-trigger plan
+    * has 10+ tiny exchanges and each AQE stage materialization is an
+    * extra sequentially-scheduled job), crossmodal is now neutral-to-
+    * positive (7.5 vs 7.9 s — the r8 plan changed: pinned schemas,
+    * broadcast probe), and the theta twins are within noise. So the
+    * per-twin measured winner is the default, and
+    * [[DrainAqeConf]] overrides both ways. At production batch sizes
+    * AQE's coalescing matters again — a deployment sets
+    * `spark.graft.streaming.drainAqe=true` (and
+    * [[StatePartitionsConf]] to its stream volume) rather than
+    * inheriting the micro-batch-measured default.
+    */
+  private def withStatePartitions[T](spark: SparkSession,
+      aqeOff: Boolean = false)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions.toString)
-    // NOTE (round 8, measured): scoping AQE OFF here was tried and
-    // REVERTED — the near-zero-work twins moved within noise while
-    // q_stream_crossmodal regressed 7.6 → 11.5 s (its per-batch
-    // shuffles rely on AQE partition coalescing). The drain-machinery
-    // floor (~1.8 s/twin) is query start/stop + per-batch commit-log
-    // and job-scheduling cost, not re-planning.
-    try body finally spark.conf.set(key, prev)
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(key,
+      spark.conf.get(StatePartitionsConf, StatePartitions.toString))
+    val aqe = spark.conf.get(DrainAqeConf, (!aqeOff).toString).toBoolean
+    spark.conf.set(aqeKey, aqe.toString)
+    try body finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqeKey, prevAqe)
+    }
   }
 
   /** Finite-drain runner for the foreachBatch twins (round-9 drain-
@@ -103,6 +139,39 @@ object Streams {
     * the default trigger's extra cycle.
     */
   val AvailableNowConf = "spark.graft.streaming.availableNow"
+
+  /** Run independent per-batch sink writes concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — tiny micro-batch jobs are scheduling-latency
+    * bound, so overlapping the writes lets the next job's stages
+    * back-fill the cores the current job's AQE tail leaves idle). The
+    * writers target DISTINCT per-bid directories and share only
+    * cached inputs (Spark's block manager serializes concurrent cache
+    * materialization), so ordering cannot change any output. All
+    * writes complete — successfully — before this returns; the first
+    * failure is rethrown unwrapped, as if the writes had run
+    * sequentially.
+    */
+  val ParWritesConf = "spark.graft.streaming.parWrites"
+
+  private[streaming] def parWrites(bodies: (() => Unit)*): Unit =
+    if (bodies.sizeIs <= 1 ||
+        !org.apache.spark.sql.SparkSession.active.conf
+          .get(ParWritesConf, "true").toBoolean)
+      bodies.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
+      try {
+        val futs = bodies.map(b => pool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = b() }))
+        futs.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally { pool.shutdown(); () }
+    }
 
   private def drain(spark: SparkSession,
       w: org.apache.spark.sql.streaming.DataStreamWriter[Row]): Unit =
@@ -1332,14 +1401,14 @@ object Streams {
         val posts = Dedup.shingleHashes(b.select(col("doc_id"), col("text")))
           .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
           .cache()
-        try {
-          posts.groupBy(col("source"))
+        try parWrites(
+          () => posts.groupBy(col("source"))
             .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
               .as("mins"))
-            .write.mode("overwrite").parquet(s"$workDir/sk_b$bid")
-          posts.select(col("source"), col("h")).distinct()
-            .write.mode("overwrite").parquet(s"$workDir/ph_b$bid")
-        } finally { posts.unpersist(); () }
+            .write.mode("overwrite").parquet(s"$workDir/sk_b$bid"),
+          () => posts.select(col("source"), col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$workDir/ph_b$bid"))
+        finally { posts.unpersist(); () }
         ()
       })
     // drain-time census: merge the per-bid sketch partials (explode +
@@ -1387,15 +1456,15 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val g = TextAnalysis.ngramHashes(
           batch.toDF().select(col("source"), col("text"))).cache()
-        try {
-          g.groupBy(col("source"), col("n"))
+        try parWrites(
+          () => g.groupBy(col("source"), col("n"))
             .agg(count(lit(1)).as("total"),
               call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
                 .as("mins"))
-            .write.mode("overwrite").parquet(s"$workDir/ngsk_b$bid")
-          g.select(col("source"), col("n"), col("h")).distinct()
-            .write.mode("overwrite").parquet(s"$workDir/ngph_b$bid")
-        } finally { g.unpersist(); () }
+            .write.mode("overwrite").parquet(s"$workDir/ngsk_b$bid"),
+          () => g.select(col("source"), col("n"), col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$workDir/ngph_b$bid"))
+        finally { g.unpersist(); () }
         ()
       })
     // drain census: totals are additive, minima re-rank (the KMV
@@ -1450,19 +1519,26 @@ object Streams {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val v1 = docs.where(col("doc_id") % 4 =!= 0)
-    def posts(df: DataFrame) =
-      Dedup.shingleHashes(df.select(col("doc_id"), col("text")))
-        .join(df.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // both v1 stores start from the same shingle pass over 3/4 of the
+    // corpus — build the distinct postings store FIRST and derive the
+    // sketch from its read-back (guide §1.2: one pass, not two).
+    // Bit-identical: the KMV aggregate dedups inserts, so kmv_min_k
+    // over the distinct (source, h) store equals kmv_min_k over the
+    // raw per-doc posting stream.
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$workDir/v1_ph")))
+      Dedup.shingleHashes(v1.select(col("doc_id"), col("text")))
+        .join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("h")).distinct()
+        .write.mode("overwrite").parquet(s"$workDir/v1_ph")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$workDir/v1_theta")))
-      posts(v1).groupBy(col("source"))
+      spark.read.schema("source STRING, h BIGINT")
+        .parquet(s"$workDir/v1_ph")
+        .groupBy(col("source"))
         .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
           .as("mins"))
         .write.mode("overwrite").parquet(s"$workDir/v1_theta")
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$workDir/v1_ph")))
-      posts(v1).select(col("source"), col("h")).distinct()
-        .write.mode("overwrite").parquet(s"$workDir/v1_ph")
     stageShards(docs.where(col("doc_id") % 4 === 0), workDir, shards,
       upTo, keyCol = "doc_id",
       cacheKey = if (upTo.isEmpty) Some(s"$dir|documents_rel4") else None)
@@ -1484,14 +1560,14 @@ object Streams {
         val posts = Dedup.shingleHashes(b.select(col("doc_id"), col("text")))
           .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
           .cache()
-        try {
-          posts.groupBy(col("source"))
+        try parWrites(
+          () => posts.groupBy(col("source"))
             .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
               .as("mins"))
-            .write.mode("overwrite").parquet(s"$workDir/dsk_b$bid")
-          posts.select(col("source"), col("h")).distinct()
-            .write.mode("overwrite").parquet(s"$workDir/dph_b$bid")
-        } finally { posts.unpersist(); () }
+            .write.mode("overwrite").parquet(s"$workDir/dsk_b$bid"),
+          () => posts.select(col("source"), col("h")).distinct()
+            .write.mode("overwrite").parquet(s"$workDir/dph_b$bid"))
+        finally { posts.unpersist(); () }
         ()
       })
     // drain census: staged v1 sketch ⊕ per-bid arrival partials (the
@@ -1673,24 +1749,39 @@ object Streams {
         java.nio.file.Paths.get(s"$workDir/v1_hash")))
       v1.select(md5(col("text")).as("ch")).distinct()
         .write.mode("overwrite").parquet(s"$workDir/v1_hash")
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$workDir/v1_sig")))
-      Dedup.minhashSignatures(v1.select(col("doc_id"), col("text")))
-        .write.mode("overwrite").parquet(s"$workDir/v1_sig")
-    // the release also ships its GOVERNANCE sketch: v1's per-source
-    // KMV minima (k longs per source — mergeable state, so the next
-    // release's sketch folds in by re-aggregating the union of minima
-    // instead of rescanning v1; StreamingSpec proves store-merge ≡
-    // full recompute against graft.ops.Govern.sharedThetaSketches)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$workDir/v1_theta"))) {
-      graft.functions.Registry.ensure(spark)
-      Dedup.shingleHashes(v1.select(col("doc_id"), col("text")))
-        .join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy(col("source"))
-        .agg(call_function("kmv_min_k", col("h"),
-          lit(graft.ops.Govern.ThetaK)).as("mins"))
-        .write.mode("overwrite").parquet(s"$workDir/v1_theta")
+    // v1_sig and v1_theta both start from shingleHashes(v1) — the
+    // tokenize+shingle+md5 pass is the expensive part of either build,
+    // so compute it ONCE and derive both (guide §1.2: don't run the
+    // same pass twice). Bit-identical to the old two-pass form:
+    // minhashSignatures ≡ minhashSignaturesOfHashes∘shingleHashes by
+    // construction, and the KMV aggregate dedups inserts so it sees
+    // the same distinct (doc_id, h) stream either way.
+    val needSig = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$workDir/v1_sig"))
+    val needTheta = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$workDir/v1_theta"))
+    if (needSig || needTheta) {
+      val sh = Dedup.shingleHashes(v1.select(col("doc_id"), col("text")))
+      val shc = if (needSig && needTheta) sh.cache() else sh
+      try {
+        if (needSig)
+          Dedup.minhashSignaturesOfHashes(shc)
+            .write.mode("overwrite").parquet(s"$workDir/v1_sig")
+        // the release also ships its GOVERNANCE sketch: v1's per-source
+        // KMV minima (k longs per source — mergeable state, so the next
+        // release's sketch folds in by re-aggregating the union of
+        // minima instead of rescanning v1; StreamingSpec proves
+        // store-merge ≡ full recompute against
+        // graft.ops.Govern.sharedThetaSketches)
+        if (needTheta) {
+          graft.functions.Registry.ensure(spark)
+          shc.join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
+            .groupBy(col("source"))
+            .agg(call_function("kmv_min_k", col("h"),
+              lit(graft.ops.Govern.ThetaK)).as("mins"))
+            .write.mode("overwrite").parquet(s"$workDir/v1_theta")
+        }
+      } finally { if (needSig && needTheta) { shc.unpersist(); () } }
     }
     // a release ships its index artifacts: v1's band table, the
     // per-bucket occupancy counts, and the already-saturated bucket
@@ -1745,7 +1836,8 @@ object Streams {
     * and all per-bid state live on DISK.
     */
   private[streaming] def releaseRun(spark: SparkSession, dir: String,
-      workDir: String): DataFrame = withStatePartitions(spark) {
+      workDir: String): DataFrame =
+    withStatePartitions(spark, aqeOff = true) {
     import graft.ops.{Dedup, Prep}
     val sigSchema = "doc_id BIGINT, v ARRAY<BIGINT>"
     val censusSchema = "source STRING, n_batch BIGINT, d_forget BIGINT, " +
@@ -1855,15 +1947,20 @@ object Streams {
                 col("doc_id") =!= col("mb_keeper")).as("xb"),
               col("nr_hit").isNotNull.as("nr"))
           // per-bid idempotent outputs: the census partial (the SHARED
-          // aggregate — associative folds only) + both store appends
-          Prep.deltaCensus(flags).coalesce(1)
-            .write.mode("overwrite").parquet(s"$workDir/census_b$bid")
-          vec.coalesce(4).write.mode("overwrite")
-            .parquet(s"$workDir/bsig_b$bid")
-          batchBands.coalesce(4).write.mode("overwrite")
-            .parquet(s"$workDir/bband_b$bid")
-          local.select(col("ch")).distinct().coalesce(1)
-            .write.mode("overwrite").parquet(s"$workDir/bhash_b$bid")
+          // aggregate — associative folds only) + both store appends.
+          // The four sinks are independent (distinct per-bid dirs, all
+          // reading the cached frames), so they run concurrently —
+          // [[parWrites]] — to overlap the AQE stage-scheduling
+          // latency that dominates a tiny micro-batch.
+          parWrites(
+            () => Prep.deltaCensus(flags).coalesce(1)
+              .write.mode("overwrite").parquet(s"$workDir/census_b$bid"),
+            () => vec.coalesce(4).write.mode("overwrite")
+              .parquet(s"$workDir/bsig_b$bid"),
+            () => batchBands.coalesce(4).write.mode("overwrite")
+              .parquet(s"$workDir/bband_b$bid"),
+            () => local.select(col("ch")).distinct().coalesce(1)
+              .write.mode("overwrite").parquet(s"$workDir/bhash_b$bid"))
         } finally {
           local.unpersist(); vec.unpersist(); batchBands.unpersist(); ()
         }
@@ -1935,7 +2032,8 @@ object Streams {
     * per-bid on disk.
     */
   private[streaming] def crossmodalRun(spark: SparkSession, dir: String,
-      workDir: String): DataFrame = withStatePartitions(spark) {
+      workDir: String): DataFrame =
+    withStatePartitions(spark, aqeOff = true) {
     import graft.ops.{Dedup, Multimodal}
     def storesBelow(prefix: String, belowBid: Long,
         schema: String): Option[DataFrame] =
@@ -2002,13 +2100,16 @@ object Streams {
             .select(col("doc1"), col("doc2"))
           // per-bid stores are batch-sized (hashes + sizes, no text) —
           // coalesce so the writes don't pay 32 task launches each; at
-          // production scale these are bucketed table appends
-          pairs.coalesce(4).write.mode("overwrite")
-            .parquet(s"$workDir/pairs_b$bid")
-          post.coalesce(4).write.mode("overwrite")
-            .parquet(s"$workDir/post_b$bid")
-          meta.coalesce(1).write.mode("overwrite")
-            .parquet(s"$workDir/meta_b$bid")
+          // production scale these are bucketed table appends. The
+          // three sinks are independent (distinct dirs, cached
+          // inputs), so they overlap — [[parWrites]].
+          parWrites(
+            () => pairs.coalesce(4).write.mode("overwrite")
+              .parquet(s"$workDir/pairs_b$bid"),
+            () => post.coalesce(4).write.mode("overwrite")
+              .parquet(s"$workDir/post_b$bid"),
+            () => meta.coalesce(1).write.mode("overwrite")
+              .parquet(s"$workDir/meta_b$bid"))
         } finally { post.unpersist(); meta.unpersist(); () }
         ()
       })

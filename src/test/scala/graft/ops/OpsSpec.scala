@@ -2019,6 +2019,44 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(4L) == ((8, 4L, 0L, 0L)), r(4L).toString)
   }
 
+  test("saRanks early exit: rank table equals the full-round doubling loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // docs 1 and 2 are IDENTICAL (every suffix duplicated, so ranks
+    // never become unique — the nDistinct==nRows fast path cannot
+    // fire and the no-split criterion must carry the exit); doc 3 is
+    // all-unique filler. Groups stabilize after ~2 doublings, far
+    // below the 7-round horizon, so the loop exits early — and must
+    // still produce the exact rank table the full SaRounds loop (the
+    // oracle's unrolled CTE) produces.
+    val docs = Seq(
+      (1L, "a b c a b c d e"),
+      (2L, "a b c a b c d e"),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("sa_early_exit").toString
+    docs.write.parquet(s"$out/documents.parquet")
+    val got = SpanExact.saRanks(spark, out)
+      .select("doc_id", "pos", "r").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // full-round reference: the oracle's loop verbatim (global windows
+    // are fine at test scale)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var ref = docs
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), TextFns.h60(col("t")).as("r"))
+    for (k <- 0 until SpanExact.SaRounds) {
+      val paired = ref.withColumn("rr",
+        coalesce(lead(col("r"), 1 << k).over(wDoc), lit(-1L)))
+      ref = paired.withColumn("rn",
+          dense_rank().over(Window.orderBy(col("r"), col("rr"))).cast("long"))
+        .select(col("doc_id"), col("pos"), col("rn").as("r"))
+    }
+    val want = ref.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want, "early-exit rank table diverged from the full loop")
+  }
+
   test("q_contam_span: exact train-overlap census on a crafted split") {
     import spark.implicits._
     // eval doc 0 (doc_id % 50 == 0) embeds a verbatim 15-token span
