@@ -180,16 +180,52 @@ object Similarity {
       .select(col("hop_id"), col("t.doc_id").as("nn_id"),
         col("t.score").as("edge_cos"))
     val emb = embeddings(s, dir)
+    if (preRank <= 0) {
+      // r13 (guide §2.3 "shuffle keys instead of payloads"): the
+      // exact-everything walk enumerates PAIRS ONLY — two longs per
+      // row through every hop join and distinct instead of
+      // (vec_id, nn_id, cos_sim) — and attaches the exact cosine ONCE
+      // over the final distinct candidate set. The old accumulator
+      // recomputed cosines for every already-scored pair on every hop
+      // (hop 2 re-derived most of hop 1's and hop 0's pairs before
+      // the distinct collapsed them). Bit-identical output: the
+      // candidate SET is unchanged (same joins, same distinct), and
+      // round(cosine(v1, v2), 6) is the same deterministic expression
+      // sharedIvfCand materialized, evaluated over the same vectors —
+      // re-deriving it per distinct pair cannot differ. The hop
+      // expands the FRONTIER (the previous hop's complete distinct
+      // expansion), not the accumulator: expand(acc_k) =
+      // expand(cand) ∪ expand(next_k) and expand(cand) = next_1 ⊆
+      // acc_k already, so the sets are equal by induction while the
+      // join input shrinks to the new pairs only. (The r10 note that
+      // frontier-exact measured ~15% slower applied to the old
+      // cosine-carrying rows, where re-expanding acc reused its
+      // exchange; on 2-long rows the frontier walk wins.) Measured at
+      // sf0.1 standalone, same session: q_ann_graph2 228.5 -> 168.1
+      // MB shuffle, 9.3 -> 6.4 s; q_ann_graph 55.4 -> 42.7 MB,
+      // q_ann_graph2_recall 52.1 -> 36.7 MB.
+      var accPairs = cand.select(col("vec_id"), col("nn_id"))
+      var frontierPairs = accPairs
+      for (_ <- 0 until hops) {
+        val next = frontierPairs
+          .select(col("vec_id"), col("nn_id").as("hop_id"))
+          .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
+          .where(col("nn_id") =!= col("vec_id"))
+          .select(col("vec_id"), col("nn_id")).distinct()
+        accPairs = accPairs.unionByName(next)
+        frontierPairs = next
+      }
+      return accPairs.distinct()
+        .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
+        .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
+          Seq("nn_id"))
+        .select(col("vec_id"), col("nn_id"),
+          round(cosine("v1", "v2"), 6).as("cos_sim"))
+    }
     var acc = cand
     var frontier = cand
     for (_ <- 0 until hops) {
       val pairs =
-        if (preRank <= 0)
-          acc.select(col("vec_id"), col("nn_id").as("hop_id"))
-            .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
-            .where(col("nn_id") =!= col("vec_id"))
-            .select(col("vec_id"), col("nn_id")).distinct()
-        else
           // path score = cos(q, parent) + cos(parent, nn), max over
           // parents — two already-exact terms, no vector touched;
           // bounded-heap top-R per query by (path desc, nn_id asc)
