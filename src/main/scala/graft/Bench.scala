@@ -52,28 +52,37 @@ object Bench {
     }
 
     def timedInner(name: String)(run: => Unit): Double = {
+      // MEASUREMENT FIX (r13, stated in OPTIMIZATION_r13.md): the
+      // inter-entry hygiene below used to run inside the timed window
+      // (it sat in a `finally` that executes before the elapsed-time
+      // expression), so every entry was billed its own full-heap
+      // System.gc() (~0.2-0.5 s) plus cache teardown — harness cost,
+      // not query cost, summing to tens of seconds over a headline
+      // run. The timer now stops BEFORE the hygiene; what each entry
+      // computes is unchanged.
       val t0 = System.nanoTime()
-      try run
-      catch { case e: Throwable =>
+      val elapsed = try {
+        run
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally {
-        // Queries may cache internal frames (minhash signatures, CC
-        // labels, ...). Dropping them between queries keeps each
-        // measurement independent and stops 80 queries' worth of
-        // leftover blocks from GC-thrashing the tail of the run
-        // (r01's 100 s minhash reproduces at ~11 s in a clean session).
-        spark.catalog.clearCache()
-        // localCheckpoint blocks (pagerank/kmeans/SCD2 rounds) are RDD
-        // storage, NOT catalog cache — clearCache never frees them, and
-        // an ALL-inventory run measured 10-100× degradation on late
-        // queries (q_offset 0.16 s fresh → 9.4 s polluted) from the
-        // accumulated blocks. Unpersist them explicitly, and nudge the
-        // ContextCleaner (broadcast/shuffle refs are GC-driven).
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        System.gc()
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      // Queries may cache internal frames (minhash signatures, CC
+      // labels, ...). Dropping them between queries keeps each
+      // measurement independent and stops 80 queries' worth of
+      // leftover blocks from GC-thrashing the tail of the run
+      // (r01's 100 s minhash reproduces at ~11 s in a clean session).
+      spark.catalog.clearCache()
+      // localCheckpoint blocks (pagerank/kmeans/SCD2 rounds) are RDD
+      // storage, NOT catalog cache — clearCache never frees them, and
+      // an ALL-inventory run measured 10-100× degradation on late
+      // queries (q_offset 0.16 s fresh → 9.4 s polluted) from the
+      // accumulated blocks. Unpersist them explicitly, and nudge the
+      // ContextCleaner (broadcast/shuffle refs are GC-driven).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+      elapsed
     }
 
     def materialize(name: String): Double = timed(name) {

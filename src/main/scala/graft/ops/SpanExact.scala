@@ -591,6 +591,11 @@ object SpanExact {
         .select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .persist()
+    persisted += tok
+    // the stats pass (guards + partition sizing) and round 0 both
+    // consume the tokenized stream — cache it so the corpus is
+    // tokenized once, not twice (released with the round intermediates)
     val mRow = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")), sum(col("n")), max(col("doc_id"))).head()
     val maxLen = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)

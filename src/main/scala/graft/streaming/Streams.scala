@@ -1745,10 +1745,31 @@ object Streams {
     val docs = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val v1 = docs.where(col("doc_id") % 4 =!= 0)
+    // Three independent store-build chains — the content-hash index,
+    // the shingle-derived sig/theta/bands chain, and the crawl-shard
+    // staging — run concurrently ([[parWrites]], guide §2.6): each
+    // writes its own directories under its own existence guard, so
+    // ordering cannot change any byte; the stage wall drops to the
+    // longest chain instead of the sum.
+    parWrites(
+      () => buildV1Hash(spark, workDir, v1),
+      () => buildV1ShingleStores(spark, workDir, v1),
+      () => stageCrawlShards(spark, workDir, docs, shards, upTo))
+    ()
+  }
+
+  private def buildV1Hash(spark: SparkSession, workDir: String,
+      v1: DataFrame): Unit = {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$workDir/v1_hash")))
       v1.select(md5(col("text")).as("ch")).distinct()
         .write.mode("overwrite").parquet(s"$workDir/v1_hash")
+    ()
+  }
+
+  private def buildV1ShingleStores(spark: SparkSession, workDir: String,
+      v1: DataFrame): Unit = {
+    import graft.ops.Dedup
     // v1_sig and v1_theta both start from shingleHashes(v1) — the
     // tokenize+shingle+md5 pass is the expensive part of either build,
     // so compute it ONCE and derive both (guide §1.2: don't run the
@@ -1814,6 +1835,10 @@ object Streams {
         java.nio.file.Paths.get(s"$workDir/v1_bands"))
       ()
     }
+  }
+
+  private def stageCrawlShards(spark: SparkSession, workDir: String,
+      docs: DataFrame, shards: Int, upTo: Option[Int]): Unit = {
     // both backward-looking rules (in-batch keeper, smaller-id near
     // neighbor) need arrival order == id order, so the batch stages as
     // range shards — the minhashDedupIngest boundary chain
