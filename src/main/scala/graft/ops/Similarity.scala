@@ -302,6 +302,46 @@ object Similarity {
   val MmrPoolK = 20
   val MmrK = 10
 
+  /** The q_mmr_diversify greedy selection over the collected pool and
+    * pairwise-sim tables — the EXACT arithmetic of the former
+    * per-round Spark-expression loop (`round(0.7·relq − 0.3·ms, 6)`
+    * with ms = max sim vs the picked set, pick = max by (mmr desc,
+    * vec_id asc)), run on the driver because both inputs are bounded
+    * by the MmrPoolK constant. `r6` is Spark's Round-on-DoubleType
+    * evaluation verbatim: scala.math.BigDecimal(x).setScale(6,
+    * HALF_UP).toDouble.
+    */
+  private[ops] def mmrGreedy(poolRows: Array[(Long, Double)],
+      simRows: Array[(Long, Long, Double)]): Seq[(Int, Long, Double, Double)] = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
+    val picked = scala.collection.mutable.Set.empty[Long]
+    var exhausted = false
+    for (r <- 1 to MmrK if !exhausted) {
+      val cands = poolRows.filter(p => !picked.contains(p._1)).map {
+        case (id, relq) =>
+          val ms =
+            if (picked.isEmpty) 0.0
+            else {
+              val ss = simRows.filter(x => x._1 == id && picked.contains(x._2))
+              // the old plan's LEFT join + coalesce(ms, 0.0): a
+              // candidate with no sim row vs the picked set scores 0
+              if (ss.isEmpty) 0.0 else ss.map(_._3).max
+            }
+          (id, relq, r6(MmrLam * relq - MmrLamC * ms))
+      }
+      if (cands.isEmpty) exhausted = true
+      else {
+        // max by (mmr desc, vec_id asc) — the old orderBy + limit(1)
+        val best = cands.minBy { case (id, _, mmr) => (-mmr, id) }
+        picks += ((r, best._1, best._2, best._3))
+        picked += best._1
+      }
+    }
+    picks.toSeq
+  }
+
   /** THE fine-anchor-count rule (m = max(4, ⌈√n⌉)) — one definition
     * for the quantizer, the anchor table, the saturation cap, and the
     * balance census, so the anchor set cannot drift between them.
@@ -1484,40 +1524,26 @@ object Similarity {
           .where(col("a") =!= col("b"))
           .select(col("a"), col("b"), round(cosine("va", "vb"), 6).as("sim"))
       }
-      val cand = pool.select(col("vec_id"), col("relq"))
-      // Greedy rounds: each pick is a 1-ROW collect (the bounded-
-      // collect discipline of the k-means cells — MmrK × 1 row of
-      // driver traffic, constants by construction). The scoring
-      // arithmetic stays INSIDE Spark expressions, so engine parity
-      // with the oracle's unrolled rounds is by the same round()/
-      // literal conventions as everywhere else.
-      def mmrExpr(ms: Column): Column =
-        round(lit(MmrLam) * col("relq") - lit(MmrLamC) * ms, 6)
-      val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
-      // a corpus with fewer than MmrK pool vectors simply yields a
-      // shorter ranking — stop when a round finds no candidate rather
-      // than throwing from a bare collect().head
-      var exhausted = false
-      for (r <- 1 to MmrK if !exhausted) {
-        val selIds = picks.map(_._2).toSeq
-        val base = if (selIds.isEmpty) cand else
-          cand.where(!col("vec_id").isin(selIds.map(Long.box): _*))
-        val ms = if (selIds.isEmpty) lit(0.0) else coalesce(col("ms"), lit(0.0))
-        val scored = if (selIds.isEmpty) base else
-          base.join(sims.where(col("b").isin(selIds.map(Long.box): _*))
-              .groupBy(col("a")).agg(max(col("sim")).as("ms")),
-            col("vec_id") === col("a"), "left")
-        scored
-          .select(col("vec_id"), col("relq"), mmrExpr(ms).as("mmr"))
-          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-          .collect().headOption match {
-          case Some(row) =>
-            picks += ((r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
-          case None => exhausted = true
-        }
-      }
+      // Greedy rounds on the DRIVER over the two bounded collected
+      // tables (pool ≤ MmrPoolK = 20 rows, sims < MmrPoolK² rows —
+      // the k-means-cells bounded-collect discipline, constants by
+      // construction). r13 (guide §1.2 / §7.3): the old loop ran MmrK
+      // sequential 1-row-collect Spark jobs over a 20-row table —
+      // pure job-scheduling latency (3.9 s standalone at sf0.1, zero
+      // shuffle). The arithmetic is replicated bit-for-bit: Spark's
+      // Round(double, 6) evaluates
+      // scala.math.BigDecimal(x).setScale(6, HALF_UP).toDouble, and
+      // 0.7·relq − 0.3·ms / max-over-picked are plain IEEE ops both
+      // sides — OpsSpec pins driver-greedy ≡ the old Spark-expression
+      // loop row-for-row, and the DuckDB oracle gate re-proves it on
+      // every run.
+      val poolRows = pool.select(col("vec_id"), col("relq")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val simRows = sims.select(col("a"), col("b"), col("sim")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val picks = mmrGreedy(poolRows, simRows)
       import s.implicits._
-      picks.toSeq.toDF("rank", "doc_id", "relq", "mmr").orderBy(col("rank"))
+      picks.toDF("rank", "doc_id", "relq", "mmr").orderBy(col("rank"))
     }),
 
     // Embedding-distribution drift: PSI over IVF cell-GROUP occupancy

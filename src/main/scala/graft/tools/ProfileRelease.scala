@@ -38,6 +38,10 @@ object ProfileRelease {
       case "thetaDelta" => Streams.thetaDeltaStage(spark, sfDir, work, 3)
       case "ngramTheta" => Streams.thetaStage(spark, sfDir, work, 3)
       case "theta" => Streams.thetaStage(spark, sfDir, work, 3)
+      case "contamination" => Streams.contaminationStage(spark, sfDir, work, 3)
+      case "outliers" => Streams.outliersStage(spark, sfDir, work, 3)
+      case "doremi" => Streams.doremiStage(spark, sfDir, work, 3)
+      case "drift" => Streams.driftStage(spark, sfDir, work, 3)
     }
     def run(work: String): org.apache.spark.sql.DataFrame = twin match {
       case "release" => Streams.releaseRun(spark, sfDir, work)
@@ -45,6 +49,10 @@ object ProfileRelease {
       case "thetaDelta" => Streams.thetaDeltaRun(spark, sfDir, work)
       case "ngramTheta" => Streams.ngramThetaRun(spark, sfDir, work)
       case "theta" => Streams.thetaRun(spark, sfDir, work)
+      case "contamination" => Streams.contaminationRun(spark, sfDir, work)
+      case "outliers" => Streams.outliersRun(spark, sfDir, work)
+      case "doremi" => Streams.doremiRun(spark, work)
+      case "drift" => Streams.driftRun(spark, work)
     }
     def rep(mode: Boolean): Double = {
       abConf match {

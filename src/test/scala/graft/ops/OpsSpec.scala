@@ -2019,6 +2019,48 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(4L) == ((8, 4L, 0L, 0L)), r(4L).toString)
   }
 
+  test("mmrGreedy: driver greedy equals the Spark-expression round loop") {
+    import spark.implicits._
+    // adversarial relq/sim values: half-ulp rounding boundaries,
+    // negatives, exact ties — the cases where a driver-side re-
+    // implementation of round(0.7*relq - 0.3*ms, 6) could drift from
+    // Spark's Round evaluation
+    val pool = Seq(
+      (1L, 0.9999995), (2L, 0.1234565), (3L, 0.1234575), (4L, -0.0000005),
+      (5L, 0.5), (6L, 0.5), (7L, 0.7142855), (8L, 0.9999985),
+      (9L, 0.000001), (10L, -0.653421))
+    val sims = (for {
+      (a, _) <- pool; (b, _) <- pool if a != b
+    } yield (a, b, BigDecimal((a * 31 + b * 17 % 7).toDouble / 13.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 0.1)).toSeq
+    val poolDf = pool.toDF("vec_id", "relq")
+    val simsDf = sims.toDF("a", "b", "sim")
+    // the pre-r13 loop, verbatim: MmrK rounds, each scored in Spark
+    // expressions and picked by orderBy(mmr desc, vec_id) limit 1
+    def mmrExpr(ms: org.apache.spark.sql.Column) =
+      round(lit(Similarity.MmrLam) * col("relq") -
+        lit(Similarity.MmrLamC) * ms, 6)
+    val ref = scala.collection.mutable.ListBuffer.empty[(Int, Long, Double, Double)]
+    for (r <- 1 to Similarity.MmrK) {
+      val selIds = ref.map(_._2).toSeq
+      val base = if (selIds.isEmpty) poolDf else
+        poolDf.where(!col("vec_id").isin(selIds.map(Long.box): _*))
+      val ms = if (selIds.isEmpty) lit(0.0) else coalesce(col("ms"), lit(0.0))
+      val scored = if (selIds.isEmpty) base else
+        base.join(simsDf.where(col("b").isin(selIds.map(Long.box): _*))
+            .groupBy(col("a")).agg(max(col("sim")).as("ms")),
+          col("vec_id") === col("a"), "left")
+      scored.select(col("vec_id"), col("relq"), mmrExpr(ms).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .collect().headOption.foreach { row =>
+          ref += ((r, row.getLong(0), row.getDouble(1), row.getDouble(2)))
+        }
+    }
+    val got = Similarity.mmrGreedy(pool.toArray, sims.toArray)
+    assert(got == ref.toSeq,
+      s"driver greedy diverged:\n got=$got\n ref=${ref.toSeq}")
+  }
+
   test("saRanks early exit: rank table equals the full-round doubling loop") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
