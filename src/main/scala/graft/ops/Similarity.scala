@@ -180,7 +180,8 @@ object Similarity {
       .select(col("hop_id"), col("t.doc_id").as("nn_id"),
         col("t.score").as("edge_cos"))
     val emb = embeddings(s, dir)
-    if (preRank <= 0) {
+    if (preRank <= 0 &&
+        s.conf.get("spark.graft.annPairsWalk", "true").toBoolean) {
       // r13 (guide §2.3 "shuffle keys instead of payloads"): the
       // exact-everything walk enumerates PAIRS ONLY — two longs per
       // row through every hop join and distinct instead of
@@ -221,6 +222,24 @@ object Similarity {
           Seq("nn_id"))
         .select(col("vec_id"), col("nn_id"),
           round(cosine("v1", "v2"), 6).as("cos_sim"))
+    }
+    if (preRank <= 0) {
+      // measurement-only fallback: the pre-r13 accumulator walk
+      var acc = cand
+      for (_ <- 0 until hops) {
+        val pairs = acc.select(col("vec_id"), col("nn_id").as("hop_id"))
+          .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
+          .where(col("nn_id") =!= col("vec_id"))
+          .select(col("vec_id"), col("nn_id")).distinct()
+        val expanded = pairs
+          .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
+          .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
+            Seq("nn_id"))
+          .select(col("vec_id"), col("nn_id"),
+            round(cosine("v1", "v2"), 6).as("cos_sim"))
+        acc = acc.unionByName(expanded)
+      }
+      return acc.distinct()
     }
     var acc = cand
     var frontier = cand
