@@ -31,6 +31,12 @@ object Bench {
     // is approximate (±one straggler stage); written to
     // BENCH_SHUFFLE.json + stderr, never the stdout contract line.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    // Per-entry task-time and task-GC totals (r14 diagnostics for the
+    // in-run-vs-standalone gap): same async-attribution caveat as the
+    // shuffle counter; stderr + BENCH_METRICS.json only, never the
+    // stdout contract line.
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -38,16 +44,29 @@ object Bench {
           val m = sc.stageInfo.taskMetrics
           if (m != null) {
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            taskRunMs.addAndGet(m.executorRunTime)
+            taskGcMs.addAndGet(m.jvmGCTime)
             ()
           }
         }
       })
     val shuffleByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val metricsByQuery = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def jvmGcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
 
     def timed(name: String)(run: => Unit): Double = {
       val sh0 = shuffleBytes.get()
+      val (run0, tgc0, jgc0) = (taskRunMs.get(), taskGcMs.get(), jvmGcMillis())
       val t = timedInner(name)(run)
       shuffleByQuery(name) = (shuffleBytes.get() - sh0) / 1e6
+      metricsByQuery(name) =
+        s"""{"wall":${f"$t%.3f"},"taskRunMs":${taskRunMs.get() - run0}""" +
+          s""","taskGcMs":${taskGcMs.get() - tgc0}""" +
+          s""","jvmGcMs":${jvmGcMillis() - jgc0}}"""
       t
     }
 
@@ -235,7 +254,10 @@ object Bench {
       // the postings build must be billed up front, not inside
       // shared_theta_sketch / the delta's sketch legs
       "q_theta_sketch", "q_theta_setops", "q_theta_matrix",
-      "q_theta_delta", "q_stream_theta_delta")
+      "q_theta_delta", "q_stream_theta_delta",
+      // r14: the release twin's v1 stores and the contamination twin's
+      // eval index are postings-table filters now — same billing rule
+      "q_stream_release", "q_stream_contamination")
     val sharedPostings: Seq[(String, Double)] =
       if (names.exists(postingsFamily.contains)) {
         val t = timed("shared_shingle_postings") {
@@ -560,6 +582,17 @@ object Bench {
       System.err.println(s"[bench] could not write BENCH_SHUFFLE.json: ${e.getMessage}")
     }
     System.err.println(s"[bench] shuffle MB by entry: $shuffleJson")
+    // r14 diagnostics: per-entry wall vs task run time vs GC (task-
+    // billed and whole-JVM; the whole-JVM figure includes the trailing
+    // inter-entry hygiene System.gc). Side file only.
+    val metricsJson = metricsByQuery
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_METRICS.json"), metricsJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_METRICS.json: ${e.getMessage}")
+    }
     println(jline(top10))
   }
 

@@ -154,10 +154,37 @@ object Streams {
     */
   val ParWritesConf = "spark.graft.streaming.parWrites"
 
+  /** Conf for overlapping the PER-MICRO-BATCH sink writes inside the
+    * release/crossmodal foreachBatch bodies — split from
+    * [[ParWritesConf]] in r14 and DEFAULT OFF. The r13 default-on was
+    * tuned on a latency-bound degraded host; re-measured at the
+    * driver's `local[32]` config (interleaved A/B, 3 cycles, fresh
+    * work dir per rep) the overlap is the instability source: release
+    * 11.8/22.5/25.2 s with batch overlap on vs 13.6/14.8/15.0 s off
+    * (same AQE-off drain), i.e. 3-4 concurrent 32-task jobs per tiny
+    * trigger each holding cached frames thrash the scheduler/heap —
+    * exactly the driver-measured r13 regression (release 12.2→50.9 s,
+    * c8/c32 ratio 0.21). The STAGING store-build chains (long,
+    * independent, run once) keep [[ParWritesConf]] default-on — §2.6
+    * back-fill works for long jobs; it loses on per-trigger
+    * micro-jobs at high core counts.
+    */
+  val ParWritesBatchConf = "spark.graft.streaming.parWritesBatch"
+
   private[streaming] def parWrites(bodies: (() => Unit)*): Unit =
+    parWritesImpl(ParWritesConf, defaultOn = true, bodies)
+
+  /** [[parWrites]] for per-micro-batch sinks — see
+    * [[ParWritesBatchConf]]; default sequential.
+    */
+  private[streaming] def parWritesBatch(bodies: (() => Unit)*): Unit =
+    parWritesImpl(ParWritesBatchConf, defaultOn = false, bodies)
+
+  private def parWritesImpl(conf: String, defaultOn: Boolean,
+      bodies: Seq[() => Unit]): Unit =
     if (bodies.sizeIs <= 1 ||
         !org.apache.spark.sql.SparkSession.active.conf
-          .get(ParWritesConf, "true").toBoolean)
+          .get(conf, defaultOn.toString).toBoolean)
       bodies.foreach(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.size)
@@ -1327,9 +1354,12 @@ object Streams {
   private[streaming] def contaminationRun(spark: SparkSession, dir: String,
       workDir: String): DataFrame = withStatePartitions(spark) {
     import graft.ops.Dedup
-    val docs = graft.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    val evalIx = Dedup.shingleHashes(docs.where(col("doc_id") % 50 === 0))
+    // r14: the static eval index is the session-materialized corpus
+    // postings table filtered to the eval slice (the doc_id filter
+    // commutes with shingleHashes' per-(doc_id, h) distinct) — a
+    // parquet scan instead of a tokenize of the eval sample.
+    val evalIx = Dedup.sharedShinglePostings(spark, dir)
+      .where(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), col("h")).cache()
     try {
       evalIx.count() // materialize the static index once, pre-stream
@@ -1401,7 +1431,7 @@ object Streams {
         val posts = Dedup.shingleHashes(b.select(col("doc_id"), col("text")))
           .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
           .cache()
-        try parWrites(
+        try parWritesBatch(
           () => posts.groupBy(col("source"))
             .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
               .as("mins"))
@@ -1456,7 +1486,7 @@ object Streams {
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val g = TextAnalysis.ngramHashes(
           batch.toDF().select(col("source"), col("text"))).cache()
-        try parWrites(
+        try parWritesBatch(
           () => g.groupBy(col("source"), col("n"))
             .agg(count(lit(1)).as("total"),
               call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
@@ -1520,14 +1550,19 @@ object Streams {
       .select(col("doc_id"), col("source"), col("text"))
     val v1 = docs.where(col("doc_id") % 4 =!= 0)
     // both v1 stores start from the same shingle pass over 3/4 of the
-    // corpus — build the distinct postings store FIRST and derive the
-    // sketch from its read-back (guide §1.2: one pass, not two).
+    // corpus — r14: that pass IS the session-materialized corpus
+    // postings table ([[graft.ops.Dedup.sharedShinglePostings]])
+    // filtered to the v1 slice (the doc_id filter commutes with the
+    // per-(doc_id, h) distinct), so the store build is a parquet
+    // scan + filter instead of a re-tokenize; the sketch still
+    // derives from the store's read-back (guide §1.2: one pass).
     // Bit-identical: the KMV aggregate dedups inserts, so kmv_min_k
     // over the distinct (source, h) store equals kmv_min_k over the
     // raw per-doc posting stream.
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$workDir/v1_ph")))
-      Dedup.shingleHashes(v1.select(col("doc_id"), col("text")))
+      Dedup.sharedShinglePostings(spark, dir)
+        .where(col("doc_id") % 4 =!= 0)
         .join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), col("h")).distinct()
         .write.mode("overwrite").parquet(s"$workDir/v1_ph")
@@ -1560,7 +1595,7 @@ object Streams {
         val posts = Dedup.shingleHashes(b.select(col("doc_id"), col("text")))
           .join(b.select(col("doc_id"), col("source")), Seq("doc_id"))
           .cache()
-        try parWrites(
+        try parWritesBatch(
           () => posts.groupBy(col("source"))
             .agg(call_function("kmv_min_k", col("h"), lit(Govern.ThetaK))
               .as("mins"))
@@ -1753,7 +1788,7 @@ object Streams {
     // longest chain instead of the sum.
     parWrites(
       () => buildV1Hash(spark, workDir, v1),
-      () => buildV1ShingleStores(spark, workDir, v1),
+      () => buildV1ShingleStores(spark, dir, workDir, v1),
       () => stageCrawlShards(spark, workDir, docs, shards, upTo))
     ()
   }
@@ -1767,42 +1802,44 @@ object Streams {
     ()
   }
 
-  private def buildV1ShingleStores(spark: SparkSession, workDir: String,
-      v1: DataFrame): Unit = {
+  private def buildV1ShingleStores(spark: SparkSession, dir: String,
+      workDir: String, v1: DataFrame): Unit = {
     import graft.ops.Dedup
-    // v1_sig and v1_theta both start from shingleHashes(v1) — the
-    // tokenize+shingle+md5 pass is the expensive part of either build,
-    // so compute it ONCE and derive both (guide §1.2: don't run the
-    // same pass twice). Bit-identical to the old two-pass form:
-    // minhashSignatures ≡ minhashSignaturesOfHashes∘shingleHashes by
-    // construction, and the KMV aggregate dedups inserts so it sees
-    // the same distinct (doc_id, h) stream either way.
+    // v1_sig and v1_theta both start from shingleHashes(v1). r13 fused
+    // the two builds onto one cached shingle pass; r14 goes one step
+    // further (guide §1.2 / §6): v1's postings are EXACTLY the
+    // session-materialized corpus postings table
+    // ([[graft.ops.Dedup.sharedShinglePostings]] — distinct
+    // (doc_id, h), the standing index a production release reads)
+    // filtered to the v1 slice, so the build is a parquet scan +
+    // filter instead of re-tokenizing 3/4 of the corpus per
+    // invocation. Bit-identical: shingleHashes is distinct per
+    // (doc_id, h), so the doc_id filter commutes with it; the minhash
+    // min-aggregate and the KMV insert-dedup are row-order-free.
     val needSig = !java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$workDir/v1_sig"))
     val needTheta = !java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$workDir/v1_theta"))
     if (needSig || needTheta) {
-      val sh = Dedup.shingleHashes(v1.select(col("doc_id"), col("text")))
-      val shc = if (needSig && needTheta) sh.cache() else sh
-      try {
-        if (needSig)
-          Dedup.minhashSignaturesOfHashes(shc)
-            .write.mode("overwrite").parquet(s"$workDir/v1_sig")
-        // the release also ships its GOVERNANCE sketch: v1's per-source
-        // KMV minima (k longs per source — mergeable state, so the next
-        // release's sketch folds in by re-aggregating the union of
-        // minima instead of rescanning v1; StreamingSpec proves
-        // store-merge ≡ full recompute against
-        // graft.ops.Govern.sharedThetaSketches)
-        if (needTheta) {
-          graft.functions.Registry.ensure(spark)
-          shc.join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
-            .groupBy(col("source"))
-            .agg(call_function("kmv_min_k", col("h"),
-              lit(graft.ops.Govern.ThetaK)).as("mins"))
-            .write.mode("overwrite").parquet(s"$workDir/v1_theta")
-        }
-      } finally { if (needSig && needTheta) { shc.unpersist(); () } }
+      val sh = Dedup.sharedShinglePostings(spark, dir)
+        .where(col("doc_id") % 4 =!= 0)
+      if (needSig)
+        Dedup.minhashSignaturesOfHashes(sh)
+          .write.mode("overwrite").parquet(s"$workDir/v1_sig")
+      // the release also ships its GOVERNANCE sketch: v1's per-source
+      // KMV minima (k longs per source — mergeable state, so the next
+      // release's sketch folds in by re-aggregating the union of
+      // minima instead of rescanning v1; StreamingSpec proves
+      // store-merge ≡ full recompute against
+      // graft.ops.Govern.sharedThetaSketches)
+      if (needTheta) {
+        graft.functions.Registry.ensure(spark)
+        sh.join(v1.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(call_function("kmv_min_k", col("h"),
+            lit(graft.ops.Govern.ThetaK)).as("mins"))
+          .write.mode("overwrite").parquet(s"$workDir/v1_theta")
+      }
     }
     // a release ships its index artifacts: v1's band table, the
     // per-bucket occupancy counts, and the already-saturated bucket
@@ -1974,10 +2011,11 @@ object Streams {
           // per-bid idempotent outputs: the census partial (the SHARED
           // aggregate — associative folds only) + both store appends.
           // The four sinks are independent (distinct per-bid dirs, all
-          // reading the cached frames), so they run concurrently —
-          // [[parWrites]] — to overlap the AQE stage-scheduling
-          // latency that dominates a tiny micro-batch.
-          parWrites(
+          // reading the cached frames); [[parWritesBatch]] keeps them
+          // SEQUENTIAL by default — overlapping them was the r13
+          // regression at local[32] (see [[ParWritesBatchConf]]); a
+          // latency-bound deployment can turn the overlap back on.
+          parWritesBatch(
             () => Prep.deltaCensus(flags).coalesce(1)
               .write.mode("overwrite").parquet(s"$workDir/census_b$bid"),
             () => vec.coalesce(4).write.mode("overwrite")
@@ -2127,8 +2165,9 @@ object Streams {
           // coalesce so the writes don't pay 32 task launches each; at
           // production scale these are bucketed table appends. The
           // three sinks are independent (distinct dirs, cached
-          // inputs), so they overlap — [[parWrites]].
-          parWrites(
+          // inputs); [[parWritesBatch]] keeps them sequential by
+          // default (see [[ParWritesBatchConf]]).
+          parWritesBatch(
             () => pairs.coalesce(4).write.mode("overwrite")
               .parquet(s"$workDir/pairs_b$bid"),
             () => post.coalesce(4).write.mode("overwrite")
