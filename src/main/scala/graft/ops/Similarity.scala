@@ -140,13 +140,30 @@ object Similarity {
     */
   private[graft] def annGraphSearch(s: SparkSession, dir: String,
       degree: Int = GraphDegree, hops: Int = 1, preRank: Int = 0): DataFrame =
-    annGraphCandidates(s, dir, degree, hops, preRank)
-      .groupBy(col("vec_id"))
-      .agg(expr("top_k_by_score(cos_sim, nn_id, 1)").as("top"))
-      .select(col("vec_id"), explode(col("top")).as("t"))
-      .select(col("vec_id"), col("t.doc_id").as("nn_id"),
-        col("t.score").as("cos_sim"))
-      .orderBy(col("vec_id"))
+    // Session-materialized (r14): the search RESULT is one probe-
+    // sample-sized table per operating point, consumed by the query
+    // AND its recall audit — the established first-class-intermediate
+    // discipline (the audit audits the materialized result instead of
+    // re-running the whole walk). Exact round-trip (long, long,
+    // round-6 double); the consumer-side orderBy restores the
+    // contract ordering.
+    Scratch.materialize(s,
+        s"ann_graph_search_${dir}_${degree}_${hops}_$preRank") {
+      // top-1 per query as max(struct(score, -id)) — a DECLARATIVE
+      // aggregate (guide §4: no non-codegen expression in the hot
+      // path) instead of the bounded-heap TypedImperativeAggregate,
+      // whose per-row interpreted eval + tuple boxing dominated the
+      // final stage (r14 profile: 61 s of task CPU at sf0.1).
+      // Identical selection: struct comparison is lexicographic, so
+      // max picks the highest cos_sim and, on ties, the largest
+      // -nn_id = SMALLEST nn_id — exactly top_k_by_score's
+      // (score desc, id asc) order.
+      annGraphCandidates(s, dir, degree, hops, preRank)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos_sim"), (-col("nn_id")).as("neg_id"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg_id")).as("nn_id"),
+          col("m.cos_sim").as("cos_sim"))
+    }.orderBy(col("vec_id"))
 
   /** The distinct scored candidate set entering [[annGraphSearch]]'s
     * re-rank — exposed so the frontier sweep can measure candidate
@@ -180,8 +197,7 @@ object Similarity {
       .select(col("hop_id"), col("t.doc_id").as("nn_id"),
         col("t.score").as("edge_cos"))
     val emb = embeddings(s, dir)
-    if (preRank <= 0 &&
-        s.conf.get("spark.graft.annPairsWalk", "true").toBoolean) {
+    if (preRank <= 0) {
       // r13 (guide §2.3 "shuffle keys instead of payloads"): the
       // exact-everything walk enumerates PAIRS ONLY — two longs per
       // row through every hop join and distinct instead of
@@ -205,14 +221,29 @@ object Similarity {
       // sf0.1 standalone, same session: q_ann_graph2 228.5 -> 168.1
       // MB shuffle, 9.3 -> 6.4 s; q_ann_graph 55.4 -> 42.7 MB,
       // q_ann_graph2_recall 52.1 -> 36.7 MB.
+      // r14 (guide §2.4, duplicated subtrees): Catalyst cannot reuse
+      // the hop-1 frontier between its two consumers (the accumulator
+      // union and hop 2's join input) nor the graph build between the
+      // per-hop broadcasts — column pruning makes the copies
+      // canonically unequal, so the r13 plan recomputed hop 1's
+      // distinct twice and the graph's ObjectHashAggregate + explode
+      // three times. A LAZY localCheckpoint on each reused frame
+      // computes it once and serves every consumer from its blocks
+      // (bounded: pair rows are two longs; the bench's inter-entry
+      // hygiene unpersists them). Values are unchanged — the
+      // checkpoint only cuts lineage.
+      val graphCk =
+        if (hops > 1) graph.localCheckpoint(false) else graph
       var accPairs = cand.select(col("vec_id"), col("nn_id"))
       var frontierPairs = accPairs
-      for (_ <- 0 until hops) {
-        val next = frontierPairs
+      for (h <- 0 until hops) {
+        val next0 = frontierPairs
           .select(col("vec_id"), col("nn_id").as("hop_id"))
-          .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
+          .join(graphCk.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
           .where(col("nn_id") =!= col("vec_id"))
           .select(col("vec_id"), col("nn_id")).distinct()
+        // only an intermediate hop's frontier has two consumers
+        val next = if (h < hops - 1) next0.localCheckpoint(false) else next0
         accPairs = accPairs.unionByName(next)
         frontierPairs = next
       }
@@ -222,24 +253,6 @@ object Similarity {
           Seq("nn_id"))
         .select(col("vec_id"), col("nn_id"),
           round(cosine("v1", "v2"), 6).as("cos_sim"))
-    }
-    if (preRank <= 0) {
-      // measurement-only fallback: the pre-r13 accumulator walk
-      var acc = cand
-      for (_ <- 0 until hops) {
-        val pairs = acc.select(col("vec_id"), col("nn_id").as("hop_id"))
-          .join(graph.select(col("hop_id"), col("nn_id")), Seq("hop_id"))
-          .where(col("nn_id") =!= col("vec_id"))
-          .select(col("vec_id"), col("nn_id")).distinct()
-        val expanded = pairs
-          .join(emb.select(col("vec_id"), col("v").as("v1")), Seq("vec_id"))
-          .join(emb.select(col("vec_id").as("nn_id"), col("v").as("v2")),
-            Seq("nn_id"))
-          .select(col("vec_id"), col("nn_id"),
-            round(cosine("v1", "v2"), 6).as("cos_sim"))
-        acc = acc.unionByName(expanded)
-      }
-      return acc.distinct()
     }
     var acc = cand
     var frontier = cand
@@ -285,14 +298,21 @@ object Similarity {
     CosineSim.register(s)
     val emb = embeddings(s, dir)
     val ann = annDf.select(col("vec_id"), col("cos_sim").as("ann_cos"))
-    val n = Tables(s, dir, "embeddings").count()
-    val probes = emb.where(probeSampled(col("vec_id"), n))
-      .select(col("vec_id"), col("v").as("v1"))
-    val truth = emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
-      .crossJoin(broadcast(probes))
-      .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
-      .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
+    // Session-materialized (r14): the brute-force truth table is one
+    // probe-sample-sized table per corpus, recomputed identically by
+    // every recall audit (q_ann_recall, q_ann_graph_recall,
+    // q_ann_graph2_recall each paid the full n × probes cosine pass).
+    // Exact round-trip (long, round-6 double max).
+    val truth = Scratch.materialize(s, s"ann_truth_$dir") {
+      val n = Tables(s, dir, "embeddings").count()
+      val probes = emb.where(probeSampled(col("vec_id"), n))
+        .select(col("vec_id"), col("v").as("v1"))
+      emb.select(col("vec_id").as("nn_id"), col("v").as("v2"))
+        .crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("nn_id"))
+        .select(col("vec_id"), round(cosine("v1", "v2"), 6).as("c"))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("true_cos"))
+    }
     truth.join(ann, Seq("vec_id"), "left")
       .select((col("ann_cos") === col("true_cos"))
         .cast("int").as("hit"))
