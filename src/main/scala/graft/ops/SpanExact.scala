@@ -651,6 +651,11 @@ object SpanExact {
       prevDistinct = nDistinct
       k += 1
     }
+    // measured evidence for the early-exit claim (BENCH_SCALING):
+    // rounds actually sorted vs the horizon's full count
+    System.err.println(
+      s"[sa] rounds executed: $k of ${roundsFor(h)} (horizon $h, " +
+        s"converged=$converged)")
     df
   }
 
