@@ -815,6 +815,7 @@ object Streams {
     }
     stageIntoBy(docs, srcDir, shards, None, shardOf)
     val sigDir = s"$workDir/sig_store"
+    val bandsDir = s"$workDir/band_store"
     val keptDir = s"$workDir/kept"
     val schema = spark.read.parquet(srcDir.toString).schema
     val stream = spark.readStream.schema(schema)
@@ -825,11 +826,23 @@ object Streams {
         // cache: consumed by bands, the estimate join, and the store
         // append — without it the shingle+hash pipeline runs per use
         val vec = Dedup.minhashSignatures(batch.toDF()).cache()
+        // the batch's band table: the probe side AND this trigger's
+        // band-store append (r14 — the release twin's staged-index
+        // discipline applied here: banding is a per-row map, so
+        // bands(store ∪ batch) ≡ stored bands ∪ bands(batch), and the
+        // store is no longer re-band-exploded every trigger)
+        val vecBands = Dedup.minhashBands(vec).cache()
         try {
           val allVec =
             if (java.nio.file.Files.exists(java.nio.file.Paths.get(sigDir)))
               spark.read.parquet(sigDir).unionByName(vec)
             else vec
+          val allBands =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(bandsDir)))
+              spark.read
+                .schema("doc_id BIGINT, band INT, sig STRING")
+                .parquet(bandsDir).unionByName(vecBands)
+            else vecBands
           // the BATCH side broadcasts (it is the small one by
           // construction); the accumulated store is only scanned and
           // probed, never shuffled — at production scale the store is
@@ -846,9 +859,9 @@ object Streams {
           // bucket's candidates — so the drained kept-set is a SUBSET
           // of the batch one, never a superset. The stop-band trade,
           // stated rather than hidden.
-          val cand = broadcast(Dedup.minhashBands(vec)
+          val cand = broadcast(vecBands
               .select(col("band"), col("sig"), col("doc_id").as("doc1")))
-            .join(Dedup.minhashLiveBands(Dedup.minhashBands(allVec))
+            .join(Dedup.minhashLiveBands(allBands)
               .select(col("band"), col("sig"), col("doc_id").as("doc2")),
               Seq("band", "sig"))
             .where(col("doc2") < col("doc1"))
@@ -867,9 +880,12 @@ object Streams {
           // ALL signatures join the store (kept or dropped): the
           // order-free predicate compares against every smaller id,
           // and a dropped doc can still be the nearest neighbor that
-          // kills a later duplicate
+          // kills a later duplicate. Both store appends run AFTER the
+          // kept write (which reads the stores) — the documented
+          // read-write hazard that keeps these sinks sequential.
           vec.write.mode("append").parquet(sigDir)
-        } finally { vec.unpersist(); () }
+          vecBands.write.mode("append").parquet(bandsDir)
+        } finally { vec.unpersist(); vecBands.unpersist(); () }
         ()
       })
     spark.read.parquet(keptDir)
